@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HistogramAgg
+
+/** Distribution-drift detection of `n_tok` and `source` frequencies
+  * against a stored baseline profile (north-star requirement; no
+  * reference instance). Sketches are built distributed, statistics are
+  * computed on the driver from the merged (metadata-sized) sketches:
+  *
+  *  - numeric column → fixed-bin histogram via the custom
+  *    [[graft.functions.HistogramAgg]] Catalyst aggregate (bins fixed from
+  *    the baseline so partition sketches merge associatively —
+  *    SURVEY.md §7.4); ECDF-from-histogram → two-sample KS statistic.
+  *    KS on binned ECDFs is exact at bin edges — a lower bound of the
+  *    unbinned statistic with error ≤ max per-bin mass; tolerance
+  *    documented on [[ksStatistic]].
+  *  - categorical column → frequency map via `groupBy(col).count`
+  *    (partial agg → shuffle of O(categories) rows) → Pearson chi-square.
+  */
+object Drift {
+
+  final case class HistogramProfile(lo: Double, hi: Double, counts: Array[Long]) {
+    def total: Long = counts.sum
+    /** cumulative distribution at each internal bin edge (underflow bin
+      * folded into the first step, overflow into the last). */
+    def ecdf: Array[Double] = {
+      val t = total.toDouble.max(1.0)
+      val cum = counts.scanLeft(0L)(_ + _).drop(1)
+      cum.map(_ / t)
+    }
+  }
+
+  final case class CategoricalProfile(freq: Map[String, Long]) {
+    def total: Long = freq.values.sum
+  }
+
+  final case class DriftVerdict(
+      ksStatistic: Double, ksCritical: Double, ksDrifted: Boolean,
+      chiSquare: Double, chiSquareDf: Int, chiSquareCritical: Double, chiDrifted: Boolean)
+
+  /** Build a numeric histogram sketch in one distributed aggregate. */
+  def numericHistogram(df: DataFrame, field: String, lo: Double, hi: Double, nBins: Int): HistogramProfile = {
+    HistogramAgg.register(df.sparkSession)
+    val row = df.agg(HistogramAgg.histogram(col(field), lo, hi, nBins).as("h")).head()
+    HistogramProfile(lo, hi, row.getAs[scala.collection.Seq[Long]]("h").toArray)
+  }
+
+  /** Categorical frequency profile (tiny shuffle: O(categories)). */
+  def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
+    val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))
+      .agg(count(lit(1)).as("n")).collect()
+    CategoricalProfile(rows.map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1)).toMap)
+  }
+
+  /** Two-sample KS statistic on aligned histogram sketches.
+    * Approximation error ≤ max(per-bin mass); with ≥64 bins over the
+    * data range this is well under the decision threshold in practice. */
+  def ksStatistic(a: HistogramProfile, b: HistogramProfile): Double = {
+    require(a.counts.length == b.counts.length && a.lo == b.lo && a.hi == b.hi,
+      "sketches must share bin edges (fix bins from the baseline profile)")
+    a.ecdf.zip(b.ecdf).map { case (x, y) => math.abs(x - y) }.max
+  }
+
+  /** Asymptotic two-sample KS critical value at significance alpha. */
+  def ksCritical(n1: Long, n2: Long, alpha: Double = 0.01): Double = {
+    val c = math.sqrt(-0.5 * math.log(alpha / 2.0))
+    c * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2.toDouble))
+  }
+
+  /** Pearson chi-square of observed vs expected proportions.
+    * Categories absent from the baseline get a pseudo-expected 0.5 count
+    * (standard continuity floor) so novel categories register as drift. */
+  def chiSquare(observed: CategoricalProfile, baseline: CategoricalProfile): (Double, Int) = {
+    val n = observed.total.toDouble
+    val bTotal = baseline.total.toDouble.max(1.0)
+    val keys = (observed.freq.keySet ++ baseline.freq.keySet).toSeq.sorted
+    var stat = 0.0
+    keys.foreach { k =>
+      val obs = observed.freq.getOrElse(k, 0L).toDouble
+      val expP = baseline.freq.getOrElse(k, 0L).toDouble / bTotal
+      val exp = math.max(expP * n, 0.5)
+      stat += (obs - exp) * (obs - exp) / exp
+    }
+    (stat, math.max(keys.size - 1, 1))
+  }
+
+  /** Wilson–Hilferty approximation of the chi-square quantile — good to
+    * a few percent for df ≥ 3, driver-side, dependency-free. */
+  def chiSquareCritical(df: Int, alpha: Double = 0.01): Double = {
+    val z = inverseNormalCdf(1.0 - alpha)
+    val k = df.toDouble
+    k * math.pow(1.0 - 2.0 / (9.0 * k) + z * math.sqrt(2.0 / (9.0 * k)), 3)
+  }
+
+  /** Acklam's rational approximation of the standard normal quantile. */
+  def inverseNormalCdf(p: Double): Double = {
+    require(p > 0 && p < 1)
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+      1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+      6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+      -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+      3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /** Full drift check of (numericField, categoricalField) vs baseline. */
+  def check(
+      df: DataFrame,
+      numericField: String, numericBaseline: HistogramProfile,
+      categoricalField: String, categoricalBaseline: CategoricalProfile,
+      alpha: Double = 0.01): DriftVerdict = {
+    val hist = numericHistogram(df, numericField,
+      numericBaseline.lo, numericBaseline.hi, numericBaseline.counts.length - 2)
+    val ks = ksStatistic(hist, numericBaseline)
+    val ksCrit = ksCritical(hist.total, numericBaseline.total, alpha)
+    val freq = categoricalFreq(df, categoricalField)
+    val (chi, dof) = chiSquare(freq, categoricalBaseline)
+    val chiCrit = chiSquareCritical(dof, alpha)
+    DriftVerdict(ks, ksCrit, ks > ksCrit, chi, dof, chiCrit, chi > chiCrit)
+  }
+}

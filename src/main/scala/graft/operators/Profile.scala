@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single fused-aggregate column profiler — the north-star per-column
+  * stats pass (BASELINE.json): count / null-rate / min / max / distinct
+  * via HyperLogLog++ (`approx_count_distinct`) / quantiles via
+  * `approx_percentile` (t-digest-like sketch), all in ONE
+  * HashAggregateExec over ONE scan. Partial+final aggregation is
+  * automatic, so sketches merge two-level (partition-local → global) and
+  * shuffle volume is O(partitions × columns), sublinear in rows.
+  */
+object Profile {
+
+  final case class NumericProfile(
+      field: String, nRows: Long, nNull: Long,
+      min: Double, max: Double, approxDistinct: Long,
+      p25: Double, p50: Double, p75: Double, p99: Double)
+
+  final case class StringProfile(
+      field: String, nRows: Long, nNull: Long,
+      min: String, max: String, approxDistinct: Long)
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** One aggregate row containing every column's stats. */
+  def profileExprs(df: DataFrame, fields: Seq[String]): Seq[Column] = {
+    val schema = df.schema
+    count(lit(1)).as("n_rows") +: fields.flatMap { f =>
+      val c = col(f)
+      val base = Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"null__$f"),
+        approx_count_distinct(c).as(s"dist__$f"))
+      if (isNumeric(schema(f).dataType))
+        base ++ Seq(
+          min(c).cast("double").as(s"min__$f"),
+          max(c).cast("double").as(s"max__$f"),
+          percentile_approx(c.cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000))
+            .as(s"pct__$f"))
+      else
+        base ++ Seq(
+          min(c).cast("string").as(s"mins__$f"),
+          max(c).cast("string").as(s"maxs__$f"))
+    }
+  }
+
+  /** Run the fused profile; returns (numeric profiles, string profiles). */
+  def run(df: DataFrame, fields: Seq[String]): (Seq[NumericProfile], Seq[StringProfile]) = {
+    val row: Row = df.agg(profileExprs(df, fields).head, profileExprs(df, fields).tail: _*).head()
+    def get[T](name: String): T = row.getAs[T](name)
+    val nRows = get[Long]("n_rows")
+    val schema = df.schema
+    val nums = fields.filter(f => isNumeric(schema(f).dataType)).map { f =>
+      val pct = get[scala.collection.Seq[Double]](s"pct__$f")
+      NumericProfile(f, nRows, get[Long](s"null__$f"),
+        Option(row.getAs[Any](s"min__$f")).map(_.toString.toDouble).getOrElse(Double.NaN),
+        Option(row.getAs[Any](s"max__$f")).map(_.toString.toDouble).getOrElse(Double.NaN),
+        get[Long](s"dist__$f"),
+        pct(0), pct(1), pct(2), pct(3))
+    }
+    val strs = fields.filterNot(f => isNumeric(schema(f).dataType)).map { f =>
+      StringProfile(f, nRows, get[Long](s"null__$f"),
+        get[String](s"mins__$f"), get[String](s"maxs__$f"), get[Long](s"dist__$f"))
+    }
+    (nums, strs)
+  }
+
+  /** DataFrame flavor for SQL-checkable outputs: one row per profiled
+    * numeric column with exact (not approx) aggregates only — oracle-safe. */
+  def exactNumericProfileDf(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val aggs = fields.flatMap { f =>
+      val c = col(f).cast("double")
+      Seq(
+        count(c).as(s"cnt__$f"),
+        min(c).as(s"min__$f"),
+        max(c).as(s"max__$f"),
+        round(avg(c), 4).as(s"avg__$f"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (field, cnt, min, max, avg) rows — stays a 1×N agg plan
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = row.head()
+    fields.map { f =>
+      (f, r.getAs[Long](s"cnt__$f"), r.getAs[Double](s"min__$f"),
+        r.getAs[Double](s"max__$f"), r.getAs[Double](s"avg__$f"))
+    }.toDF("field", "cnt", "min", "max", "avg")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** doc_id-uniqueness enforcement via a salted two-level hash aggregate
+  * (north-star requirement, BASELINE.json; no reference instance — the
+  * pandas app never checks key uniqueness).
+  *
+  * Scale analysis (10^12 rows):
+  *  - Catalyst already runs partial (map-side) + final hash aggregation
+  *    for `groupBy(key).count`, so a hot key collapses to ≤1 row per map
+  *    partition before the shuffle — the explicit salt below adds a
+  *    second pre-shuffle level for the adversarial case where one key's
+  *    partials alone would skew a reducer (e.g. a key occupying most of
+  *    many partitions), and documents the two-level shape the north rule
+  *    asks for.
+  *  - Shuffle volume is O(distinct keys), not O(rows); with AQE enabled
+  *    (`spark.sql.adaptive.enabled`) skewed partitions re-split at run
+  *    time.
+  *  - For a cheap probabilistic pre-check at full scale, compare
+  *    `count(*)` against HLL++ `approx_count_distinct(key)` in the same
+  *    fused profile pass (see [[Profile]]) and only run the exact
+  *    duplicate extraction when the estimate signals duplicates.
+  */
+object Uniqueness {
+
+  /** Exact duplicate keys and their multiplicities.
+    * Two-level: groupBy(key, salt) partial counts → groupBy(key) final.
+    * @param saltBuckets number of salt buckets (second pre-shuffle level) */
+  def duplicates(df: DataFrame, keyCol: String, saltBuckets: Int = 64): DataFrame = {
+    val salted = df
+      .groupBy(col(keyCol), pmod(spark_partition_id(), lit(saltBuckets)).as("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+    salted
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("n_occurrences"))
+      .where(col("n_occurrences") > 1)
+  }
+
+  /** Plain single-shuffle variant (Catalyst partial agg is the first
+    * level); preferred when keys are not adversarially skewed. */
+  def duplicatesSimple(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") > 1)
+
+  /** Probabilistic uniqueness check in one aggregate: rows vs HLL++
+    * estimate. `maybeDuplicates=false` is a certificate of uniqueness up
+    * to HLL error only when the estimate ≈ rows; callers gate the exact
+    * pass on it. */
+  def probabilisticCheck(df: DataFrame, keyCol: String, rsd: Double = 0.01): (Long, Long, Boolean) = {
+    val row = df.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col(keyCol), rsd).as("n_distinct")).head()
+    val nRows = row.getLong(0)
+    val nDistinct = row.getLong(1)
+    (nRows, nDistinct, nDistinct < (nRows * (1.0 - 3 * rsd)).toLong)
+  }
+
+  /** Violation rows (doc_id, rule_id) for duplicated keys — joins the
+    * duplicate-key set back; duplicate sets are usually small, so the
+    * join side is broadcast by AQE/size estimation. */
+  def violations(df: DataFrame, keyCol: String, ruleId: String = "R_UNIQUE_DOCID"): DataFrame = {
+    val dups = duplicatesSimple(df, keyCol)
+    df.join(broadcast(dups), Seq(keyCol), "left_semi")
+      .select(col(keyCol).as("doc_id"), lit(ruleId).as("rule_id"))
+  }
+}

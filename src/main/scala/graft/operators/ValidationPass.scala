@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Predicates
+import graft.model.{Requirement, Rule, RuleType}
+import graft.norm.Normalize.NullSentinel
+
+/** The semantic core: one fused Catalyst pass per table replacing the
+  * reference's rule-at-a-time pandas loop
+  * (/root/reference/utils/validate_core.py:143-355, `for _, row in
+  * cde_rules.iterrows()` at :207 re-scans the column per rule).
+  *
+  * Execution shape (designed for 10^12 rows):
+  *  - rules compile on the driver to `Column` predicates (metadata-sized);
+  *  - per-column stats ride an [[Observation]] (CollectMetrics) attached
+  *    to the SAME scan that extracts violations — ONE pass over the data,
+  *    no second job, no dense rows×cols mask (the reference's
+  *    invalid_cell_mask at validate_core.py:202 is the pandas-ism we drop);
+  *  - violations come out sparse as (row_key, rule_id, value) via
+  *    array-of-struct + `filter` + `explode` — all codegen'd built-ins;
+  *  - the only shuffle is the tiny distinct-offender aggregate
+  *    groupBy(rule_id, value), whose cardinality is bounded by distinct
+  *    offending values, not rows (partial aggregation makes the map side
+  *    emit at most |distinct| rows per partition).
+  *
+  * First-appearance ordering of offending values (the reference's
+  * order-preserving `unique()`, validate_core.py:244-251) is recovered via
+  * min(row_key) per distinct value — exact when the row key encodes input
+  * order (fixtures: single CSV partition), documented-approximate at
+  * petabyte scale where input order is a file artifact anyway.
+  */
+object ValidationPass {
+
+  /** Name of the synthetic input-order key column. */
+  val RowKey = "__row_key"
+
+  /** Per-evaluated-column accounting, mirroring the reference result dict
+    * (validate_core.py:343-355) minus the dense mask. */
+  final case class ColumnEval(
+      rule: Rule,
+      nNull: Long,
+      allNull: Boolean,
+      /** distinct offending values in first-appearance order */
+      failingValues: Seq[String],
+      /** total offending cells (all values) */
+      nInvalidCells: Long)
+
+  /** Table-level result mirroring validate_table_eval's dict
+    * (validate_core.py:160-189). `violations` stays a lazy DataFrame —
+    * callers sink it where they want; everything else is metadata-sized. */
+  final case class EvalResult(
+      tableName: String,
+      nRows: Long,
+      missingRequired: Seq[String],
+      missingOptional: Seq[String],
+      totalRequired: Int,
+      totalOptional: Int,
+      columns: Seq[ColumnEval],
+      violations: DataFrame) {
+
+    def allNullRequired: Seq[String] =
+      columns.filter(c => c.allNull && c.rule.isRequired).map(_.rule.field)
+    def allNullOptional: Seq[String] =
+      columns.filter(c => c.allNull && !c.rule.isRequired).map(_.rule.field)
+    /** (opt_req, column, n_null) for partially-null columns, rule order. */
+    def nullColumns: Seq[(String, String, Long)] =
+      columns.filter(c => !c.allNull && c.nNull > 0)
+        .map(c => (c.rule.optReq, c.rule.field, c.nNull))
+    def invalidRequired: Seq[String] =
+      columns.filter(c => c.failingValues.nonEmpty && c.rule.isRequired).map(_.rule.field)
+    def invalidOptional: Seq[String] =
+      columns.filter(c => c.failingValues.nonEmpty && !c.rule.isRequired).map(_.rule.field)
+  }
+
+  /** Attach a monotonically increasing input-order key. Within a
+    * partition ids follow read order; across partitions they follow
+    * partition index — deterministic for a fixed file layout. */
+  def withRowKey(df: DataFrame): DataFrame =
+    df.withColumn(RowKey, monotonically_increasing_id())
+
+  /** Rules that participate in evaluation: `Assigned` rows are skipped
+    * (validate_core.py:210-211), `Alias` rows were dropped by rule-table
+    * cleaning (/root/reference/utils/cde.py:423-469). */
+  def evaluable(rules: Seq[Rule]): Seq[Rule] =
+    rules.filterNot(r =>
+      r.required == Requirement.Assigned || r.required == Requirement.Alias)
+
+  /** Build the sparse violations projection for the rules whose field
+    * exists in `df`: one array-of-struct per row, nulls filtered, exploded.
+    * Input df must already carry [[RowKey]] (or pass idCol to use a
+    * natural key instead). */
+  def violationsFor(df: DataFrame, rules: Seq[Rule], keyCol: String): DataFrame = {
+    val present = evaluable(rules).filter(r => df.columns.contains(r.field))
+    require(present.nonEmpty, "no evaluable rule matches a column")
+    val cells: Seq[Column] = present.map { r =>
+      when(
+        Predicates.invalid(r, col(r.field)),
+        struct(
+          lit(r.ruleId).as("rule_id"),
+          col(r.field).cast("string").as("offending_value")))
+    }
+    df.select(
+        col(keyCol),
+        explode(filter(array(cells: _*), x => x.isNotNull)).as("v"))
+      .select(col(keyCol), col("v.rule_id"), col("v.offending_value"))
+  }
+
+  /** Full table evaluation in a single scan.
+    *
+    * @param dfNormalized all-string frame with null-likes already → "NA"
+    *                     (call [[graft.norm.Normalize.normalizeDf]] first —
+    *                     same contract as the reference,
+    *                     validate_core.py:152-155)
+    */
+  def evalTable(dfNormalized: DataFrame, tableName: String, rules: Seq[Rule]): EvalResult = {
+    val evalRules = evaluable(rules)
+    val inputCols = dfNormalized.columns.toSet
+
+    val missingRequired = evalRules.filter(r => r.isRequired && !inputCols(r.field)).map(_.field)
+    val missingOptional = evalRules.filter(r => !r.isRequired && !inputCols(r.field)).map(_.field)
+    val totalRequired = evalRules.count(_.isRequired)
+    val totalOptional = evalRules.count(!_.isRequired)
+    val present = evalRules.filter(r => inputCols(r.field))
+
+    if (present.isEmpty) {
+      val emptyVio = dfNormalized.sparkSession.emptyDataFrame
+        .select(lit(0L).as(RowKey), lit("").as("rule_id"), lit("").as("offending_value"))
+        .limit(0)
+      return EvalResult(tableName, 0L, missingRequired, missingOptional,
+        totalRequired, totalOptional, Nil, emptyVio)
+    }
+
+    val keyed = withRowKey(dfNormalized)
+
+    // --- stats metrics, evaluated inside the violation scan (one pass) ---
+    val statExprs: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+      present.map(r =>
+        sum(when(col(r.field) === NullSentinel, 1L).otherwise(0L))
+          .as(s"n_null__${r.field}"))
+    val obs = Observation(s"graft_stats_$tableName")
+    val observed = keyed.observe(obs, statExprs.head, statExprs.tail: _*)
+
+    val vio = violationsFor(observed, present, RowKey)
+
+    // --- distinct offenders: tiny shuffle keyed by (rule_id, value) ---
+    val offenderRows: Array[Row] = vio
+      .groupBy(col("rule_id"), col("offending_value"))
+      .agg(count(lit(1)).as("n_cells"), min(col(RowKey)).as("first_key"))
+      .collect() // bounded by distinct offending values — metadata-sized
+
+    // The optimizer can collapse an empty input to a LocalRelation and
+    // drop the CollectMetrics node (e.g. limit(0) fixtures) — fall back
+    // to a direct aggregate in that metadata-sized case.
+    val observedStats = obs.get
+    val stats: Map[String, Any] =
+      if (observedStats.nonEmpty) observedStats.toMap
+      else {
+        val r = keyed.agg(statExprs.head, statExprs.tail: _*).head()
+        r.schema.fieldNames.map(n => n -> r.getAs[Any](n)).toMap
+      }
+    val nRows = stats("n_rows").asInstanceOf[Long]
+
+    val byRule: Map[String, Array[Row]] = offenderRows.groupBy(_.getString(0))
+    val columns = present.map { r =>
+      val nNull = stats(s"n_null__${r.field}") match {
+        case null      => 0L
+        case l: Long   => l
+        case other     => other.toString.toLong
+      }
+      val mine = byRule.getOrElse(r.ruleId, Array.empty[Row]).sortBy(_.getLong(3))
+      ColumnEval(
+        rule = r,
+        nNull = nNull,
+        allNull = nNull == nRows && nRows > 0,
+        failingValues = mine.map(row => Option(row.getString(1)).getOrElse("NA")).toSeq,
+        nInvalidCells = mine.map(_.getLong(2)).sum)
+    }
+
+    EvalResult(tableName, nRows, missingRequired, missingOptional,
+      totalRequired, totalOptional, columns, vio)
+  }
+
+  /** Convenience predicate bundle for the tokenized-sequence table: the
+    * five north-star constraints (BASELINE.json) as named Catalyst
+    * predicates over (doc_id, tokens, n_tok, source). */
+  def seqConstraints(vocabSize: Int, sourceAllow: Seq[String]): Seq[(String, Column)] = Seq(
+    "R_NONNULL_DOCID" -> (col("doc_id").isNotNull && !col("doc_id").rlike("^\\s*$")),
+    "R_REGEX_DOCID"   -> col("doc_id").rlike("^(?:doc_[0-9]{12})$"),
+    "R_NTOK_EQ_SIZE"  -> (col("n_tok") === size(col("tokens"))),
+    "R_TOKEN_RANGE"   -> forall(col("tokens"), t => t >= 0 && t < vocabSize),
+    "R_ENUM_SOURCE"   -> col("source").isin(sourceAllow: _*))
+
+  /** Sparse violations for arbitrary named predicates (sequence-table
+    * flavor of [[violationsFor]]); value column records the offending
+    * doc_id's source/n_tok context compactly. */
+  def seqViolations(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    val cells = constraints.map { case (ruleId, validPred) =>
+      when(!coalesce(validPred, lit(false)),
+        lit(ruleId))
+    }
+    df.select(
+        col("doc_id"),
+        filter(array(cells: _*), x => x.isNotNull).as("failed"))
+      .where(size(col("failed")) > 0)
+      .select(col("doc_id"), explode(col("failed")).as("rule_id"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, Referential, Uniqueness, ValidationPass}
+import graft.sources.SeqTableGen
+
+/** End-to-end engine slice over the deterministic tokenized-sequence
+  * table (SURVEY.md §7.2): the five north-star constraints, uniqueness,
+  * referential, drift, and the token-array-equality invariant. */
+class SeqEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 20000L
+  lazy val df = SeqTableGen.generate(spark, N).cache()
+
+  test("generator is deterministic and partition-invariant") {
+    val a = SeqTableGen.generate(spark, 1000, numPartitions = 2)
+    val b = SeqTableGen.generate(spark, 1000, numPartitions = 7)
+    assert(a.orderBy("doc_id").collect().toSeq === b.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("seeded violations are detected by the constraint pass") {
+    val vio = ValidationPass.seqViolations(
+      df, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources))
+      .groupBy("rule_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedPer = (0L until N).count(_ % 997 == 0) // ≈ N/997 per class
+    assert(vio("R_NONNULL_DOCID") === expectedPer)
+    assert(vio("R_NTOK_EQ_SIZE") === (0L until N).count(_ % 997 == 2))
+    assert(vio("R_TOKEN_RANGE") === (0L until N).count(_ % 997 == 3))
+    assert(vio("R_ENUM_SOURCE") === (0L until N).count(_ % 997 == 4))
+    // regex violations: malformed ids PLUS blank ids (blank fails regex too)
+    assert(vio("R_REGEX_DOCID") ===
+      (0L until N).count(i => i % 997 == 0 || i % 997 == 1))
+  }
+
+  test("uniqueness: salted two-level agg finds duplicates incl. hot key") {
+    val dups = Uniqueness.duplicates(df, "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotCount = dups.getOrElse("doc_000000000042", 0L)
+    // id 42 itself + every id ≡ 6 (mod 4991)
+    assert(hotCount === 1 + (0L until N).count(_ % 4991 == 6))
+    val simple = Uniqueness.duplicatesSimple(df, "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dups === simple) // salted and plain agree
+    val (nRows, _, maybeDup) = Uniqueness.probabilisticCheck(df, "doc_id")
+    assert(nRows === N)
+  }
+
+  test("referential: wiki is enum-valid but orphaned vs allowlist") {
+    val allow = SeqTableGen.RefAllowlist.toDF("source")
+    val orphans = Referential.orphans(df, "source", allow, "source")
+    val bySource = orphans.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.contains("wiki"))
+    assert(bySource.contains("scraped")) // seeded stray is also orphaned
+    assert(bySource.size === 2)
+  }
+
+  test("drift: identical distribution passes, shifted distribution flags") {
+    val clean = SeqTableGen.generate(spark, 10000, withViolations = false)
+    val baselineHist = Drift.numericHistogram(clean, "n_tok", 0, 300, 64)
+    val baselineFreq = Drift.categoricalFreq(clean, "source")
+
+    val same = SeqTableGen.generate(spark, 10000, seed = 43, withViolations = false)
+    val okVerdict = Drift.check(same, "n_tok", baselineHist, "source", baselineFreq)
+    assert(!okVerdict.ksDrifted, s"false positive: $okVerdict")
+    assert(!okVerdict.chiDrifted, s"false positive: $okVerdict")
+
+    // shift n_tok by +40 and skew source frequencies
+    val shifted = clean
+      .withColumn("n_tok", col("n_tok") + 40)
+      .withColumn("source", lit("web"))
+    val badVerdict = Drift.check(shifted, "n_tok", baselineHist, "source", baselineFreq)
+    assert(badVerdict.ksDrifted, s"missed drift: $badVerdict")
+    assert(badVerdict.chiDrifted, s"missed drift: $badVerdict")
+  }
+
+  test("token-array equality invariant between input and validated output") {
+    val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
+    val allValid = constraints.map(_._2).reduce(_ && _)
+    // the engine's validated output: constraint-clean AND unique doc_ids
+    // (duplicated ids are ambiguous join keys, excluded by the
+    // uniqueness stage before the invariant is asserted)
+    val dups = Uniqueness.duplicatesSimple(df, "doc_id").select("doc_id")
+    val validated = df.where(allValid).join(broadcast(dups), Seq("doc_id"), "left_anti")
+    val joined = df.as("in").join(validated.as("out"), Seq("doc_id"))
+      .where(not($"in.tokens" === $"out.tokens"))
+    assert(joined.count() === 0)
+    assert(validated.count() > 0)
+  }
+}

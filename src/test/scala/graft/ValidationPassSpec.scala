@@ -1,0 +1,109 @@
+package graft
+
+import graft.model.{Requirement, Rule, RuleType}
+import graft.norm.Normalize
+import graft.operators.ValidationPass
+import graft.report.{Report, ReportCollector}
+
+/** Replays the reference's SAMPLE golden expectation (FIXTURES.md §1 /
+  * /root/reference/resource/tester_files/README.md): required
+  * `condition_id` has invalid 'IBD' in 2 cells but 1 DISTINCT value;
+  * multi-enum `region_level_1` with ';'-joined vocab values is valid. */
+class ValidationPassSpec extends SparkSpec {
+  import spark.implicits._
+
+  val rules = Seq(
+    Rule("SAMPLE", "sample_id", RuleType.RegexT, Requirement.Required,
+      pattern = "S[0-9]+"),
+    Rule("SAMPLE", "condition_id", RuleType.EnumT, Requirement.Required,
+      validation = Seq("PD", "Control", "Prodromal", "Other")),
+    Rule("SAMPLE", "region_level_1", RuleType.EnumT, Requirement.Optional,
+      validation = Seq("cortex", "striatum", "midbrain"), allowMultiEnum = true),
+    Rule("SAMPLE", "age", RuleType.IntegerT, Requirement.Optional),
+    Rule("SAMPLE", "notes", RuleType.StringT, Requirement.Optional),
+    Rule("SAMPLE", "assigned_col", RuleType.StringT, Requirement.Assigned),
+    Rule("SAMPLE", "absent_req", RuleType.StringT, Requirement.Required),
+    Rule("SAMPLE", "absent_opt", RuleType.StringT, Requirement.Optional))
+
+  def sampleDf = Seq(
+    ("S1", "PD", "cortex;striatum", "61", "ok"),
+    ("S2", "IBD", "cortex", "70.0", ""),
+    ("S3", "Control", "NA", "nan", "x"),
+    ("S4", "IBD", "midbrain", "NA", "y"),
+    ("S5", "Other", "cortex; striatum", "80", "z")
+  ).toDF("sample_id", "condition_id", "region_level_1", "age", "notes")
+
+  lazy val result = ValidationPass.evalTable(
+    Normalize.normalizeDf(sampleDf), "SAMPLE", rules)
+
+  test("missing columns: required + optional, Assigned excluded from totals") {
+    assert(result.missingRequired === Seq("absent_req"))
+    assert(result.missingOptional === Seq("absent_opt"))
+    assert(result.totalRequired === 3) // sample_id, condition_id, absent_req
+    assert(result.totalOptional === 4)
+    assert(result.nRows === 5)
+  }
+
+  test("invalid entries: distinct offending values, first-appearance order") {
+    val cond = result.columns.find(_.rule.field === "condition_id").get
+    assert(cond.failingValues === Seq("IBD")) // 2 cells, 1 distinct value
+    assert(cond.nInvalidCells === 2L)
+    val region = result.columns.find(_.rule.field === "region_level_1").get
+    assert(region.failingValues.isEmpty) // multi-enum ';' values valid
+    val age = result.columns.find(_.rule.field === "age").get
+    assert(age.failingValues.isEmpty) // 61, 70.0, nan→NA, NA, 80 all valid
+  }
+
+  test("null accounting: partial nulls counted per normalized sentinel") {
+    val notes = result.columns.find(_.rule.field === "notes").get
+    assert(notes.nNull === 1L) // "" → NA
+    assert(!notes.allNull)
+    val region = result.columns.find(_.rule.field === "region_level_1").get
+    assert(region.nNull === 1L)
+  }
+
+  test("report: counters + exact message strings; saved log drops success/warning") {
+    val rc = new ReportCollector
+    val (errors, warnings) = Report.compose(result, "SAMPLE", rc)
+    // errors: 1 missing required + 1 invalid required (condition_id)
+    assert(errors === 2)
+    // warnings: 1 missing optional + partial-null columns (age, notes, region_level_1)
+    assert(warnings === 1 + result.nullColumns.size)
+    val log = rc.getLog
+    assert(log.contains(
+      "❌ -- Missing 1/3 **required** columns in *SAMPLE*: absent_req"))
+    assert(log.contains(
+      "❌ -- 1 **required** columns with invalid values in *SAMPLE*: condition_id"))
+    assert(log.contains("- **Required** column `condition_id` has 1 invalid values:\n" +
+      "  - **Invalid values:** 'IBD'\n" +
+      "  - **Expected:** 'PD', 'Control', 'Prodromal', 'Other'"))
+    // success + warning entries are dropped from the serialized log
+    assert(!log.contains("✅"))
+    assert(!log.contains("⚠️"))
+    assert(rc.entries.exists(_._1 == "warning")) // but they exist in-memory
+  }
+
+  test("violations dataset is sparse and matches the invalid cells") {
+    val vio = result.violations.collect()
+    assert(vio.count(_.getString(1) == "SAMPLE.condition_id") === 2)
+    assert(vio.length === 2)
+  }
+
+  test("header-only table: zero rows, nothing all-null (len>0 guard)") {
+    val empty = sampleDf.limit(0)
+    val r = ValidationPass.evalTable(Normalize.normalizeDf(empty), "SUBJECT", rules)
+    assert(r.nRows === 0)
+    assert(r.allNullRequired.isEmpty && r.allNullOptional.isEmpty)
+    assert(r.nullColumns.isEmpty)
+  }
+
+  test("all-null required column detected") {
+    val df = Seq(("S1", "NA"), ("S2", "")).toDF("sample_id", "condition_id")
+    val r = ValidationPass.evalTable(Normalize.normalizeDf(df), "SAMPLE",
+      rules.filter(r => Set("sample_id", "condition_id").contains(r.field)))
+    assert(r.allNullRequired === Seq("condition_id"))
+    // all-NA enum column with no NA in vocab: cells are also invalid
+    val cond = r.columns.find(_.rule.field === "condition_id").get
+    assert(cond.failingValues === Seq("NA"))
+  }
+}
