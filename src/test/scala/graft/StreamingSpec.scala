@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingValidation
+
+/** Structured-Streaming validation over the events table driven through
+  * the file source + memory sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val validTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  test("windowed violation counts with watermark over a file stream") {
+    // stage the parquet into a stream-source dir
+    // time-order the stream files so the watermark (event-time max of
+    // earlier batches) never drops in-order late data: file N's events
+    // all precede file N+1's. Out-of-order files WOULD be dropped —
+    // that's watermark semantics, not a bug.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartitionByRange(3, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingValidation.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    val counts = StreamingValidation.violationCounts(
+      stream, StreamingValidation.eventConstraints(validTypes.filterNot(_ == "error")),
+      windowLen = "1 hour")
+    // Complete mode: append would hold back windows the watermark has
+    // not passed at end-of-stream (correct streaming semantics, but the
+    // test wants the full truth table to compare against batch)
+    StreamingValidation.runToMemorySink(counts, "viol_counts", OutputMode.Complete())
+    val got = spark.table("viol_counts")
+    // every 'error' event violates E_ENUM_TYPE; compare against batch truth
+    val streamTotal = got.where($"rule_id" === "E_ENUM_TYPE")
+      .agg(org.apache.spark.sql.functions.sum("n_violations")).head().getLong(0)
+    val batchTruth = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"event_type" === "error").count()
+    assert(streamTotal === batchTruth)
+  }
+
+  test("running per-source stats via mapGroupsWithState") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingValidation.readEventStream(spark, dir)
+    val stats = StreamingValidation.runningSourceStats(
+      stream, StreamingValidation.eventConstraints(validTypes))
+    StreamingValidation.runToMemorySink(stats, "src_stats", OutputMode.Update())
+    val got = spark.table("src_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val nClicks = batch.where($"event_type" === "click").count()
+    assert(got("click")._1 === nClicks)
+  }
+}
