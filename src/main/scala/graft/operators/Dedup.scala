@@ -30,14 +30,13 @@ object Dedup {
   def words(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
 
-  /** n-gram word shingles as strings ("a b c"). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = words(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
-      .otherwise(array(concat_ws(" ", ws)))
-  }
+  /** n-gram word shingles as strings ("a b c") — native
+    * [[graft.functions.WordShingles]] expression (the HOF spelling is
+    * 100×+ slower interpreted; see its Scaladoc). Callers must register
+    * [[graft.functions.ShingleExpression]] on the session first — every
+    * Dedup operator does so itself. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleExpression.shingles(text, n)
 
   // ---------- exact ----------
 
@@ -62,11 +61,14 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** k MinHash values over word shingles, one projection, no UDF:
-    * sig[j] = min over shingles of xxhash64(shingle, j). */
+  /** k MinHash values over word shingles via the native
+    * [[graft.functions.MinHashSignature]] expression (one string hash per
+    * shingle + k affine rehashes — see its Scaladoc for why the
+    * HOF-composition alternative is 100×+ slower under CollapseProject).
+    * Callers must have registered [[graft.functions.MinHashExpression]]. */
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles(text, shingleN), s => xxhash64(s, j))))
+    graft.functions.MinHashExpression.minhash(
+      array_distinct(shingles(text, shingleN)), k)
 
   /** LSH band keys: bands × (hash of r consecutive signature values).
     * Jaccard-similar docs (s ≈ 1 - (1 - s^r)^b) collide in ≥1 band. */
@@ -76,34 +78,74 @@ object Dedup {
 
   /** Candidate near-duplicate pairs via banded MinHash-LSH, verified with
     * exact shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b, jaccard ≥ threshold. */
+    * id_a < id_b, jaccard ≥ threshold.
+    *
+    * Scale discipline (each matters at 10^9 docs):
+    *  1. the banded self-join moves ONLY (band_idx, band_hash, id)
+    *     triples — the heavy shingle arrays never enter the shuffle;
+    *  2. pair dedup happens on the narrow (id_a, id_b) BEFORE the
+    *     shingle sets are re-attached for verification;
+    *  3. `maxBucket` drops degenerate buckets (boilerplate/spam clusters
+    *     where every member collides with every other): a bucket of m
+    *     docs contributes m(m-1)/2 candidates, so one 10^5-doc bucket is
+    *     5×10^9 pairs — capping is the standard recall-for-survival
+    *     trade; dropped buckets are counted, not silently ignored
+    *     (callers can route them to [[exactDuplicates]], which handles
+    *     identical text in one hash-agg pass).
+    *  4. r = k/bands controls the collision curve P(candidate) = 1-(1-j^r)^b;
+    *     r=8 makes j=0.5 impostors collide with P≈0.3%/band.
+    */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      shingleN: Int = 3): DataFrame = {
-    val r = k / bands
-    val sigs = df.select(
+      k: Int = 64, bands: Int = 8, threshold: Double = 0.8,
+      shingleN: Int = 3, maxBucket: Int = 200): DataFrame = {
+    graft.functions.MinHashExpression.register(df.sparkSession)
+    graft.functions.ShingleExpression.register(df.sparkSession)
+    val sh = df.select(
       col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"),
-      minhashSignature(col(textCol), k, shingleN).as("sig"))
-    val banded = sigs.select(
-        col("id"), col("sh"),
-        posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band_idx", "band_hash")))
-    // candidates: same (band_idx, band_hash); a<b kills self/mirror pairs.
-    // Shuffle: rows×bands narrow triples; the join is bucket-local.
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cand = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val banded = df.select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.ShingleExpression.minhashBands(
+          array_distinct(shingles(col(textCol), shingleN)), k, bands))
+          .as(Seq("band_idx", "band_hash")))
+    // group per bucket; cap bucket size; emit candidate pairs inside the
+    // bucket via self-product of the collected id list (narrow rows)
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val cand = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    // re-attach shingle sets only for surviving candidates
+    val verified = cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verified.where(col("jaccard") >= threshold)
+  }
+
+  /** Buckets skipped by the `maxBucket` cap (observability companion to
+    * [[minhashNearDuplicates]] — "no silent caps"). */
+  def minhashOverflowBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 8, shingleN: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
+    graft.functions.MinHashExpression.register(df.sparkSession)
+    graft.functions.ShingleExpression.register(df.sparkSession)
+    df.select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.ShingleExpression.minhashBands(
+          array_distinct(shingles(col(textCol), shingleN)), k, bands))
+          .as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucket)
   }
 
   // ---------- n-gram Jaccard (exact, no LSH) ----------
@@ -115,6 +157,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.ShingleExpression.register(df.sparkSession)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), n)).as("sh"))
     val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Predicates
+import graft.model.{Requirement, Rule, RuleType}
+import graft.operators.{Profile, Referential, Similarity, Uniqueness, ValidationPass}
+import graft.sources.SeqTableGen
+
+/** Physical-plan shape assertions: the plans we designed for 100 TB are
+  * the plans Catalyst actually produces. Each test pins a property that
+  * a regression would silently destroy (a surprise shuffle, a lost
+  * broadcast, a dead pushdown). */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("violation extraction is a single scan with zero exchanges") {
+    val df = SeqTableGen.generate(spark, 1000)
+    val vio = ValidationPass.seqViolations(
+      df, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources))
+    val p = plan(vio)
+    assert(!p.contains("Exchange"), s"violation pass must not shuffle:\n$p")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val q = orders.where(col("o_orderstatus") === "F").select("o_orderkey")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"missing pushdown:\n$p")
+    // column pruning: scan schema must not include untouched columns
+    assert(p.contains("ReadSchema") && !p.contains("o_totalprice"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("fused profile is one aggregate pass: partial + final, one scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val agg = li.agg(Profile.profileExprs(li, Seq("l_quantity", "l_extendedprice")).head,
+      Profile.profileExprs(li, Seq("l_quantity", "l_extendedprice")).tail: _*)
+    val p = plan(agg)
+    // exactly one scan of the table
+    assert("FileScan parquet|Scan parquet".r.findAllIn(p).size === 1, s"multiple scans:\n$p")
+    // partial aggregation present (two-level sketch merge)
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("referential check is a broadcast hash anti-join (fact side never shuffles)") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val orphans = Referential.orphans(cust, "c_nationkey", nation, "n_nationkey")
+    val p = plan(orphans)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table must not sort-merge:\n$p")
+  }
+
+  test("uniqueness aggregate runs map-side partial aggregation") {
+    val df = SeqTableGen.generate(spark, 1000)
+    val p = plan(Uniqueness.duplicatesSimple(df, "doc_id"))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side combine:\n$p")
+  }
+
+  test("brute-force top-k is TakeOrderedAndProject, not a global sort") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = Array.fill(64)(0.1f)
+    val p = plan(Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
+
+  test("enum predicate compiles to a codegen-friendly In/INSET, no UDF") {
+    val rule = Rule("orders", "o_orderpriority", RuleType.EnumT, Requirement.Required,
+      validation = Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val q = orders.where(Predicates.invalid(rule, col("o_orderpriority")))
+    val p = plan(q)
+    // "*(n)" prefix marks a WholeStageCodegen stage in toString renderings
+    assert(p.contains("*(1) Filter"), s"predicate fell out of codegen:\n$p")
+    // and the In-set even pushes down into the parquet scan
+    assert(p.contains("PushedFilters: [Not(In(o_orderpriority"), s"In not pushed:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF on the hot path:\n$p")
+  }
+
+  test("multi-enum + regex predicates stay UDF-free") {
+    val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
+      validation = Seq("a", "b"), allowMultiEnum = true)
+    val regex = Rule("t", "c", RuleType.RegexT, Requirement.Required, pattern = "a+")
+    import spark.implicits._
+    val df = Seq("a;b", "c").toDF("c")
+    Seq(multi, regex).foreach { r =>
+      val p = plan(df.where(Predicates.invalid(r, col("c"))))
+      assert(!p.toLowerCase.contains("scalaudf"), s"UDF found for $r:\n$p")
+    }
+  }
+}
