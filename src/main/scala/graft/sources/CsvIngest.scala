@@ -104,6 +104,41 @@ object CsvIngest {
   def rowCount(spark: SparkSession, path: String, delim: Char): Long =
     readCsv(spark, path, delim).count()
 
+  /** Encoding-fallback ladder (processed_data_loader.py:121-171): try
+    * UTF-8, UTF-8 BOM, cp1252, latin-1; accept the first whose parse
+    * yields zero corrupt records; else permissive latin-1 (which maps
+    * every byte, the errors=replace analogue). The probe reads only the
+    * corrupt-record count — a single column-pruned pass per attempt. */
+  val EncodingLadder: Seq[String] = Seq("UTF-8", "UTF-8", "windows-1252", "ISO-8859-1")
+
+  def readCsvWithEncodingFallback(
+      spark: SparkSession, path: String, delim: Char): (DataFrame, String) = {
+    EncodingLadder.foreach { enc =>
+      val df = spark.read
+        .option("header", "true").option("sep", delim.toString)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", "true")
+        .option("encoding", enc)
+        .csv(path).cache()
+      val corrupt =
+        if (df.columns.contains("_corrupt_record"))
+          df.where(col("_corrupt_record").isNotNull).count()
+        else 0L
+      if (corrupt == 0L) return (df.drop("_corrupt_record"), enc)
+      df.unpersist()
+    }
+    (readCsv(spark, path, delim), "ISO-8859-1")
+  }
+
+  /** Delimiter conversion (S3, delimiter_handler.py:547-598): re-parse
+    * with the detected separator, rewrite comma-separated. */
+  def convertDelimiter(spark: SparkSession, inPath: String, outPath: String,
+                       from: Char, to: Char = ','): Unit =
+    readCsv(spark, inPath, from)
+      .write.mode("overwrite").option("header", "true")
+      .option("sep", to.toString).csv(outPath)
+
   /** Full decision pipeline for one file: detect → structural check →
     * read (None when structurally invalid — reference rejects the file
     * before CDE validation, FIXTURES.md CLINPATH). */

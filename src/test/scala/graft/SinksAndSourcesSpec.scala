@@ -1,0 +1,112 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{Requirement, Rule, RuleType}
+import graft.report.ReportCollector
+import graft.sources.{CsvIngest, RuleTable, Sinks, ValidCategories}
+
+/** Sinks (S8/S9/S10) + ValidCategories status machinery (S7/P14) +
+  * encoding fallback (S1) + SQL access via GraftExtensions. */
+class SinksAndSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  val rules = Seq(
+    Rule("T1", "a", RuleType.StringT, Requirement.Required, description = "col a"),
+    Rule("T1", "b", RuleType.EnumT, Requirement.Optional,
+      validation = Seq("x", "y"), fillNull = Seq("NA"), description = "col b"),
+    Rule("T2", "c", RuleType.IntegerT, Requirement.Required, description = "col c"))
+
+  test("template ZIP: one {TABLE}.csv with six rows, Enum keeps literal, marker otherwise") {
+    val bytes = Sinks.buildTemplatesZip(rules)
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var entries = Map.empty[String, String]
+    var e = zin.getNextEntry
+    while (e != null) {
+      entries += e.getName -> new String(zin.readAllBytes(), "UTF-8")
+      e = zin.getNextEntry
+    }
+    assert(entries.keySet === Set("T1.csv", "T2.csv"))
+    val t1 = entries("T1.csv").split("\n")
+    assert(t1.length === 6)
+    assert(t1(0) === "a,b")
+    assert(t1(2) === "String,Enum")
+    assert(t1(4) === "Validation:String,\"['x', 'y']\"")
+    val t2 = entries("T2.csv").split("\n")
+    assert(t2(4) === "Validation:Integer")
+  }
+
+  test("sanitized CSV back-fills missing CDE columns with the sentinel") {
+    val df = Seq(("v1", "x")).toDF("a", "b")
+    val out = java.nio.file.Files.createTempDirectory("graft_san").toString + "/t1"
+    Sinks.sanitizedCsv(df, rules.filter(_.table == "T1") :+
+      Rule("T1", "extra_required", RuleType.StringT, Requirement.Required), out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSet === Set("a", "b", "extra_required"))
+    assert(back.select("extra_required").head().getString(0) === "NA")
+  }
+
+  test("markdown log sink writes exactly getLog bytes") {
+    val rc = new ReportCollector
+    rc.addHeader("QC")
+    rc.addSuccess("dropped")
+    rc.addError("❌ -- bad")
+    val p = java.nio.file.Files.createTempFile("graft_log", ".md").toString
+    Sinks.writeLog(rc, p)
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(content === "# QC\n❌ -- bad\n")
+  }
+
+  test("status classification: invalid / transient / hard-invalid") {
+    val df = Seq(
+      ("r1", "Ok: loaded"), ("r2", "Loading..."), ("r3", ""),
+      ("r4", "Error: boom"), ("r5", " Ok: trailing ")
+    ).toDF("id", "Status")
+    val split = ValidCategories.classifyStatus(df, "Status")
+    assert(split.invalid.select("id").as[String].collect().toSet === Set("r2", "r3", "r4"))
+    assert(split.transient_.select("id").as[String].collect().toSet === Set("r2", "r3"))
+    assert(split.hardInvalid.select("id").as[String].collect().toSet === Set("r4"))
+  }
+
+  test("status retry: returns once all Ok; bails early on hard-invalid") {
+    var calls = 0
+    val frames = Seq(
+      Seq(("r1", "Loading...")).toDF("id", "Status"),
+      Seq(("r1", "Ok: done")).toDF("id", "Status"))
+    val got = ValidCategories.loadWithStatusRetry(
+      () => { val f = frames(math.min(calls, 1)); calls += 1; f },
+      maxTries = 3, sleepMillis = 1)
+    assert(calls === 2) // retried once, then clean
+    assert(got.select("Status").head().getString(0) === "Ok: done")
+
+    var calls2 = 0
+    ValidCategories.loadWithStatusRetry(
+      () => { calls2 += 1; Seq(("r1", "Error: nope")).toDF("id", "Status") },
+      maxTries = 5, sleepMillis = 1)
+    assert(calls2 === 1) // hard error: no retry
+  }
+
+  test("encoding fallback ladder lands on a clean parse") {
+    val p = java.nio.file.Files.createTempFile("graft_enc", ".csv")
+    java.nio.file.Files.write(p, "a,b\n1,café\n".getBytes("UTF-8"))
+    val (df, enc) = CsvIngest.readCsvWithEncodingFallback(spark, p.toString, ',')
+    assert(enc === "UTF-8")
+    assert(df.count() === 1)
+  }
+
+  test("custom expressions callable from plain SQL via GraftExtensions") {
+    // simulate the extension wiring on the existing session
+    new GraftExtensions().apply _
+    graft.functions.ShingleExpression.register(spark)
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS sh, " +
+      "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos")
+      .head()
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+}
