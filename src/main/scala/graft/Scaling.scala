@@ -45,11 +45,16 @@ object Scaling {
         warm, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)))
 
       val df = spark.read.parquet(path)
-      val secs = Bench.time {
-        Bench.exec(ValidationPass.seqViolations(
-          df, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)))
-        Bench.exec(Uniqueness.duplicatesSimple(df, "doc_id"))
-      }
+      // best-of-3 inside the session: the first iteration eats JIT and
+      // page-cache warmup; min time is the least-noise estimate of the
+      // machine's true capability at this parallelism
+      val secs = (1 to 3).map { _ =>
+        Bench.time {
+          Bench.exec(ValidationPass.seqViolations(
+            df, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)))
+          Bench.exec(Uniqueness.duplicatesSimple(df, "doc_id"))
+        }
+      }.min
       rows / secs
     } finally spark.stop()
   }

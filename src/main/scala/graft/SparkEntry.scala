@@ -78,6 +78,45 @@ object SparkEntry {
           sum(when(Predicates.invalid(rule, col("v")), 1L).otherwise(0L)).as("n_frac"))
     }),
 
+    "q_multienum_check" -> ((s, d) => {
+      // synthesize a ';'-joined multi-value cell and validate it with the
+      // multi-enum predicate (P11): every trimmed token must be in vocab
+      val rule = Rule("documents", "dirty", RuleType.EnumT, Requirement.Required,
+        validation = Seq("en", "es", "de", "fr", "zh",
+          "src0", "src1", "src2", "src3", "src4"),
+        allowMultiEnum = true)
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("lang"), lit(";"), col("source")))
+          .otherwise(col("lang")).as("dirty"))
+      docs.agg(
+        sum(when(Predicates.valid(rule, col("dirty")), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(Predicates.invalid(rule, col("dirty")), 1L).otherwise(0L)).as("n_invalid"))
+    }),
+
+    "q_fill_missing" -> ((s, d) => {
+      // fill-choice semantics (P7): blanks refill, textual 'NA' does not
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .when(col("doc_id") % 5 === 1, lit("NA"))
+          .otherwise(col("lang")).as("dirty"))
+      docs.select(graft.norm.Normalize.fillMissing(col("dirty"), "FILLED").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")
+    }),
+
+    "q_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").where(col("o_custkey") < 50)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_custkey", "rk")
+    }),
+
     "q_null_normalize" -> ((s, d) => {
       // null-like normalization semantics over a synthesized dirty column
       val docs = t(s, d, "documents").select(
@@ -307,6 +346,41 @@ object SparkEntry {
         |  sum(CASE WHEN value = floor(value) THEN 1 ELSE 0 END)::BIGINT AS n_intlike,
         |  sum(CASE WHEN value = floor(value) THEN 0 ELSE 1 END)::BIGINT AS n_frac
         |FROM events""".stripMargin,
+
+    "q_multienum_check" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN lang || ';' || source
+        |         ELSE lang END AS dirty
+        |  FROM documents),
+        |v AS (
+        |  SELECT dirty,
+        |    (dirty = 'NA') OR (
+        |      len(list_filter(string_split(dirty, ';'), t -> trim(t) <> '')) > 0
+        |      AND len(list_filter(string_split(dirty, ';'),
+        |            t -> trim(t) <> ''
+        |            AND trim(t) NOT IN ('en','es','de','fr','zh',
+        |                 'src0','src1','src2','src3','src4'))) = 0
+        |    ) AS ok
+        |  FROM d)
+        |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+        |       sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+        |FROM v""".stripMargin,
+
+    "q_fill_missing" ->
+      """SELECT CASE
+        |    WHEN doc_id % 5 = 0 THEN 'FILLED'
+        |    WHEN doc_id % 5 = 1 THEN 'NA'
+        |    ELSE lang END AS v,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, total FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders WHERE o_custkey < 50)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
     "q_null_normalize" ->
       """SELECT CASE

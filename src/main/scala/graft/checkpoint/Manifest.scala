@@ -93,9 +93,11 @@ object Manifest {
       ("\"" + key + "\":(true|false)").r.findFirstMatchIn(line)
         .exists(_.group(1) == "true")
     def arr(key: String): Seq[String] = {
-      ("\"" + key + "\":\\[(.*?)\\]").r.findFirstMatchIn(line)
+      ("\"" + key + "\":\\[(.*?)\\](,|\\})").r.findFirstMatchIn(line)
         .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        .map(inner => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(inner)
+          .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          .toSeq)
         .getOrElse(Nil)
     }
     Entry(str("partition"), num("rows"), num("violations"), bool("pass"),

@@ -42,10 +42,13 @@ object ValidationPass {
       rule: Rule,
       nNull: Long,
       allNull: Boolean,
-      /** distinct offending values in first-appearance order */
+      /** distinct offending values in first-appearance order (truncated
+        * to maxOffendersPerRule in capped mode) */
       failingValues: Seq[String],
-      /** total offending cells (all values) */
-      nInvalidCells: Long)
+      /** total offending cells (exact even when the list is capped) */
+      nInvalidCells: Long,
+      /** total DISTINCT offending values (exact even when capped) */
+      nDistinctFailing: Long)
 
   /** Table-level result mirroring validate_table_eval's dict
     * (validate_core.py:160-189). `violations` stays a lazy DataFrame —
@@ -121,7 +124,18 @@ object ValidationPass {
     *                     same contract as the reference,
     *                     validate_core.py:152-155)
     */
-  def evalTable(dfNormalized: DataFrame, tableName: String, rules: Seq[Rule]): EvalResult = {
+  def evalTable(dfNormalized: DataFrame, tableName: String, rules: Seq[Rule]): EvalResult =
+    evalTable(dfNormalized, tableName, rules, maxOffendersPerRule = Int.MaxValue)
+
+  /** @param maxOffendersPerRule cap on DISTINCT offending values collected
+    *        per rule, keeping first-appearance order (rank by min row
+    *        key). Exact fixtures use the uncapped overload; at 10^12-row
+    *        scale a rule matching arbitrary garbage has unbounded distinct
+    *        offenders and the driver must not collect them all. The cap is
+    *        visible: `ColumnEval.nInvalidCells` still counts EVERY bad
+    *        cell (summed pre-cap), only the listed values truncate. */
+  def evalTable(dfNormalized: DataFrame, tableName: String, rules: Seq[Rule],
+                maxOffendersPerRule: Int): EvalResult = {
     val evalRules = evaluable(rules)
     val inputCols = dfNormalized.columns.toSet
 
@@ -153,10 +167,31 @@ object ValidationPass {
     val vio = violationsFor(observed, present, RowKey)
 
     // --- distinct offenders: tiny shuffle keyed by (rule_id, value) ---
-    val offenderRows: Array[Row] = vio
+    val grouped = vio
       .groupBy(col("rule_id"), col("offending_value"))
       .agg(count(lit(1)).as("n_cells"), min(col(RowKey)).as("first_key"))
-      .collect() // bounded by distinct offending values — metadata-sized
+    val capped =
+      if (maxOffendersPerRule == Int.MaxValue) grouped
+      else {
+        // keep first-appearance order under the cap; per-rule totals are
+        // preserved separately below so counters stay exact
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rule_id")).orderBy(col("first_key"))
+        grouped.withColumn("__rank", row_number().over(w))
+          .where(col("__rank") <= maxOffendersPerRule).drop("__rank")
+      }
+    val offenderRows: Array[Row] = capped.collect() // ≤ rules × cap rows
+    // exact per-rule totals regardless of cap (second agg over the tiny
+    // grouped frame, not over the data)
+    val totalsByRule: Map[String, (Long, Long)] =
+      if (maxOffendersPerRule == Int.MaxValue)
+        offenderRows.groupBy(_.getString(0)).map { case (k, rs) =>
+          k -> (rs.map(_.getLong(2)).sum, rs.length.toLong)
+        }
+      else grouped.groupBy(col("rule_id"))
+        .agg(sum(col("n_cells")).as("cells"), count(lit(1)).as("distincts"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     // The optimizer can collapse an empty input to a LocalRelation and
     // drop the CollectMetrics node (e.g. limit(0) fixtures) — fall back
@@ -178,12 +213,14 @@ object ValidationPass {
         case other     => other.toString.toLong
       }
       val mine = byRule.getOrElse(r.ruleId, Array.empty[Row]).sortBy(_.getLong(3))
+      val (cells, distincts) = totalsByRule.getOrElse(r.ruleId, (0L, 0L))
       ColumnEval(
         rule = r,
         nNull = nNull,
         allNull = nNull == nRows && nRows > 0,
         failingValues = mine.map(row => Option(row.getString(1)).getOrElse("NA")).toSeq,
-        nInvalidCells = mine.map(_.getLong(2)).sum)
+        nInvalidCells = cells,
+        nDistinctFailing = distincts)
     }
 
     EvalResult(tableName, nRows, missingRequired, missingOptional,
@@ -213,10 +250,19 @@ object ValidationPass {
       when(!coalesce(validPred, lit(false)),
         lit(ruleId))
     }
-    // explode drops empty arrays by itself — a where(size>0) guard would
-    // make CollapseProject evaluate the whole cell array TWICE per row
-    // (measured ~2× on the 8M-row bench)
-    df.select(
+    // Two-tier evaluation tuned for the violations-are-rare regime:
+    //  1. a pure-boolean OR filter (whole-stage codegen, zero allocation)
+    //    rejects the ~99% clean rows — this is the only work they cost;
+    //  2. only surviving rows pay the array-of-structs + explode
+    //    materialization (Filter→Project does not collapse, so the
+    //    predicates re-evaluate just for that tiny remainder).
+    // explode drops empty arrays by itself — never guard with size()>0,
+    // CollapseProject would then evaluate the whole cell array twice.
+    val anyViolation = constraints
+      .map { case (_, validPred) => !coalesce(validPred, lit(false)) }
+      .reduce(_ || _)
+    df.where(anyViolation)
+      .select(
         col("doc_id"),
         explode(filter(array(cells: _*), x => x.isNotNull)).as("rule_id"))
   }

@@ -83,9 +83,11 @@ object Report {
   /** invalid_entries rows: (opt_req, column, n_distinct_failing,
     * expected_descr, found_descr) — note the count is DISTINCT offending
     * values, not cells (validate_core.py:250 `len(failing_values)`). */
-  def invalidEntries(result: EvalResult): Seq[(String, String, Int, String, String)] =
+  def invalidEntries(result: EvalResult): Seq[(String, String, Long, String, String)] =
     result.columns.filter(_.failingValues.nonEmpty).map { c =>
-      (c.rule.optReq, c.rule.field, c.failingValues.size,
+      // count = DISTINCT offending values (exact even when the listed
+      // values were capped — ValidationPass keeps exact totals)
+      (c.rule.optReq, c.rule.field, c.nDistinctFailing,
         expectedDescr(c), quoted(c.failingValues))
     }
 
