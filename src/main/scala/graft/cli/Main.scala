@@ -96,7 +96,7 @@ object Main {
     val ref = Referential.violations(
       df, "doc_id", "source",
       spark.createDataFrame(SeqTableGen.RefAllowlist.map(Tuple1(_))).toDF("source"),
-      "source").select("doc_id", "rule_id")
+      "source")
     val all = vio.unionByName(uniq).unionByName(ref)
     all.write.mode("overwrite").parquet(violOut)
     val nViol = spark.read.parquet(violOut).count()

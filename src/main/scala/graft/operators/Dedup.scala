@@ -130,6 +130,17 @@ object Dedup {
     verified.where(col("jaccard") >= threshold)
   }
 
+  /** Apply near-dedup: drop the larger id of every near-duplicate pair
+    * (min-id representative survives). Not a transitive-closure
+    * clustering — for chains a~b~c it may keep {a} or {a,c} depending on
+    * which pairs the LSH surfaced; that is the standard single-pass
+    * dedup-apply trade at corpus scale (a connected-components pass is a
+    * separate iterative job). `pairs` carries (id_a, id_b) with a<b. */
+  def applyNearDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Buckets skipped by the `maxBucket` cap (observability companion to
     * [[minhashNearDuplicates]] — "no silent caps"). */
   def minhashOverflowBuckets(

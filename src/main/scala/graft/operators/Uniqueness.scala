@@ -63,7 +63,9 @@ object Uniqueness {
     * join side is broadcast by AQE/size estimation. */
   def violations(df: DataFrame, keyCol: String, ruleId: String = "R_UNIQUE_DOCID"): DataFrame = {
     val dups = duplicatesSimple(df, keyCol)
-    df.join(broadcast(dups), Seq(keyCol), "left_semi")
-      .select(col(keyCol).as("doc_id"), lit(ruleId).as("rule_id"))
+    df.join(broadcast(dups), Seq(keyCol))
+      .select(col(keyCol).as("doc_id"), lit(ruleId).as("rule_id"),
+        concat(lit("n_occurrences="), col("n_occurrences").cast("string"))
+          .as("offending_value"))
   }
 }

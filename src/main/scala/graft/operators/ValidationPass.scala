@@ -170,6 +170,9 @@ object ValidationPass {
     val grouped = vio
       .groupBy(col("rule_id"), col("offending_value"))
       .agg(count(lit(1)).as("n_cells"), min(col(RowKey)).as("first_key"))
+    // capped mode reads `grouped` twice (ranked values + exact totals);
+    // cache the distinct-offenders frame so the DATA scans once
+    if (maxOffendersPerRule != Int.MaxValue) grouped.persist()
     val capped =
       if (maxOffendersPerRule == Int.MaxValue) grouped
       else {
@@ -188,10 +191,14 @@ object ValidationPass {
         offenderRows.groupBy(_.getString(0)).map { case (k, rs) =>
           k -> (rs.map(_.getLong(2)).sum, rs.length.toLong)
         }
-      else grouped.groupBy(col("rule_id"))
-        .agg(sum(col("n_cells")).as("cells"), count(lit(1)).as("distincts"))
-        .collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      else {
+        val totals = grouped.groupBy(col("rule_id"))
+          .agg(sum(col("n_cells")).as("cells"), count(lit(1)).as("distincts"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        grouped.unpersist()
+        totals
+      }
 
     // The optimizer can collapse an empty input to a LocalRelation and
     // drop the CollectMetrics node (e.g. limit(0) fixtures) — fall back
@@ -227,28 +234,45 @@ object ValidationPass {
       totalRequired, totalOptional, columns, vio)
   }
 
+  /** Named constraint over the sequence table: validity predicate plus
+    * the offending-value rendering for the violations Dataset
+    * (doc_id, rule_id, offending_value — BASELINE.json shape). */
+  final case class SeqConstraint(ruleId: String, valid: Column, offendingValue: Column)
+
   /** Convenience predicate bundle for the tokenized-sequence table: the
     * five north-star constraints (BASELINE.json) as named Catalyst
     * predicates over (doc_id, tokens, n_tok, source). */
-  def seqConstraints(vocabSize: Int, sourceAllow: Seq[String]): Seq[(String, Column)] = Seq(
-    "R_NONNULL_DOCID" -> (col("doc_id").isNotNull && !col("doc_id").rlike("^\\s*$")),
-    "R_REGEX_DOCID"   -> col("doc_id").rlike("^(?:doc_[0-9]{12})$"),
-    "R_NTOK_EQ_SIZE"  -> (col("n_tok") === size(col("tokens"))),
+  def seqConstraints(vocabSize: Int, sourceAllow: Seq[String]): Seq[SeqConstraint] = Seq(
+    SeqConstraint("R_NONNULL_DOCID",
+      col("doc_id").isNotNull && !col("doc_id").rlike("^\\s*$"),
+      coalesce(col("doc_id"), lit("<null>"))),
+    SeqConstraint("R_REGEX_DOCID",
+      col("doc_id").rlike("^(?:doc_[0-9]{12})$"),
+      coalesce(col("doc_id"), lit("<null>"))),
+    SeqConstraint("R_NTOK_EQ_SIZE",
+      col("n_tok") === size(col("tokens")),
+      concat(lit("n_tok="), col("n_tok").cast("string"),
+        lit(" size="), size(col("tokens")).cast("string"))),
     // range check via array_max/array_min, NOT forall: the codegen'd
     // collection functions are ~7× faster than the interpreted HOF
     // lambda at 135 tokens/row (measured 15.5 s → 2.2 s over 8M rows).
     // Equivalent for non-null elements (our schema: containsNull=false).
-    "R_TOKEN_RANGE"   -> (array_max(col("tokens")) < vocabSize &&
-                          array_min(col("tokens")) >= 0),
-    "R_ENUM_SOURCE"   -> col("source").isin(sourceAllow: _*))
+    SeqConstraint("R_TOKEN_RANGE",
+      array_max(col("tokens")) < vocabSize && array_min(col("tokens")) >= 0,
+      concat(lit("min="), array_min(col("tokens")).cast("string"),
+        lit(" max="), array_max(col("tokens")).cast("string"))),
+    SeqConstraint("R_ENUM_SOURCE",
+      col("source").isin(sourceAllow: _*),
+      coalesce(col("source"), lit("<null>"))))
 
   /** Sparse violations for arbitrary named predicates (sequence-table
     * flavor of [[violationsFor]]); value column records the offending
     * doc_id's source/n_tok context compactly. */
-  def seqViolations(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
-    val cells = constraints.map { case (ruleId, validPred) =>
-      when(!coalesce(validPred, lit(false)),
-        lit(ruleId))
+  def seqViolations(df: DataFrame, constraints: Seq[SeqConstraint]): DataFrame = {
+    val cells = constraints.map { c =>
+      when(!coalesce(c.valid, lit(false)),
+        struct(lit(c.ruleId).as("rule_id"),
+          c.offendingValue.cast("string").as("offending_value")))
     }
     // Two-tier evaluation tuned for the violations-are-rare regime:
     //  1. a pure-boolean OR filter (whole-stage codegen, zero allocation)
@@ -259,11 +283,12 @@ object ValidationPass {
     // explode drops empty arrays by itself — never guard with size()>0,
     // CollapseProject would then evaluate the whole cell array twice.
     val anyViolation = constraints
-      .map { case (_, validPred) => !coalesce(validPred, lit(false)) }
+      .map(c => !coalesce(c.valid, lit(false)))
       .reduce(_ || _)
     df.where(anyViolation)
       .select(
         col("doc_id"),
-        explode(filter(array(cells: _*), x => x.isNotNull)).as("rule_id"))
+        explode(filter(array(cells: _*), x => x.isNotNull)).as("v"))
+      .select(col("doc_id"), col("v.rule_id"), col("v.offending_value"))
   }
 }

@@ -79,7 +79,7 @@ class SeqEngineSpec extends SparkSpec {
 
   test("token-array equality invariant between input and validated output") {
     val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
-    val allValid = constraints.map(_._2).reduce(_ && _)
+    val allValid = constraints.map(_.valid).reduce(_ && _)
     // the engine's validated output: constraint-clean AND unique doc_ids
     // (duplicated ids are ambiguous join keys, excluded by the
     // uniqueness stage before the invariant is asserted)

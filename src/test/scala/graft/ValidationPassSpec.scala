@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
+
 import graft.model.{Requirement, Rule, RuleType}
 import graft.norm.Normalize
 import graft.operators.ValidationPass
@@ -95,6 +97,17 @@ class ValidationPassSpec extends SparkSpec {
     assert(r.nRows === 0)
     assert(r.allNullRequired.isEmpty && r.allNullOptional.isEmpty)
     assert(r.nullColumns.isEmpty)
+  }
+
+  test("capped offender collection keeps exact totals and first-appearance prefix") {
+    val df = Seq("v1", "v2", "v1", "v3", "v4").toDF("condition_id")
+      .withColumn("sample_id", lit("S1"))
+    val r = ValidationPass.evalTable(Normalize.normalizeDf(df), "SAMPLE",
+      rules.filter(_.field == "condition_id"), maxOffendersPerRule = 2)
+    val c = r.columns.head
+    assert(c.failingValues === Seq("v1", "v2")) // first-appearance prefix
+    assert(c.nDistinctFailing === 4L) // exact despite cap
+    assert(c.nInvalidCells === 5L)    // exact despite cap
   }
 
   test("all-null required column detected") {
