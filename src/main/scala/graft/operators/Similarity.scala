@@ -55,9 +55,13 @@ object Similarity {
       centroids: Array[(Int, Array[Float])],
       assigned: DataFrame /* idCol, vecCol, centroid_id */)
 
-  /** Deterministic centroid selection (every (n/c)-th row by id order —
-    * a fixed-seed sample stand-in for k-means; the assignment/probing
-    * machinery is identical) and one-pass nearest-centroid assignment. */
+  /** Deterministic centroid selection — hash-stratified sample (a
+    * fixed-seed stand-in for k-means; the assignment/probing machinery
+    * is identical) and one-pass nearest-centroid assignment.
+    *
+    * Selection is a pushdown-able filter + small limit, NOT a global
+    * `row_number().over(Window.orderBy(...))`: an unpartitioned window
+    * is a single-task total sort — instant death at 10^11 vectors. */
   def buildIvf(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): IvfIndex = {
@@ -65,13 +69,13 @@ object Similarity {
     val n = corpus.count()
     val stride = math.max(n / nCentroids, 1L)
     val reps: Array[(Int, Array[Float])] = corpus
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(col(idCol))))
-      .where((col("__rn") - 1) % stride === 0)
-      .limit(nCentroids)
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol)) // deterministic pick among sampled ids
+      .limit(nCentroids)   // TakeOrderedAndProject over ~nCentroids rows
       .select(col(vecCol)).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    require(reps.nonEmpty, "empty corpus")
     val assigned = corpus.withColumn("centroid_id",
       nearestCentroid(col(vecCol), reps))
     IvfIndex(reps, assigned)

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Drift
+
+/** Numeric validation of the drift statistics against published values,
+  * plus sketch merge associativity (SURVEY.md §7.4 hard part 6). */
+class DriftSpec extends AnyFunSuite {
+
+  test("inverse normal CDF matches published quantiles to 1e-6") {
+    assert(math.abs(Drift.inverseNormalCdf(0.975) - 1.9599640) < 1e-6)
+    assert(math.abs(Drift.inverseNormalCdf(0.995) - 2.5758293) < 1e-6)
+    assert(math.abs(Drift.inverseNormalCdf(0.5) - 0.0) < 1e-9)
+    assert(math.abs(Drift.inverseNormalCdf(0.025) + 1.9599640) < 1e-6)
+  }
+
+  test("chi-square critical values match tables (Wilson–Hilferty, few %)") {
+    // published: df=3 α=0.05 → 7.815; df=10 α=0.01 → 23.209; df=19 α=0.01 → 36.191
+    assert(math.abs(Drift.chiSquareCritical(3, 0.05) - 7.815) < 0.05)
+    assert(math.abs(Drift.chiSquareCritical(10, 0.01) - 23.209) < 0.15)
+    assert(math.abs(Drift.chiSquareCritical(19, 0.01) - 36.191) < 0.2)
+  }
+
+  test("two-sample KS critical value formula") {
+    // c(0.05)=1.358 → crit = 1.358*sqrt(2/n) for equal n
+    val crit = Drift.ksCritical(1000, 1000, alpha = 0.05)
+    assert(math.abs(crit - 1.3581 * math.sqrt(2.0 / 1000)) < 1e-4)
+  }
+
+  test("chi-square statistic: known 2-category example") {
+    // observed (60, 40) vs baseline proportions (0.5, 0.5), n=100:
+    // chi2 = (60-50)^2/50 + (40-50)^2/50 = 4.0
+    val obs = Drift.CategoricalProfile(Map("a" -> 60L, "b" -> 40L))
+    val base = Drift.CategoricalProfile(Map("a" -> 500L, "b" -> 500L))
+    val (stat, dof) = Drift.chiSquare(obs, base)
+    assert(math.abs(stat - 4.0) < 1e-9)
+    assert(dof === 1)
+  }
+
+  test("histogram buffers merge associatively: (a+b)+c == a+(b+c)") {
+    import graft.functions.HistogramBuffer
+    def mk(vals: Seq[Double]): HistogramBuffer = {
+      val b = new HistogramBuffer(4)
+      vals.foreach(b.add(_, 0.0, 10.0))
+      b
+    }
+    val (a, b, c) = (mk(Seq(1, 2, 3)), mk(Seq(-1, 11, 5)), mk(Seq(7.5, 9.9)))
+    val left = mk(Nil); left.merge(mk(Seq(1, 2, 3))); left.merge(b); left.merge(c)
+    val right1 = mk(Seq(1, 2, 3))
+    val bc = mk(Nil); bc.merge(b); bc.merge(c)
+    right1.merge(bc)
+    assert(left.counts.toSeq === right1.counts.toSeq)
+    // under/overflow routed to edge bins
+    assert(mk(Seq(-5)).counts(0) === 1)
+    assert(mk(Seq(10.0)).counts(5) === 1) // hi is exclusive → overflow bin
+  }
+
+  test("ECDF from histogram is monotone and ends at 1") {
+    val h = Drift.HistogramProfile(0, 10, Array(1L, 2L, 3L, 0L, 4L, 1L))
+    val e = h.ecdf
+    assert(e.zip(e.tail).forall { case (x, y) => x <= y })
+    assert(math.abs(e.last - 1.0) < 1e-12)
+  }
+}
