@@ -45,7 +45,7 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.99)), lit(10000))
+        percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.99)), lit(2500))
           .as("q_quantiles"))
     }),
 
