@@ -292,6 +292,23 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_apply" -> ((s, d) => {
+      // doubled corpus → exact-dedup keeps one representative per text
+      val docs = t(s, d, "documents")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      import s.implicits._
+      Seq(Dedup.dropExactDuplicates(doubled, "doc_id", "text").count())
+        .toDF("n_kept")
+    }),
+
+    "q_multimodal_features" -> ((s, _) => { // rows-only: stubbed codec
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
+      feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
+          col("frames_sampled"))
+        .orderBy("media_id")
+    }),
+
     // ---- the flagship sequence-table validation (rows-only) ----
 
     "q_seq_validate" -> ((s, _) => entry(s)),
@@ -467,6 +484,9 @@ object SparkEntry {
         |  WHERE len(ws) >= 3
         |  UNION ALL
         |  SELECT array_to_string(ws, ' ') AS s FROM t WHERE len(ws) < 3)""".stripMargin,
+
+    "q_dedup_apply" ->
+      "SELECT count(*) AS n_kept FROM documents",
 
     "q_exact_dups" ->
       """SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
