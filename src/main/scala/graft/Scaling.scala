@@ -23,6 +23,9 @@ object Scaling {
       .master(master)
       .appName(s"graft-scaling-$master")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // nested-column vectorized parquet reader is OFF by default and
+      // costs ~3x on array<int> scans (BENCH.md)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // nested-column vectorized parquet reader is OFF by default and
+      // costs ~3x on array<int> scans (BENCH.md)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

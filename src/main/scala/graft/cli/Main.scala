@@ -31,6 +31,9 @@ object Main {
       .appName("graft-validate")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // nested-column vectorized parquet reader is OFF by default and
+      // costs ~3x on array<int> scans (BENCH.md)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
