@@ -20,6 +20,15 @@ import graft.report.{Report, ReportCollector}
   */
 object Engine {
 
+  /** Default cap on DISTINCT offending values collected to the driver per
+    * rule. A rule matching arbitrary garbage has unbounded distinct
+    * offenders, and the driver must not collect them all — the cap bounds
+    * driver state at rules × cap while `nInvalidCells` /
+    * `nDistinctFailing` stay exact (ValidationPass counts pre-cap).
+    * Fixture suites that need the reference's exhaustive listings pass
+    * `Int.MaxValue` explicitly. */
+  val DefaultMaxOffenders: Int = 10000
+
   final case class TableOutcome(
       table: String,
       extraColumns: Seq[String],
@@ -43,7 +52,7 @@ object Engine {
       rules: Seq[Rule],
       report: ReportCollector = new ReportCollector,
       includeDetails: Boolean = true,
-      maxOffendersPerRule: Int = Int.MaxValue): TableOutcome = {
+      maxOffendersPerRule: Int = DefaultMaxOffenders): TableOutcome = {
     val result = ValidationPass.evalTable(dfNormalized, tableName, rules, maxOffendersPerRule)
     val (e, w) = Report.compose(result, tableName, report, includeDetails)
     TableOutcome(tableName, ValidationPass.extraColumns(dfNormalized, rules), result, e, w)
@@ -57,7 +66,7 @@ object Engine {
       tables: Seq[(String, DataFrame)],
       rules: Seq[Rule],
       includeDetails: Boolean = true,
-      maxOffendersPerRule: Int = Int.MaxValue): RunOutcome = {
+      maxOffendersPerRule: Int = DefaultMaxOffenders): RunOutcome = {
     val report = new ReportCollector
     val outcomes = tables.map { case (name, df) =>
       report.addHeader(s"$name table QC report")

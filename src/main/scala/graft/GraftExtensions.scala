@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashBandKeys(es.head, intArg(es, 1), intArg(es, 2)))
     inject("graft_histogram", classOf[HistogramAgg],
       es => HistogramAgg(es.head, dblArg(es, 1), dblArg(es, 2), intArg(es, 3)))
+    inject("graft_text_profile", classOf[TextProfile],
+      es => TextProfile(es.head))
+    inject("graft_hyperplane_bucket", classOf[HyperplaneBucket],
+      es => HyperplaneBucket(es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3)))
   }
 }

@@ -254,10 +254,12 @@ object SparkEntry {
         .agg(countDistinct(col("s")).as("n_distinct_shingles"))
     }),
 
-    "q_langid_dist" -> ((s, d) => // heuristic: rows-only
+    "q_langid_dist" -> ((s, d) => { // heuristic: rows-only
+      TextExpressions.register(s)
       t(s, d, "documents")
         .select(TextAnalysis.langId(col("text")).as("lang_pred"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")),
+        .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")
+    }),
 
     "q_quality_scores" -> ((s, d) => // composite heuristic: rows-only
       TextAnalysis.analyze(t(s, d, "documents"), "doc_id", "text")

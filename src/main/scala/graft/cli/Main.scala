@@ -101,8 +101,12 @@ object Main {
       spark.createDataFrame(SeqTableGen.RefAllowlist.map(Tuple1(_))).toDF("source"),
       "source")
     val all = vio.unionByName(uniq).unionByName(ref)
-    all.write.mode("overwrite").parquet(violOut)
-    val nViol = spark.read.parquet(violOut).count()
+    // count rides the write job via CollectMetrics — no second read of
+    // the violations parquet (round-1 VERDICT "What's wrong" #6)
+    val obs = org.apache.spark.sql.Observation()
+    all.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(violOut)
+    val nViol = obs.get("n").asInstanceOf[Long]
     val nRows = df.count()
     (nViol == 0, nViol, nRows)
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -94,6 +94,147 @@ case class RollingFingerprint(child: Expression, window: Int)
   override def prettyName: String = "graft_fingerprint"
 }
 
+/** One-pass text profile for language ID + quality scoring: word stats,
+  * per-character ratios, BPE-ish token count, stopword hits, and the
+  * argmax language — everything the curation heuristics need, computed in
+  * a SINGLE traversal of the string.
+  *
+  * Replaces the round-1 interpreted-HOF spelling (`aggregate(transform(
+  * words, …))` per feature plus `array_intersect(array_distinct(ws), …)`
+  * per language): interpreted lambdas get no common-subexpression
+  * elimination, so the word-split subtree re-evaluated once per language
+  * and once per feature — the same 100×+ blowup class documented on
+  * [[WordShingles]]. Semantics are identical to the Column spelling it
+  * replaces (see field-by-field notes in the eval body).
+  */
+case class TextProfile(child: Expression) extends UnaryExpression with CodegenFallback {
+  import TextProfile._
+
+  override def dataType: DataType = Schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_text_profile requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val nCp = math.max(s.codePointCount(0, s.length), 1).toDouble
+
+    // character classes in one pass (= regexp_replace count deltas:
+    // [\p{Punct}] / [A-Z] / [0-9]), plus the BPE-ish token count
+    // (= split on alnum/non-alnum boundaries, keep tokens matching ^\S:
+    // maximal alnum runs + every non-alnum non-whitespace char)
+    var punct = 0; var upper = 0; var digit = 0
+    var bpe = 0; var prevAlnum = false
+    var ci = 0
+    while (ci < s.length) {
+      val c = s.charAt(ci)
+      val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { if (!prevAlnum) bpe += 1 }
+      else if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'))
+        bpe += 1
+      if (c >= '!' && c <= '~' && !alnum) punct += 1 // ASCII \p{Punct}
+      if (c >= 'A' && c <= 'Z') upper += 1
+      if (c >= '0' && c <= '9') digit += 1
+      prevAlnum = alnum
+      ci += 1
+    }
+
+    // words = filter(split(lower(trim(text)), "\s+"), _ != "")
+    val words = s.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").filter(_.nonEmpty)
+    val nWords = words.length
+    var sumLen = 0L
+    var enHits = 0
+    val distinct = new java.util.HashSet[String]()
+    var wi = 0
+    while (wi < nWords) {
+      val w = words(wi)
+      sumLen += w.codePointCount(0, w.length)
+      if (EnStopSet.contains(w)) enHits += 1
+      distinct.add(w)
+      wi += 1
+    }
+
+    // language scores: |distinct words ∩ profile| per language; zh by
+    // raw-text substring containment. argmax with (score, lang) struct
+    // ordering: ties go to the lexicographically greatest language —
+    // identical to array_max over struct(score, lang).
+    var bestScore = Int.MinValue
+    var bestLang = ""
+    var li = 0
+    while (li < Langs.length) {
+      val lang = Langs(li)
+      var score = 0
+      if (lang == "zh") {
+        var zi = 0
+        while (zi < ZhChars.length) { if (s.contains(ZhChars(zi))) score += 1; zi += 1 }
+      } else {
+        val stops = StopArrays(li)
+        var si = 0
+        while (si < stops.length) { if (distinct.contains(stops(si))) score += 1; si += 1 }
+      }
+      if (score > bestScore || (score == bestScore && lang > bestLang)) {
+        bestScore = score; bestLang = lang
+      }
+      li += 1
+    }
+
+    InternalRow(
+      nWords,
+      bpe,
+      if (nWords > 0) sumLen.toDouble / nWords else 0.0,
+      punct / nCp,
+      upper / nCp,
+      digit / nCp,
+      if (nWords > 0) enHits.toDouble / nWords else 0.0,
+      UTF8String.fromString(if (bestScore > 0) bestLang else "und"),
+      math.max(bestScore, 0))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextProfile = copy(child = c)
+  override def prettyName: String = "graft_text_profile"
+}
+
+object TextProfile {
+  /** Tiny per-language stopword profiles (the cheap first-pass heuristic;
+    * ambiguous docs get re-scored by a heavier model downstream). */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "dans", "que", "une"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这", "中", "大"))
+
+  private[functions] val Langs: Array[String] =
+    StopwordProfiles.keys.toArray.sorted
+  private[functions] val StopArrays: Array[Array[String]] =
+    Langs.map(l => StopwordProfiles(l).toArray)
+  private[functions] val ZhChars: Array[String] = StopwordProfiles("zh").toArray
+  private[functions] val EnStopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    StopwordProfiles("en").foreach(s.add)
+    s
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("upper_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("lang_score", IntegerType, nullable = false)))
+}
+
 object TextExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -105,6 +246,9 @@ object TextExpressions {
       (es: Seq[Expression]) => RollingFingerprint(
         es.head,
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt))
+    reg.registerFunction(FunctionIdentifier("graft_text_profile"),
+      new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
+      (es: Seq[Expression]) => TextProfile(es.head))
   }
 
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
@@ -112,4 +256,5 @@ object TextExpressions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_fingerprint", text, lit(window))
   }
+  def textProfile(text: Column): Column = call_function("graft_text_profile", text)
 }

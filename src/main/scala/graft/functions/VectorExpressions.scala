@@ -111,18 +111,99 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Random-hyperplane LSH sign bucket: `nBits` signs of dot(v, h_i) packed
+  * into one long, with deterministic ±1 pseudo-hyperplanes derived from
+  * the xxhash64 kernel — no stored model, reproducible anywhere.
+  *
+  * All nBits dot products are accumulated in ONE pass over the vector
+  * against a precomputed sign table. The round-1 Column spelling built
+  * each dot as `aggregate(zip_with(vec, transform(sequence…, xxhash64…)))`
+  * — nBits × nTables interpreted-HOF trees per row, the no-CSE
+  * anti-pattern measured at 100×+ on [[WordShingles]] (VERDICT.md round 1,
+  * "What's wrong" #4). */
+case class HyperplaneBucket(child: Expression, dim: Int, nBits: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_bucket requires array<float|double>, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** sign(i, d) table, one xxhash64 per cell, built once per task. */
+  @transient private lazy val signs: Array[Double] = {
+    val t = new Array[Double](nBits * dim)
+    var i = 0
+    while (i < nBits) {
+      var d = 0
+      while (d < dim) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash((i.toLong << 32) | d.toLong, LongType, seed.toLong)
+        t(i * dim + d) = if ((h & 1L) == 0L) 1.0 else -1.0
+        d += 1
+      }
+      i += 1
+    }
+    t
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val isF = elemIsFloat
+    val dots = new Array[Double](nBits)
+    var d = 0
+    while (d < n) {
+      val x = if (isF) arr.getFloat(d).toDouble else arr.getDouble(d)
+      var i = 0
+      while (i < nBits) { dots(i) += x * signs(i * dim + d); i += 1 }
+      d += 1
+    }
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) { if (dots(i) >= 0) bucket |= (1L << i); i += 1 }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+  override def prettyName: String = "graft_hyperplane_bucket"
+}
+
 object VectorExpressions {
-  /** Register both functions; idempotent per session. */
+  /** Register the vector functions; idempotent per session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intArg(es: Seq[Expression], i: Int): Int =
+      es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt
     reg.registerFunction(FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
     reg.registerFunction(FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1)))
+    reg.registerFunction(FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
+      (es: Seq[Expression]) => HyperplaneBucket(
+        es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3)))
   }
 
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_hyperplane_bucket", vec, lit(dim), lit(nBits), lit(seed))
+  }
 }

@@ -27,6 +27,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.count() === withDup.count() - 1)
   }
 
+  test("connected components: chain a~b~c keeps exactly one representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val corpus = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val kept = Dedup.applyNearDedup(corpus, "doc_id", pairs, clustered = true)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 4L)) // one per component + untouched doc
+  }
+
+  test("connected components: long chain converges across multiple rounds") {
+    // a 6-hop path needs >1 hash-min round (diameter > 1); plus a
+    // disjoint 2-cluster to check components stay separate
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (15L, 16L), (100L, 101L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 16L).foreach(id => assert(clusters(id) === 10L, s"id $id"))
+    assert(clusters(100L) === 100L && clusters(101L) === 100L)
+  }
+
   test("minhash LSH: identical docs always collide; jaccard is exact on verify") {
     val withDup = docs.limit(50).unionByName(
       docs.where($"doc_id" === 1).withColumn("doc_id", lit(8888L)))
@@ -127,6 +149,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("language id: stopword-dominant synthetic docs classify correctly") {
+    TextExpressions.register(spark)
     val labeled = Seq(
       ("the cat and the dog of it is that", "en"),
       ("el la de que y en los se del las", "es"),

@@ -85,6 +85,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), s"UDF on the hot path:\n$p")
   }
 
+  test("exact-dedup shuffles on the content hash, never keyed by text") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.exactDuplicates(docs, "doc_id", "text"))
+    assert(p.contains("hashpartitioning(content_hash"),
+      s"shuffle must key on the 8-byte hash:\n$p")
+    assert(!p.contains("hashpartitioning(text"), s"text-keyed shuffle:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("dedup-apply is one hash aggregate: no window, no sort, hash-keyed") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.dropExactDuplicates(docs, "doc_id", "text"))
+    assert(!p.contains("Window"), s"window sort crept back in:\n$p")
+    // Catalyst rewrites the hash alias to _groupingexpression; the pinned
+    // property is that no exchange is keyed by the text column
+    assert(!p.contains("hashpartitioning(text"),
+      s"shuffle must key on the content hash, not text:\n$p")
+    assert(p.contains("partial_min_by"), s"duplicates must collapse map-side:\n$p")
+  }
+
+  test("no forced broadcast on the unbounded duplicate-key set") {
+    val df = SeqTableGen.generate(spark, 1000)
+    val lp = Uniqueness.violations(df, "doc_id").queryExecution.logical.toString
+    assert(!lp.toLowerCase.contains("broadcast"),
+      s"forced broadcast hint on an unbounded frame:\n$lp")
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
       validation = Seq("a", "b"), allowMultiEnum = true)

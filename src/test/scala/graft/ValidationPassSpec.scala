@@ -110,6 +110,20 @@ class ValidationPassSpec extends SparkSpec {
     assert(c.nInvalidCells === 5L)    // exact despite cap
   }
 
+  test("Engine default cap bounds driver state on an all-garbage column") {
+    // more distinct offenders than the default cap: the driver-side list
+    // must truncate at the cap while totals stay exact
+    val n = graft.Engine.DefaultMaxOffenders + 37
+    val df = (1 to n).map(i => f"junk_$i%06d").toDF("condition_id")
+      .withColumn("sample_id", lit("S1"))
+    val out = graft.Engine.validateTable(Normalize.normalizeDf(df), "SAMPLE",
+      rules.filter(_.field == "condition_id"))
+    val c = out.result.columns.head
+    assert(c.failingValues.size === graft.Engine.DefaultMaxOffenders)
+    assert(c.nDistinctFailing === n.toLong) // exact despite cap
+    assert(c.nInvalidCells === n.toLong)
+  }
+
   test("all-null required column detected") {
     val df = Seq(("S1", "NA"), ("S2", "")).toDF("sample_id", "condition_id")
     val r = ValidationPass.evalTable(Normalize.normalizeDf(df), "SAMPLE",
