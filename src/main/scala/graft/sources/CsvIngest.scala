@@ -60,19 +60,29 @@ object CsvIngest {
   }
 
   /** Distributed structural validation: every data row must have the
-    * header's field count. Line numbers are 1-based file order
-    * (single-file text reads preserve order per split; we key on a
-    * monotonic id which equals line order for one file). */
+    * header's field count. Line numbers are true 1-based file positions:
+    * `zipWithIndex` counts rows per partition, prefix-sums the counts on
+    * the driver, and offsets each partition — correct for any number of
+    * splits (`monotonically_increasing_id` is NOT: partition 1 starts at
+    * ~8.6e9).
+    *
+    * Documented divergence from the reference's in-memory csv-module
+    * path: the check is line-based, so a quoted field containing a
+    * newline is seen as two short lines here while `readCsv`
+    * (multiLine=true) parses it fine. Quote state can span partition
+    * boundaries, which a distributed line scan cannot track; files that
+    * rely on embedded newlines should be validated via the parse result
+    * (corrupt-record count) instead. */
   def structuralValidation(spark: SparkSession, path: String, delim: Char,
                            maxErrors: Int = 10): StructuralResult = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
     val header = lines.take(1).headOption.getOrElse("")
     val headerFields = countOutsideQuotes(header, delim) + 1
-    val errors = lines
-      .withColumn("line_number", monotonically_increasing_id() + 1)
+    val errors = lines.rdd.zipWithIndex()
+      .map { case (line, idx) => (idx + 1, line) }
+      .toDF("line_number", "value")
       .where(col("line_number") > 1 && length(trim(col("value"))) > 0)
-      .select(col("line_number"), col("value"))
       .map { r =>
         (r.getLong(0), countOutsideQuotes(r.getString(1), delim) + 1)
       }
@@ -99,17 +109,64 @@ object CsvIngest {
       .option("encoding", "UTF-8")
       .csv(path)
 
-  /** Row counts: (strict parse count, forgiving count) — the reference's
-    * strict→forgiving fallback ladder (delimiter_handler.py:276-316). */
+  /** Row counts with the reference's strict→forgiving ladder
+    * (get_row_count, delimiter_handler.py:276-332):
+    *  - `strict` — pandas' C-engine contract: fails (-1) when ANY data
+    *    row has MORE fields than the header (rows with fewer are padded
+    *    and still count); otherwise the count of non-blank data rows.
+    *  - `forgiving` — on_bad_lines="skip": non-blank data rows minus the
+    *    over-field rows.
+    *  - `effective` — the single int the reference returns: strict when
+    *    it succeeds, else forgiving, else -1 (scan itself unreadable).
+    * One distributed pass over the text lines; same documented
+    * quoted-newline divergence as [[structuralValidation]]. */
+  final case class RowCounts(strict: Long, forgiving: Long) {
+    def effective: Long = if (strict >= 0) strict else forgiving
+  }
+
+  def rowCounts(spark: SparkSession, path: String, delim: Char): RowCounts =
+    try {
+      val lines = spark.read.textFile(path)
+      val header = lines.take(1).headOption.getOrElse("")
+      val headerFields = countOutsideQuotes(header, delim) + 1
+      import spark.implicits._
+      val agg = lines.rdd.zipWithIndex()
+        .filter { case (l, i) => i > 0 && l.trim.nonEmpty }
+        .map { case (l, _) =>
+          val over = if (countOutsideQuotes(l, delim) + 1 > headerFields) 1L else 0L
+          (1L, over)
+        }
+        .toDF("one", "over")
+        .agg(sum(col("one")).as("n"), sum(col("over")).as("n_over"))
+        .head()
+      val n = Option(agg.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nOver = Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (n == 0) RowCounts(0L, 0L)
+      else RowCounts(if (nOver == 0) n else -1L, n - nOver)
+    } catch {
+      case _: Throwable => RowCounts(-1L, -1L) // data present but unreadable
+    }
+
+  /** Reference-shaped single count (delimiter_handler.py:276-316). */
   def rowCount(spark: SparkSession, path: String, delim: Char): Long =
-    readCsv(spark, path, delim).count()
+    rowCounts(spark, path, delim).effective
 
   /** Encoding-fallback ladder (processed_data_loader.py:121-171): try
-    * UTF-8, UTF-8 BOM, cp1252, latin-1; accept the first whose parse
-    * yields zero corrupt records; else permissive latin-1 (which maps
-    * every byte, the errors=replace analogue). The probe reads only the
-    * corrupt-record count — a single column-pruned pass per attempt. */
-  val EncodingLadder: Seq[String] = Seq("UTF-8", "UTF-8", "windows-1252", "ISO-8859-1")
+    * UTF-8, cp1252, latin-1; accept the first whose parse yields zero
+    * corrupt records; else permissive latin-1 (which maps every byte, the
+    * errors=replace analogue). A UTF-8 BOM that survives into the first
+    * header field is stripped after parse ([[stripBom]]), which is what
+    * the reference's utf-8-sig rung accomplishes. The probe reads only
+    * the corrupt-record count — a single column-pruned pass per attempt. */
+  val EncodingLadder: Seq[String] = Seq("UTF-8", "windows-1252", "ISO-8859-1")
+
+  /** Strip a BOM that the parser kept as part of the first header name. */
+  def stripBom(df: DataFrame): DataFrame =
+    df.columns.headOption match {
+      case Some(first) if first.startsWith("\uFEFF") =>
+        df.withColumnRenamed(first, first.substring(1))
+      case _ => df
+    }
 
   def readCsvWithEncodingFallback(
       spark: SparkSession, path: String, delim: Char): (DataFrame, String) = {
@@ -125,10 +182,10 @@ object CsvIngest {
         if (df.columns.contains("_corrupt_record"))
           df.where(col("_corrupt_record").isNotNull).count()
         else 0L
-      if (corrupt == 0L) return (df.drop("_corrupt_record"), enc)
+      if (corrupt == 0L) return (stripBom(df.drop("_corrupt_record")), enc)
       df.unpersist()
     }
-    (readCsv(spark, path, delim), "ISO-8859-1")
+    (stripBom(readCsv(spark, path, delim)), "ISO-8859-1")
   }
 
   /** Delimiter conversion (S3, delimiter_handler.py:547-598): re-parse

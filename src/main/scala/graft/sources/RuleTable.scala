@@ -77,8 +77,50 @@ object RuleTable {
     * for the `["a","b"]` shape. */
   private def parseJsonList(raw: String): Seq[String] = Rule.parseListLiteral(raw)
 
-  /** Completeness check (cde.py:471-524): mandatory rule cells non-null;
-    * report at most 10 offenders. */
+  /** Columns allowed to hold NULL/empty cells, filled with the "None"
+    * placeholder before the completeness scan (cde.py:330). */
+  val OkNaColumns: Seq[String] = Seq(
+    "Validation", "SpecificSpecies", "SpecificSampleSource", "SpecificAssays",
+    "AllowMultiEnum")
+
+  /** Full completeness check (validate_cde_completeness, cde.py:471-524):
+    *  1. every mandatory column must exist;
+    *  2. allowed-NA columns are filled with "None";
+    *  3. no NULL cells may remain in mandatory columns — offenders are
+    *     reported as "Table.Field" (nulls → "UNKNOWN"), first 10 plus
+    *     ", and N more", in the reference's message shape.
+    * Returns (NA-filled frame, error messages); empty messages =
+    * complete. The rule table is metadata-sized by contract, so the
+    * offender scan is a driver-trivial job. */
+  def validateCompleteness(
+      df: DataFrame,
+      mandatory: Seq[String] = MandatoryColumns,
+      okNa: Seq[String] = OkNaColumns): (DataFrame, Seq[String]) = {
+    val missing = mandatory.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      return (df, missing.map(c => s"CDE is missing required column '$c'"))
+    val filled = okNa.filter(df.columns.contains)
+      .foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit("None"))))
+    val anyNull = mandatory.map(col(_).isNull).reduce(_ || _)
+    val offenders = filled.where(anyNull)
+      .select(
+        coalesce(col("Table"), lit("UNKNOWN")).as("t"),
+        coalesce(col("Field"), lit("UNKNOWN")).as("f"))
+      .collect()
+      .map(r => s"${r.getString(0)}.${r.getString(1)}")
+    if (offenders.isEmpty) return (filled, Nil)
+    val shown = offenders.take(10).mkString(", ")
+    val extra = offenders.length - math.min(10, offenders.length)
+    val details = if (extra > 0) s"$shown, and $extra more" else shown
+    val fieldsRepr = mandatory.map(f => s"'$f'").mkString("[", ", ", "]")
+    (filled, Seq(
+      s"The CDE spreadsheet has NULL values in required columns. $fieldsRepr. " +
+        s"Examples: $details."))
+  }
+
+  /** Quick rule-level completeness (legacy helper): parsed rules with a
+    * blank table/field — a subset of [[validateCompleteness]], kept for
+    * callers holding `Seq[Rule]` rather than the raw frame. */
   def completenessErrors(rules: Seq[Rule]): Seq[String] =
     rules.filter(r => r.table.isEmpty || r.field.isEmpty).take(10)
       .map(r => s"incomplete rule row: table='${r.table}' field='${r.field}'")

@@ -97,6 +97,67 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(df.count() === 1)
   }
 
+  test("BOM-prefixed header is stripped by the encoding fallback read") {
+    val p = java.nio.file.Files.createTempFile("graft_bom", ".csv")
+    java.nio.file.Files.write(p, "\uFEFFa,b\n1,2\n".getBytes("UTF-8"))
+    val (df, enc) = CsvIngest.readCsvWithEncodingFallback(spark, p.toString, ',')
+    assert(enc === "UTF-8")
+    assert(df.columns.toSeq === Seq("a", "b"))
+  }
+
+  test("row counts: strict/forgiving ladder mirrors the reference outcomes") {
+    def counts(content: String): CsvIngest.RowCounts = {
+      val p = java.nio.file.Files.createTempFile("graft_rc", ".csv")
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      CsvIngest.rowCounts(spark, p.toString, ',')
+    }
+    // clean file: strict parses, count = data rows
+    val clean = counts("a,b\n1,2\n3,4\n")
+    assert(clean === CsvIngest.RowCounts(2, 2) && clean.effective === 2)
+    // a row with EXTRA fields: strict fails (-1), forgiving skips it
+    val over = counts("a,b\n1,2\n1,2,3\n5,6\n")
+    assert(over === CsvIngest.RowCounts(-1, 2) && over.effective === 2)
+    // fewer fields pad (pandas keeps them); blank lines don't count
+    val under = counts("a,b\n1\n\n3,4\n")
+    assert(under === CsvIngest.RowCounts(2, 2))
+    // header only → 0 (reference: <=1 non-empty lines)
+    assert(counts("a,b\n").effective === 0)
+  }
+
+  test("CDE completeness: ok-NA fill, offender labels, first-10 + more") {
+    import spark.implicits._
+    val base = Seq(
+      ("T1", "f1", "Enum", "Required", null: String, null: String),
+      ("T2", null: String, "String", "Required", "x", "y"),
+      (null: String, "f3", null: String, "Required", "x", "y"))
+      .toDF("Table", "Field", "DataType", "Required", "Validation", "FillNull")
+      .withColumn("DisplayName", lit("d")).withColumn("Description", lit("d"))
+      .withColumn("SpecificSpecies", lit(null: String))
+      .withColumn("SpecificSampleSource", lit(null: String))
+      .withColumn("SpecificAssays", lit(null: String))
+      .withColumn("AllowMultiEnum", lit(null: String))
+    val mandatory = Seq("Table", "Field", "DisplayName", "Description", "DataType",
+      "Required", "Validation", "FillNull", "SpecificSpecies",
+      "SpecificSampleSource", "SpecificAssays", "AllowMultiEnum")
+    val (filled, errs) = RuleTable.validateCompleteness(base, mandatory)
+    // ok-NA columns got the "None" placeholder (row 1's Validation)
+    assert(filled.where(col("Validation") === "None").count() === 1)
+    assert(errs.size === 1)
+    // offenders: row1 (null FillNull — mandatory, not ok-NA), row2 (null
+    // Field), row3 (null Table+DataType) — labels with UNKNOWN fill
+    assert(errs.head.contains("T1.f1") && errs.head.contains("T2.UNKNOWN")
+      && errs.head.contains("UNKNOWN.f3"))
+    assert(errs.head.startsWith(
+      "The CDE spreadsheet has NULL values in required columns."))
+    // missing mandatory column reported by name
+    val (_, errs2) = RuleTable.validateCompleteness(
+      base.drop("FillNull"), mandatory)
+    assert(errs2 === Seq("CDE is missing required column 'FillNull'"))
+    // complete table → no errors
+    val ok = base.na.fill("v")
+    assert(RuleTable.validateCompleteness(ok, mandatory)._2.isEmpty)
+  }
+
   test("custom expressions callable from plain SQL via GraftExtensions") {
     // simulate the extension wiring on the existing session
     new GraftExtensions().apply _
