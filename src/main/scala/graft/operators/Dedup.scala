@@ -248,11 +248,17 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash per document (custom Expression over the word array). */
+  /** 64-bit SimHash per document (custom Expression over the word array).
+    * Words come from the native [[graft.functions.WordShingles]] (n=1)
+    * rather than the `filter(split(...))` HOF — one less interpreted
+    * lambda on the hot path. (Sole divergence: an empty/whitespace-only
+    * text yields [""] instead of [], i.e. a fixed signature instead of
+    * 0L — both constants, and empty docs are dedup-irrelevant.) */
   def withSimHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     TextExpressions.register(df.sparkSession)
+    graft.functions.ShingleExpression.register(df.sparkSession)
     df.select(col(idCol).as("id"),
-      TextExpressions.simhash64(words(col(textCol))).as("simhash"))
+      TextExpressions.simhash64(shingles(col(textCol), 1)).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming(simhash) ≤ maxHamming, found by banding
@@ -293,24 +299,33 @@ object Dedup {
 
   /** Embedding near-duplicates: bucket by hyperplane signs (+ verify with
     * the codegen'd cosine Expression within buckets only). Multi-probe:
-    * `nTables` independent bucketings OR'd together for recall. */
+    * `nTables` independent bucketings OR'd together for recall.
+    *
+    * Same shuffle discipline as the MinHash path: the banded self-join
+    * moves only (table_id, bucket, id) triples and pair-dedup happens on
+    * the narrow (id_a, id_b) BEFORE the vectors are re-attached — at
+    * 10^11 vectors the embeddings are the dataset, and a self-join
+    * carrying them would shuffle the corpus twice. */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, nBits: Int = 12, nTables: Int = 2): DataFrame = {
     VectorExpressions.register(df.sparkSession)
-    val tables = (0 until nTables).map { t =>
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = (0 until nTables).map { t =>
+      df.select(col(idCol).as("id"),
         hyperplaneBucket(col(vecCol), dim, nBits, seed = 7 + t).as("bucket"),
         lit(t).as("table_id"))
     }.reduce(_ unionByName _)
-    val cand = tables.as("a").join(tables.as("b"),
+    val cand = buckets.as("a").join(buckets.as("b"),
         col("a.table_id") === col("b.table_id") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         VectorExpressions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }

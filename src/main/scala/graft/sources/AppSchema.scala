@@ -64,6 +64,30 @@ object AppSchema {
     cfg
   }
 
+  /** Step-1 selection options with the guaranteed "Other" entry
+    * (ensure_step1_other_options, /root/reference/utils/help_menus.py:106-134):
+    * each drop-down list gains "Other" if absent, and the assay
+    * label→key map gains "Other"→"other". Pure config bootstrap. */
+  final case class SelectionOptions(
+      species: Seq[String],
+      sampleSources: Seq[String],
+      assayTypes: Seq[String],
+      assayLabelToKey: Map[String, String]) {
+    def assayKeys: Set[String] = assayLabelToKey.values.toSet
+  }
+
+  def ensureOtherOptions(opts: SelectionOptions): SelectionOptions = {
+    def withOther(xs: Seq[String]): Seq[String] =
+      if (xs.contains("Other")) xs else xs :+ "Other"
+    opts.copy(
+      species = withOther(opts.species),
+      sampleSources = withOther(opts.sampleSources),
+      assayTypes = withOther(opts.assayTypes),
+      assayLabelToKey =
+        if (opts.assayLabelToKey.contains("Other")) opts.assayLabelToKey
+        else opts.assayLabelToKey + ("Other" -> "other"))
+  }
+
   /** CDE-vs-app-schema vocabulary diff (J4,
     * /root/reference/utils/validate_ui.py:244-295): set difference in
     * both directions between a rule's Validation vocabulary and an

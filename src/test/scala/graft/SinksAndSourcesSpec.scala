@@ -158,6 +158,23 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(RuleTable.validateCompleteness(ok, mandatory)._2.isEmpty)
   }
 
+  test("Other option injected into step-1 selections exactly once") {
+    import graft.sources.AppSchema
+    val base = AppSchema.SelectionOptions(
+      species = Seq("Human", "Mouse"),
+      sampleSources = Seq("Brain", "Other"), // already present → unchanged
+      assayTypes = Seq("RNAseq"),
+      assayLabelToKey = Map("RNAseq" -> "rnaseq"))
+    val got = AppSchema.ensureOtherOptions(base)
+    assert(got.species === Seq("Human", "Mouse", "Other"))
+    assert(got.sampleSources === Seq("Brain", "Other"))
+    assert(got.assayTypes === Seq("RNAseq", "Other"))
+    assert(got.assayLabelToKey("Other") === "other")
+    assert(got.assayKeys.contains("other"))
+    // idempotent
+    assert(AppSchema.ensureOtherOptions(got) === got)
+  }
+
   test("custom expressions callable from plain SQL via GraftExtensions") {
     // simulate the extension wiring on the existing session
     new GraftExtensions().apply _
