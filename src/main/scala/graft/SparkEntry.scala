@@ -275,6 +275,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      // transitive closure of the (oracled) word-jaccard pairs: every
+      // vertex labeled with its component's min id — hash-min label
+      // propagation vs a recursive-CTE reachability oracle
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.5)
+      Dedup.nearDupClusters(pairs).orderBy("id")
+    }),
+
     "q_minhash_pairs" -> ((s, d) => // hash-specific: rows-only
       Dedup.minhashNearDuplicates(
           t(s, d, "documents"), "doc_id", "text", k = 32, bands = 8, threshold = 0.7)
@@ -574,6 +583,32 @@ object SparkEntry {
         |  FROM embeddings
         |  ORDER BY score DESC, vec_id LIMIT 10)
         |ORDER BY round(score, 4) DESC, vec_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> ''))) AS word
+        |  FROM documents WHERE doc_id < 100),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM kept
+        |  UNION ALL SELECT id_b, id_a FROM kept),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_seq_validate" ->
       s"""WITH $SeqTableCte

@@ -114,6 +114,18 @@ class PlanSpec extends SparkSpec {
       s"forced broadcast hint on an unbounded frame:\n$lp")
   }
 
+  test("analyze() evaluates TextProfile exactly once per row") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val analyzed = TextAnalysis.analyze(docs, "doc_id", "text")
+    // CollapseProject must NOT inline the non-cheap profile expression
+    // into its 6 consumers (SPARK-36718): the optimized plan carries
+    // exactly one graft_text_profile instance
+    val optimized = analyzed.queryExecution.optimizedPlan.toString
+    val hits = "graft_text_profile".r.findAllIn(optimized).size
+    assert(hits === 1, s"TextProfile duplicated $hits times:\n$optimized")
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
       validation = Seq("a", "b"), allowMultiEnum = true)

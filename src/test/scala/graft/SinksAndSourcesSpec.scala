@@ -158,6 +158,33 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(RuleTable.validateCompleteness(ok, mandatory)._2.isEmpty)
   }
 
+  test("delimiter conversion rewrites semicolon CSV as comma CSV") {
+    val in = java.nio.file.Files.createTempFile("graft_conv", ".csv")
+    java.nio.file.Files.write(in, "a;b\n1;hello world\n2;x\n".getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("graft_conv_out").toString + "/out"
+    CsvIngest.convertDelimiter(spark, in.toString, out, from = ';')
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq === Seq("a", "b"))
+    assert(back.orderBy("a").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("1", "hello world"), ("2", "x")))
+  }
+
+  test("specificity filter: empty axis applies to all, non-empty must contain") {
+    import graft.model.{Requirement, Rule, RuleType}
+    val all = Rule("T", "f1", RuleType.StringT, Requirement.Required)
+    val humanOnly = Rule("T", "f2", RuleType.StringT, Requirement.Required,
+      specificSpecies = Seq("Human"))
+    val mouseBrain = Rule("T", "f3", RuleType.StringT, Requirement.Required,
+      specificSpecies = Seq("Mouse"), specificSampleSource = Seq("Brain"))
+    val rules = Seq(all, humanOnly, mouseBrain)
+    assert(RuleTable.filterForSelection(rules, "Human", "Blood", "RNAseq")
+      .map(_.field) === Seq("f1", "f2"))
+    assert(RuleTable.filterForSelection(rules, "Mouse", "Brain", "RNAseq")
+      .map(_.field) === Seq("f1", "f3"))
+    assert(RuleTable.filterForSelection(rules, "Mouse", "Blood", "RNAseq")
+      .map(_.field) === Seq("f1"))
+  }
+
   test("Other option injected into step-1 selections exactly once") {
     import graft.sources.AppSchema
     val base = AppSchema.SelectionOptions(
