@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Violation
-import graft.operators.{Drift, Referential, Uniqueness, ValidationPass}
+import graft.operators.{Drift, Uniqueness, ValidationPass}
 import graft.report.{Report, ReportCollector}
 import graft.sources.SeqTableGen
 
@@ -90,17 +90,25 @@ object Main {
     }
   }
 
-  /** The five constraint checks + uniqueness + referential in two scans
-    * + one tiny shuffle; returns (pass, nViolations, nRows). */
+  /** The five constraint checks + referential fused into ONE scan, plus
+    * the uniqueness aggregate (the only check that must shuffle);
+    * returns (pass, nViolations, nRows).
+    *
+    * The referential allowlist here is driver-sized (a literal Seq), so
+    * the check compiles into the same fused predicate pass as the other
+    * constraints — a broadcast hash join against a 3-row dimension would
+    * buy nothing and cost a THIRD full scan of the corpus.
+    * [[Referential.violations]] remains the path for allowlists that
+    * live in a real dimension table. */
   def runChecks(spark: SparkSession, df: DataFrame, violOut: String): (Boolean, Long, Long) = {
-    val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
+    val constraints =
+      ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources) :+
+      ValidationPass.SeqConstraint("R_REF_SOURCE",
+        col("source").isin(SeqTableGen.RefAllowlist: _*),
+        coalesce(col("source"), lit("<null>")))
     val vio = ValidationPass.seqViolations(df, constraints)
     val uniq = Uniqueness.violations(df, "doc_id")
-    val ref = Referential.violations(
-      df, "doc_id", "source",
-      spark.createDataFrame(SeqTableGen.RefAllowlist.map(Tuple1(_))).toDF("source"),
-      "source")
-    val all = vio.unionByName(uniq).unionByName(ref)
+    val all = vio.unionByName(uniq)
     // count rides the write job via CollectMetrics — no second read of
     // the violations parquet (round-1 VERDICT "What's wrong" #6)
     val obs = org.apache.spark.sql.Observation()
