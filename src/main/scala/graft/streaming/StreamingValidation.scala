@@ -83,6 +83,36 @@ object StreamingValidation {
       }.toDF()
   }
 
+  final case class DupAlert(key: Long, n_occurrences: Long)
+  final case class KeyedId(key: Long)
+
+  /** Streaming duplicate-key detection via `flatMapGroupsWithState`:
+    * state = occurrences seen per key; an alert row is emitted on every
+    * arrival AFTER the first (with the running multiplicity), i.e. the
+    * streaming analogue of [[graft.operators.Uniqueness.violations]].
+    *
+    * State is one counter per distinct key seen — at stream scale pair
+    * this with a TTL (`GroupStateTimeout.ProcessingTimeTimeout` +
+    * `setTimeoutDuration`) when uniqueness only needs to hold within a
+    * time horizon; unbounded global uniqueness belongs to the batch
+    * aggregate over the stored table. */
+  def duplicateAlerts(events: DataFrame, keyCol: String): DataFrame = {
+    import events.sparkSession.implicits._
+    val keyed = events.select(col(keyCol).cast("long").as("key")).as[KeyedId]
+    keyed.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedId], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val arrived = rows.size.toLong
+          val total = prev + arrived
+          state.update(total)
+          // one alert per arrival beyond the first occurrence of the key
+          val firstDupIdx = math.max(prev, 1L)
+          (firstDupIdx until total).iterator.map(i => DupAlert(key, i + 1))
+      }.toDF()
+  }
+
   /** Drive a streaming query to completion over the files currently in
     * `path` using the in-memory sink (test/demo harness). */
   def runToMemorySink(df: DataFrame, queryName: String,

@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal === batchTruth)
   }
 
+  test("streaming duplicate alerts via flatMapGroupsWithState match batch truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    // events with seeded duplicate event_ids across two micro-batches:
+    // id 7 appears 3x (batch1: 2, batch2: 1), id 9 appears 2x (one per
+    // batch), everything else unique
+    Seq(7L, 7L, 9L, 1L, 2L).toDF("event_id")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .withColumn("user_id", $"event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("click"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit(""))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(7L, 9L, 3L).toDF("event_id")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .withColumn("user_id", $"event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit(""))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = StreamingValidation.readEventStream(spark, dir)
+    val alerts = StreamingValidation.duplicateAlerts(stream, "event_id")
+    StreamingValidation.runToMemorySink(alerts, "dup_alerts", OutputMode.Append())
+    val got = spark.table("dup_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // id 7: occurrences 2 and 3 alert; id 9: occurrence 2 alerts
+    assert(got === Set((7L, 2L), (7L, 3L), (9L, 2L)))
+  }
+
   test("running per-source stats via mapGroupsWithState") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
