@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => TextProfile(es.head))
     inject("graft_hyperplane_bucket", classOf[HyperplaneBucket],
       es => HyperplaneBucket(es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3)))
+    inject("graft_multienum_valid", classOf[MultiEnumTokensValid],
+      es => MultiEnumTokensValid(es.head,
+        es(1).eval(InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq))
   }
 }

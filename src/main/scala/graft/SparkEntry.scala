@@ -108,6 +108,7 @@ object SparkEntry {
     }),
 
     "q_multienum_check" -> ((s, d) => {
+      Predicates.register(s)
       // synthesize a ';'-joined multi-value cell and validate it with the
       // multi-enum predicate (P11): every trimmed token must be in vocab
       val rule = Rule("documents", "dirty", RuleType.EnumT, Requirement.Required,

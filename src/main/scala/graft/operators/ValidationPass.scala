@@ -102,6 +102,7 @@ object ValidationPass {
     * Input df must already carry [[RowKey]] (or pass idCol to use a
     * natural key instead). */
   def violationsFor(df: DataFrame, rules: Seq[Rule], keyCol: String): DataFrame = {
+    Predicates.register(df.sparkSession)
     val present = evaluable(rules).filter(r => df.columns.contains(r.field))
     require(present.nonEmpty, "no evaluable rule matches a column")
     val cells: Seq[Column] = present.map { r =>
@@ -136,6 +137,7 @@ object ValidationPass {
     *        cell (summed pre-cap), only the listed values truncate. */
   def evalTable(dfNormalized: DataFrame, tableName: String, rules: Seq[Rule],
                 maxOffendersPerRule: Int): EvalResult = {
+    Predicates.register(dfNormalized.sparkSession)
     val evalRules = evaluable(rules)
     val inputCols = dfNormalized.columns.toSet
 

@@ -127,6 +127,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("multi-enum + regex predicates stay UDF-free") {
+    Predicates.register(spark)
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
       validation = Seq("a", "b"), allowMultiEnum = true)
     val regex = Rule("t", "c", RuleType.RegexT, Requirement.Required, pattern = "a+")
