@@ -264,18 +264,25 @@ object Dedup {
   /** Near-dup pairs with Hamming(simhash) ≤ maxHamming, found by banding
     * the 64-bit signature into 4 × 16-bit chunks: pairs within Hamming ≤3
     * must agree exactly on ≥1 chunk (pigeonhole) — bucket join, then
-    * exact Hamming verify via bit_count(xor). */
+    * exact Hamming verify via bit_count(xor).
+    *
+    * Buckets are capped like the MinHash path: a hot 16-bit chunk value
+    * (short/boilerplate docs collapse onto few signatures) contributes
+    * m(m-1)/2 candidates, so an uncapped self-join is quadratic in the
+    * hottest bucket. Dropped buckets are countable via
+    * [[simhashOverflowBuckets]] — no silent caps. */
   def simhashNearDuplicates(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sh = withSimHash(df, idCol, textCol)
-    val chunks = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
+    val chunks = simhashChunks(df, idCol, textCol)
+    val buckets = chunks
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    val cand = buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
       .dropDuplicates("id_a", "id_b")
@@ -283,6 +290,22 @@ object Dedup {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** (id, simhash, chunk_idx, chunk_val) banding projection. */
+  private def simhashChunks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withSimHash(df, idCol, textCol).select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+
+  /** Buckets skipped by the simhash `maxBucket` cap (observability
+    * companion — same contract as [[minhashOverflowBuckets]]). */
+  def simhashOverflowBuckets(
+      df: DataFrame, idCol: String, textCol: String, maxBucket: Int = 200): DataFrame =
+    simhashChunks(df, idCol, textCol)
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucket)
 
   // ---------- embedding cosine near-dup ----------
 

@@ -86,6 +86,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 2L && b == 7777L && h == 0 })
   }
 
+  test("simhash bucket cap drops degenerate buckets but counts them") {
+    val same = (1L to 30L).toDF("doc_id")
+      .withColumn("text", lit("same short boilerplate text"))
+    val pairs = Dedup.simhashNearDuplicates(same, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10)
+    assert(pairs.count() === 0) // every bucket overflows the cap
+    val over = Dedup.simhashOverflowBuckets(same, "doc_id", "text", maxBucket = 10)
+      .collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("n_docs") === 30L))
+  }
+
   test("embedding near-dup: LSH buckets find the injected identical vector") {
     val withDup = embs.limit(100).unionByName(
       embs.where($"vec_id" === 3).withColumn("vec_id", lit(6666L)))
