@@ -117,6 +117,22 @@ class DifferentialSpec extends SparkSpec {
     assert(both.where(col("old") =!= col("neu")).count() === 0)
   }
 
+  test("native multi-enum predicate matches the forall/filter HOF spelling") {
+    graft.functions.Predicates.register(spark)
+    val vocab = Seq("a", "bb", "c c") // incl. a vocab entry with an inner space
+    val cells = Seq(
+      "a", "a;bb", " a ; bb ", "a;;bb", ";a;", "a;x", "x", "", ";", " ; ",
+      "c c", "a;c c", "\ta", "a\t", "a ;\tbb", "A", "a;A", "a;bb;c c;a").toDF("c")
+    val hof = {
+      val tokens = filter(transform(split(col("c"), ";"), t => trim(t)), t => t =!= "")
+      size(tokens) > 0 && forall(tokens, t => t.isin(vocab: _*))
+    }
+    val native = call_function("graft_multienum_valid", col("c"), typedLit(vocab))
+    val diff = cells.select(col("c"), hof.as("old"), native.as("neu"))
+      .where(col("old") =!= col("neu")).collect()
+    assert(diff.isEmpty, diff.map(_.getString(0)).mkString("mismatch on: '", "', '", "'"))
+  }
+
   test("hyperplane bucket: deterministic, seed-sensitive, sign-symmetric") {
     import graft.functions.VectorExpressions
     VectorExpressions.register(spark)
