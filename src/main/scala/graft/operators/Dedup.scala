@@ -186,6 +186,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
+    // convergence via the label-sum invariant: labels only ever decrease
+    // (min-propagation), so an unchanged sum ⇔ no label changed — one
+    // cheap aggregate per round instead of a self-join diff. decimal(38)
+    // keeps the sum exact under ANSI mode for arbitrary long ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -195,10 +203,10 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .where(col("cluster") =!= col("prev")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     labels
