@@ -17,6 +17,9 @@ import graft.sources.SeqTableGen
   *            over a partitioned sequence table; emits violations
   *            parquet + markdown report; resumes from <manifest> if
   *            given (see [[graft.checkpoint.Manifest]])
+  *   validate-batch <path> <out> [manifest] — same checks, ONE job for
+  *            all pending partitions (scales past 10^4 partitions where
+  *            the per-partition loop is driver-bound; coarser resume)
   *   demo     [nRows]                       — in-memory end-to-end run
   *
   * Usage: spark-submit --class graft.cli.Main <jar> <mode> ...
@@ -46,6 +49,8 @@ object Main {
         println(s"""{"mode":"gen","path":"$path","rows":$n,"buckets":$buckets}""")
       case "validate" :: path :: out :: rest =>
         validatePath(spark, path, out, rest.headOption)
+      case "validate-batch" :: path :: out :: rest =>
+        validateBatch(spark, path, out, rest.headOption)
       case "demo" :: rest =>
         val n = rest.headOption.map(_.toLong).getOrElse(100000L)
         demo(spark, n)
@@ -87,6 +92,72 @@ object Main {
           files = partFiles.sorted)
       }
       println(s"""{"partition":"$p","rows":$nRows,"violations":$nViol,"pass":$verdict}""")
+    }
+  }
+
+  /** Batch flavor of [[validatePath]]: ONE Spark job computes every
+    * pending partition's violations and verdicts, with the violations
+    * written `partitionBy(part_bucket)` and the manifest marked per
+    * partition afterwards.
+    *
+    * Trade vs the per-partition loop: the loop gives fine-grained resume
+    * (each partition commits independently) but runs one driver-
+    * scheduled job per partition — at 10^4+ partitions the driver loop,
+    * not the cluster, is the bottleneck. Batch mode scales to any
+    * partition count (verdicts are a groupBy(part_bucket) aggregate) at
+    * the cost of coarser resume: a crash before the write commits marks
+    * nothing, and the rerun redoes all still-pending partitions.
+    * Completed partitions from EITHER mode are skipped by both. */
+  def validateBatch(spark: SparkSession, path: String, out: String, manifest: Option[String]): Unit = {
+    import graft.checkpoint.Manifest
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("part_bucket"),
+      "validate-batch needs a part_bucket-partitioned table (gen mode writes one)")
+    val partitions = df.select("part_bucket").distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    val mf = manifest.map(Manifest.load).getOrElse(Manifest.empty)
+    val todo = partitions.filterNot(mf.isComplete)
+    println(s"""{"mode":"validate-batch","partitions":${partitions.size},"todo":${todo.size}}""")
+    if (todo.isEmpty) return
+    val slice = df.where(col("part_bucket").isin(todo.map(_.toInt): _*))
+
+    val constraints =
+      ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources) :+
+      ValidationPass.SeqConstraint("R_REF_SOURCE",
+        col("source").isin(SeqTableGen.RefAllowlist: _*),
+        coalesce(col("source"), lit("<null>")))
+    val vio = ValidationPass.seqViolations(slice, constraints, carryCols = Seq("part_bucket"))
+    // global uniqueness in one shuffle (the bucketing co-locates equal
+    // keys, so per-bucket == global; computed over the whole slice here)
+    val dups = Uniqueness.duplicatesSimple(slice, "doc_id")
+    val uniq = slice.join(dups, Seq("doc_id"))
+      .select(col("part_bucket"), col("doc_id"),
+        lit("R_UNIQUE_DOCID").as("rule_id"),
+        concat(lit("n_occurrences="), col("n_occurrences").cast("string"))
+          .as("offending_value"))
+    val all = vio.unionByName(uniq)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    all.write.mode("overwrite").partitionBy("part_bucket")
+      .parquet(s"$out/violations")
+
+    // per-partition verdicts: two tiny aggregates (shuffle rows =
+    // O(partitions)), then the manifest commits each partition
+    val rowsByPart = slice.groupBy("part_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val violByPart = spark.read.parquet(s"$out/violations")
+      .where(col("part_bucket").isin(todo.map(_.toInt): _*))
+      .groupBy("part_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val snapshot = s"scan-${System.currentTimeMillis()}"
+    todo.foreach { p =>
+      val nRows = rowsByPart.getOrElse(p, 0L)
+      val nViol = violByPart.getOrElse(p, 0L)
+      manifest.foreach { mfPath =>
+        val partFiles = slice.inputFiles.toSeq.filter(_.contains(s"part_bucket=$p/"))
+        Manifest.markComplete(mfPath, p, nRows, nViol, nViol == 0,
+          snapshotId = snapshot, files = partFiles.sorted)
+      }
+      println(s"""{"partition":"$p","rows":$nRows,"violations":$nViol,"pass":${nViol == 0}}""")
     }
   }
 

@@ -270,7 +270,14 @@ object ValidationPass {
   /** Sparse violations for arbitrary named predicates (sequence-table
     * flavor of [[violationsFor]]); value column records the offending
     * doc_id's source/n_tok context compactly. */
-  def seqViolations(df: DataFrame, constraints: Seq[SeqConstraint]): DataFrame = {
+  def seqViolations(df: DataFrame, constraints: Seq[SeqConstraint]): DataFrame =
+    seqViolations(df, constraints, carryCols = Nil)
+
+  /** @param carryCols extra input columns passed through to the output
+    *        (e.g. the partition bucket, so a single batch job can write
+    *        violations partitioned and report per-partition verdicts). */
+  def seqViolations(df: DataFrame, constraints: Seq[SeqConstraint],
+                    carryCols: Seq[String]): DataFrame = {
     val cells = constraints.map { c =>
       when(!coalesce(c.valid, lit(false)),
         struct(lit(c.ruleId).as("rule_id"),
@@ -287,10 +294,11 @@ object ValidationPass {
     val anyViolation = constraints
       .map(c => !coalesce(c.valid, lit(false)))
       .reduce(_ || _)
+    val carry = carryCols.map(col)
     df.where(anyViolation)
-      .select(
-        col("doc_id"),
-        explode(filter(array(cells: _*), x => x.isNotNull)).as("v"))
-      .select(col("doc_id"), col("v.rule_id"), col("v.offending_value"))
+      .select(carry :+ col("doc_id") :+
+        explode(filter(array(cells: _*), x => x.isNotNull)).as("v"): _*)
+      .select(carry :+ col("doc_id") :+ col("v.rule_id") :+
+        col("v.offending_value"): _*)
   }
 }

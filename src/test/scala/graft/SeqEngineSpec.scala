@@ -90,4 +90,25 @@ class SeqEngineSpec extends SparkSpec {
     assert(joined.count() === 0)
     assert(validated.count() > 0)
   }
+
+  test("validate-batch produces the same per-partition verdicts as the loop") {
+    import graft.checkpoint.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_vb").toString
+    graft.sources.SeqTableGen.writePartitioned(
+      graft.sources.SeqTableGen.generate(spark, 20000), s"$dir/seq", 4)
+    graft.cli.Main.validatePath(spark, s"$dir/seq", s"$dir/out1", Some(s"$dir/m1.jsonl"))
+    graft.cli.Main.validateBatch(spark, s"$dir/seq", s"$dir/out2", Some(s"$dir/m2.jsonl"))
+    val m1 = Manifest.load(s"$dir/m1.jsonl").entries
+    val m2 = Manifest.load(s"$dir/m2.jsonl").entries
+    assert(m1.keySet === m2.keySet && m1.nonEmpty)
+    m1.keySet.foreach { p =>
+      assert(m1(p).rows === m2(p).rows, s"rows differ for partition $p")
+      assert(m1(p).violations === m2(p).violations, s"violations differ for $p")
+      assert(m1(p).pass === m2(p).pass)
+      assert(m1(p).files === m2(p).files, s"lineage differs for $p")
+    }
+    // resume: a second batch run has nothing to do (manifest complete)
+    graft.cli.Main.validateBatch(spark, s"$dir/seq", s"$dir/out2", Some(s"$dir/m2.jsonl"))
+    assert(Manifest.load(s"$dir/m2.jsonl").entries.size === m2.size)
+  }
 }
