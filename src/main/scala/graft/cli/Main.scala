@@ -136,8 +136,11 @@ object Main {
         concat(lit("n_occurrences="), col("n_occurrences").cast("string"))
           .as("offending_value"))
     val all = vio.unionByName(uniq)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    all.write.mode("overwrite").partitionBy("part_bucket")
+    // dynamic overwrite: only the buckets in this run are replaced
+    // (writer-scoped option — do not mutate session config)
+    all.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_bucket")
       .parquet(s"$out/violations")
 
     // per-partition verdicts: two tiny aggregates (shuffle rows =
