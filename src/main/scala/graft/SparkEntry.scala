@@ -213,13 +213,16 @@ object SparkEntry {
 
     "q_chi_uniform" -> ((s, d) => {
       // Pearson chi-square of documents.source vs uniform expectation —
-      // the drift statistic computed fully inside Catalyst aggregates
-      val n = t(s, d, "documents").count().toDouble
-      val k = 20.0
-      val exp = n / k
-      t(s, d, "documents").groupBy("source").agg(count(lit(1)).as("obs"))
-        .agg(round(sum((col("obs") - exp) * (col("obs") - exp) / exp), 6)
-          .as("chi_square"))
+      // fully inside Catalyst: the total row count is a cross-joined
+      // single-row aggregate over the (tiny) grouped frame, not a
+      // separate driver-side count() pass over the corpus
+      val grouped = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("obs"))
+      val total = grouped.agg(sum(col("obs")).cast("double").as("n"))
+      grouped.crossJoin(total)
+        .select((col("n") / 20.0).as("exp"), col("obs"))
+        .agg(round(sum((col("obs") - col("exp")) * (col("obs") - col("exp"))
+          / col("exp")), 6).as("chi_square"))
     }),
 
     // ---- windowed event analytics (streaming plan shape, batch run) ----
@@ -233,10 +236,12 @@ object SparkEntry {
 
     // ---- text analysis ----
 
-    "q_token_counts" -> ((s, d) =>
+    "q_token_counts" -> ((s, d) => {
+      TextExpressions.register(s)
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_words"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     "q_digit_punct" -> ((s, d) =>
       t(s, d, "documents").select(

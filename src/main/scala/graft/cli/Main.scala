@@ -77,7 +77,9 @@ object Main {
     println(s"""{"mode":"validate","partitions":${partitions.size},"todo":${todo.size}}""")
     todo.foreach { p =>
       val slice = if (p == "all") df else df.where(col("part_bucket") === p.toInt)
-      val (verdict, nViol, nRows) = runChecks(spark, slice, s"$out/violations/part=$p")
+      // same directory layout as validate-batch (part_bucket=N), so one
+      // out dir can be shared across modes without ambiguity
+      val (verdict, nViol, nRows) = runChecks(spark, slice, s"$out/violations/part_bucket=$p")
       manifest.foreach { mfPath =>
         // lineage: the concrete files this partition's verdict was read
         // from (Iceberg snapshot-id slot carries the scan timestamp for
@@ -135,7 +137,15 @@ object Main {
         lit("R_UNIQUE_DOCID").as("rule_id"),
         concat(lit("n_occurrences="), col("n_occurrences").cast("string"))
           .as("offending_value"))
+    // persist the (small, violations-only) frame once: the write and the
+    // per-partition counts both read the cached copy, so the corpus scans
+    // ONCE and the counts come from THIS run's rows — never from the sink.
+    // (Re-reading $out/violations was wrong: a pending partition with
+    // zero violations writes no directory, so stale files from an earlier
+    // run into the same out dir would be counted and the partition
+    // wrongly failed — ADVICE round 2.)
     val all = vio.unionByName(uniq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dynamic overwrite: only the buckets in this run are replaced
     // (writer-scoped option — do not mutate session config)
     all.write.mode("overwrite")
@@ -147,10 +157,10 @@ object Main {
     // O(partitions)), then the manifest commits each partition
     val rowsByPart = slice.groupBy("part_bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    val violByPart = spark.read.parquet(s"$out/violations")
-      .where(col("part_bucket").isin(todo.map(_.toInt): _*))
+    val violByPart = all
       .groupBy("part_bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    all.unpersist()
     val snapshot = s"scan-${System.currentTimeMillis()}"
     todo.foreach { p =>
       val nRows = rowsByPart.getOrElse(p, 0L)

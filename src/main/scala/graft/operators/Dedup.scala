@@ -44,10 +44,14 @@ object Dedup {
     * carries only (hash, id) pairs — at corpus scale the document text IS
     * the dataset, so a text-keyed shuffle would move the whole corpus
     * (round-1 VERDICT "What's wrong" #3). 64-bit-hash equality is the
-    * group criterion (same trade the MinHash path makes); with ~10^12
-    * docs the expected number of xxhash64 collisions is ~0.03 pairs, and
-    * a colliding pair merely lands two distinct texts in one reported
-    * group. Returns (content_hash, n_docs, doc_ids). */
+    * group criterion (same trade the MinHash path makes): at n = 10^12
+    * docs the expected number of xxhash64 collisions is C(n,2)/2^64 ≈
+    * 2.7×10^4 pairs — i.e. [[dropExactDuplicates]] wrongly drops ~27k of
+    * 10^12 documents (~2.7×10^-8 relative loss), and here a colliding
+    * pair lands two distinct texts in one reported group. Acceptable for
+    * training-data curation; pipelines needing exactness should compare
+    * text within hash groups before acting on a group.
+    * Returns (content_hash, n_docs, doc_ids). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
                       maxIdsPerGroup: Int = 100): DataFrame =
     df.select(xxhash64(col(textCol)).as("content_hash"), col(idCol))
@@ -176,8 +180,28 @@ object Dedup {
     * in depth per round and overwhelms the optimizer; on a cluster with a
     * checkpoint dir configured, `DataFrame.checkpoint()` is the durable
     * equivalent. Convergence is detected on a count that rides the same
-    * job as the checkpoint materialization. */
+    * job as the checkpoint materialization.
+    *
+    * Non-convergence at `maxIter` (a component with diameter > maxIter,
+    * e.g. a long similarity chain) is surfaced, not swallowed: this
+    * overload logs a warning and [[nearDupClustersStatus]] returns the
+    * converged flag + rounds used, so callers can distinguish closed
+    * clusters from truncated propagation ("no silent caps"). */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val r = nearDupClustersStatus(pairs, maxIter)
+    if (!r.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupClusters did NOT converge in ${r.iters} rounds — " +
+          "labels are a truncated propagation; raise maxIter or use " +
+          "nearDupClustersStatus to observe convergence")
+    r.labels
+  }
+
+  /** Result of [[nearDupClustersStatus]]: component labels plus whether
+    * the propagation reached a fixed point and in how many rounds. */
+  final case class ClusterResult(labels: DataFrame, converged: Boolean, iters: Int)
+
+  def nearDupClustersStatus(pairs: DataFrame, maxIter: Int = 20): ClusterResult = {
     // undirected edge list, both directions (narrow: two longs)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.unionByName(
@@ -191,8 +215,8 @@ object Dedup {
     // cheap aggregate per round instead of a self-join diff. decimal(38)
     // keeps the sum exact under ANSI mode for arbitrary long ids.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -209,7 +233,7 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    labels
+    ClusterResult(labels, converged, iter)
   }
 
   /** Buckets skipped by the `maxBucket` cap (observability companion to

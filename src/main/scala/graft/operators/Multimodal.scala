@@ -1,22 +1,27 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side plumbing — schema, partition sizing, batch iteration,
-  * output shape — is real and tested; the actual codec call is STUBBED
-  * (===STUB=== below) behind a deterministic fake because no image/audio
-  * libraries ship in this container. Swapping in a real decoder changes
-  * only the body of `decodeOne`.
+  * Real JDK-built-in codecs (no external deps): PNG via
+  * `javax.imageio.ImageIO` with 4×4 grid-pooled grayscale features, WAV
+  * via `javax.sound.sampled.AudioSystem` with 16-window mean-|amplitude|
+  * features. Only the VIDEO path remains a labeled stub (===STUB===
+  * below): no video codec ships in the JDK, so frame sampling hashes
+  * byte windows deterministically instead.
   *
   * Design notes for 100 TB of media:
   *  - media bytes never hit a shuffle: decode/feature-extract is a
   *    mapPartitions projection, so each task streams its split;
   *  - `binary` columns dominate row size → size splits by
   *    `spark.sql.files.maxPartitionBytes`, not row count;
+  *  - codecs are pure JVM (headless-safe) and init per batch, the
+  *    `mapInPandas` batching analogue;
   *  - feature vectors (small) are what flows downstream to joins/ANN.
   */
 object Multimodal {
@@ -33,59 +38,181 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Deterministic synthetic media table: payload bytes derived from the
-    * id (hash-expanded), mimes cycled — enough to exercise the plumbing. */
+  /** Deterministic synthetic media table with REAL payloads: valid PNG
+    * images (deterministic RGB gradient seeded by id), valid 16-bit PCM
+    * WAV clips (deterministic waveform), and opaque pseudo-random bytes
+    * for video (whose decode is the one stubbed path). */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
     import spark.implicits._
-    val mimes = Seq("image/png", "audio/wav", "video/mp4")
     spark.range(n).map { id =>
-      val rnd = new scala.util.Random(id) // seeded by id: deterministic
-      val size = 256 + (id % 1024).toInt
-      val payload = new Array[Byte](size)
-      rnd.nextBytes(payload)
-      MediaRecord(id, payload, mimes((id % 3).toInt),
-        width = 32 + (id % 64).toInt, height = 32 + (id % 48).toInt,
-        duration_ms = if (id % 3 == 2) 1000 + id % 60000 else 0)
+      (id % 3) match {
+        case 0 =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          MediaRecord(id, syntheticPng(id, w, h), "image/png", w, h, 0L)
+        case 1 =>
+          val nSamples = 800 + (id % 800).toInt
+          MediaRecord(id, syntheticWav(id, nSamples), "audio/wav",
+            0, 0, nSamples * 1000L / SampleRate)
+        case _ =>
+          val rnd = new scala.util.Random(id) // seeded by id: deterministic
+          val payload = new Array[Byte](256 + (id % 1024).toInt)
+          rnd.nextBytes(payload)
+          MediaRecord(id, payload, "video/mp4",
+            width = 32 + (id % 64).toInt, height = 32 + (id % 48).toInt,
+            duration_ms = 1000 + id % 60000)
+      }
     }
   }
 
-  /** ===STUB=== codec: a real implementation would decode `payload` with
-    * an image/audio library and pool pixels/samples into `features`.
-    * This deterministic fake hashes byte windows instead — same shape,
-    * same batch mechanics, zero external deps. */
-  private def decodeOne(r: MediaRecord, frameSample: Int): MediaFeatures = {
-    val nFrames = if (r.mime.startsWith("video")) frameSample else 1
+  val SampleRate = 8000
+
+  /** Deterministic PNG: RGB channels are affine functions of (x, y, id). */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 53 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM WAV seeded by id. */
+  def syntheticWav(id: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((id * 31 + i.toLong * 7) % 2000) - 1000).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    wavFromPcm(pcm)
+  }
+
+  /** Wrap little-endian 16-bit mono PCM bytes in a WAV container. */
+  def wavFromPcm(pcm: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      SampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** PNG → FeatureDim grid-pooled grayscale features: the image is cut
+    * into a 4×4 grid (row-major cells); each feature is the mean of
+    * (r+g+b)/(3·255) over the cell's pixels (0.0 for cells an image
+    * smaller than 4×4 leaves empty). Deterministic, hand-computable. */
+  def pngFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Int](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / (3.0 * 255.0)
+        val cell = (y * 4 / h) * 4 + (x * 4 / w)
+        sums(cell) += gray; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) > 0) (sums(i) / counts(i)).toFloat else 0.0f)
+  }
+
+  /** WAV → FeatureDim windowed loudness features: samples are split into
+    * FeatureDim contiguous windows; each feature is the window's mean of
+    * |sample|/32768. Supports 16-bit PCM (any endianness/channels the JDK
+    * parser yields; synthetic clips are mono LE). */
+  def wavFeatures(payload: Array[Byte]): Array[Float] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i) & 0xFF; val hi = bytes(2 * i + 1)
+      val s =
+        if (fmt.isBigEndian) (((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort).toInt
+        else ((hi << 8) | lo).toShort.toInt
+      val win = math.min(i.toLong * FeatureDim / n, FeatureDim - 1).toInt
+      sums(win) += math.abs(s) / 32768.0; counts(win) += 1
+      i += 1
+    }
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) > 0) (sums(i) / counts(i)).toFloat else 0.0f)
+  }
+
+  /** ===STUB=== video "decode": no video codec ships in the JDK, so
+    * frame sampling hashes `frameSample` byte windows deterministically —
+    * same output shape and batch mechanics as a real codec would have. */
+  def videoFeaturesStub(payload: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](FeatureDim)
     var f = 0
     while (f < FeatureDim) {
-      // window-pooled byte "feature" — stands in for pooled pixels
       var acc = 0L
       var i = f
-      while (i < r.payload.length) { acc = acc * 31 + (r.payload(i) & 0xff); i += FeatureDim }
-      feats(f) = ((acc % 1000).toFloat / 1000.0f)
+      while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += FeatureDim }
+      feats(f) = (acc % 1000).toFloat / 1000.0f
       f += 1
     }
-    MediaFeatures(r.media_id, r.mime, r.payload.length, nFrames, feats)
+    feats
   }
+
+  /** Decode one record by mime: real PNG/WAV codecs, stubbed video. */
+  private def decodeOne(r: MediaRecord, frameSample: Int): MediaFeatures =
+    r.mime match {
+      case "image/png" =>
+        MediaFeatures(r.media_id, r.mime, r.payload.length, 1, pngFeatures(r.payload))
+      case "audio/wav" =>
+        MediaFeatures(r.media_id, r.mime, r.payload.length, 1, wavFeatures(r.payload))
+      case _ => // ===STUB=== (video)
+        MediaFeatures(r.media_id, r.mime, r.payload.length, frameSample,
+          videoFeaturesStub(r.payload))
+    }
 
   /** Batched per-partition decode/feature-extraction — the Scala analogue
     * of `mapInPandas`: each task pulls `batchSize` rows at a time so the
-    * (stub) codec can amortize setup across a batch, and the media bytes
-    * never leave the scan task. */
+    * codec can amortize setup across a batch, and the media bytes never
+    * leave the scan task. */
   def extractFeatures(
       media: Dataset[MediaRecord], frameSample: Int = 4,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real codec would init once per batch here (===STUB===)
+        // per-batch codec init would live here (ImageIO/AudioSystem are
+        // static; a native codec would allocate its context once per batch)
         batch.iterator.map(decodeOne(_, frameSample))
       }
     }
   }
 
   /** Resize metadata transform (pure Catalyst — aspect-preserving target
-    * dims; the pixel work would live in the stubbed codec). */
+    * dims; the pixel work would live in the codec). */
   def planResize(df: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(
       lit(maxSide) / greatest(col("width"), lit(1)),

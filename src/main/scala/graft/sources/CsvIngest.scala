@@ -144,7 +144,9 @@ object CsvIngest {
       if (n == 0) RowCounts(0L, 0L)
       else RowCounts(if (nOver == 0) n else -1L, n - nOver)
     } catch {
-      case _: Throwable => RowCounts(-1L, -1L) // data present but unreadable
+      // NonFatal only: OOM / interrupts / task-kill signals must propagate,
+      // not masquerade as "file unreadable" (ADVICE round 2)
+      case scala.util.control.NonFatal(_) => RowCounts(-1L, -1L)
     }
 
   /** Reference-shaped single count (delimiter_handler.py:276-316). */
@@ -152,13 +154,67 @@ object CsvIngest {
     rowCounts(spark, path, delim).effective
 
   /** Encoding-fallback ladder (processed_data_loader.py:121-171): try
-    * UTF-8, cp1252, latin-1; accept the first whose parse yields zero
-    * corrupt records; else permissive latin-1 (which maps every byte, the
-    * errors=replace analogue). A UTF-8 BOM that survives into the first
-    * header field is stripped after parse ([[stripBom]]), which is what
-    * the reference's utf-8-sig rung accomplishes. The probe reads only
-    * the corrupt-record count — a single column-pruned pass per attempt. */
+    * UTF-8, cp1252, latin-1; accept the first rung whose STRICT decode of
+    * the raw bytes succeeds; latin-1 maps every byte so the walk always
+    * terminates (the errors=replace analogue). A UTF-8 BOM that survives
+    * into the first header field is stripped after parse ([[stripBom]]),
+    * which is what the reference's utf-8-sig rung accomplishes.
+    *
+    * Strictness matters: Spark's CSV decode substitutes U+FFFD for
+    * invalid bytes instead of raising, so a zero-corrupt-records parse
+    * (the round-2 probe) accepted cp1252 files as mojibake-UTF-8 where
+    * the reference's UnicodeDecodeError rung-walk falls through — the
+    * probe must run a `CharsetDecoder` with REPORT on malformed input
+    * over the raw bytes, exactly like Python's `bytes.decode`. */
   val EncodingLadder: Seq[String] = Seq("UTF-8", "windows-1252", "ISO-8859-1")
+
+  /** True iff `bytes` decode under `charset` with zero malformed /
+    * unmappable sequences. `truncated = true` means the sample may end
+    * mid-sequence (head of a larger file): an incomplete FINAL sequence
+    * is then not an error (endOfInput = false), but any interior invalid
+    * byte still is. */
+  def decodesStrictly(bytes: Array[Byte], charset: String, truncated: Boolean): Boolean = {
+    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val out = java.nio.CharBuffer.allocate(bytes.length + 1)
+    val res = dec.decode(in, out, !truncated)
+    if (res.isError) false
+    else truncated || !dec.flush(out).isError
+  }
+
+  /** Head bytes of every regular file under `path` (file or directory),
+    * via the Hadoop FS API so the probe works on any cluster filesystem.
+    * Each file is sampled independently — concatenating across files
+    * would manufacture false malformed sequences at the seams. */
+  def sampleRawBytes(spark: SparkSession, path: String,
+                     maxBytesPerFile: Int = 1 << 22): Seq[(Array[Byte], Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      else Seq(fs.getFileStatus(p))
+    files.map { st =>
+      val n = math.min(st.getLen, maxBytesPerFile.toLong).toInt
+      val buf = new Array[Byte](n)
+      val is = fs.open(st.getPath)
+      try is.readFully(0L, buf) finally is.close()
+      (buf, st.getLen > n)
+    }
+  }
+
+  /** Walk the ladder with the strict probe: first rung under which EVERY
+    * sampled file decodes cleanly wins; latin-1 is the unconditional
+    * floor. Driver-side and bounded: reads ≤ maxBytesPerFile per file. */
+  def detectEncoding(spark: SparkSession, path: String): String = {
+    val samples = sampleRawBytes(spark, path)
+    EncodingLadder.find(enc =>
+        samples.forall { case (b, trunc) => decodesStrictly(b, enc, trunc) })
+      .getOrElse(EncodingLadder.last)
+  }
 
   /** Strip a BOM that the parser kept as part of the first header name. */
   def stripBom(df: DataFrame): DataFrame =
@@ -168,24 +224,50 @@ object CsvIngest {
       case _ => df
     }
 
+  /** cp1252 differs from latin-1 ONLY on bytes 0x80–0x9F: latin-1 maps
+    * them to the C1 control codepoints, cp1252 to 27 printable chars
+    * (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ; 5 bytes are
+    * undefined — the strict probe guarantees those never occur when this
+    * recode runs). Spark 4 rejects "windows-1252" as a CSV charset
+    * (CharsetProvider allowlist, no legacy-conf mutation wanted), so a
+    * cp1252 file is read as latin-1 and recoded with a codegen'd
+    * `translate` — a byte-faithful equivalence, not an approximation. */
+  private[sources] val Cp1252Recode: (String, String) = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val pairs = (0x80 to 0x9F).flatMap { b =>
+      val c = new String(Array(b.toByte), cp1252).charAt(0)
+      if (c != '�') Some((b.toChar, c)) else None
+    }
+    (pairs.map(_._1).mkString, pairs.map(_._2).mkString)
+  }
+
+  private def recodeCp1252(df: DataFrame): DataFrame = {
+    val (from, to) = Cp1252Recode
+    val recoded = df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        translate(col(s"`${f.name}`"), from, to).as(f.name)
+      else col(s"`${f.name}`")
+    }.toSeq: _*)
+    // header bytes recode too (driver-side rename)
+    df.columns.foldLeft(recoded) { (d, c) =>
+      val fixed = c.map(ch => { val i = from.indexOf(ch); if (i >= 0) to.charAt(i) else ch })
+      if (fixed != c) d.withColumnRenamed(c, fixed) else d
+    }
+  }
+
   def readCsvWithEncodingFallback(
       spark: SparkSession, path: String, delim: Char): (DataFrame, String) = {
-    EncodingLadder.foreach { enc =>
-      val df = spark.read
-        .option("header", "true").option("sep", delim.toString)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .option("multiLine", "true")
-        .option("encoding", enc)
-        .csv(path).cache()
-      val corrupt =
-        if (df.columns.contains("_corrupt_record"))
-          df.where(col("_corrupt_record").isNotNull).count()
-        else 0L
-      if (corrupt == 0L) return (stripBom(df.drop("_corrupt_record")), enc)
-      df.unpersist()
-    }
-    (stripBom(readCsv(spark, path, delim)), "ISO-8859-1")
+    val enc = detectEncoding(spark, path)
+    val readAs = if (enc == "windows-1252") "ISO-8859-1" else enc
+    val df = spark.read
+      .option("header", "true").option("sep", delim.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "true")
+      .option("encoding", readAs)
+      .csv(path)
+    val decoded = if (enc == "windows-1252") recodeCp1252(df) else df
+    (stripBom(decoded.drop("_corrupt_record")), enc)
   }
 
   /** Delimiter conversion (S3, delimiter_handler.py:547-598): re-parse

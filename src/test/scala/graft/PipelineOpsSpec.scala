@@ -49,6 +49,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clusters(100L) === 100L && clusters(101L) === 100L)
   }
 
+  test("connected components: non-convergence at maxIter is observable") {
+    // a 6-hop path cannot close in one round — status must say so, and
+    // the labels must be the truncated (not fully propagated) state
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (15L, 16L)).toDF("id_a", "id_b")
+    val r1 = Dedup.nearDupClustersStatus(chain, maxIter = 1)
+    assert(!r1.converged && r1.iters === 1)
+    assert(r1.labels.where($"id" === 16L).head().getLong(1) > 10L)
+    val rFull = Dedup.nearDupClustersStatus(chain)
+    assert(rFull.converged && rFull.iters <= 20)
+    assert(rFull.labels.collect().forall(_.getLong(1) === 10L))
+    // empty pair set: trivially converged, empty labels, no crash
+    val rEmpty = Dedup.nearDupClustersStatus(chain.limit(0))
+    assert(rEmpty.converged && rEmpty.labels.count() === 0)
+  }
+
+  test("minhash bucket cap drops degenerate buckets but counts them") {
+    val same = (1L to 30L).toDF("doc_id")
+      .withColumn("text", lit("same short boilerplate text repeated"))
+    val pairs = Dedup.minhashNearDuplicates(same, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.5, maxBucket = 10)
+    assert(pairs.count() === 0) // every bucket overflows the cap
+    val over = Dedup.minhashOverflowBuckets(same, "doc_id", "text",
+      k = 32, bands = 8, maxBucket = 10).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("n_docs") === 30L))
+  }
+
   test("minhash LSH: identical docs always collide; jaccard is exact on verify") {
     val withDup = docs.limit(50).unionByName(
       docs.where($"doc_id" === 1).withColumn("doc_id", lit(8888L)))
@@ -191,6 +218,52 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // ---------- multimodal ----------
+
+  test("png codec: grid-pooled grayscale matches hand-computed values") {
+    // 2×2 image: pixel (x,y) lands in grid cell (y*4/2)*4 + x*4/2 —
+    // cells 0, 2, 8, 10 hold one pixel each, the other 12 stay 0
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF) // gray 1.0
+    img.setRGB(1, 0, 0x000000) // gray 0.0
+    img.setRGB(0, 1, 0x7F7F7F) // gray 127/255
+    img.setRGB(1, 1, 0xFF0000) // gray 255/765
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = Multimodal.pngFeatures(out.toByteArray)
+    assert(f.length === Multimodal.FeatureDim)
+    assert(math.abs(f(0) - 1.0f) < 1e-6, f.toSeq)
+    assert(f(2) === 0.0f)
+    assert(math.abs(f(8) - 127.0f / 255.0f) < 1e-6)
+    assert(math.abs(f(10) - 255.0f / 765.0f) < 1e-6)
+    assert((0 until 16).filterNot(Set(0, 2, 8, 10)).forall(f(_) === 0.0f))
+  }
+
+  test("wav codec: windowed mean-|amplitude| matches hand-computed values") {
+    // 32 samples, 16 windows of 2; samples 2j and 2j+1 both = j*1000
+    val pcm = new Array[Byte](64)
+    (0 until 32).foreach { i =>
+      val s = ((i / 2) * 1000).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val f = Multimodal.wavFeatures(Multimodal.wavFromPcm(pcm))
+    (0 until 16).foreach { j =>
+      assert(math.abs(f(j) - (j * 1000) / 32768.0f) < 1e-6, s"window $j")
+    }
+  }
+
+  test("synthetic media payloads are real decodable PNG/WAV containers") {
+    val png = Multimodal.syntheticPng(5L, 9, 8)
+    assert(png.take(4).toSeq === Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 9 && img.getHeight === 8)
+    // pixel (0,0) of id=5: r=(5*31)%256=155, g=(5*17)%256=85, b=(5*53)%256=9
+    assert((img.getRGB(0, 0) & 0xFFFFFF) === ((155 << 16) | (85 << 8) | 9))
+    val wav = Multimodal.syntheticWav(5L, 800)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(Multimodal.wavFeatures(wav).length === Multimodal.FeatureDim)
+  }
 
   test("multimodal: batched feature extraction preserves ids, shape, determinism") {
     val media = Multimodal.syntheticMedia(spark, 200)

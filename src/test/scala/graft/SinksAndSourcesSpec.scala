@@ -105,6 +105,33 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("a", "b"))
   }
 
+  test("encoding ladder: cp1252 bytes fall through strict UTF-8 to windows-1252") {
+    // a bare 0xE9 (é in cp1252/latin-1) is an invalid UTF-8 sequence —
+    // the strict probe must reject the UTF-8 rung (Spark's own decode
+    // would silently substitute U+FFFD and accept mojibake)
+    val p = java.nio.file.Files.createTempFile("graft_cp1252", ".csv")
+    java.nio.file.Files.write(p, Array[Byte](
+      'a', ',', 'b', '\n', '1', ',', 'c', 'a', 'f', 0xE9.toByte, '\n'))
+    val (df, enc) = CsvIngest.readCsvWithEncodingFallback(spark, p.toString, ',')
+    assert(enc === "windows-1252")
+    assert(df.select("b").head().getString(0) === "café") // é intact
+  }
+
+  test("encoding ladder: cp1252-undefined byte 0x81 falls through to latin-1") {
+    val p = java.nio.file.Files.createTempFile("graft_latin1", ".csv")
+    java.nio.file.Files.write(p, Array[Byte](
+      'a', '\n', 0x81.toByte, '\n'))
+    assert(CsvIngest.detectEncoding(spark, p.toString) === "ISO-8859-1")
+  }
+
+  test("strict decode probe: truncation mid-sequence is not malformed") {
+    val full = "a,café\n".getBytes("UTF-8")
+    val cut = full.take(full.length - 2) // ends inside the 2-byte é
+    assert(CsvIngest.decodesStrictly(cut, "UTF-8", truncated = true))
+    assert(!CsvIngest.decodesStrictly(cut, "UTF-8", truncated = false))
+    assert(CsvIngest.decodesStrictly(full, "UTF-8", truncated = false))
+  }
+
   test("row counts: strict/forgiving ladder mirrors the reference outcomes") {
     def counts(content: String): CsvIngest.RowCounts = {
       val p = java.nio.file.Files.createTempFile("graft_rc", ".csv")
