@@ -260,17 +260,31 @@ object SparkEntry {
         .agg(countDistinct(col("s")).as("n_distinct_shingles"))
     }),
 
-    "q_langid_dist" -> ((s, d) => { // heuristic: rows-only
+    "q_langid_dist" -> ((s, d) => {
+      // oracle-checked: TextProfile's language argmax is deterministic
+      // integer arithmetic, replicated exactly in SQL (stopword-distinct
+      // intersection per language, zh by substring containment, ties to
+      // the lexicographically greatest language)
       TextExpressions.register(s)
       t(s, d, "documents")
         .select(TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")
     }),
 
-    "q_quality_scores" -> ((s, d) => // composite heuristic: rows-only
+    "q_quality_scores" -> ((s, d) =>
+      // oracle-checked: word/char-class arithmetic + banded score are
+      // SQL-replicable; the hash-based fingerprint lives in its own
+      // rows-only query (q_fingerprints)
       TextAnalysis.analyze(t(s, d, "documents"), "doc_id", "text")
-        .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score", "fingerprint")
+        .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
+
+    "q_fingerprints" -> ((s, d) => { // hash-specific: rows-only
+      TextExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextExpressions.fingerprint(col("text"), 32).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
 
     // ---- dedup ----
 
@@ -299,6 +313,43 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => // hash-specific: rows-only
       Dedup.simhashNearDuplicates(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // ---- planted-recall oracles: every self-unioned exact duplicate
+    // MUST surface through the LSH path (jaccard 1 / hamming 0 / cosine
+    // 1 pairs collide in every band/bucket by construction), so the
+    // recovered-planted-pair count is oracle-computable exactly — this
+    // converts "LSH runs" into "LSH finds what it must find" ----
+
+    "q_minhash_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      // maxBucket > corpus size: the cap must not eat planted pairs
+      Dedup.minhashNearDuplicates(doubled, "doc_id", "text",
+          k = 32, bands = 8, threshold = 0.9, maxBucket = 5000)
+        .where(col("id_b") === col("id_a") + 1000000 && col("jaccard") === 1.0)
+        .agg(count(lit(1)).as("n_planted_found"))
+    }),
+
+    "q_simhash_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.simhashNearDuplicates(doubled, "doc_id", "text",
+          maxHamming = 3, maxBucket = 5000)
+        .where(col("id_b") === col("id_a") + 1000000 && col("hamming") === 0)
+        .agg(count(lit(1)).as("n_planted_found"))
+    }),
+
+    "q_embedding_recall" -> ((s, d) => {
+      val embs = t(s, d, "embeddings").where(col("vec_id") < 500)
+      val doubled = embs.unionByName(
+        embs.withColumn("vec_id", col("vec_id") + 1000000))
+      Dedup.embeddingNearDuplicates(doubled, "vec_id", "embedding",
+          dim = 64, threshold = 0.999)
+        .where(col("id_b") === col("id_a") + 1000000)
+        .agg(count(lit(1)).as("n_planted_found"))
+    }),
 
     "q_exact_dups" -> ((s, d) => {
       // self-union doubles every doc → every text is an exact-dup group
@@ -553,6 +604,92 @@ object SparkEntry {
 
     "q_dedup_apply" ->
       "SELECT count(*) AS n_kept FROM documents",
+
+    // planted-recall: the expected recovered-pair count is exactly the
+    // number of planted duplicates (one (id, id+1000000) pair per doc)
+    "q_minhash_recall" ->
+      "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 500",
+
+    "q_simhash_recall" ->
+      "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 500",
+
+    "q_embedding_recall" ->
+      "SELECT count(*) AS n_planted_found FROM embeddings WHERE vec_id < 500",
+
+    // TextProfile language argmax replicated exactly: per-language
+    // |distinct words ∩ stopword profile| (zh by substring containment),
+    // argmax over (score, lang) structs — ties go to the
+    // lexicographically greatest language, 'und' when no score > 0
+    "q_langid_dist" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN word IN ('der','die','und','das','ist','von','den','mit','für','auf') THEN 1 ELSE 0 END) AS s_de,
+        |    sum(CASE WHEN word IN ('the','and','of','to','in','is','that','it','was','for') THEN 1 ELSE 0 END) AS s_en,
+        |    sum(CASE WHEN word IN ('el','la','de','que','y','en','los','se','del','las') THEN 1 ELSE 0 END) AS s_es,
+        |    sum(CASE WHEN word IN ('le','la','les','de','des','et','est','dans','que','une') THEN 1 ELSE 0 END) AS s_fr
+        |  FROM dw GROUP BY doc_id),
+        |zh AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN strpos(text,'的')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'了')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'是')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'在')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'我')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'有')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'他')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'这')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'中')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'大')>0 THEN 1 ELSE 0 END)::BIGINT AS s_zh
+        |  FROM documents),
+        |pick AS (
+        |  SELECT d.doc_id,
+        |    list_max([
+        |      {'s': coalesce(sc.s_de, 0)::BIGINT, 'l': 'de'},
+        |      {'s': coalesce(sc.s_en, 0)::BIGINT, 'l': 'en'},
+        |      {'s': coalesce(sc.s_es, 0)::BIGINT, 'l': 'es'},
+        |      {'s': coalesce(sc.s_fr, 0)::BIGINT, 'l': 'fr'},
+        |      {'s': zh.s_zh, 'l': 'zh'}]) AS best
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |  JOIN zh ON d.doc_id = zh.doc_id)
+        |SELECT lang_pred, count(*) AS n FROM (
+        |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TextProfile quality arithmetic replicated exactly: whitespace word
+    // split, BPE-ish token count (alnum runs + non-alnum non-ws chars),
+    // mean word length / punct / stopword ratios rounded to 4, then the
+    // banded composite score (same factor order as qualityScoreFrom)
+    "q_quality_scores" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+        |      + (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\v\f\r]', '', 'g')))
+        |      AS n_bpeish_tokens,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents))
+        |SELECT doc_id, n_words, n_bpeish_tokens,
+        |  round(
+        |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1.0
+        |          WHEN n_words > 0 THEN least(n_words / 50.0, 1.0) ELSE 0.0 END)
+        |    * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |    * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
+        |    * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.7 END), 4) AS quality_score
+        |FROM feat ORDER BY doc_id""".stripMargin,
 
     "q_exact_dups" ->
       """SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
