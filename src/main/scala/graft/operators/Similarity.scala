@@ -120,9 +120,34 @@ object Similarity {
     array_max(scored).getField("cid")
   }
 
+  /** Persist the index with the layout that makes probing cheap: the
+    * assigned corpus partitioned by centroid_id (one directory per
+    * coarse cell — [[ivfTopK]]'s `centroid_id IN (...)` predicate then
+    * prunes the scan to nProbe/nCentroids of the FILES, not just of the
+    * rows) plus the small centroid matrix alongside. Directory-per-cell
+    * is the parquet stand-in for an Iceberg partition spec; at 10^11
+    * vectors each cell is further split by parquet's own file sizing. */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Re-open a stored index: centroids to the driver (k×dim, tiny),
+    * assigned as a partition-pruned-able scan. */
+  def readIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** ANN query: probe the nProbe nearest centroids only, exact cosine
-    * within the probed cells. Reads nProbe/nCentroids of the corpus when
-    * `assigned` is stored partitioned/bucketed by centroid_id. */
+    * within the probed cells. On an index opened via [[readIvf]] the
+    * isin predicate is a PARTITION filter: the scan lists only the
+    * probed centroid_id directories (pinned by test). */
   def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
               query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
     def cos(a: Array[Float], b: Array[Float]): Double = {

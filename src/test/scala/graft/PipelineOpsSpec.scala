@@ -160,6 +160,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(partial.contains(0L)) // the exact match lives in the probed cell
   }
 
+  test("IVF bucketed storage: probed read lists ONLY the probed partitions") {
+    val index = Similarity.buildIvf(embs, "vec_id", "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvf(index, dir)
+    val stored = Similarity.readIvf(spark, dir)
+    assert(stored.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    // full probe from storage == brute force (round-trip preserves data)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", queryVec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(stored, "vec_id", "embedding", queryVec, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === brute)
+    // pruning pin: the scan's partition filters select exactly nProbe
+    // directories — this is what makes IVF read ~nProbe/nCentroids of
+    // the data instead of filtering rows after a full scan
+    val probed = Similarity.ivfTopK(stored, "vec_id", "embedding", queryVec, 10, nProbe = 2)
+    val phys = probed.queryExecution.executedPlan match { // unwrap AQE
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("centroid_id")),
+      s"expected a partition filter on centroid_id, got ${scan.partitionFilters}")
+    val pruned = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(pruned.length === 2, s"expected 2 probed partitions, listed ${pruned.length}")
+  }
+
   test("topKForQueries: per-query window rank, corpus unshuffled") {
     val queries = embs.where($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
