@@ -225,6 +225,19 @@ object SparkEntry {
           / col("exp")), 6).as("chi_square"))
     }),
 
+    "q_psi_source" -> ((s, d) => {
+      // population stability index of documents.source vs a half-sample
+      // baseline — proportions and the eps floor replicated exactly in
+      // SQL (sketches are metadata-sized; the statistic is driver-side)
+      val docs = t(s, d, "documents")
+      val base = Drift.categoricalFreq(docs.where(col("doc_id") % 2 === 0), "source")
+      val obs = Drift.categoricalFreq(docs, "source")
+      import s.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(r6(Drift.psi(obs, base))).toDF("psi")
+    }),
+
     // ---- windowed event analytics (streaming plan shape, batch run) ----
 
     "q_hourly_events" -> ((s, d) =>
@@ -572,6 +585,18 @@ object SparkEntry {
         |  SELECT count(*)::DOUBLE AS obs,
         |         (SELECT count(*) FROM documents) / 20.0 AS exp
         |  FROM documents GROUP BY source)""".stripMargin,
+
+    "q_psi_source" ->
+      """WITH o AS (SELECT source AS k, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        |b AS (SELECT source AS k, count(*)::DOUBLE AS n FROM documents
+        |      WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ot AS (SELECT sum(n) AS t FROM o), bt AS (SELECT sum(n) AS t FROM b)
+        |SELECT round(sum(
+        |    (greatest(coalesce(o.n, 0) / ot.t, 0.0001)
+        |     - greatest(coalesce(b.n, 0) / bt.t, 0.0001))
+        |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
+        |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS psi
+        |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
 
     "q_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -211,23 +211,28 @@ object Dedup {
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     // convergence via the label-sum invariant: labels only ever decrease
-    // (min-propagation), so an unchanged sum ⇔ no label changed — one
-    // cheap aggregate per round instead of a self-join diff. decimal(38)
-    // keeps the sum exact under ANSI mode for arbitrary long ids.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
-    var prevSum = labelSum(labels)
+    // (min-propagation), so an unchanged sum ⇔ no label changed. The sum
+    // rides the SAME job that materializes the round's localCheckpoint
+    // (an Observation / CollectMetrics node), so each round is exactly
+    // one job — no separate convergence aggregate. decimal(38) keeps the
+    // sum exact under ANSI mode for arbitrary long ids.
+    def sumExpr = sum(col("cluster").cast("decimal(38,0)")).as("label_sum")
+    def asSum(v: Any): java.math.BigDecimal =
+      Option(v).map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph
+    var prevSum = asSum(labels.agg(sumExpr).head().get(0))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // neighbor labels → min with own label
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .observe(obs, sumExpr)
         .localCheckpoint()
-      val nextSum = labelSum(next)
+      val nextSum = asSum(obs.get.getOrElse("label_sum", null))
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -87,6 +87,40 @@ object Drift {
     (stat, math.max(keys.size - 1, 1))
   }
 
+  /** Population stability index of observed vs baseline category
+    * proportions: Σ (p_obs − p_base)·ln(p_obs / p_base), with a floor of
+    * `eps` on each proportion so categories empty on one side contribute
+    * a large-but-finite term instead of ∞. Industry reading: < 0.1
+    * stable, 0.1–0.25 moderate shift, > 0.25 drifted. Driver-side over
+    * the merged metadata-sized profiles, like [[chiSquare]]. */
+  def psi(observed: CategoricalProfile, baseline: CategoricalProfile,
+          eps: Double = 1e-4): Double = {
+    val no = observed.total.toDouble.max(1.0)
+    val nb = baseline.total.toDouble.max(1.0)
+    val keys = (observed.freq.keySet ++ baseline.freq.keySet).toSeq.sorted
+    keys.map { k =>
+      val po = math.max(observed.freq.getOrElse(k, 0L) / no, eps)
+      val pb = math.max(baseline.freq.getOrElse(k, 0L) / nb, eps)
+      (po - pb) * math.log(po / pb)
+    }.sum
+  }
+
+  /** PSI over aligned histogram sketches (numeric flavor: bins are the
+    * categories). Same proportion floor as the categorical form. */
+  def psiHistogram(observed: HistogramProfile, baseline: HistogramProfile,
+                   eps: Double = 1e-4): Double = {
+    require(observed.counts.length == baseline.counts.length &&
+      observed.lo == baseline.lo && observed.hi == baseline.hi,
+      "sketches must share bin edges (fix bins from the baseline profile)")
+    val no = observed.total.toDouble.max(1.0)
+    val nb = baseline.total.toDouble.max(1.0)
+    observed.counts.zip(baseline.counts).map { case (o, b) =>
+      val po = math.max(o / no, eps)
+      val pb = math.max(b / nb, eps)
+      (po - pb) * math.log(po / pb)
+    }.sum
+  }
+
   /** Wilson–Hilferty approximation of the chi-square quantile — good to
     * a few percent for df ≥ 3, driver-side, dependency-free. */
   def chiSquareCritical(df: Int, alpha: Double = 0.01): Double = {

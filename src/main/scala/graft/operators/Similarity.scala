@@ -55,13 +55,14 @@ object Similarity {
       centroids: Array[(Int, Array[Float])],
       assigned: DataFrame /* idCol, vecCol, centroid_id */)
 
-  /** Deterministic centroid selection — hash-stratified sample seed,
-    * optionally refined by `refineIters` Lloyd steps — and one-pass
-    * nearest-centroid assignment.
-    *
-    * Selection is a pushdown-able filter + small limit, NOT a global
-    * `row_number().over(Window.orderBy(...))`: an unpartitioned window
-    * is a single-task total sort — instant death at 10^11 vectors.
+  /** Deterministic centroid selection — the nCentroids smallest
+    * id-hashes, i.e. a uniform without-replacement pseudo-random sample
+    * in ONE TakeOrderedAndProject pass (each task keeps its local top-k;
+    * no count() pre-pass, no global sort, no unpartitioned window — an
+    * unpartitioned `row_number()` window would be a single-task total
+    * sort, instant death at 10^11 vectors) — optionally refined by
+    * `refineIters` Lloyd steps, then one-pass nearest-centroid
+    * assignment.
     *
     * Each Lloyd step is one distributed pass: assign (codegen'd argmax
     * against the broadcast-literal centroids) → per-dimension mean via
@@ -75,12 +76,9 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, refineIters: Int = 1): IvfIndex = {
     VectorExpressions.register(corpus.sparkSession)
-    val n = corpus.count()
-    val stride = math.max(n / nCentroids, 1L)
     var centroids: Array[(Int, Array[Float])] = corpus
-      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol)) // deterministic pick among sampled ids
-      .limit(nCentroids)   // TakeOrderedAndProject over ~nCentroids rows
+      .orderBy(xxhash64(col(idCol))) // hash order = deterministic shuffle
+      .limit(nCentroids)             // TakeOrderedAndProject: top-k per task
       .select(col(vecCol)).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }

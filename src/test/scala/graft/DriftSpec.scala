@@ -38,6 +38,29 @@ class DriftSpec extends AnyFunSuite {
     assert(dof === 1)
   }
 
+  test("PSI: zero on identical profiles, positive under shift, hand-checked value") {
+    import graft.operators.Drift.{CategoricalProfile, HistogramProfile}
+    val base = CategoricalProfile(Map("a" -> 50L, "b" -> 50L))
+    assert(Drift.psi(base, base) === 0.0)
+    // hand-computed: p_obs = (0.8, 0.2), p_base = (0.5, 0.5)
+    // psi = (0.8-0.5)ln(0.8/0.5) + (0.2-0.5)ln(0.2/0.5)
+    val shifted = CategoricalProfile(Map("a" -> 80L, "b" -> 20L))
+    val expect = 0.3 * math.log(1.6) + (-0.3) * math.log(0.4)
+    assert(math.abs(Drift.psi(shifted, base) - expect) < 1e-12)
+    // novel category: eps floor keeps the term finite and positive
+    val novel = CategoricalProfile(Map("a" -> 50L, "b" -> 30L, "c" -> 20L))
+    val p = Drift.psi(novel, base)
+    assert(p > 0 && java.lang.Double.isFinite(p))
+    // histogram flavor: aligned-edge requirement + same arithmetic
+    val h1 = HistogramProfile(0, 10, Array(0L, 50L, 50L, 0L))
+    val h2 = HistogramProfile(0, 10, Array(0L, 80L, 20L, 0L))
+    assert(Drift.psiHistogram(h1, h1) === 0.0)
+    assert(math.abs(Drift.psiHistogram(h2, h1) - expect) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Drift.psiHistogram(h1, HistogramProfile(0, 5, Array(0L, 50L, 50L, 0L)))
+    }
+  }
+
   test("histogram buffers merge associatively: (a+b)+c == a+(b+c)") {
     import graft.functions.HistogramBuffer
     def mk(vals: Seq[Double]): HistogramBuffer = {
