@@ -373,6 +373,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_groups"), sum(col("n_docs")).as("n_docs_total"))
     }),
 
+    "q_contamination" -> ((s, d) => {
+      // benchmark decontamination: corpus docs sharing ≥2 distinct
+      // 5-gram shingles with the (small) eval set — hash-keyed broadcast
+      // join; oracle replicates the shingle construction and string join
+      val docs = t(s, d, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"), col("text"))
+      Dedup.ngramContamination(docs, "doc_id", "text", bench, "bid", "text",
+          n = 5, minHits = 2)
+        .orderBy("corpus_id", "bench_id")
+    }),
+
     // ---- similarity / ANN ----
 
     "q_ann_topk" -> ((s, d) => {
@@ -742,6 +754,24 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 5
+        |    THEN list_transform(range(1, len(ws) - 3),
+        |                        i -> array_to_string(ws[i:i+4], ' '))
+        |    ELSE [array_to_string(ws, ' ')] END)) AS s
+        |  FROM t),
+        |c AS (SELECT doc_id AS corpus_id, s FROM sh),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT corpus_id, bench_id, count(*) AS n_shared
+        |FROM c JOIN b USING (s)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY corpus_id, bench_id""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT vec_id, round(score, 4) AS score FROM (

@@ -283,6 +283,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minHits` distinct n-gram shingles with any document of a
+    * benchmark/eval set (the standard 13-gram test-set-overlap check;
+    * n is a parameter because fixtures use shorter texts). Returns
+    * (corpus_id, bench_id, n_shared) for flagged pairs.
+    *
+    * Scale shape: both sides explode to (shingle_hash, id) pairs —
+    * 8-byte keys, never text — and meet in ONE equi-join keyed by the
+    * shingle hash. The benchmark side is small by nature (eval sets are
+    * thousands of docs, the corpus is billions), so the join broadcasts;
+    * per-pair hit counts come from the narrow join output via a
+    * hash aggregate. Hot boilerplate shingles on the CORPUS side don't
+    * blow up: each corpus occurrence meets only the benchmark's
+    * occurrences of that shingle (bounded by the eval set), not other
+    * corpus docs. */
+  def ngramContamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 13, minHits: Int = 1): DataFrame = {
+    graft.functions.ShingleExpression.register(corpus.sparkSession)
+    def sideHashes(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+          explode(array_distinct(shingles(col(text), n))).as("__s"))
+        .select(col(outId), xxhash64(col("__s")).as("__h"))
+    val c = sideHashes(corpus, corpusId, corpusText, "corpus_id")
+    val b = sideHashes(bench, benchId, benchText, "bench_id")
+    c.join(broadcast(b), Seq("__h"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minHits)
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per document (custom Expression over the word array).

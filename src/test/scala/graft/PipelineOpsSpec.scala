@@ -105,6 +105,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram contamination: shared-shingle counts match hand-computed overlap") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w q r"),
+      (3L, "c d e f g h")).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e f g")).toDF("bench_id", "btext")
+    val hits = Dedup.ngramContamination(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", n = 3, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc1 3-grams {abc,bcd,cde,def} ∩ bench {bcd,cde,def,efg} = 3
+    // doc3 3-grams {cde,def,efg,fgh} ∩ bench = 3; doc2 disjoint
+    assert(hits === Map((1L, 100L) -> 3L, (3L, 100L) -> 3L))
+    val strict = Dedup.ngramContamination(corpus, "doc_id", "text",
+      bench, "bench_id", "btext", n = 3, minHits = 4)
+    assert(strict.count() === 0)
+  }
+
   test("simhash: identical text → identical signature; near-dup banding finds it") {
     val withDup = docs.limit(60).unionByName(
       docs.where($"doc_id" === 2).withColumn("doc_id", lit(7777L)))

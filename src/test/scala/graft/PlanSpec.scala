@@ -126,6 +126,17 @@ class PlanSpec extends SparkSpec {
     assert(hits === 1, s"TextProfile duplicated $hits times:\n$optimized")
   }
 
+  test("contamination join broadcasts the benchmark side, corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bid"), col("text"))
+    val q = graft.operators.Dedup.ngramContamination(
+      docs, "doc_id", "text", bench, "bid", "text", n = 5, minHits = 2)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
   test("capped offender ranking: salted two-phase, no unbounded single-task window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
