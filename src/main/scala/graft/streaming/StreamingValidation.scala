@@ -83,6 +83,50 @@ object StreamingValidation {
       }.toDF()
   }
 
+  /** Per-window chi-square drift of a categorical column against a
+    * baseline proportion map — the streaming analogue of
+    * [[graft.operators.Drift.chiSquare]] (same 0.5 expected-count floor;
+    * events outside the baseline's category set pool into one "novel"
+    * bucket with expected 0 → floored 0.5, so new categories drift
+    * loudly). Emits (window_start, n_events, chi_square) for windows
+    * whose statistic exceeds `threshold`.
+    *
+    * Baseline categories are driver-side constants, so the whole window
+    * statistic compiles into ONE watermarked windowed aggregate
+    * (per-category conditional sums + a post-agg projection) — no
+    * chained stateful operators, state bounded by windows × 1 row. */
+  def driftAlerts(
+      events: DataFrame, catCol: String, baseline: Map[String, Double],
+      threshold: Double,
+      windowLen: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    require(baseline.nonEmpty, "empty baseline")
+    val keys = baseline.keys.toSeq.sorted
+    val counters =
+      keys.zipWithIndex.map { case (k, i) =>
+        sum(when(col(catCol) === k, 1L).otherwise(0L)).as(s"__n_$i")
+      } :+
+      sum(when(!col(catCol).isin(keys: _*), 1L).otherwise(0L)).as("__n_novel")
+    val agged = events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val total = (keys.indices.map(i => col(s"__n_$i")) :+ col("__n_novel"))
+      .reduce(_ + _).cast("double")
+    def term(n: Column, p: Double): Column = {
+      val exp = greatest(lit(p) * total, lit(0.5))
+      (n - exp) * (n - exp) / exp
+    }
+    val chi =
+      keys.zipWithIndex.map { case (k, i) => term(col(s"__n_$i"), baseline(k)) }
+        .reduce(_ + _) +
+      when(col("__n_novel") > 0, term(col("__n_novel"), 0.0)).otherwise(0.0)
+    agged.select(
+        col("window.start").as("window_start"),
+        total.cast("long").as("n_events"),
+        round(chi, 6).as("chi_square"))
+      .where(col("chi_square") > threshold)
+  }
+
   final case class DupAlert(key: Long, n_occurrences: Long)
   final case class KeyedId(key: Long)
 

@@ -44,6 +44,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("salted two-phase offender cap equals the single-window top-cap") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      nRules <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 120)
+      cap <- Gen.choose(1, 15)
+      salts <- Gen.oneOf(1, 2, 7, 32)
+    } yield (nRules, n, cap, salts)
+    samples(gen, 12).foreach { case (nRules, n, cap, salts) =>
+      // distinct first_keys within a rule (the production invariant: one
+      // cell per rule per row ⇒ distinct values have distinct min keys)
+      val rows = (0 until n).map { i =>
+        (s"R${i % nRules}", s"v$i", (i % 5 + 1).toLong, i.toLong)
+      }
+      val grouped = rows.toDF("rule_id", "offending_value", "n_cells", "first_key")
+      val two = ValidationPass.cappedOffenders(grouped, cap, salts)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy(col("rule_id")).orderBy(col("first_key"))
+      val one = grouped.withColumn("r", row_number().over(w))
+        .where(col("r") <= cap).drop("r")
+        .collect().map(_.toSeq).toSet
+      assert(two === one, s"nRules=$nRules n=$n cap=$cap salts=$salts")
+    }
+  }
+
   test("violation counts are invariant under repartitioning") {
     val base = SeqTableGen.generate(spark, 5000)
     val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)

@@ -40,6 +40,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal === batchTruth)
   }
 
+  test("streaming drift alerts: per-window chi-square equals the batch statistic") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartitionByRange(3, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingValidation.readEventStream(spark, dir)
+    val baseline = validTypes.map(_ -> 0.2).toMap // uniform expectation
+    val alerts = StreamingValidation.driftAlerts(
+      stream, "event_type", baseline, threshold = -1.0, windowLen = "1 hour")
+    StreamingValidation.runToMemorySink(alerts, "drift_alerts", OutputMode.Complete())
+    val got = spark.table("drift_alerts").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // batch truth: same statistic per hour via Drift.chiSquare (uniform
+    // baseline profile — identical proportions and 0.5 floor)
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = batch
+      .groupBy(date_trunc("hour", $"ts").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n")).collect()
+    val baseProfile = graft.operators.Drift.CategoricalProfile(
+      validTypes.map(_ -> 1L).toMap)
+    val byWindow = rows.groupBy(_.getTimestamp(0))
+    assert(got.keySet === byWindow.keySet) // threshold -1 emits every window
+    byWindow.foreach { case (w, rs) =>
+      val obs = graft.operators.Drift.CategoricalProfile(
+        rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      val (chi, _) = graft.operators.Drift.chiSquare(obs, baseProfile)
+      val r6 = BigDecimal(chi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(w)._2 - r6) < 1e-9, s"window $w: ${got(w)._2} vs $r6")
+      assert(got(w)._1 === rs.map(_.getLong(2)).sum) // n_events
+    }
+  }
+
   test("streaming duplicate alerts via flatMapGroupsWithState match batch truth") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
     // events with seeded duplicate event_ids across two micro-batches:
