@@ -223,20 +223,27 @@ object Dedup {
     var prevSum = asSum(labels.agg(sumExpr).head().get(0))
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // neighbor labels → min with own label
-      val msgs = edges.join(labels, edges("src") === labels("id"))
+    // one propagation step: every vertex takes min(own, neighbors')
+    def step(l: DataFrame): DataFrame = {
+      val msgs = edges.join(l, edges("src") === l("id"))
         .select(col("dst").as("id"), col("cluster"))
+      l.unionByName(msgs).groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    }
+    while (iter < maxIter && !converged) {
+      // two hops per materialization barrier: the checkpoint + job
+      // launch is the FIXED cost per round (dominates on all but huge
+      // graphs), and lineage stays shallow (2 join/agg levels); rounds
+      // needed drop from diameter to diameter/2
+      val steps = math.min(2, maxIter - iter)
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      val next = (1 to steps).foldLeft(labels)((l, _) => step(l))
         .observe(obs, sumExpr)
         .localCheckpoint()
       val nextSum = asSum(obs.get.getOrElse("label_sum", null))
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      iter += 1
+      iter += steps
     }
     ClusterResult(labels, converged, iter)
   }
@@ -291,25 +298,32 @@ object Dedup {
     *
     * Scale shape: both sides explode to (shingle_hash, id) pairs —
     * 8-byte keys, never text — and meet in ONE equi-join keyed by the
-    * shingle hash. The benchmark side is small by nature (eval sets are
-    * thousands of docs, the corpus is billions), so the join broadcasts;
-    * per-pair hit counts come from the narrow join output via a
-    * hash aggregate. Hot boilerplate shingles on the CORPUS side don't
-    * blow up: each corpus occurrence meets only the benchmark's
+    * shingle hash; per-pair hit counts come from the narrow join output
+    * via a hash aggregate. Hot boilerplate shingles on the CORPUS side
+    * don't blow up: each corpus occurrence meets only the benchmark's
     * occurrences of that shingle (bounded by the eval set), not other
-    * corpus docs. */
+    * corpus docs.
+    *
+    * `broadcastBench` (default true) forces the exploded benchmark side
+    * to broadcast — the right call for real eval sets (10^4 docs ×
+    * ~10^3 shingles ≈ tens of MB of 16-byte rows), and it keeps the
+    * billion-doc corpus from shuffling AT ALL. This is a bounded frame
+    * by contract, not an unbounded-broadcast anti-pattern — but for an
+    * unusually large "benchmark" pass false and the join falls back to
+    * a still-narrow hash-keyed shuffle of (hash, id) pairs. */
   def ngramContamination(
       corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
-      n: Int = 13, minHits: Int = 1): DataFrame = {
+      n: Int = 13, minHits: Int = 1, broadcastBench: Boolean = true): DataFrame = {
     graft.functions.ShingleExpression.register(corpus.sparkSession)
     def sideHashes(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId),
           explode(array_distinct(shingles(col(text), n))).as("__s"))
         .select(col(outId), xxhash64(col("__s")).as("__h"))
     val c = sideHashes(corpus, corpusId, corpusText, "corpus_id")
-    val b = sideHashes(bench, benchId, benchText, "bench_id")
-    c.join(broadcast(b), Seq("__h"))
+    val b0 = sideHashes(bench, benchId, benchText, "bench_id")
+    val b = if (broadcastBench) broadcast(b0) else b0
+    c.join(b, Seq("__h"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minHits)

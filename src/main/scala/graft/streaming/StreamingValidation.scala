@@ -94,7 +94,13 @@ object StreamingValidation {
     * Baseline categories are driver-side constants, so the whole window
     * statistic compiles into ONE watermarked windowed aggregate
     * (per-category conditional sums + a post-agg projection) — no
-    * chained stateful operators, state bounded by windows × 1 row. */
+    * chained stateful operators, state bounded by windows × 1 row.
+    *
+    * NULL category values count toward no bucket (and not toward
+    * n_events): route null checking through the non-null constraint in
+    * [[violationCounts]]; drift is about the distribution of present
+    * values. (The batch [[graft.operators.Drift.categoricalFreq]] maps
+    * nulls to a "<null>" key instead — documented divergence.) */
   def driftAlerts(
       events: DataFrame, catCol: String, baseline: Map[String, Double],
       threshold: Double,
