@@ -448,6 +448,27 @@ object SparkEntry {
           ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
         .orderBy("doc_id", "rule_id", "offending_value")),
 
+    // token-id frequency over the derived sequence table: explode →
+    // hash-aggregate (partial agg collapses to ≤vocab rows per partition
+    // BEFORE the shuffle, so shuffle = O(partitions × vocab), not
+    // O(total tokens) — the sublinear sketch-merge shape; PlanSpec pins
+    // partial_count under the Generate)
+    "q_token_freq" -> ((s, d) =>
+      seqFromDocs(s, d)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token")).limit(20)),
+
+    // per-source sequence-length profile (tokenized-payload analytics)
+    "q_seqlen_by_source" -> ((s, d) =>
+      seqFromDocs(s, d)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_seqs"),
+          round(avg(col("n_tok")), 6).as("avg_ntok"),
+          min(col("n_tok")).as("min_ntok"),
+          max(col("n_tok")).as("max_ntok"))
+        .orderBy("source")),
+
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
@@ -817,6 +838,18 @@ object SparkEntry {
       s"""WITH $SeqTableCte
         |SELECT doc_id, rule_id, offending_value FROM ($SeqViolationsSql)
         |ORDER BY doc_id, rule_id, offending_value""".stripMargin,
+
+    "q_token_freq" ->
+      s"""WITH $SeqTableCte
+        |SELECT token, count(*) AS n
+        |FROM (SELECT unnest(toks) AS token FROM s2)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_seqlen_by_source" ->
+      s"""WITH $SeqTableCte
+        |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
+        |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_seq_drift" ->
       """WITH cnt AS (

@@ -211,8 +211,53 @@ object Multimodal {
     }
   }
 
+  /** Real pixel resize of a PNG payload (JDK Graphics2D, bilinear,
+    * aspect-preserving cap at `maxSide`; returns the input unchanged when
+    * already within bounds). Deterministic for a fixed JDK. */
+  def resizePng(payload: Array[Byte], maxSide: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "not a decodable image")
+    val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+    if (scale >= 1.0) return payload
+    val w = math.max(1, math.round(img.getWidth * scale).toInt)
+    val h = math.max(1, math.round(img.getHeight * scale).toInt)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched per-partition image resize: PNG rows are re-encoded at the
+    * capped size (payload + width/height updated); non-image rows pass
+    * through untouched. Same mapPartitions shape as [[extractFeatures]]
+    * — bytes never leave the scan task. */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int,
+                   batchSize: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map {
+          case r if r.mime == "image/png" =>
+            val resized = resizePng(r.payload, maxSide)
+            if (resized eq r.payload) r
+            else {
+              val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(resized))
+              r.copy(payload = resized, width = img.getWidth, height = img.getHeight)
+            }
+          case r => r
+        }
+      }
+    }
+  }
+
   /** Resize metadata transform (pure Catalyst — aspect-preserving target
-    * dims; the pixel work would live in the codec). */
+    * dims; the pixel work lives in [[resizePng]]). */
   def planResize(df: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(
       lit(maxSide) / greatest(col("width"), lit(1)),

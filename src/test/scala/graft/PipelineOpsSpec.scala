@@ -309,6 +309,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.wavFeatures(wav).length === Multimodal.FeatureDim)
   }
 
+  test("image resize: real pixels, aspect preserved, pass-through cases") {
+    val big = Multimodal.syntheticPng(3L, 16, 10)
+    val resized = Multimodal.resizePng(big, 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth === 8 && img.getHeight === 5) // 16x10 → cap 8 → 8x5
+    // within-bounds payload returns unchanged; determinism
+    assert(Multimodal.resizePng(big, 32) eq big)
+    assert(Multimodal.resizePng(big, 8).toSeq === resized.toSeq)
+    // distributed form: PNG rows shrink, others untouched
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val out = Multimodal.resizeImages(media, maxSide = 8).collect()
+    assert(out.length === 30)
+    out.filter(_.mime == "image/png").foreach { r =>
+      assert(math.max(r.width, r.height) <= 8, s"media ${r.media_id}")
+      val d = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(d.getWidth === r.width && d.getHeight === r.height)
+    }
+    val vids = media.collect().filter(_.mime == "video/mp4").map(r => r.media_id -> r.payload.toSeq).toMap
+    out.filter(_.mime == "video/mp4").foreach(r => assert(r.payload.toSeq === vids(r.media_id)))
+  }
+
   test("multimodal: batched feature extraction preserves ids, shape, determinism") {
     val media = Multimodal.syntheticMedia(spark, 200)
     val feats = Multimodal.extractFeatures(media, frameSample = 4, batchSize = 16)

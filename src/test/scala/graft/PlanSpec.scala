@@ -126,6 +126,20 @@ class PlanSpec extends SparkSpec {
     assert(hits === 1, s"TextProfile duplicated $hits times:\n$optimized")
   }
 
+  test("token-frequency explode collapses map-side before the shuffle") {
+    val seq = SeqTableGen.generate(spark, 1000)
+    val q = seq.select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val p = plan(q)
+    // plan prints top-down: final agg / exchange / PARTIAL agg / Generate
+    // — the partial hash-aggregate between explode and shuffle is what
+    // keeps shuffle volume O(partitions × vocab), not O(total tokens)
+    val iPartial = p.indexOf("partial_count")
+    val iGenerate = p.indexOf("Generate explode")
+    assert(iPartial >= 0 && iGenerate >= 0 && iPartial < iGenerate,
+      s"expected map-side partial aggregation above the explode:\n$p")
+  }
+
   test("contamination join broadcasts the benchmark side, corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.where(col("doc_id") % 50 === 0)
