@@ -292,6 +292,33 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    "q_logistic_quality" -> ((s, d) => {
+      // classifier application at scale: linear log-odds over the
+      // rounded TextProfile features (sorted-name term order), exactly
+      // SQL-replicable; the sigmoid is monotone so threshold-filtering
+      // on log-odds ≡ filtering on the calibrated score
+      TextExpressions.register(s)
+      val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+        "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.textProfile(col("text")).as("__tp"))
+        .select(col("doc_id"),
+          round(TextAnalysis.logOddsFrom(col("__tp"), bias = -2.0, w), 6)
+            .as("log_odds"))
+        .orderBy("doc_id")
+    }),
+
+    "q_mixing" -> ((s, d) => {
+      // deterministic dataset mixing: per-source keep-fractions via the
+      // modulo-bucket path (hash path is production; modulo is the
+      // oracle-replicable spelling) + realized-mix observability
+      val docs = t(s, d, "documents")
+      val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      val sampled = Mixing.sampleByWeights(docs, "doc_id", "source",
+        weights, defaultWeight = 0.05, granularity = 100, hashKey = false)
+      Mixing.realizedMix(sampled, "source").orderBy("source")
+    }),
+
     "q_fingerprints" -> ((s, d) => { // hash-specific: rows-only
       TextExpressions.register(s)
       t(s, d, "documents")
@@ -716,6 +743,39 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // classifier application: same feature CTE as q_quality_scores, the
+    // linear score in the exact sorted-name term order the Spark plan uses
+    "q_logistic_quality" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents))
+        |SELECT doc_id,
+        |  round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
+        |        + stop_ratio * 4.0 + -2.0, 6) AS log_odds
+        |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_mixing" ->
+      """WITH sampled AS (
+        |  SELECT * FROM documents
+        |  WHERE (doc_id % 100) < (CASE source WHEN 'src0' THEN 100
+        |    WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 ELSE 5 END)),
+        |c AS (SELECT source, count(*) AS n FROM sampled GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS t FROM c)
+        |SELECT source, n, round(n / t.t, 6) AS fraction
+        |FROM c, t ORDER BY source""".stripMargin,
 
     // TextProfile quality arithmetic replicated exactly: whitespace word
     // split, BPE-ish token count (alnum runs + non-alnum non-ws chars),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset mixing for training-data assembly: deterministic per-source
+  * downsampling to target weights (the "mix web at 0.6, code at 0.25,
+  * books at 0.15" step every LLM data pipeline runs before tokenizing).
+  *
+  * Selection is a pure stateless predicate — keep a row iff
+  * `bucket(key) < weight(source) · granularity` — so it is:
+  *  - exactly reproducible (no RNG state, no sampleBy seed drift across
+  *    partitions/retries: the decision is a function of the ROW, which
+  *    also makes resumed/re-run jobs pick identical rows);
+  *  - embarrassingly parallel (a codegen'd filter, zero shuffle,
+  *    pushdown-friendly);
+  *  - incrementally consistent: new data added later is sampled by the
+  *    same rule, so the mix stays stable under appends.
+  *
+  * `hashKey = true` (production default) buckets by xxhash64(key) —
+  * uniform regardless of key distribution. `hashKey = false` buckets by
+  * `key mod granularity` — only sensible for dense sequential ids, but
+  * exactly replicable in plain SQL (the oracle path).
+  */
+object Mixing {
+
+  /** Per-source keep-fractions applied as one filter. Sources absent
+    * from `weights` get `defaultWeight` (0.0 = dropped). Weights are
+    * clamped to [0,1]; granularity bounds the weight resolution (1e-4
+    * at the default 10000). */
+  def sampleByWeights(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 0.0,
+      granularity: Int = 10000, hashKey: Boolean = true): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    val bucket: Column =
+      if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
+      else pmod(col(keyCol).cast("long"), lit(granularity.toLong))
+    val threshold: Column = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdFor(defaultWeight, granularity))) { case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(thresholdFor(w, granularity))).otherwise(acc)
+      }
+    df.where(bucket < threshold)
+  }
+
+  private def thresholdFor(w: Double, granularity: Int): Long =
+    math.round(math.min(math.max(w, 0.0), 1.0) * granularity)
+
+  /** The realized mix after sampling: per-source counts + fraction of
+    * the sampled total (one tiny aggregate for observability — "no
+    * silent caps" applies to mixing too: always LOOK at the mix you
+    * actually produced). */
+  def realizedMix(sampled: DataFrame, sourceCol: String): DataFrame = {
+    val counts = sampled.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    counts.crossJoin(counts.agg(sum(col("n")).cast("double").as("__t")))
+      .select(col(sourceCol), col("n"),
+        round(col("n") / col("__t"), 6).as("fraction"))
+  }
+}

@@ -90,6 +90,26 @@ object TextAnalysis {
 
   def qualityScore(text: Column): Column = qualityScoreFrom(textProfile(text))
 
+  /** Linear log-odds over TextProfile features with driver-supplied
+    * weights — the application half of a FineWeb-style trained quality
+    * classifier (training is offline; APPLYING it at corpus scale is
+    * one codegen'd projection: no UDF, no model server, pipelines with
+    * the scan). Feature inputs are the 4-dp-ROUNDED profile fields so
+    * the score is reproducible across engines; terms add in sorted
+    * feature-name order (bit-stable plan). */
+  def logOddsFrom(tp: Column, bias: Double, weights: Map[String, Double]): Column = {
+    require(weights.nonEmpty, "empty weight vector")
+    weights.toSeq.sortBy(_._1)
+      .map { case (f, w) => round(tp.getField(f).cast("double"), 4) * w }
+      .reduce(_ + _) + bias
+  }
+
+  /** Sigmoid of [[logOddsFrom]] — the calibrated keep-probability.
+    * Filtering on a score threshold is equivalent to filtering on the
+    * (exactly reproducible) log-odds, which is what the oracle checks. */
+  def logisticScoreFrom(tp: Column, bias: Double, weights: Map[String, Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-logOddsFrom(tp, bias, weights)))
+
   /** Full per-document analysis projection over a documents table.
     * Two selects: the first materializes the profile struct once per row;
     * the second derives every output from the struct attribute.

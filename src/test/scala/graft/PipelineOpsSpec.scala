@@ -245,6 +245,54 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("logistic quality: sigmoid of log-odds, matches driver computation") {
+    TextExpressions.register(spark)
+    val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+      "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+    val rows = docs.limit(50).select(
+        $"doc_id",
+        TextAnalysis.textProfile($"text").as("tp"))
+      .select($"doc_id", $"tp",
+        TextAnalysis.logOddsFrom($"tp", -2.0, w).as("z"),
+        TextAnalysis.logisticScoreFrom($"tp", -2.0, w).as("score"))
+      .collect()
+    rows.foreach { r =>
+      val tp = r.getStruct(1)
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val z = r4(tp.getAs[Double]("mean_word_len")) * 0.5 +
+        tp.getAs[Int]("n_words") * 0.02 +
+        r4(tp.getAs[Double]("punct_ratio")) * -8.0 +
+        r4(tp.getAs[Double]("stopword_ratio")) * 4.0 + -2.0
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-12, s"doc ${r.getLong(0)}")
+      assert(math.abs(r.getAs[Double]("score") - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+    }
+  }
+
+  test("mixing: modulo path hits exact per-source fractions; hash path deterministic") {
+    import graft.operators.Mixing
+    // dense ids 0..999, one source per id%4 → 250 docs each
+    val df = (0L until 1000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val sampled = Mixing.sampleByWeights(df, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.5), defaultWeight = 0.0,
+      granularity = 100, hashKey = false)
+    val counts = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // s0: all 250. s1: ids ≡1 (mod 4) with id%100 < 50 — per hundred the
+    // s1 ids are 1,5,…,97 (25) of which 1,5,…,49 (13) pass → 130 of 250.
+    assert(counts === Map("s0" -> 250L, "s1" -> 130L))
+    // hash path: deterministic across runs, approximately the weight
+    val h1 = Mixing.sampleByWeights(df, "doc_id", "source",
+      Map("s0" -> 0.5), defaultWeight = 0.0).collect().map(_.getLong(0)).toSet
+    val h2 = Mixing.sampleByWeights(df, "doc_id", "source",
+      Map("s0" -> 0.5), defaultWeight = 0.0).collect().map(_.getLong(0)).toSet
+    assert(h1 === h2)
+    assert(math.abs(h1.size - 125.0) < 40, s"got ${h1.size} of ~125")
+    // realized mix sums to 1
+    val mix = Mixing.realizedMix(sampled, "source").collect()
+    assert(math.abs(mix.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+  }
+
   test("quality score in [0,1]; fingerprint deterministic") {
     val a = TextAnalysis.analyze(docs, "doc_id", "text").cache()
     val scores = a.select("quality_score").collect().map(_.getDouble(0))
