@@ -292,6 +292,28 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    "q_pii" -> ((s, d) => {
+      // PII detect + redact over a synthesized dirty column (the clean
+      // corpus has no PII): counts and the redacted length, per doc —
+      // regexes are RE2-compatible so DuckDB replicates them literally
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" call 555-123-4567 or 555 987 6543")))
+          .when(col("doc_id") % 10 === 2,
+            concat(col("text"), lit(" from 192.168.1.99")))
+          .otherwise(col("text")).as("dirty"))
+      docs.select(col("doc_id"),
+          TextAnalysis.piiCounts(col("dirty")).as("__p"),
+          length(TextAnalysis.redactPii(col("dirty"))).as("redacted_len"))
+        .select(col("doc_id"), col("__p.n_emails").as("n_emails"),
+          col("__p.n_phones").as("n_phones"), col("__p.n_ips").as("n_ips"),
+          col("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
     "q_logistic_quality" -> ((s, d) => {
       // classifier application at scale: linear log-odds over the
       // rounded TextProfile features (sorted-name term order), exactly
@@ -743,6 +765,24 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 10 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    WHEN doc_id % 10 = 1 THEN text || ' call 555-123-4567 or 555 987 6543'
+        |    WHEN doc_id % 10 = 2 THEN text || ' from 192.168.1.99'
+        |    ELSE text END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(dirty, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(dirty, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  length(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_len
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // classifier application: same feature CTE as q_quality_scores, the
     // linear score in the exact sorted-name term order the Spark plan uses

@@ -110,6 +110,33 @@ object TextAnalysis {
   def logisticScoreFrom(tp: Column, bias: Double, weights: Map[String, Double]): Column =
     lit(1.0) / (lit(1.0) + exp(-logOddsFrom(tp, bias, weights)))
 
+  /** PII patterns kept deliberately RE2-compatible (no lookaround, no
+    * backrefs) so the same literal runs under Java regex (Spark), RE2
+    * (DuckDB oracle), and Hyperscan-class engines. Pattern-based PII
+    * detection is the cheap first pass of a redaction pipeline; an NER
+    * model pass (a [[logisticScoreFrom]]-style applied model or an
+    * external batch scorer) handles names/addresses downstream. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Per-row PII match counts (n_emails, n_phones, n_ips) — codegen'd
+    * regexp_count, one projection, no UDF. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).as("n_emails"),
+    regexp_count(text, lit(PhonePattern)).as("n_phones"),
+    regexp_count(text, lit(Ipv4Pattern)).as("n_ips"))
+
+  /** Redaction projection: emails → [EMAIL], phones → [PHONE],
+    * IPv4 → [IP]. Order matters (emails first: an address can embed
+    * digit runs a later pattern would mangle). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
   /** Full per-document analysis projection over a documents table.
     * Two selects: the first materializes the profile struct once per row;
     * the second derives every output from the struct attribute.

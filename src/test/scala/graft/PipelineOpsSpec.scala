@@ -245,6 +245,25 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("pii: detection counts and redaction on hand-built strings") {
+    val rows = Seq(
+      (1L, "contact user5@example.com and admin@sub.domain.org now"),
+      (2L, "call 555-123-4567 or 555 987 6543"),
+      (3L, "from 192.168.1.99 to 10.0.0.1 not 1234.5.6.7"),
+      (4L, "plain text no pii")).toDF("id", "t")
+    val got = rows.select($"id",
+        TextAnalysis.piiCounts($"t").as("p"),
+        TextAnalysis.redactPii($"t").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getInt(0), r.getStruct(1).getInt(1), r.getStruct(1).getInt(2),
+          r.getString(2))).toMap
+    assert(got(1L)._1 === 2 && got(1L)._4 === "contact [EMAIL] and [EMAIL] now")
+    assert(got(2L)._2 === 2 && got(2L)._4 === "call [PHONE] or [PHONE]")
+    // "1234.5.6.7" must NOT match (word boundary blocks a mid-number start)
+    assert(got(3L)._3 === 2 && got(3L)._4 === "from [IP] to [IP] not 1234.5.6.7")
+    assert(got(4L) === ((0, 0, 0, "plain text no pii")))
+  }
+
   test("logistic quality: sigmoid of log-odds, matches driver computation") {
     TextExpressions.register(spark)
     val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
