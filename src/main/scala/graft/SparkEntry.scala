@@ -292,6 +292,16 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    "q_repetition" -> ((s, d) => {
+      // word-repetition filter signal (1 − distinct/total words), from
+      // the same one-pass TextProfile — SQL-replicable exactly
+      TextExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_pii" -> ((s, d) => {
       // PII detect + redact over a synthesized dirty column (the clean
       // corpus has no PII): counts and the redacted length, per doc —
@@ -765,6 +775,16 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id, CASE WHEN len(ws) > 0
+        |  THEN round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                    x -> x <> '') AS ws
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pii" ->
       """WITH d AS (

@@ -223,6 +223,20 @@ object Main {
       .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
     val avgQ = ta.agg(avg("quality_score")).head().getDouble(0)
     println(s"""{"op":"text","langs":"$langAgg","avg_quality":${f"$avgQ%.4f"}}""")
+
+    // benchmark decontamination + deterministic mixing + PII sweep —
+    // the assembly steps between validation and tokenization
+    val bench = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bid"), col("text"))
+    val contaminated = graft.operators.Dedup.ngramContamination(
+      docs, "doc_id", "text", bench, "bid", "text", n = 5, minHits = 2)
+      .select("corpus_id").distinct().count()
+    val mixed = graft.operators.Mixing.sampleByWeights(
+      docs, "doc_id", "source", Map.empty, defaultWeight = 0.5).count()
+    val pii = docs.agg(
+      sum(TextAnalysis.piiCounts(col("text")).getField("n_emails")).as("e"))
+      .head().getLong(0)
+    println(s"""{"op":"assemble","contaminated_docs":$contaminated,"mixed_kept":$mixed,"emails_found":$pii}""")
   }
 
   /** In-memory demo: generate → validate → render report. */

@@ -195,7 +195,8 @@ case class TextProfile(child: Expression) extends UnaryExpression with CodegenFa
       digit / nCp,
       if (nWords > 0) enHits.toDouble / nWords else 0.0,
       UTF8String.fromString(if (bestScore > 0) bestLang else "und"),
-      math.max(bestScore, 0))
+      math.max(bestScore, 0),
+      distinct.size)
   }
 
   override protected def withNewChildInternal(c: Expression): TextProfile = copy(child = c)
@@ -232,7 +233,10 @@ object TextProfile {
     StructField("digit_ratio", DoubleType, nullable = false),
     StructField("stopword_ratio", DoubleType, nullable = false),
     StructField("lang", StringType, nullable = false),
-    StructField("lang_score", IntegerType, nullable = false)))
+    StructField("lang_score", IntegerType, nullable = false),
+    // distinct whitespace-words: with n_words this gives the Gopher-style
+    // repetition signal (1 - distinct/total) from the SAME single pass
+    StructField("n_distinct_words", IntegerType, nullable = false)))
 }
 
 object TextExpressions {

@@ -110,6 +110,18 @@ object TextAnalysis {
   def logisticScoreFrom(tp: Column, bias: Double, weights: Map[String, Double]): Column =
     lit(1.0) / (lit(1.0) + exp(-logOddsFrom(tp, bias, weights)))
 
+  /** Gopher-style word-repetition ratio from one TextProfile pass:
+    * 1 − n_distinct_words / n_words (0 for empty docs). High values
+    * flag boilerplate/spam — the standard cheap repetition filter. */
+  def repetitionRatioFrom(tp: Column): Column =
+    when(tp.getField("n_words") > 0,
+      round(lit(1.0) - tp.getField("n_distinct_words").cast("double")
+        / tp.getField("n_words"), 6))
+      .otherwise(0.0)
+
+  def repetitionRatio(text: Column): Column =
+    repetitionRatioFrom(textProfile(text))
+
   /** PII patterns kept deliberately RE2-compatible (no lookaround, no
     * backrefs) so the same literal runs under Java regex (Spark), RE2
     * (DuckDB oracle), and Hyperscan-class engines. Pattern-based PII

@@ -82,6 +82,7 @@ class DifferentialSpec extends SparkSpec {
     val rows = corpus.select(
       t,
       TextAnalysis.textProfile(t).as("tp"),
+      size(array_distinct(ws)).as("old_n_distinct"),
       size(ws).as("old_n_words"),
       bpeishHof(t).as("old_bpeish"),
       oldMeanWordLen.as("old_mwl"),
@@ -97,6 +98,7 @@ class DifferentialSpec extends SparkSpec {
       def ctx = s"text='${text.take(40).replace("\n", "\\n")}'"
       def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
       assert(tp.getAs[Int]("n_words") === r.getAs[Int]("old_n_words"), ctx)
+      assert(tp.getAs[Int]("n_distinct_words") === r.getAs[Int]("old_n_distinct"), ctx)
       assert(tp.getAs[Int]("n_bpeish") === r.getAs[Int]("old_bpeish"), ctx)
       assert(close(tp.getAs[Double]("mean_word_len"), r.getAs[Double]("old_mwl")), ctx)
       assert(close(tp.getAs[Double]("punct_ratio"), r.getAs[Double]("old_punct")), ctx)
