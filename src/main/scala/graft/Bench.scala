@@ -77,10 +77,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
+    // load sampled BOTH sides of the run: a burst arriving mid-suite
+    // shows in the end sample even when the start was quiet
+    val loadAvgEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""seq_rows_per_sec":${f"$rowsPerSec%.0f"},"sf":"$sfDir","cpus":$cpus,""" +
-      s""""load_avg_1m":${f"$loadAvg%.2f"}}""")
+      s""""load_avg_1m":${f"$loadAvg%.2f"},"load_avg_1m_end":${f"$loadAvgEnd%.2f"}}""")
     spark.stop()
   }
 }

@@ -679,9 +679,10 @@ object SparkEntry {
         |  FROM documents GROUP BY source)""".stripMargin,
 
     "q_psi_source" ->
-      """WITH o AS (SELECT source AS k, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
-        |b AS (SELECT source AS k, count(*)::DOUBLE AS n FROM documents
-        |      WHERE doc_id % 2 = 0 GROUP BY 1),
+      """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |           FROM documents GROUP BY 1),
+        |b AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
         |ot AS (SELECT sum(n) AS t FROM o), bt AS (SELECT sum(n) AS t FROM b)
         |SELECT round(sum(
         |    (greatest(coalesce(o.n, 0) / ot.t, 0.0001)

@@ -146,6 +146,16 @@ object Main {
     // wrongly failed — ADVICE round 2.)
     val all = vio.unionByName(uniq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dynamic overwrite replaces only partitions PRESENT in this run's
+    // output — a pending partition whose violations are now ZERO writes
+    // nothing and would keep stale files from an earlier run, so the
+    // todo partitions' directories are deleted first (the sink must
+    // agree with the manifest verdict, not just the counts)
+    val sinkRoot = new org.apache.hadoop.fs.Path(s"$out/violations")
+    val fs = sinkRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    todo.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(sinkRoot, s"part_bucket=$p"), true)
+    }
     // dynamic overwrite: only the buckets in this run are replaced
     // (writer-scoped option — do not mutate session config)
     all.write.mode("overwrite")
@@ -230,7 +240,8 @@ object Main {
       .select(col("doc_id").as("bid"), col("text"))
     val contaminated = graft.operators.Dedup.ngramContamination(
       docs, "doc_id", "text", bench, "bid", "text", n = 5, minHits = 2)
-      .select("corpus_id").distinct().count()
+      .where(col("corpus_id") =!= col("bench_id")) // bench ⊂ corpus here:
+      .select("corpus_id").distinct().count()      // drop self-matches
     val mixed = graft.operators.Mixing.sampleByWeights(
       docs, "doc_id", "source", Map.empty, defaultWeight = 0.5).count()
     val pii = docs.agg(

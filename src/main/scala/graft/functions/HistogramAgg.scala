@@ -111,6 +111,8 @@ object HistogramAgg {
     * Spark-4 bridge from Catalyst Expression to Column). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FnName))) return
     val info = new ExpressionInfo(classOf[HistogramAgg].getName, FnName)
     registry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(FnName),
@@ -126,6 +128,7 @@ object HistogramAgg {
   /** Column-API entry: `histogram($"n_tok", 0, 512, 64)`. */
   def histogram(c: Column, lo: Double, hi: Double, nBins: Int): Column = {
     import org.apache.spark.sql.functions.lit
+    try register(SparkSession.active) catch { case _: IllegalStateException => () }
     call_function(FnName, c, lit(lo), lit(hi), lit(nBins))
   }
 }

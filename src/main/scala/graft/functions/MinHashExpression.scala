@@ -72,8 +72,10 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
 }
 
 object MinHashExpression {
+  /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_minhash"))) return
     reg.registerFunction(FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashSignature(
@@ -81,6 +83,8 @@ object MinHashExpression {
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt))
   }
 
-  def minhash(tokens: Column, k: Int): Column =
+  def minhash(tokens: Column, k: Int): Column = {
+    try register(SparkSession.active) catch { case _: IllegalStateException => () }
     call_function("graft_minhash", tokens, lit(k))
+  }
 }

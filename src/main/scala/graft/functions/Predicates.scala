@@ -91,6 +91,7 @@ object Predicates {
     * are extracted at registration-call time (driver-side, per rule). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_multienum_valid"))) return
     reg.registerFunction(FunctionIdentifier("graft_multienum_valid"),
       new ExpressionInfo(classOf[MultiEnumTokensValid].getName, "graft_multienum_valid"),
       (es: Seq[Expression]) => MultiEnumTokensValid(es.head, vocabArg(es, 1)))
@@ -129,6 +130,7 @@ object Predicates {
       // [[register]]; all rule-compiling entry points do)
       val inFill =
         if (rule.fillNull.nonEmpty) c.isin(rule.fillNull: _*) else lit(false)
+      try register(SparkSession.active) catch { case _: IllegalStateException => () }
       inFill || c === NullSentinel ||
         call_function("graft_multienum_valid", c, typedLit(rule.validation))
 

@@ -104,8 +104,10 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int, seed: Long = 4
 }
 
 object ShingleExpression {
+  /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_shingles"))) return
     def intArg(es: Seq[Expression], i: Int): Int =
       es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt
     reg.registerFunction(FunctionIdentifier("graft_shingles"),
@@ -116,8 +118,13 @@ object ShingleExpression {
       (es: Seq[Expression]) => MinHashBandKeys(es.head, intArg(es, 1), intArg(es, 2)))
   }
 
-  def shingles(text: Column, n: Int): Column =
-    call_function("graft_shingles", text, lit(n))
-  def minhashBands(tokens: Column, k: Int, bands: Int): Column =
-    call_function("graft_minhash_bands", tokens, lit(k), lit(bands))
+  private def ensure(): Unit =
+    try register(SparkSession.active) catch { case _: IllegalStateException => () }
+
+  def shingles(text: Column, n: Int): Column = {
+    ensure(); call_function("graft_shingles", text, lit(n))
+  }
+  def minhashBands(tokens: Column, k: Int, bands: Int): Column = {
+    ensure(); call_function("graft_minhash_bands", tokens, lit(k), lit(bands))
+  }
 }

@@ -240,8 +240,14 @@ object TextProfile {
 }
 
 object TextExpressions {
+  /** Idempotent registration (quiet re-entry: no "replaced function"
+    * warnings on repeat calls). The Column builders below self-register
+    * against the ACTIVE session, so callers holding only a Column (no
+    * session handle) — e.g. `TextAnalysis.tokenCount` — keep working on
+    * sessions that never called register explicitly. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_text_profile"))) return
     reg.registerFunction(FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head))
@@ -255,10 +261,20 @@ object TextExpressions {
       (es: Seq[Expression]) => TextProfile(es.head))
   }
 
-  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  /** Best-effort self-registration on the active session (no-op when no
+    * session is active yet — the Column then needs an explicit
+    * register/GraftExtensions before use, as before). */
+  private def ensure(): Unit =
+    try register(SparkSession.active) catch { case _: IllegalStateException => () }
+
+  def simhash64(tokens: Column): Column = {
+    ensure(); call_function("graft_simhash64", tokens)
+  }
   def fingerprint(text: Column, window: Int): Column = {
     import org.apache.spark.sql.functions.lit
-    call_function("graft_fingerprint", text, lit(window))
+    ensure(); call_function("graft_fingerprint", text, lit(window))
   }
-  def textProfile(text: Column): Column = call_function("graft_text_profile", text)
+  def textProfile(text: Column): Column = {
+    ensure(); call_function("graft_text_profile", text)
+  }
 }

@@ -183,9 +183,10 @@ case class HyperplaneBucket(child: Expression, dim: Int, nBits: Int, seed: Int)
 }
 
 object VectorExpressions {
-  /** Register the vector functions; idempotent per session. */
+  /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_cosine"))) return
     def intArg(es: Seq[Expression], i: Int): Int =
       es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt
     reg.registerFunction(FunctionIdentifier("graft_cosine"),
@@ -200,10 +201,17 @@ object VectorExpressions {
         es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3)))
   }
 
-  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def ensure(): Unit =
+    try register(SparkSession.active) catch { case _: IllegalStateException => () }
+
+  def cosine(a: Column, b: Column): Column = {
+    ensure(); call_function("graft_cosine", a, b)
+  }
+  def dot(a: Column, b: Column): Column = {
+    ensure(); call_function("graft_dot", a, b)
+  }
   def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Int): Column = {
     import org.apache.spark.sql.functions.lit
-    call_function("graft_hyperplane_bucket", vec, lit(dim), lit(nBits), lit(seed))
+    ensure(); call_function("graft_hyperplane_bucket", vec, lit(dim), lit(nBits), lit(seed))
   }
 }

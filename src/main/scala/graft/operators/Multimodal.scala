@@ -247,8 +247,12 @@ object Multimodal {
             val resized = resizePng(r.payload, maxSide)
             if (resized eq r.payload) r
             else {
-              val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(resized))
-              r.copy(payload = resized, width = img.getWidth, height = img.getHeight)
+              // dims by the same formula resizePng used — decoding the
+              // fresh payload again would double per-image codec cost
+              val scale = maxSide.toDouble / math.max(r.width, r.height)
+              r.copy(payload = resized,
+                width = math.max(1, math.round(r.width * scale).toInt),
+                height = math.max(1, math.round(r.height * scale).toInt))
             }
           case r => r
         }

@@ -184,18 +184,24 @@ object CsvIngest {
     else truncated || !dec.flush(out).isError
   }
 
-  /** Head bytes of every regular file under `path` (file or directory),
-    * via the Hadoop FS API so the probe works on any cluster filesystem.
+  /** Head bytes of regular files under `path` (file or directory), via
+    * the Hadoop FS API so the probe works on any cluster filesystem.
     * Each file is sampled independently — concatenating across files
-    * would manufacture false malformed sequences at the seams. */
+    * would manufacture false malformed sequences at the seams.
+    * `maxFiles` bounds driver I/O: encoding is a dataset-level property
+    * (one producer, one encoding), so a bounded sample of its files is
+    * representative — probing ALL of a 10^4-file directory serially on
+    * the driver would stall the job before the distributed read begins. */
   def sampleRawBytes(spark: SparkSession, path: String,
-                     maxBytesPerFile: Int = 1 << 22): Seq[(Array[Byte], Boolean)] = {
+                     maxBytesPerFile: Int = 1 << 22,
+                     maxFiles: Int = 16): Seq[(Array[Byte], Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).toSeq.filter(_.isFile)
           .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName).take(maxFiles)
       else Seq(fs.getFileStatus(p))
     files.map { st =>
       val n = math.min(st.getLen, maxBytesPerFile.toLong).toInt
