@@ -78,7 +78,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     // load sampled BOTH sides of the run: a burst arriving mid-suite
-    // shows in the end sample even when the start was quiet
+    // shows in the end sample even when the start was quiet. The end
+    // sample INCLUDES this bench's own local[32] threads (own-load
+    // baseline ≈ 8-14 on a quiet box); read it comparatively — values
+    // well above that baseline mean external contention during the run.
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     println(
