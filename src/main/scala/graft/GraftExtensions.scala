@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => TextProfile(es.head))
     inject("graft_hyperplane_bucket", classOf[HyperplaneBucket],
       es => HyperplaneBucket(es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3)))
+    inject("graft_normalize_text", classOf[NormalizeText],
+      es => NormalizeText(es.head, es(1).eval(InternalRow.empty).toString))
+    inject("graft_compression_ratio", classOf[CompressionRatio],
+      es => CompressionRatio(es.head))
     inject("graft_multienum_valid", classOf[MultiEnumTokensValid],
       es => MultiEnumTokensValid(es.head,
         es(1).eval(InternalRow.empty)

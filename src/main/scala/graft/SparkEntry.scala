@@ -292,6 +292,31 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    "q_unicode_nfc" -> ((s, d) => {
+      // Unicode NFC normalization (native expression) cross-validated
+      // against DuckDB's nfc_normalize on synthesized composed/decomposed
+      // suffixes — visually identical strings must hash identically
+      // downstream, so normalization precedes dedup/fingerprinting
+      TextExpressions.register(s)
+      t(s, d, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" cafe" + "\u0301")))
+            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" caf" + "\u00e9")))
+            .otherwise(col("text")).as("dirty"))
+        .select(col("doc_id"),
+          TextExpressions.normalizeText(col("dirty"), "NFC").as("norm"))
+        .select(col("doc_id"), col("norm"), length(col("norm")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_compression_ratio" -> ((s, d) => { // deflate size: rows-only
+      TextExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextExpressions.compressionRatio(col("text")), 4).as("deflate_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_repetition" -> ((s, d) => {
       // word-repetition filter signal (1 − distinct/total words), from
       // the same one-pass TextProfile — SQL-replicable exactly
@@ -776,6 +801,17 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unicode_nfc" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |    WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+        |    ELSE text END AS dirty
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS norm,
+        |       length(nfc_normalize(dirty)) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """SELECT doc_id, CASE WHEN len(ws) > 0

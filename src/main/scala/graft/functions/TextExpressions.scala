@@ -203,6 +203,94 @@ case class TextProfile(child: Expression) extends UnaryExpression with CodegenFa
   override def prettyName: String = "graft_text_profile"
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD via java.text.Normalizer) —
+  * the canonical first step of text cleaning: visually identical strings
+  * with different codepoint sequences (composed é vs e+combining acute)
+  * hash differently, so dedup/fingerprinting MUST normalize first.
+  * Spark ships no built-in for this; a native expression keeps it off
+  * the UDF path. Validated cross-engine: DuckDB's nfc_normalize agrees
+  * (both implement the Unicode standard forms). */
+case class NormalizeText(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val normForm =
+    java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if Seq("NFC", "NFD", "NFKC", "NFKD")
+          .contains(form.toUpperCase(java.util.Locale.ROOT)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unknown normalization form '$form' (NFC/NFD/NFKC/NFKD)")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_normalize_text requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, normForm)) input // common case: no copy
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, normForm))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+  override def prettyName: String = "graft_normalize_text"
+}
+
+/** Deflate compression ratio (compressed/raw bytes, level 6) — the
+  * Gopher/RefinedWeb-class gibberish-vs-boilerplate signal: highly
+  * repetitive text compresses far below ~0.4, random bytes sit near 1.
+  * Per-thread Deflater reuse (reset between rows) keeps the native
+  * zlib context allocation off the per-row path. Not SQL-expressible —
+  * covered by unit tests and a rows-only query. */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import CompressionRatio._
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_compression_ratio requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = LocalDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = LocalBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
+  override protected def withNewChildInternal(c: Expression): CompressionRatio =
+    copy(child = c)
+  override def prettyName: String = "graft_compression_ratio"
+}
+
+object CompressionRatio {
+  private val LocalDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, /* nowrap = */ true)
+  }
+  private val LocalBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+}
+
 object TextProfile {
   /** Tiny per-language stopword profiles (the cheap first-pass heuristic;
     * ambiguous docs get re-scored by a heavier model downstream). */
@@ -259,6 +347,13 @@ object TextExpressions {
     reg.registerFunction(FunctionIdentifier("graft_text_profile"),
       new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
       (es: Seq[Expression]) => TextProfile(es.head))
+    reg.registerFunction(FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (es: Seq[Expression]) => NormalizeText(es.head,
+        es(1).eval(InternalRow.empty).toString))
+    reg.registerFunction(FunctionIdentifier("graft_compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName, "graft_compression_ratio"),
+      (es: Seq[Expression]) => CompressionRatio(es.head))
   }
 
   /** Best-effort self-registration on the active session (no-op when no
@@ -276,5 +371,12 @@ object TextExpressions {
   }
   def textProfile(text: Column): Column = {
     ensure(); call_function("graft_text_profile", text)
+  }
+  def normalizeText(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensure(); call_function("graft_normalize_text", text, lit(form))
+  }
+  def compressionRatio(text: Column): Column = {
+    ensure(); call_function("graft_compression_ratio", text)
   }
 }

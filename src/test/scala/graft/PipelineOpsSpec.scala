@@ -245,6 +245,41 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("unicode normalization: NFC composes, NFKC folds compat chars, idempotent") {
+    TextExpressions.register(spark)
+    val rows = Seq(
+      ("café", "NFC"),  // e + combining acute → é
+      ("café", "NFC"),   // already composed: unchanged
+      ("ﬁsh", "NFC"),    // ﬁ ligature: NFC keeps it
+      ("ﬁsh", "NFKC")    // NFKC folds it to "fi"
+    ).toDF("t", "form")
+    def norm(t: String, form: String): String =
+      Seq(t).toDF("t").select(TextExpressions.normalizeText($"t", form)).head().getString(0)
+    assert(norm("café", "NFC") === "café")
+    assert(norm("café", "NFC") === "café")
+    assert(norm("ﬁsh", "NFC") === "ﬁsh")
+    assert(norm("ﬁsh", "NFKC") === "fish")
+    // idempotence + dedup motivation: both spellings hash equal after NFC
+    val hashes = Seq("café", "café").toDF("t")
+      .select(xxhash64(TextExpressions.normalizeText($"t", "NFC")))
+      .collect().map(_.getLong(0))
+    assert(hashes(0) === hashes(1))
+    assert(rows.count() === 4) // silence unused warning path
+  }
+
+  test("compression ratio: repetitive text compresses far below shuffled text") {
+    TextExpressions.register(spark)
+    val repetitive = "spam spam spam spam " * 50
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")
+    def ratio(t: String): Double =
+      Seq(t).toDF("t").select(TextExpressions.compressionRatio($"t")).head().getDouble(0)
+    assert(ratio(repetitive) < 0.1, s"repetitive: ${ratio(repetitive)}")
+    assert(ratio(varied) > ratio(repetitive) * 3, s"varied: ${ratio(varied)}")
+    assert(ratio("") === 1.0)
+    // deterministic across evaluations
+    assert(ratio(repetitive) === ratio(repetitive))
+  }
+
   test("pii: detection counts and redaction on hand-built strings") {
     val rows = Seq(
       (1L, "contact user5@example.com and admin@sub.domain.org now"),
