@@ -111,4 +111,35 @@ class SeqEngineSpec extends SparkSpec {
     graft.cli.Main.validateBatch(spark, s"$dir/seq", s"$dir/out2", Some(s"$dir/m2.jsonl"))
     assert(Manifest.load(s"$dir/m2.jsonl").entries.size === m2.size)
   }
+
+  test("validate-batch partial resume: completed sinks untouched, todo sinks purged") {
+    import java.nio.file.{Files, Paths}
+    import graft.checkpoint.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_vbr").toString
+    graft.sources.SeqTableGen.writePartitioned(
+      graft.sources.SeqTableGen.generate(spark, 20000), s"$dir/seq", 4)
+    val mf = s"$dir/m.jsonl"
+    graft.cli.Main.validateBatch(spark, s"$dir/seq", s"$dir/out", Some(mf))
+    val full = Manifest.load(mf).entries
+    assert(full.keySet === Set("0", "1", "2", "3"))
+    // simulate a crash that committed only buckets 0 and 1
+    val kept = Files.readAllLines(Paths.get(mf)).stream()
+      .filter(l => l.contains("\"partition\":\"0\"") || l.contains("\"partition\":\"1\""))
+      .toArray.mkString("", "\n", "\n")
+    Files.writeString(Paths.get(mf), kept)
+    // plant markers: completed bucket 0 must be left alone, todo bucket 2
+    // must be purged before the rewrite (stale-sink discipline)
+    val keep = Paths.get(s"$dir/out/violations/part_bucket=0/KEEP.marker")
+    val stale = Paths.get(s"$dir/out/violations/part_bucket=2/STALE.marker")
+    Files.writeString(keep, "x"); Files.writeString(stale, "x")
+    graft.cli.Main.validateBatch(spark, s"$dir/seq", s"$dir/out", Some(mf))
+    assert(Files.exists(keep), "completed partition's sink must not be touched")
+    assert(!Files.exists(stale), "todo partition's stale files must be purged")
+    val resumed = Manifest.load(mf).entries
+    assert(resumed.keySet === Set("0", "1", "2", "3"))
+    Seq("2", "3").foreach { p =>
+      assert(resumed(p).rows === full(p).rows && resumed(p).violations === full(p).violations,
+        s"re-run verdict differs for partition $p")
+    }
+  }
 }
