@@ -319,11 +319,15 @@ object SparkEntry {
 
     "q_repetition" -> ((s, d) => {
       // word-repetition filter signal (1 − distinct/total words), from
-      // the same one-pass TextProfile — SQL-replicable exactly
+      // the same one-pass TextProfile — SQL-replicable exactly. The
+      // profile is projected ONCE then read field-wise (the one-arg
+      // repetitionRatio(text) convenience would instantiate the
+      // non-codegen profile expression per field reference)
       TextExpressions.register(s)
       t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.textProfile(col("text")).as("__tp"))
         .select(col("doc_id"),
-          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+          TextAnalysis.repetitionRatioFrom(col("__tp")).as("rep_ratio"))
         .orderBy("doc_id")
     }),
 

@@ -182,9 +182,12 @@ object Multimodal {
     feats
   }
 
-  /** Decode one record by mime: real PNG/WAV codecs, stubbed video. */
+  /** Decode one record by mime: real PNG/WAV codecs, stubbed video.
+    * A payload the codec rejects yields `frames_sampled = 0` with an
+    * all-zero feature vector — a flaggable row, not a job-killing
+    * exception (one corrupt image in 10^9 must not abort the pass). */
   private def decodeOne(r: MediaRecord, frameSample: Int): MediaFeatures =
-    r.mime match {
+    try r.mime match {
       case "image/png" =>
         MediaFeatures(r.media_id, r.mime, r.payload.length, 1, pngFeatures(r.payload))
       case "audio/wav" =>
@@ -192,6 +195,9 @@ object Multimodal {
       case _ => // ===STUB=== (video)
         MediaFeatures(r.media_id, r.mime, r.payload.length, frameSample,
           videoFeaturesStub(r.payload))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaFeatures(r.media_id, r.mime, r.payload.length, 0, new Array[Float](FeatureDim))
     }
 
   /** Batched per-partition decode/feature-extraction — the Scala analogue
@@ -214,11 +220,18 @@ object Multimodal {
   /** Real pixel resize of a PNG payload (JDK Graphics2D, bilinear,
     * aspect-preserving cap at `maxSide`; returns the input unchanged when
     * already within bounds). Deterministic for a fixed JDK. */
-  def resizePng(payload: Array[Byte], maxSide: Int): Array[Byte] = {
+  def resizePng(payload: Array[Byte], maxSide: Int): Array[Byte] =
+    resizePngWithDims(payload, maxSide)._1
+
+  /** Resize + the OUTPUT dims from the single decode (the distributed
+    * path needs both; re-decoding the fresh payload just for dims would
+    * double per-image codec cost, and trusting row metadata would
+    * propagate stale/zero dims). */
+  def resizePngWithDims(payload: Array[Byte], maxSide: Int): (Array[Byte], Int, Int) = {
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "not a decodable image")
     val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
-    if (scale >= 1.0) return payload
+    if (scale >= 1.0) return (payload, img.getWidth, img.getHeight)
     val w = math.max(1, math.round(img.getWidth * scale).toInt)
     val h = math.max(1, math.round(img.getHeight * scale).toInt)
     val out = new java.awt.image.BufferedImage(w, h,
@@ -230,34 +243,28 @@ object Multimodal {
     g.dispose()
     val bos = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
-    bos.toByteArray
+    (bos.toByteArray, w, h)
   }
 
-  /** Batched per-partition image resize: PNG rows are re-encoded at the
-    * capped size (payload + width/height updated); non-image rows pass
-    * through untouched. Same mapPartitions shape as [[extractFeatures]]
-    * — bytes never leave the scan task. */
-  def resizeImages(media: Dataset[MediaRecord], maxSide: Int,
-                   batchSize: Int = 64): Dataset[MediaRecord] = {
+  /** Per-partition image resize: PNG rows are re-encoded at the capped
+    * size with width/height set from the actual decode (stale metadata
+    * is corrected, not propagated); non-image rows pass through
+    * untouched, as does any row whose payload fails to decode — one
+    * corrupt image must not kill a 100 TB job (callers detect those rows
+    * by `max(width, height) > maxSide` after the pass). Bytes never
+    * leave the scan task. */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map {
-          case r if r.mime == "image/png" =>
-            val resized = resizePng(r.payload, maxSide)
-            if (resized eq r.payload) r
-            else {
-              // dims by the same formula resizePng used — decoding the
-              // fresh payload again would double per-image codec cost
-              val scale = maxSide.toDouble / math.max(r.width, r.height)
-              r.copy(payload = resized,
-                width = math.max(1, math.round(r.width * scale).toInt),
-                height = math.max(1, math.round(r.height * scale).toInt))
-            }
-          case r => r
+    media.mapPartitions(_.map {
+      case r if r.mime == "image/png" =>
+        try {
+          val (resized, w, h) = resizePngWithDims(r.payload, maxSide)
+          r.copy(payload = resized, width = w, height = h)
+        } catch {
+          case scala.util.control.NonFatal(_) => r // undecodable: untouched
         }
-      }
-    }
+      case r => r
+    })
   }
 
   /** Resize metadata transform (pure Catalyst — aspect-preserving target

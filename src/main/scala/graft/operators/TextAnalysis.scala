@@ -112,13 +112,21 @@ object TextAnalysis {
 
   /** Gopher-style word-repetition ratio from one TextProfile pass:
     * 1 − n_distinct_words / n_words (0 for empty docs). High values
-    * flag boilerplate/spam — the standard cheap repetition filter. */
+    * flag boilerplate/spam — the standard cheap repetition filter.
+    * `tp` should be a PROJECTED profile attribute (select the profile
+    * once, then read fields — see q_repetition / [[analyze]]): this
+    * formula references tp three times, and a raw `textProfile(text)`
+    * argument would instantiate the non-codegen expression per
+    * reference (no CSE for CodegenFallback). */
   def repetitionRatioFrom(tp: Column): Column =
     when(tp.getField("n_words") > 0,
       round(lit(1.0) - tp.getField("n_distinct_words").cast("double")
         / tp.getField("n_words"), 6))
       .otherwise(0.0)
 
+  /** One-shot convenience (ad-hoc/small data): instantiates the profile
+    * per field reference — for corpus scans project the profile once and
+    * use [[repetitionRatioFrom]]. */
   def repetitionRatio(text: Column): Column =
     repetitionRatioFrom(textProfile(text))
 

@@ -188,21 +188,30 @@ object CsvIngest {
     * the Hadoop FS API so the probe works on any cluster filesystem.
     * Each file is sampled independently — concatenating across files
     * would manufacture false malformed sequences at the seams.
-    * `maxFiles` bounds driver I/O: encoding is a dataset-level property
-    * (one producer, one encoding), so a bounded sample of its files is
-    * representative — probing ALL of a 10^4-file directory serially on
-    * the driver would stall the job before the distributed read begins. */
+    * `maxFiles` bounds driver I/O: probing ALL of a 10^4-file directory
+    * serially on the driver would stall the job before the distributed
+    * read begins. The sample is STRIDED across the (name-sorted) listing
+    * — not a name-prefix — so a rogue file anywhere in the directory has
+    * maxFiles/n odds of being probed directly; one outside the sample is
+    * still caught downstream by the parse's corrupt-record accounting,
+    * the probe just won't have pre-chosen its encoding. Pass
+    * `maxFiles = Int.MaxValue` to probe exhaustively. */
   def sampleRawBytes(spark: SparkSession, path: String,
                      maxBytesPerFile: Int = 1 << 22,
                      maxFiles: Int = 16): Seq[(Array[Byte], Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile)
+      if (fs.getFileStatus(p).isDirectory) {
+        val all = fs.listStatus(p).toSeq.filter(_.isFile)
           .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-          .sortBy(_.getPath.getName).take(maxFiles)
-      else Seq(fs.getFileStatus(p))
+          .sortBy(_.getPath.getName)
+        if (all.size <= maxFiles) all
+        else { // strided: cover the whole listing, not just its head
+          val stride = all.size.toDouble / maxFiles
+          (0 until maxFiles).map(i => all((i * stride).toInt))
+        }
+      } else Seq(fs.getFileStatus(p))
     files.map { st =>
       val n = math.min(st.getLen, maxBytesPerFile.toLong).toInt
       val buf = new Array[Byte](n)

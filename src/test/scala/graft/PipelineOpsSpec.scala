@@ -247,12 +247,6 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("unicode normalization: NFC composes, NFKC folds compat chars, idempotent") {
     TextExpressions.register(spark)
-    val rows = Seq(
-      ("café", "NFC"),  // e + combining acute → é
-      ("café", "NFC"),   // already composed: unchanged
-      ("ﬁsh", "NFC"),    // ﬁ ligature: NFC keeps it
-      ("ﬁsh", "NFKC")    // NFKC folds it to "fi"
-    ).toDF("t", "form")
     def norm(t: String, form: String): String =
       Seq(t).toDF("t").select(TextExpressions.normalizeText($"t", form)).head().getString(0)
     assert(norm("café", "NFC") === "café")
@@ -264,7 +258,6 @@ class PipelineOpsSpec extends SparkSpec {
       .select(xxhash64(TextExpressions.normalizeText($"t", "NFC")))
       .collect().map(_.getLong(0))
     assert(hashes(0) === hashes(1))
-    assert(rows.count() === 4) // silence unused warning path
   }
 
   test("compression ratio: repetitive text compresses far below shuffled text") {
