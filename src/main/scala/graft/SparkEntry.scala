@@ -247,6 +247,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // backward as-of join: each purchase stamped with the latest prior
+    // click of the same user (union + one running window — no range-join
+    // explosion; oracle is DuckDB's native ASOF LEFT JOIN)
+    "q_asof_clicks" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("value"), prefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- text analysis ----
 
     "q_token_counts" -> ((s, d) => {
@@ -724,6 +742,21 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_clicks" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     r0 AS (SELECT user_id, ts, value,
+        |              row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY value DESC) AS rn
+        |            FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+        |     r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+        |SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.value,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       r.value AS click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,
