@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => NormalizeText(es.head, es(1).eval(InternalRow.empty).toString))
     inject("graft_compression_ratio", classOf[CompressionRatio],
       es => CompressionRatio(es.head))
+    inject("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)))
+    inject("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
     inject("graft_multienum_valid", classOf[MultiEnumTokensValid],
       es => MultiEnumTokensValid(es.head,
         es(1).eval(InternalRow.empty)

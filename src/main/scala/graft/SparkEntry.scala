@@ -530,6 +530,16 @@ object SparkEntry {
         .toDF("n_kept")
     }),
 
+    // incremental dedup: new batch vs an already-ingested corpus —
+    // bloom prefilter (no false negatives) + exact anti-join confirm;
+    // oracle is the plain NOT EXISTS text anti-join
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.where(col("doc_id") < 250)
+      Dedup.dropSeenDuplicates(docs, seen, "text", expectedSeen = 250)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q_multimodal_features" -> ((s, _) => { // rows-only: stubbed codec
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
       feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
@@ -784,6 +794,12 @@ object SparkEntry {
 
     "q_dedup_apply" ->
       "SELECT count(*) AS n_kept FROM documents",
+
+    "q_incremental_dedup" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id < 250 AND s.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // planted-recall: the expected recovered-pair count is exactly the
     // number of planted duplicates (one (id, id+1000000) pair per doc)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextExpressions, VectorExpressions}
+import graft.functions.{BloomFunctions, TextExpressions, VectorExpressions}
 
 /** Deduplication suite for large-scale training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -75,6 +75,46 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("__content_hash"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Incremental (cross-snapshot) exact dedup: drop `batch` rows whose
+    * text already occurs in the `seen` corpus — the "new crawl vs
+    * everything already ingested" step, where `seen` is orders of
+    * magnitude larger than the batch and re-deduping the union from
+    * scratch every ingest would be quadratic over the pipeline's life.
+    *
+    * Two-phase, built on Spark's own bloom kernel
+    * ([[graft.functions.BloomFunctions]]):
+    *
+    *   1. ONE aggregate pass over `seen` builds a bloom filter of its
+    *      64-bit content hashes (bytes ≈ 1.2 GB per 10^9 seen docs at
+    *      1% fpp), inlined into the plan like a broadcast var;
+    *   2. batch rows whose hash the filter rejects are DEFINITELY unseen
+    *      (no false negatives) and pass through with no shuffle at all;
+    *      only the ≈ (true dups + fpp·|batch|) bloom hits enter a
+    *      left-anti join against the seen hashes to discard the false
+    *      positives exactly.
+    *
+    * Shuffle volume: 8-byte hashes of `seen` plus only the bloom-hit
+    * slice of `batch` — vs a plain anti-join shuffling the entire batch.
+    * The batch scans twice (clean + candidate branch); scans are the
+    * cheap currency here, shuffles the expensive one. Same 64-bit-hash
+    * equality trade as [[exactDuplicates]] (collision ⇒ a distinct doc
+    * wrongly dropped, ≈ 2.7×10^-8 relative loss at 10^12 docs). */
+  def dropSeenDuplicates(batch: DataFrame, seen: DataFrame, textCol: String,
+                         expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+    val seenHashes = seen.select(xxhash64(col(textCol)).as("__seen_hash"))
+    val withH = batch.withColumn("__batch_hash", xxhash64(col(textCol)))
+    BloomFunctions.buildBloom(seenHashes, col("__seen_hash"),
+        math.max(expectedSeen, 1L), fpp) match {
+      case None => batch // nothing seen yet: keep the whole batch
+      case Some(bloom) =>
+        val hit = BloomFunctions.mightContain(bloom, col("__batch_hash"))
+        val definitelyNew = withH.where(!hit)
+        val confirmedNew = withH.where(hit)
+          .join(seenHashes, col("__batch_hash") === col("__seen_hash"), "left_anti")
+        definitelyNew.unionByName(confirmedNew).drop("__batch_hash")
+    }
   }
 
   // ---------- MinHash + LSH ----------

@@ -27,6 +27,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.count() === withDup.count() - 1)
   }
 
+  test("incremental dedup: seen texts dropped (no false negatives), unseen kept") {
+    val seen = docs.where($"doc_id" < 25)
+    val batch = docs // 25 seen texts + the rest unseen
+    val kept = Dedup.dropSeenDuplicates(batch, seen, "text",
+      expectedSeen = 25, fpp = 0.5) // coarse filter: correctness can't depend on fpp
+    assert(kept.columns === batch.columns)
+    val ids = kept.select("doc_id").as[Long].collect().sorted
+    assert(ids === (25L until docs.count()).toArray,
+      "exactly the unseen suffix must survive")
+    // empty seen side: batch passes through untouched
+    assert(Dedup.dropSeenDuplicates(batch, seen.limit(0), "text", 1).count()
+      === batch.count())
+  }
+
+  test("incremental dedup plan: bloom probe present, anti-join keyed by hash not text") {
+    val seen = docs.where($"doc_id" < 25)
+    val out = Dedup.dropSeenDuplicates(docs, seen, "text", expectedSeen = 25)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("hashpartitioning(text"),
+      "anti-join must shuffle 8-byte hashes, never the text")
+  }
+
   test("connected components: chain a~b~c keeps exactly one representative") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val clusters = Dedup.nearDupClusters(pairs).collect()
