@@ -530,6 +530,16 @@ object SparkEntry {
         .toDF("n_kept")
     }),
 
+    // greedy sequence packing: per-source first-fit into 1000-char
+    // packs, walked in doc_id order — a sequential per-group fold
+    // (typed flatMapSortedGroups); oracle replays the identical fold
+    // as a recursive CTE stepping one row per source per iteration
+    "q_pack_documents" -> ((s, d) =>
+      Packing.greedyPack(t(s, d, "documents"), "source", "doc_id", "n_chars",
+          budget = 1000)
+        .select("source", "doc_id", "n_chars", "pack_id", "pack_pos")
+        .orderBy("source", "doc_id")),
+
     // incremental dedup: new batch vs an already-ingested corpus —
     // bloom prefilter (no false negatives) + exact anti-join confirm;
     // oracle is the plain NOT EXISTS text anti-join
@@ -794,6 +804,28 @@ object SparkEntry {
 
     "q_dedup_apply" ->
       "SELECT count(*) AS n_kept FROM documents",
+
+    "q_pack_documents" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_chars, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, 0 AS pack_pos, n_chars AS acc
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+        |         CASE WHEN p.acc + o.n_chars <= 1000
+        |              THEN p.pack_id ELSE p.pack_id + 1 END,
+        |         CASE WHEN p.acc + o.n_chars <= 1000
+        |              THEN p.pack_pos + 1 ELSE 0 END,
+        |         CASE WHEN p.acc + o.n_chars <= 1000
+        |              THEN p.acc + o.n_chars ELSE o.n_chars END
+        |  FROM packed p JOIN ordered o
+        |    ON o.source = p.source AND o.rn = p.rn + 1)
+        |SELECT source, doc_id, n_chars, pack_id, pack_pos
+        |FROM packed ORDER BY source, doc_id""".stripMargin,
 
     "q_incremental_dedup" ->
       """SELECT b.doc_id FROM documents b

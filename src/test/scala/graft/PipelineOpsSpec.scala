@@ -41,6 +41,41 @@ class PipelineOpsSpec extends SparkSpec {
       === batch.count())
   }
 
+  test("greedy packing: hand-computed packs, oversized doc gets its own pack") {
+    val df = Seq( // (source, id, cost) — budget 10, walk in id order
+      ("A", 1L, 3L), ("A", 2L, 4L), ("A", 3L, 5L), ("A", 4L, 10L), ("A", 5L, 2L),
+      ("A", 6L, 20L), // oversized: pack of its own, still placed
+      ("B", 1L, 9L), ("B", 2L, 9L)
+    ).toDF("source", "doc_id", "cost")
+    val got = graft.operators.Packing.greedyPack(df, "source", "doc_id", "cost", 10)
+      .select("source", "doc_id", "pack_id", "pack_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got === Seq(
+      ("A", 1L, 0L, 0), ("A", 2L, 0L, 1), // 3+4=7, +5 would overflow
+      ("A", 3L, 1L, 0),                   // 5, +10 would overflow
+      ("A", 4L, 2L, 0),                   // exactly at budget
+      ("A", 5L, 3L, 0), ("A", 6L, 4L, 0), // 2+20 overflows → 20 alone
+      ("B", 1L, 0L, 0), ("B", 2L, 1L, 0)))
+  }
+
+  test("greedy packing invariants on real docs, sharded and unsharded") {
+    for (shards <- Seq(1, 4)) {
+      val packed = graft.operators.Packing.greedyPack(
+        docs, "source", "doc_id", "n_chars", budget = 1000, shards = shards)
+      assert(packed.count() === docs.count(), "every doc placed exactly once")
+      assert(packed.select("doc_id").distinct().count() === docs.count())
+      val over = packed.groupBy("source", "shard", "pack_id")
+        .agg(sum("n_chars").as("tot"), count(lit(1)).as("n"))
+        .where($"tot" > 1000 && $"n" > 1)
+      assert(over.count() === 0, "multi-doc packs never exceed the budget")
+      val badPos = packed.groupBy("source", "shard", "pack_id")
+        .agg(max("pack_pos").as("mx"), count(lit(1)).as("n"))
+        .where($"mx" =!= $"n" - 1)
+      assert(badPos.count() === 0, "pack positions are contiguous from 0")
+    }
+  }
+
   test("incremental dedup plan: bloom probe present, anti-join keyed by hash not text") {
     val seen = docs.where($"doc_id" < 25)
     val out = Dedup.dropSeenDuplicates(docs, seen, "text", expectedSeen = 25)
