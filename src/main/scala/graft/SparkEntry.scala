@@ -550,7 +550,8 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    "q_multimodal_features" -> ((s, _) => { // rows-only: stubbed codec
+    // rows-only: JPEG/PNG/WAV decode output isn't SQL-expressible
+    "q_multimodal_features" -> ((s, _) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
       feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
           col("frames_sampled"))

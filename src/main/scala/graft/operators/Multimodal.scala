@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * Real JDK-built-in codecs (no external deps): PNG via
   * `javax.imageio.ImageIO` with 4×4 grid-pooled grayscale features, WAV
   * via `javax.sound.sampled.AudioSystem` with 16-window mean-|amplitude|
-  * features. Only the VIDEO path remains a labeled stub (===STUB===
-  * below): no video codec ships in the JDK, so frame sampling hashes
-  * byte windows deterministically instead.
+  * features, and VIDEO as MJPEG-in-AVI — a hand-rolled RIFF chunk walk
+  * (the container is just length-prefixed fourcc chunks) yielding JPEG
+  * frames that ImageIO decodes; features are the frame-averaged grid
+  * pool over `frameSample` evenly-spaced frames. Payloads in codecs the
+  * JDK cannot decode (e.g. H.264 mp4) surface as `frames_sampled = 0`
+  * flag rows rather than fakes or failures.
   *
   * Design notes for 100 TB of media:
   *  - media bytes never hit a shuffle: decode/feature-extract is a
@@ -40,8 +43,8 @@ object Multimodal {
 
   /** Deterministic synthetic media table with REAL payloads: valid PNG
     * images (deterministic RGB gradient seeded by id), valid 16-bit PCM
-    * WAV clips (deterministic waveform), and opaque pseudo-random bytes
-    * for video (whose decode is the one stubbed path). */
+    * WAV clips (deterministic waveform), and valid MJPEG-AVI clips
+    * (4–6 deterministic gradient frames in a RIFF container). */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -55,15 +58,16 @@ object Multimodal {
           MediaRecord(id, syntheticWav(id, nSamples), "audio/wav",
             0, 0, nSamples * 1000L / SampleRate)
         case _ =>
-          val rnd = new scala.util.Random(id) // seeded by id: deterministic
-          val payload = new Array[Byte](256 + (id % 1024).toInt)
-          rnd.nextBytes(payload)
-          MediaRecord(id, payload, "video/mp4",
-            width = 32 + (id % 64).toInt, height = 32 + (id % 48).toInt,
-            duration_ms = 1000 + id % 60000)
+          val w = 16 + (id % 4).toInt * 4
+          val h = 12 + (id % 3).toInt * 4
+          val nFrames = 4 + (id % 3).toInt
+          MediaRecord(id, syntheticAviMjpeg(id, w, h, nFrames),
+            "video/x-msvideo", w, h, nFrames * 1000L / VideoFps)
       }
     }
   }
+
+  val VideoFps = 4
 
   val SampleRate = 8000
 
@@ -120,6 +124,12 @@ object Multimodal {
   def pngFeatures(payload: Array[Byte]): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "not a decodable image")
+    gridPool(img)
+  }
+
+  /** 4×4 grid-pooled grayscale of one decoded frame (shared by the PNG
+    * and AVI paths). */
+  private def gridPool(img: java.awt.image.BufferedImage): Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](FeatureDim)
     val counts = new Array[Int](FeatureDim)
@@ -166,35 +176,145 @@ object Multimodal {
       if (counts(i) > 0) (sums(i) / counts(i)).toFloat else 0.0f)
   }
 
-  /** ===STUB=== video "decode": no video codec ships in the JDK, so
-    * frame sampling hashes `frameSample` byte windows deterministically —
-    * same output shape and batch mechanics as a real codec would have. */
-  def videoFeaturesStub(payload: Array[Byte]): Array[Float] = {
-    val feats = new Array[Float](FeatureDim)
-    var f = 0
-    while (f < FeatureDim) {
-      var acc = 0L
-      var i = f
-      while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += FeatureDim }
-      feats(f) = (acc % 1000).toFloat / 1000.0f
-      f += 1
+  // ---------- MJPEG-AVI video codec (pure JDK: RIFF walk + ImageIO) ----------
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Minimal structurally-valid MJPEG AVI: RIFF('AVI ') with an hdrl
+    * LIST (avih + one 'vids'/'MJPG' stream) and a movi LIST of '00dc'
+    * JPEG chunks (even-padded per RIFF). Enough container for any
+    * MJPEG-aware reader, including [[aviMjpegFrames]]. */
+  def aviFromJpegFrames(frames: Seq[Array[Byte]], w: Int, h: Int,
+                        fps: Int = VideoFps): Array[Byte] = {
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(cc) ++ le32(body.length) ++ body ++ pad
     }
-    feats
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(listType) ++ body)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = chunk("avih", le32(1000000 / fps) ++ le32(maxFrame * fps) ++
+      le32(0) ++ le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame) ++ le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte))
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames.length) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      le32(0) ++ le32((h << 16) | w))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
+      le32((24 << 16) | 1) ++ fourcc("MJPG") ++ le32(w * h * 3) ++
+      Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
   }
 
-  /** Decode one record by mime: real PNG/WAV codecs, stubbed video.
-    * A payload the codec rejects yields `frames_sampled = 0` with an
-    * all-zero feature vector — a flaggable row, not a job-killing
-    * exception (one corrupt image in 10^9 must not abort the pass). */
+  /** Deterministic MJPEG AVI seeded by id: `nFrames` gradient frames
+    * whose intensity shifts per frame (JPEG-encoded via ImageIO). */
+  def syntheticAviMjpeg(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + f * 40 + x * 3 + y * 5) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    aviFromJpegFrames(frames, w, h)
+  }
+
+  /** RIFF chunk walk → MJPEG frame payloads: finds the 'movi' LIST and
+    * returns every video-data chunk ('##dc'/'##db') inside it. Truncated
+    * or malformed chunk lengths end the walk (partial result) rather
+    * than throwing — a corrupt tail must not kill the batch. */
+  def aviMjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    def cc(off: Int): String =
+      if (off + 4 <= payload.length)
+        new String(payload, off, 4, "US-ASCII") else ""
+    def sz(off: Int): Int =
+      (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8) |
+        ((payload(off + 2) & 0xFF) << 16) | ((payload(off + 3) & 0xFF) << 24)
+    if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+      return Vector.empty
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= end) {
+        val id = cc(p); val len = sz(p + 4)
+        val dataStart = p + 8
+        val dataEnd = dataStart.toLong + len
+        if (len < 0) return // malformed: stop
+        if (id == "LIST" && len >= 4 && dataStart + 4 <= end) {
+          // a LIST truncated by a cut payload still yields its intact prefix
+          val listType = cc(dataStart)
+          walk(dataStart + 4, math.min(dataEnd, end).toInt,
+            inMovi = listType == "movi")
+        } else if (dataEnd > end) {
+          return // truncated data chunk: drop it, keep what came before
+        } else if (inMovi && id.length == 4 &&
+            id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {
+          frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd.toInt)
+        }
+        p = dataStart + len + (len & 1) // chunks are even-padded
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    frames.result()
+  }
+
+  /** AVI → (frames decoded, frame-averaged grid-pool features): sample
+    * `frameSample` evenly-spaced frames (all of them when the clip is
+    * shorter), JPEG-decode each with ImageIO, average their 4×4 pooled
+    * grayscale grids. Undecodable individual frames are skipped and not
+    * counted. */
+  def aviFeatures(payload: Array[Byte], frameSample: Int): (Int, Array[Float]) = {
+    val frames = aviMjpegFrames(payload)
+    if (frames.isEmpty) return (0, new Array[Float](FeatureDim))
+    val take = math.min(frameSample, frames.length)
+    val idxs = (0 until take).map(k => k.toLong * frames.length / take)
+    val sums = new Array[Double](FeatureDim)
+    var decoded = 0
+    idxs.foreach { i =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(frames(i.toInt)))
+      if (img != null) {
+        val g = gridPool(img)
+        var c = 0
+        while (c < FeatureDim) { sums(c) += g(c); c += 1 }
+        decoded += 1
+      }
+    }
+    if (decoded == 0) (0, new Array[Float](FeatureDim))
+    else (decoded, Array.tabulate(FeatureDim)(i => (sums(i) / decoded).toFloat))
+  }
+
+  /** Decode one record by mime: real PNG/WAV/MJPEG-AVI codecs. A payload
+    * the codec rejects — or a mime with no JDK codec (e.g. H.264 mp4) —
+    * yields `frames_sampled = 0` with an all-zero feature vector: a
+    * flaggable row, not a job-killing exception (one corrupt file in
+    * 10^9 must not abort the pass). */
   private def decodeOne(r: MediaRecord, frameSample: Int): MediaFeatures =
     try r.mime match {
       case "image/png" =>
         MediaFeatures(r.media_id, r.mime, r.payload.length, 1, pngFeatures(r.payload))
       case "audio/wav" =>
         MediaFeatures(r.media_id, r.mime, r.payload.length, 1, wavFeatures(r.payload))
-      case _ => // ===STUB=== (video)
-        MediaFeatures(r.media_id, r.mime, r.payload.length, frameSample,
-          videoFeaturesStub(r.payload))
+      case "video/x-msvideo" | "video/avi" =>
+        val (n, feats) = aviFeatures(r.payload, frameSample)
+        MediaFeatures(r.media_id, r.mime, r.payload.length, n, feats)
+      case _ => // no codec for this mime: flag row
+        MediaFeatures(r.media_id, r.mime, r.payload.length, 0, new Array[Float](FeatureDim))
     } catch {
       case scala.util.control.NonFatal(_) =>
         MediaFeatures(r.media_id, r.mime, r.payload.length, 0, new Array[Float](FeatureDim))

@@ -480,8 +480,37 @@ class PipelineOpsSpec extends SparkSpec {
       val d = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       assert(d.getWidth === r.width && d.getHeight === r.height)
     }
-    val vids = media.collect().filter(_.mime == "video/mp4").map(r => r.media_id -> r.payload.toSeq).toMap
-    out.filter(_.mime == "video/mp4").foreach(r => assert(r.payload.toSeq === vids(r.media_id)))
+    val vids = media.collect().filter(_.mime == "video/x-msvideo").map(r => r.media_id -> r.payload.toSeq).toMap
+    out.filter(_.mime == "video/x-msvideo").foreach(r => assert(r.payload.toSeq === vids(r.media_id)))
+  }
+
+  test("avi codec: container round-trips, frames sampled evenly, corrupt tail tolerated") {
+    // two solid-gray frames → every pooled cell ≈ the frame mean (JPEG-lossy)
+    def solid(v: Int, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val avi = Multimodal.aviFromJpegFrames(
+      Seq(solid(64, 16, 12), solid(192, 16, 12)), 16, 12)
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(Multimodal.aviMjpegFrames(avi).length === 2)
+    val (n, feats) = Multimodal.aviFeatures(avi, frameSample = 4)
+    assert(n === 2) // clip shorter than the sample budget: all frames
+    val expected = (64 + 192) / 2.0 / 255.0
+    feats.foreach(f => assert(math.abs(f - expected) < 0.02, s"$f vs $expected"))
+    // sampling: 6-frame synthetic clip, budget 4 → exactly 4 decoded
+    val six = Multimodal.syntheticAviMjpeg(2L, 16, 12, 6)
+    assert(Multimodal.aviFeatures(six, 4)._1 === 4)
+    assert(Multimodal.aviFeatures(six, 4)._2.toSeq ===
+      Multimodal.aviFeatures(six, 4)._2.toSeq) // deterministic
+    // corrupt tail: truncation mid-chunk keeps the frames before it
+    assert(Multimodal.aviMjpegFrames(avi.take(avi.length - 10)).length === 1)
+    assert(Multimodal.aviMjpegFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aviFeatures(Array.fill(64)(7.toByte), 4)._1 === 0)
   }
 
   test("multimodal: batched feature extraction preserves ids, shape, determinism") {
@@ -490,7 +519,7 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = feats.collect()
     assert(rows.length === 200)
     assert(rows.forall(_.features.length === Multimodal.FeatureDim))
-    assert(rows.filter(_.mime == "video/mp4").forall(_.frames_sampled === 4))
+    assert(rows.filter(_.mime == "video/x-msvideo").forall(_.frames_sampled === 4))
     val again = Multimodal.extractFeatures(media, frameSample = 4, batchSize = 7)
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     rows.foreach(f => assert(again(f.media_id) === f.features.toSeq)) // batch-size invariant
