@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => NormalizeText(es.head, es(1).eval(InternalRow.empty).toString))
     inject("graft_compression_ratio", classOf[CompressionRatio],
       es => CompressionRatio(es.head))
+    inject("graft_canonical_url", classOf[CanonicalUrl],
+      es => CanonicalUrl(es.head))
     inject("graft_bloom_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

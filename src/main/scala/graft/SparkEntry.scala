@@ -310,6 +310,19 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    // crawl-URL canonicalization: case/port/tracking-param/fragment/
+    // param-order noise collapsed before URL-keyed dedup; the oracle
+    // computes the expected canonical string directly
+    "q_canonical_url" -> ((s, d) => {
+      val raw = concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".Example.COM:80/docs/"), col("doc_id"),
+        lit("?b=2&utm_source=feed&a=1&fbclid=xyz#frag"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.CanonicalUrl.canonicalUrl(raw).as("url"))
+        .orderBy("doc_id")
+    }),
+
     "q_unicode_nfc" -> ((s, d) => {
       // Unicode NFC normalization (native expression) cross-validated
       // against DuckDB's nfc_normalize on synthesized composed/decomposed
@@ -887,6 +900,12 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_canonical_url" ->
+      """SELECT doc_id,
+        |       'http://www.' || lower(source) || '.example.com/docs/'
+        |         || doc_id || '?a=1&b=2' AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_unicode_nfc" ->
       """WITH d AS (

@@ -248,6 +248,21 @@ object Main {
       sum(TextAnalysis.piiCounts(col("text")).getField("n_emails")).as("e"))
       .head().getLong(0)
     println(s"""{"op":"assemble","contaminated_docs":$contaminated,"mixed_kept":$mixed,"emails_found":$pii}""")
+
+    // ingest-time steps: canonical-URL collapse (case/tracking-param
+    // spellings hash equal), incremental dedup of the batch against an
+    // already-ingested snapshot, greedy packing of the survivors
+    val canon = docs.select(graft.functions.CanonicalUrl.canonicalUrl(
+        concat(lit("HTTP://WWW."), upper(col("source")), lit(".example.com/"),
+          col("doc_id"), lit("?utm_source=crawl&ref=x"))).as("url"))
+      .distinct().count()
+    val seen = docs.where(col("doc_id") % 2 === 0)
+    val fresh = Dedup.dropSeenDuplicates(docs, seen, "text",
+      expectedSeen = seen.count())
+    val packs = graft.operators.Packing.greedyPack(
+        fresh, "source", "doc_id", "n_chars", budget = 1000)
+      .select("source", "shard", "pack_id").distinct().count()
+    println(s"""{"op":"ingest","canonical_urls":$canon,"fresh_docs":${fresh.count()},"packs":$packs}""")
   }
 
   /** In-memory demo: generate → validate → render report. */

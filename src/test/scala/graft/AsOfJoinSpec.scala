@@ -62,6 +62,44 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() === t.count()) // left-outer shape: every left row kept
   }
 
+  test("differential: agrees with the brute-force spelling on pseudo-random data") {
+    // deterministic LCG rows across 7 keys with deliberate ts collisions
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val base = ts("2026-03-01 00:00:00").getTime
+    val rnd = lcg(42L).map(math.abs)
+    val leftRows = (0 until 300).map { i =>
+      ("k" + rnd.next() % 7, new Timestamp(base + (rnd.next() % 500) * 1000), i.toLong)
+    }
+    val rightRows = (0 until 300).map { i =>
+      ("k" + rnd.next() % 7, new Timestamp(base + (rnd.next() % 500) * 1000),
+        (rnd.next() % 1000).toDouble)
+    }
+    val l = leftRows.toDF("k", "tts", "trade_id")
+    val r = rightRows.toDF("k", "qts", "px")
+
+    // brute force: max right ts ≤ left ts per key; ties → greatest payload
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, t, id) =>
+      val prior = byKey.getOrElse(k, Seq.empty).filter(!_._2.after(t))
+      val best =
+        if (prior.isEmpty) None
+        else {
+          val mts = prior.map(_._2.getTime).max
+          Some((new Timestamp(mts),
+            prior.filter(_._2.getTime == mts).map(_._3).max))
+        }
+      id -> best
+    }.toMap
+
+    val got = AsOfJoin.asOfJoin(l, r, Seq("k"), "tts", "qts", Seq("px"))
+      .select("trade_id", "asof_qts", "asof_px").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None
+         else Some((row.getTimestamp(1), row.getDouble(2))))).toMap
+    assert(got === expected)
+  }
+
   test("plan: no join operator, no pairwise explosion — one window over a tagged union") {
     val out = AsOfJoin.asOfJoin(trades, quotes, Seq("k"), "tts", "qts", Seq("px"))
     out.collect() // materialize so AQE finalizes the plan

@@ -304,6 +304,27 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("url canonicalization: case/port/params/fragment rules, invalids null, idempotent") {
+    import graft.functions.CanonicalUrl.canonicalize
+    assert(canonicalize("HTTPS://User@Host.COM:443/a/b?z=1&utm_campaign=c&y=2&gclid=g#x")
+      === "https://User@host.com/a/b?y=2&z=1")
+    assert(canonicalize("http://h.com:8080") === "http://h.com:8080/")
+    assert(canonicalize("http://H.com/p?utm_a=1&UTM_b=2") === "http://h.com/p")
+    assert(canonicalize("http://h.com/p?b=2&a=1&a=10") === "http://h.com/p?a=1&a=10&b=2")
+    assert(canonicalize("not a url") === null)
+    assert(canonicalize("mailto:a@b.com") === null)
+    assert(canonicalize("http://") === null)
+    for (u <- Seq("HTTP://A.B:80/x?b=1&a=2#f", "https://q.z/", "http://h.com:8080/p?a=1")) {
+      val once = canonicalize(u)
+      assert(canonicalize(once) === once, s"not idempotent on $u")
+    }
+    // the Column path agrees with the driver-side function
+    val urls = Seq("HTTP://A.B:80/x?b=1&utm_x=0&a=2#f", "nope").toDF("u")
+    val got = urls.select(graft.functions.CanonicalUrl.canonicalUrl($"u").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got === Seq(Some("http://a.b/x?a=2&b=1"), None))
+  }
+
   test("unicode normalization: NFC composes, NFKC folds compat chars, idempotent") {
     TextExpressions.register(spark)
     def norm(t: String, form: String): String =

@@ -183,6 +183,22 @@ class PlanSpec extends SparkSpec {
       s"expected partial window group limits:\n$p")
   }
 
+  test("sequence packing shuffles only (group, id, cost) — document text never moves") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Packing.greedyPack(docs, "source", "doc_id", "n_chars", 1000)
+    out.collect() // finalize AQE stages
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty, "packing groups via exactly one shuffle")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.toLowerCase.contains("text")) && names.length <= 6,
+        s"exchange must carry only (group, shard, id, cost) + grouping keys, got $names")
+    }
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     Predicates.register(spark)
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
