@@ -240,6 +240,13 @@ object SparkEntry {
 
     // ---- windowed event analytics (streaming plan shape, batch run) ----
 
+    // heavy hitters via the DataSketches frequent-items aggregate
+    // (approx_top_k): sketch-merged two-level, O(partitions × capacity)
+    // shuffle — counts exact while distinct ≤ capacity, so the exact
+    // GROUP BY oracle must match
+    "q_heavy_hitters" -> ((s, d) =>
+      Profile.heavyHitters(t(s, d, "events"), "event_type", k = 3)),
+
     "q_hourly_events" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -771,6 +778,10 @@ object SparkEntry {
         |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
         |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS psi
         |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, item LIMIT 3""".stripMargin,
 
     "q_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -92,4 +92,22 @@ object Profile {
         r.getAs[Double](s"max__$f"), r.getAs[Double](s"avg__$f"))
     }.toDF("field", "cnt", "min", "max", "avg")
   }
+
+  /** Heavy hitters on a possibly unbounded-cardinality column via
+    * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
+    * ONE aggregate whose sketch merges two-level like the HLL/t-digest
+    * profiles above, so shuffle volume is O(partitions ×
+    * maxItemsTracked) — the exact `groupBy(col).count.orderBy.limit`
+    * spelling shuffles O(distinct) rows, unbounded for a garbage column
+    * at 10^12 rows. Counts are EXACT whenever the column's distinct
+    * count fits `maxItemsTracked` (the sketch guarantee), which is what
+    * the oracle exploits. Returns (item, n) sorted (n desc, item) with
+    * a deterministic tie order. */
+  def heavyHitters(df: DataFrame, column: String, k: Int,
+                   maxItemsTracked: Int = 10000): DataFrame =
+    df.select(col(column).cast("string").as("__hh_in"))
+      .agg(expr(s"approx_top_k(__hh_in, $k, $maxItemsTracked)").as("tk"))
+      .select(explode(col("tk")).as("hh"))
+      .select(col("hh.item").as("item"), col("hh.count").as("n"))
+      .orderBy(desc("n"), col("item"))
 }

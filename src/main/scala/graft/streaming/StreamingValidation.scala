@@ -146,6 +146,40 @@ object StreamingValidation {
     * `setTimeoutDuration`) when uniqueness only needs to hold within a
     * time horizon; unbounded global uniqueness belongs to the batch
     * aggregate over the stored table. */
+  final case class HashedDoc(key: Long, doc_id: Long)
+
+  /** Streaming exact dedup: emit each content hash's FIRST document
+    * (min doc_id within a micro-batch, then strictly first-arrival
+    * across batches) and drop every later duplicate — the ingest-time
+    * companion of [[graft.operators.Dedup.dropSeenDuplicates]]: a
+    * continuously-arriving crawl deduped as it lands instead of in a
+    * nightly batch. State is ONE boolean per distinct content hash,
+    * partitioned by the state-store key; like [[duplicateAlerts]], an
+    * unbounded production run either TTLs the state
+    * (ProcessingTimeTimeout — dedup within a retention horizon) or
+    * periodically compacts it into the batch bloom/anti-join path.
+    * Emits (key, doc_id) — the caller re-attaches payloads by id, so
+    * document text never enters the state store or the shuffle. */
+  def firstSeenOnly(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select(
+        org.apache.spark.sql.functions.xxhash64(col(textCol)).as("key"),
+        col(idCol).cast("long").as("doc_id")).as[HashedDoc]
+    keyed.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          if (state.exists) {
+            Iterator.empty // hash already emitted in an earlier batch
+          } else {
+            state.update(true)
+            var best: HashedDoc = null
+            rows.foreach(r => if (best == null || r.doc_id < best.doc_id) best = r)
+            Iterator.single(best)
+          }
+      }.toDF()
+  }
+
   def duplicateAlerts(events: DataFrame, keyCol: String): DataFrame = {
     import events.sparkSession.implicits._
     val keyed = events.select(col(keyCol).cast("long").as("key")).as[KeyedId]

@@ -304,6 +304,18 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("heavy hitters: exact counts below sketch capacity, partial agg before shuffle") {
+    val data = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(5)("d")).toDF("v").repartition(4)
+    val got = graft.operators.Profile.heavyHitters(data, "v", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("a", 50L), ("b", 30L), ("c", 20L)))
+    val plan = graft.operators.Profile.heavyHitters(data, "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_top_k"),
+      s"sketch must combine map-side before the shuffle:\n$plan")
+  }
+
   test("url canonicalization: case/port/params/fragment rules, invalids null, idempotent") {
     import graft.functions.CanonicalUrl.canonicalize
     assert(canonicalize("HTTPS://User@Host.COM:443/a/b?z=1&utm_campaign=c&y=2&gclid=g#x")

@@ -103,6 +103,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((7L, 2L), (7L, 3L), (9L, 2L)))
   }
 
+  test("streaming first-seen dedup: one representative per text, later dups dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((13L, "aaa"), (14L, "ccc"), (15L, "bbb")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir)
+    val kept = StreamingValidation.firstSeenOnly(stream, "doc_id", "text")
+    StreamingValidation.runToMemorySink(kept, "first_seen", OutputMode.Append())
+    val got = spark.table("first_seen").collect().map(_.getLong(1)).toSet
+    // min doc_id per distinct text, regardless of micro-batch split
+    assert(got === Set(10L, 12L, 14L))
+  }
+
   test("running per-source stats via mapGroupsWithState") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
