@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => NormalizeText(es.head, es(1).eval(InternalRow.empty).toString))
     inject("graft_compression_ratio", classOf[CompressionRatio],
       es => CompressionRatio(es.head))
+    inject("graft_word_ids", classOf[WordIds],
+      es => WordIds(es.head,
+        es(1).eval(InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq,
+        intArg(es, 2)))
     inject("graft_canonical_url", classOf[CanonicalUrl],
       es => CanonicalUrl(es.head))
     inject("graft_bloom_agg",

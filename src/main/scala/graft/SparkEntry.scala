@@ -317,6 +317,19 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    // text → token ids with a corpus-learned vocabulary (top-20 words,
+    // rank = id, deterministic tie order) — the step that PRODUCES the
+    // engine's north-star input shape (doc_id, tokens); the oracle
+    // learns the same vocab and tokenizes with a word join
+    "q_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", size = 20)
+      docs.select(col("doc_id"),
+          posexplode(TextAnalysis.tokenize(col("text"), vocab, unkId = -1)))
+        .withColumnRenamed("col", "token_id")
+        .orderBy("doc_id", "pos")
+    }),
+
     // crawl-URL canonicalization: case/port/tracking-param/fragment/
     // param-order noise collapsed before URL-keyed dedup; the oracle
     // computes the expected canonical string directly
@@ -911,6 +924,26 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred FROM pick)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tokenize" ->
+      """WITH wl AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(l) AS word,
+        |         CAST(unnest(range(0, len(l))) AS INTEGER) AS pos
+        |  FROM wl),
+        |vocab AS (
+        |  SELECT word,
+        |         CAST(row_number() OVER (ORDER BY n DESC, word) - 1
+        |              AS INTEGER) AS id
+        |  FROM (SELECT word, count(*) AS n FROM words
+        |        GROUP BY 1 ORDER BY n DESC, word LIMIT 20))
+        |SELECT w.doc_id, w.pos, coalesce(v.id, -1) AS token_id
+        |FROM words w LEFT JOIN vocab v USING (word)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_canonical_url" ->
       """SELECT doc_id,

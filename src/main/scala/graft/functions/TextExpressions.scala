@@ -327,6 +327,45 @@ object TextProfile {
     StructField("n_distinct_words", IntegerType, nullable = false)))
 }
 
+/** Whitespace-word → vocabulary-id tokenizer: one pass over the string,
+  * each lower-cased word looked up in a driver-built vocabulary (rank
+  * order = id; see `TextAnalysis.buildVocab`), misses mapped to
+  * `unkId`. The vocabulary rides the expression like
+  * [[graft.functions.MultiEnumTokensValid]]'s value list — a transient
+  * hash map per executor, no shuffle, no UDF, no join: the
+  * explode-join-reassemble spelling shuffles O(total words) rows, this
+  * projection shuffles nothing. Word semantics identical to
+  * [[WordShingles]] (lowercase, trim, split \s+, drop empties); blank
+  * text yields an empty array. */
+case class WordIds(child: Expression, vocab: Seq[String], unkId: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case (w, i) => m.put(w, i) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val out = new Array[Int](words.length)
+    var i = 0
+    while (i < words.length) {
+      val id = ids.get(words(i))
+      out(i) = if (id == null) unkId else id.intValue()
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordIds = copy(child = c)
+  override def prettyName: String = "graft_word_ids"
+}
+
 object TextExpressions {
   /** Idempotent registration (quiet re-entry: no "replaced function"
     * warnings on repeat calls). The Column builders below self-register
@@ -354,6 +393,14 @@ object TextExpressions {
     reg.registerFunction(FunctionIdentifier("graft_compression_ratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName, "graft_compression_ratio"),
       (es: Seq[Expression]) => CompressionRatio(es.head))
+    reg.registerFunction(FunctionIdentifier("graft_word_ids"),
+      new ExpressionInfo(classOf[WordIds].getName, "graft_word_ids"),
+      (es: Seq[Expression]) => WordIds(
+        es.head,
+        es(1).eval(InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType).map(_.toString).toSeq,
+        es(2).eval(InternalRow.empty).toString.toInt))
   }
 
   /** Best-effort self-registration on the active session (no-op when no
@@ -378,5 +425,11 @@ object TextExpressions {
   }
   def compressionRatio(text: Column): Column = {
     ensure(); call_function("graft_compression_ratio", text)
+  }
+  def wordIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    ensure()
+    call_function("graft_word_ids", text,
+      array(vocab.map(lit(_)): _*), lit(unkId))
   }
 }

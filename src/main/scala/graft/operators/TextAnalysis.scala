@@ -176,4 +176,27 @@ object TextAnalysis {
         qualityScoreFrom(col("__tp")).as("quality_score"),
         TextExpressions.fingerprint(col("__text"), 32).as("fingerprint"))
   }
+
+  /** Learn a word vocabulary from the corpus: the `size` most frequent
+    * lower-cased whitespace words, rank order = token id (0 = most
+    * frequent), ties broken lexicographically so the mapping is
+    * deterministic on any engine. EXACT spelling (explode → count →
+    * top-k): one O(distinct-words) shuffle, the standard one-off cost
+    * of vocab construction; for unbounded-cardinality discovery runs,
+    * [[Profile.heavyHitters]] is the sketch-bounded alternative (exact
+    * while distinct ≤ its capacity). Returns at most `size` words,
+    * driver-held — vocabularies are dimension-table-sized by design. */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): Seq[String] = {
+    graft.functions.ShingleExpression.register(df.sparkSession)
+    df.select(explode(Dedup.shingles(col(textCol), 1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(size)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Tokenize text to vocabulary ids (OOV → `unkId`) — one native
+    * projection, no shuffle; see [[graft.functions.WordIds]]. */
+  def tokenize(text: Column, vocab: Seq[String], unkId: Int = -1): Column =
+    TextExpressions.wordIds(text, vocab, unkId)
 }

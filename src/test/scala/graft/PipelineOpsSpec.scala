@@ -304,6 +304,23 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("vocab tokenizer: rank ids, OOV sentinel, blank text, round-trip with vocab") {
+    val corpus = Seq("the cat sat", "the the dog", "THE  Cat", "").toDF("text")
+    // counts: the=4, cat=2, dog=1, sat=1 → ids the=0, cat=1, dog=2, sat=3
+    val vocab = TextAnalysis.buildVocab(corpus, "text", size = 3)
+    assert(vocab === Seq("the", "cat", "dog")) // n desc, word asc at the tie
+    val got = corpus.select(
+        TextAnalysis.tokenize($"text", vocab, unkId = -1).as("ids"))
+      .collect().map(_.getSeq[Int](0))
+    assert(got === Seq(Seq(0, 1, -1), Seq(0, 0, 2), Seq(0, 1), Seq.empty))
+    // full-size vocab: every word resolvable, tokenize∘vocab is total
+    val all = TextAnalysis.buildVocab(corpus, "text", size = 100)
+    assert(all.length === 4)
+    val none = corpus.select(TextAnalysis.tokenize($"text", all).as("ids"))
+      .select(explode($"ids").as("id")).where($"id" === -1).count()
+    assert(none === 0L)
+  }
+
   test("heavy hitters: exact counts below sketch capacity, partial agg before shuffle") {
     val data = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
       Seq.fill(5)("d")).toDF("v").repartition(4)
