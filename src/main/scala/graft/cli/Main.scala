@@ -258,11 +258,13 @@ object Main {
       .distinct().count()
     val seen = docs.where(col("doc_id") % 2 === 0)
     val fresh = Dedup.dropSeenDuplicates(docs, seen, "text",
-      expectedSeen = seen.count())
+      expectedSeen = seen.count()).cache()
+    val freshCnt = fresh.count() // materialize ONCE; packing reuses it
     val packs = graft.operators.Packing.greedyPack(
         fresh, "source", "doc_id", "n_chars", budget = 1000)
       .select("source", "shard", "pack_id").distinct().count()
-    println(s"""{"op":"ingest","canonical_urls":$canon,"fresh_docs":${fresh.count()},"packs":$packs}""")
+    fresh.unpersist()
+    println(s"""{"op":"ingest","canonical_urls":$canon,"fresh_docs":$freshCnt,"packs":$packs}""")
   }
 
   /** In-memory demo: generate → validate → render report. */

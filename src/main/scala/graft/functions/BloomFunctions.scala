@@ -52,11 +52,27 @@ object BloomFunctions {
   }
 
   /** Driver-side build: ONE aggregate job over `df`, returns the filter
-    * bytes (or None when `df` is empty — probe nothing, match nothing). */
+    * bytes (or None when `df` is empty — probe nothing, match nothing).
+    *
+    * `BloomFilterAggregate` SILENTLY caps its inputs at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 8 MB — sized for AQE's within-query runtime
+    * filters, not a corpus registry). Above the cap the filter's real
+    * fpp explodes and the prefilter silently degrades to "everything
+    * hits". Raise both confs to the requested size first, so the
+    * documented ~1.2 GB-per-10^9-keys sizing actually materializes. */
   def buildBloom(df: DataFrame, longCol: Column, expectedItems: Long,
-                 fpp: Double): Option[Array[Byte]] =
+                 fpp: Double): Option[Array[Byte]] = {
+    val conf = df.sparkSession.conf
+    val bits = optimalNumBits(expectedItems, fpp)
+    def raise(key: String, atLeast: Long): Unit =
+      if (conf.getOption(key).forall(_.toLong < atLeast))
+        conf.set(key, atLeast.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     Option(df.agg(bloomAgg(longCol, expectedItems, fpp).as("bf"))
       .head().getAs[Array[Byte]]("bf"))
+  }
 
   /** Per-row probe of inlined filter bytes; false negatives impossible. */
   def mightContain(bloomBytes: Array[Byte], longCol: Column): Column = {

@@ -27,8 +27,10 @@ case class WordShingles(child: Expression, n: Int)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
+    // Locale.ROOT: word identity must not depend on the JVM default
+    // locale (matches WordIds and the SQL lower() the oracles use)
     val words = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
     val shingles: Array[UTF8String] =
       if (words.length < n) Array(UTF8String.fromString(words.mkString(" ")))
       else {

@@ -350,8 +350,10 @@ case class WordIds(child: Expression, vocab: Seq[String], unkId: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
+    // Locale.ROOT: tokenization must not depend on the JVM's default
+    // locale (tr_TR dotless-ı would silently de-sync vocab and oracle)
     val words = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
     val out = new Array[Int](words.length)
     var i = 0
     while (i < words.length) {

@@ -59,10 +59,15 @@ object AsOfJoin {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
 
     // 1. one right row per (key, ts): keep the lexicographically
-    // greatest payload struct so ties are deterministic on any engine
+    // greatest payload struct so ties are deterministic on any engine.
+    // Null-key right rows are dropped up front: under SQL equi-join
+    // semantics NULL matches nothing, and Window.partitionBy would
+    // otherwise group null keys TOGETHER and wrongly stamp null-key
+    // left rows with them (null-key left rows still come back, with a
+    // null match, like any unmatched left row).
     val payloadStruct = struct(payload.map(col): _*)
     val rightDedup = right
-      .where(col(rightTs).isNotNull)
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .groupBy((keys :+ rightTs).map(col): _*)
       .agg(max_by(payloadStruct, payloadStruct).as("__graft_payload"))
 

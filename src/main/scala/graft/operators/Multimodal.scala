@@ -251,23 +251,27 @@ object Multimodal {
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(from: Int, end: Int, inMovi: Boolean): Unit = {
       var p = from
-      while (p + 8 <= end) {
+      while (p >= 0 && p + 8 <= end) {
         val id = cc(p); val len = sz(p + 4)
         val dataStart = p + 8
-        val dataEnd = dataStart.toLong + len
+        val dataEnd = dataStart.toLong + len // Long: a hostile len can't wrap
         if (len < 0) return // malformed: stop
         if (id == "LIST" && len >= 4 && dataStart + 4 <= end) {
-          // a LIST truncated by a cut payload still yields its intact prefix
+          // a LIST truncated by a cut payload still yields its intact
+          // prefix; 'rec ' (and any other) grouping LISTs inside movi
+          // keep the movi context — interleaved AVIs nest frames there
           val listType = cc(dataStart)
           walk(dataStart + 4, math.min(dataEnd, end).toInt,
-            inMovi = listType == "movi")
+            inMovi = inMovi || listType == "movi")
         } else if (dataEnd > end) {
           return // truncated data chunk: drop it, keep what came before
         } else if (inMovi && id.length == 4 &&
             id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {
           frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd.toInt)
         }
-        p = dataStart + len + (len & 1) // chunks are even-padded
+        val next = dataEnd + (len & 1) // chunks are even-padded
+        if (next > end) return
+        p = next.toInt
       }
     }
     walk(12, payload.length, inMovi = false)

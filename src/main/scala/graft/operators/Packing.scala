@@ -44,11 +44,15 @@ object Packing {
     require(shards > 0, "shards must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val narrow = df.select(
+    // null cost → 0 (the row still packs — one corrupt row must not
+    // abort the pass); null ids are unplaceable (no deterministic walk
+    // position) and are dropped rather than crashing the tuple encoder
+    val narrow = df.where(col(idCol).isNotNull)
+      .select(
         col(groupCol).cast("string"),
         pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("__shard"),
         col(idCol).cast("long"),
-        col(costCol).cast("long"))
+        coalesce(col(costCol).cast("long"), lit(0L)))
       .as[(String, Long, Long, Long)]
     narrow
       .groupByKey { case (g, shard, _, _) => (g, shard) }

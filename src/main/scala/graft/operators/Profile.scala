@@ -102,7 +102,11 @@ object Profile {
     * at 10^12 rows. Counts are EXACT whenever the column's distinct
     * count fits `maxItemsTracked` (the sketch guarantee), which is what
     * the oracle exploits. Returns (item, n) sorted (n desc, item) with
-    * a deterministic tie order. */
+    * a deterministic tie order AMONG the returned items; a count tie
+    * exactly at the k-th boundary is resolved arbitrarily by the sketch
+    * (an exact engine breaks it lexicographically) — callers comparing
+    * against exact top-k should pick k off a tie boundary or compare
+    * as a set-with-counts. */
   def heavyHitters(df: DataFrame, column: String, k: Int,
                    maxItemsTracked: Int = 10000): DataFrame =
     df.select(col(column).cast("string").as("__hh_in"))

@@ -62,6 +62,20 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() === t.count()) // left-outer shape: every left row kept
   }
 
+  test("null keys never match each other (SQL equi-join semantics)") {
+    val q = quotes.unionByName(
+      Seq((null.asInstanceOf[String], ts("2026-01-01 09:00:00"), 99.0))
+        .toDF("k", "qts", "px"))
+    val t_ = trades.unionByName(
+      Seq((null.asInstanceOf[String], ts("2026-01-01 10:00:00"), 999L))
+        .toDF("k", "tts", "trade_id"))
+    val out = AsOfJoin.asOfJoin(t_, q, Seq("k"), "tts", "qts", Seq("px"))
+    // the null-key left row comes back, but unmatched
+    val row = out.where($"trade_id" === 999L).select("asof_px").collect()
+    assert(row.length === 1 && row.head.isNullAt(0))
+    assert(out.where($"asof_px" === 99.0).count() === 0)
+  }
+
   test("differential: agrees with the brute-force spelling on pseudo-random data") {
     // deterministic LCG rows across 7 keys with deliberate ts collisions
     def lcg(seed: Long): Iterator[Long] =

@@ -59,6 +59,18 @@ class PipelineOpsSpec extends SparkSpec {
       ("B", 1L, 0L, 0), ("B", 2L, 1L, 0)))
   }
 
+  test("greedy packing: null cost packs at zero, null id dropped, no crash") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]), // null cost
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(7L))  // null id
+    ).toDF("doc_id", "cost").withColumn("source", lit("A"))
+    val got = graft.operators.Packing.greedyPack(df, "source", "doc_id", "cost", 10)
+      .select("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === Seq((1L, 0L), (2L, 0L))) // null-cost row placed, null-id dropped
+  }
+
   test("greedy packing invariants on real docs, sharded and unsharded") {
     for (shards <- Seq(1, 4)) {
       val packed = graft.operators.Packing.greedyPack(
@@ -74,6 +86,18 @@ class PipelineOpsSpec extends SparkSpec {
         .where($"mx" =!= $"n" - 1)
       assert(badPos.count() === 0, "pack positions are contiguous from 0")
     }
+  }
+
+  test("bloom build lifts the AQE runtime-filter caps (silent 8MB degrade)") {
+    import graft.functions.BloomFunctions
+    // 10M items at 1% fpp needs ~96M bits ≈ 12 MB — past the 8 MB
+    // default cap; if the caps were still in force the serialized
+    // filter would come back capped at ≤ 8 MB
+    val bytes = BloomFunctions.buildBloom(
+      spark.range(1000).toDF("v"), col("v"), expectedItems = 10000000L,
+      fpp = 0.01).get
+    assert(bytes.length > 8 * 1024 * 1024,
+      s"filter was capped: ${bytes.length} bytes")
   }
 
   test("incremental dedup plan: bloom probe present, anti-join keyed by hash not text") {
@@ -561,6 +585,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.aviMjpegFrames(avi.take(avi.length - 10)).length === 1)
     assert(Multimodal.aviMjpegFrames(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.aviFeatures(Array.fill(64)(7.toByte), 4)._1 === 0)
+    // hostile chunk length (0x7FFFFFF0): must not throw or wrap negative
+    val hostile = "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ Array[Byte](-16, -1, -1, 127) ++ "movi".getBytes ++
+      Array.fill(32)(0.toByte)
+    assert(Multimodal.aviMjpegFrames(hostile).isEmpty) // clamped walk, no crash
+    // frames nested in a 'rec ' grouping LIST (interleaved-AVI layout)
+    // still decode: rebuild the movi body with the frames wrapped
+    def le(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val jpeg = solid(100, 16, 12)
+    val framePad = if (jpeg.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    val dc = "00dc".getBytes ++ le(jpeg.length) ++ jpeg ++ framePad
+    val rec = "LIST".getBytes ++ le(4 + dc.length) ++ "rec ".getBytes ++ dc
+    val movi = "LIST".getBytes ++ le(4 + rec.length) ++ "movi".getBytes ++ rec
+    val body = "AVI ".getBytes ++ movi
+    val interleaved = "RIFF".getBytes ++ le(body.length) ++ body
+    assert(Multimodal.aviMjpegFrames(interleaved).length === 1)
+    assert(Multimodal.aviFeatures(interleaved, 4)._1 === 1)
   }
 
   test("multimodal: batched feature extraction preserves ids, shape, determinism") {
