@@ -524,6 +524,13 @@ object SparkEntry {
         .orderBy("corpus_id", "bench_id")
     }),
 
+    // substring-level dup signal: fraction of each doc's distinct
+    // 5-grams that occur in another doc (hash-keyed; oracle replays the
+    // same shingles as strings)
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpanFraction(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
     // ---- similarity / ANN ----
 
     "q_ann_topk" -> ((s, d) => {
@@ -842,6 +849,26 @@ object SparkEntry {
 
     "q_dedup_apply" ->
       "SELECT count(*) AS n_kept FROM documents",
+
+    "q_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 5
+        |    THEN list_transform(range(1, len(ws) - 3),
+        |                        i -> array_to_string(ws[i:i+4], ' '))
+        |    ELSE [array_to_string(ws, ' ')] END)) AS s
+        |  FROM t),
+        |cnt AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_fraction
+        |FROM sh JOIN cnt USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack_documents" ->
       """WITH RECURSIVE ordered AS (

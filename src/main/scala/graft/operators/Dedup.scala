@@ -369,6 +369,36 @@ object Dedup {
       .where(col("n_shared") >= minHits)
   }
 
+  /** Per-document duplicated-span signal (the substring-level dedup cue
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): the fraction of a document's distinct word n-grams that
+    * also occur in at least one OTHER document. Near-1 fractions mark
+    * boilerplate/mirror pages that document-level exact/near dedup
+    * misses because the surrounding text differs.
+    *
+    * Distributed shape: per-doc distinct n-gram hashes (the text itself
+    * never shuffles — (id, 8-byte hash) pairs only), a windowed
+    * count-per-hash (tiny partitions: one per distinct n-gram), and a
+    * per-doc re-aggregate — three narrow shuffles, each O(total distinct
+    * n-grams), the known honest cost of substring-level dedup. Same
+    * 64-bit hash-equality trade as [[exactDuplicates]]. */
+  def duplicatedSpanFraction(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 20): DataFrame = {
+    graft.functions.ShingleExpression.register(df.sparkSession)
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    grams
+      .withColumn("__n_docs", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_fraction",
+        round(col("n_shared") / col("n_grams"), 6))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per document (custom Expression over the word array).

@@ -188,6 +188,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("duplicated-span fraction: hand-computed sharing, short-doc fallback") {
+    val df = Seq(
+      (1L, "a b c d e f"),  // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),  // 5-grams: "a b c d e", "b c d e x"
+      (3L, "zz yy")         // <5 words → single fallback shingle
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanFraction(df, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5), // shares "a b c d e" with doc 2
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+  }
+
   test("ngram contamination: shared-shingle counts match hand-computed overlap") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w q r"),
       (3L, "c d e f g h")).toDF("doc_id", "text")
