@@ -336,7 +336,10 @@ object TextProfile {
   * explode-join-reassemble spelling shuffles O(total words) rows, this
   * projection shuffles nothing. Word semantics identical to
   * [[WordShingles]] (lowercase, trim, split \s+, drop empties); blank
-  * text yields an empty array. */
+  * text yields an empty array. The vocabulary is serialized into the
+  * plan (once per task binary, like a broadcast var) — fine for
+  * word-vocab sizes (50k words ≈ 0.5 MB); a multi-GB BPE merge table
+  * would instead warrant an executor-side broadcast handle. */
 case class WordIds(child: Expression, vocab: Seq[String], unkId: Int)
     extends UnaryExpression with CodegenFallback {
 

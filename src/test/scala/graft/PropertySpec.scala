@@ -69,6 +69,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("greedy packing matches a driver-side reference fold on random corpora") {
+    val gen = for {
+      nGroups <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 60)
+      budget <- Gen.choose(5L, 40L)
+      costs <- Gen.listOfN(n, Gen.choose(0L, 50L)) // incl. oversized + zero
+    } yield (nGroups, budget, costs)
+    samples(gen, 12).foreach { case (nGroups, budget, costs) =>
+      val rows = costs.zipWithIndex.map { case (c, i) => (s"g${i % nGroups}", i.toLong, c) }
+      val got = graft.operators.Packing
+        .greedyPack(rows.toDF("source", "doc_id", "cost"), "source", "doc_id", "cost", budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getInt(5)))
+        .sortBy(t => (t._1, t._2))
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        var pack = 0L; var acc = 0L; var pos = 0
+        rs.sortBy(_._2).map { case (_, id, c) =>
+          if (acc > 0 && acc + c > budget) { pack += 1; acc = 0; pos = 0 }
+          acc += c
+          val out = (g, id, pack, pos); pos += 1; out
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq === expected, s"nGroups=$nGroups budget=$budget costs=$costs")
+    }
+  }
+
+  test("url canonicalization: idempotent, tracking-free, sorted, lowercased host") {
+    import graft.functions.CanonicalUrl.canonicalize
+    // letter-led labels: an all-numeric final host label (e.g. "a.6")
+    // reads as a malformed IPv4 to java.net.URI and correctly → null
+    val seg = for {
+      h <- Gen.alphaChar
+      t <- Gen.listOf(Gen.alphaNumChar)
+    } yield (h :: t).mkString.take(8)
+    val param = for {
+      k <- Gen.oneOf(seg, Gen.const("utm_x"), Gen.const("fbclid"))
+      v <- seg
+    } yield s"$k=$v"
+    val url = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.listOfN(2, seg).map(_.mkString("."))
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf(Gen.const(""), seg.map("/" + _))
+      params <- Gen.listOf(param)
+      frag <- Gen.oneOf("", "#frag")
+    } yield s"$scheme://$host$port$path" +
+      (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
+    samples(url, 60).foreach { u =>
+      val c = canonicalize(u)
+      assert(c != null, s"parse failed on generated url $u")
+      assert(canonicalize(c) === c, s"not idempotent: $u -> $c")
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("fbclid"), s"$u -> $c")
+      val host = c.stripPrefix("http://").stripPrefix("https://").takeWhile(ch => ch != '/' && ch != ':')
+      assert(host === host.toLowerCase(java.util.Locale.ROOT), s"$u -> $c")
+      val qIdx = c.indexOf('?')
+      if (qIdx >= 0) {
+        val ps = c.substring(qIdx + 1).split("&").toSeq
+        assert(ps === ps.sorted, s"params unsorted: $u -> $c")
+      }
+    }
+  }
+
   test("violation counts are invariant under repartitioning") {
     val base = SeqTableGen.generate(spark, 5000)
     val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
