@@ -272,6 +272,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward variant: each purchase stamped with the user's NEXT click
+    // at-or-after it (same machinery, descending walk)
+    "q_asof_next" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("value"), prefix = "next_", forward = true)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("next_ts"),
+          col("next_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- text analysis ----
 
     "q_token_counts" -> ((s, d) => {
@@ -821,6 +838,21 @@ object SparkEntry {
         |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
         |       r.value AS click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_next" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     r0 AS (SELECT user_id, ts, value,
+        |              row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY value DESC) AS rn
+        |            FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+        |     r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+        |SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.value,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS next_ts,
+        |       r.value AS next_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY event_id""".stripMargin,
 
     "q_token_counts" ->

@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the payload of the
-  * latest right row with the same key and `right.ts <= left.ts`
-  * (inclusive at equal timestamps) — the "most recent prior
-  * observation" join used to stamp events with the state that preceded
+/** As-of join: for each left row, attach the payload of the latest
+  * right row with the same key and `right.ts <= left.ts` (backward,
+  * default — "most recent prior observation"), or the earliest with
+  * `right.ts >= left.ts` (`forward = true` — "next following
+  * observation"); both inclusive at equal timestamps. Used to stamp
+  * events with the state that preceded (or the outcome that followed)
   * them. Spark has no ASOF JOIN operator; the naive spelling
   * (`l JOIN r ON key AND r.ts <= l.ts` + max-window) explodes to
   * O(|L|·|R|) pairs per key before pruning. This implementation
@@ -46,15 +48,20 @@ object AsOfJoin {
     * @param payload  right columns to attach (prefixed on output)
     * @param prefix   output prefix: matched ts lands as `<prefix><rightTs>`,
     *                 each payload column as `<prefix><name>`
+    * @param forward  false (default): latest right row with
+    *                 `right.ts <= left.ts` (backward); true: EARLIEST
+    *                 right row with `right.ts >= left.ts` — the
+    *                 "next following observation" join, identical
+    *                 machinery walked in descending time order
     * @return left.* plus the prefixed matched-right columns (null where
-    *         no right row precedes the left row); right rows with a
-    *         null timestamp never match, left rows with a null
+    *         no right row precedes/follows the left row); right rows
+    *         with a null timestamp never match, left rows with a null
     *         timestamp match nothing
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_", forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "as-of join needs at least one payload column")
 
@@ -87,9 +94,15 @@ object AsOfJoin {
         lit(null).cast(lt.schema("__graft_row").dataType).as("__graft_row"),
         col("__graft_payload")): _*)
 
-    // 3. carry the latest right payload (and its ts) forward
+    // 3. carry the latest right payload (and its ts) forward — or, for
+    // the forward join, walk time DESCENDING so "last carried" means
+    // "earliest at-or-after"; right still sorts before left at equal ts
+    // (nulls-last keeps null-ts left rows unmatched in both directions)
+    val tsOrder =
+      if (forward) col("__graft_ts").desc_nulls_last
+      else col("__graft_ts").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__graft_ts").asc, col("__graft_side").asc)
+      .orderBy(tsOrder, col("__graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lt.unionByName(rt)
       .withColumn("__graft_match", // null on left rows → skipped by ignoreNulls

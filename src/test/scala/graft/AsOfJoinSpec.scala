@@ -43,6 +43,20 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (105L, None, None)))
   }
 
+  test("forward as-of: earliest right row at-or-after each left ts, per key") {
+    val got = AsOfJoin.asOfJoin(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("px"), prefix = "q_", forward = true)
+      .select("trade_id", "q_qts", "q_px").orderBy("trade_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got === Seq(
+      (100L, Some(ts("2026-01-01 10:00:00")), Some(1.0)), // next quote after 09:59
+      (101L, Some(ts("2026-01-01 10:05:00")), Some(2.0)), // equal ts inclusive
+      (102L, Some(ts("2026-01-01 10:10:00")), Some(3.0)),
+      (103L, None, None),                                 // nothing after 11:00
+      (104L, None, None),                                 // B's only quote precedes
+      (105L, None, None)))
+  }
+
   test("right-side ties on (key, ts) resolve to the greatest payload, deterministically") {
     val tied = quotes.unionByName(
       Seq(("A", ts("2026-01-01 10:05:00"), 7.5)).toDF("k", "qts", "px"))
