@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     es(i).eval(InternalRow.empty).toString.toInt
   private def dblArg(es: Seq[Expression], i: Int): Double =
     es(i).eval(InternalRow.empty).toString.toDouble
+  private def stringArrayArg(es: Seq[Expression], i: Int): Seq[String] =
+    es(i).eval(InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
 
   override def apply(e: SparkSessionExtensions): Unit = {
     def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
@@ -58,12 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_compression_ratio", classOf[CompressionRatio],
       es => CompressionRatio(es.head))
     inject("graft_word_ids", classOf[WordIds],
-      es => WordIds(es.head,
-        es(1).eval(InternalRow.empty)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq,
-        intArg(es, 2)))
+      es => WordIds(es.head, stringArrayArg(es, 1), intArg(es, 2)))
     inject("graft_canonical_url", classOf[CanonicalUrl],
       es => CanonicalUrl(es.head))
     inject("graft_bloom_agg",
@@ -74,10 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
     inject("graft_multienum_valid", classOf[MultiEnumTokensValid],
-      es => MultiEnumTokensValid(es.head,
-        es(1).eval(InternalRow.empty)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq))
+      es => MultiEnumTokensValid(es.head, stringArrayArg(es, 1)))
   }
 }

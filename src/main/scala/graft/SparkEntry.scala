@@ -44,6 +44,24 @@ object SparkEntry {
           (id % 4).cast("int") + 1)).as("source"))
   }
 
+  /** Shared body of q_asof_clicks / q_asof_next: purchases stamped with
+    * the prior (backward) or next (forward) click of the same user. */
+  private def asofClicksQuery(s: SparkSession, d: String, forward: Boolean): DataFrame = {
+    val prefix = if (forward) "next_" else "click_"
+    val ev = t(s, d, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("value"), prefix = prefix, forward = forward)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+        date_format(col(s"${prefix}ts"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}ts"),
+        col(s"${prefix}value"))
+      .orderBy("event_id")
+  }
+
   /** Flagship: full constraint suite over the deterministic tokenized-
     * sequence table — per-rule violation counts (driver smoke-checks
     * rows > 0 on sf0.001). */
@@ -254,40 +272,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hour", "event_type")),
 
-    // backward as-of join: each purchase stamped with the latest prior
-    // click of the same user (union + one running window — no range-join
-    // explosion; oracle is DuckDB's native ASOF LEFT JOIN)
-    "q_asof_clicks" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts", "value")
-      val clicks = ev.where(col("event_type") === "click")
-        .select("user_id", "ts", "value")
-      AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
-          Seq("value"), prefix = "click_")
-        .select(col("event_id"), col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
-          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-          col("click_value"))
-        .orderBy("event_id")
-    }),
-
-    // forward variant: each purchase stamped with the user's NEXT click
-    // at-or-after it (same machinery, descending walk)
-    "q_asof_next" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts", "value")
-      val clicks = ev.where(col("event_type") === "click")
-        .select("user_id", "ts", "value")
-      AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
-          Seq("value"), prefix = "next_", forward = true)
-        .select(col("event_id"), col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
-          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("next_ts"),
-          col("next_value"))
-        .orderBy("event_id")
-    }),
+    // as-of joins: each purchase stamped with the latest prior (or next
+    // following) click of the same user — union + one running window,
+    // no range-join explosion; oracles are DuckDB's native ASOF LEFT
+    // JOIN with the matching inequality direction
+    "q_asof_clicks" -> ((s, d) => asofClicksQuery(s, d, forward = false)),
+    "q_asof_next" -> ((s, d) => asofClicksQuery(s, d, forward = true)),
 
     // ---- text analysis ----
 
