@@ -154,25 +154,42 @@ object StreamingValidation {
     * companion of [[graft.operators.Dedup.dropSeenDuplicates]]: a
     * continuously-arriving crawl deduped as it lands instead of in a
     * nightly batch. State is ONE boolean per distinct content hash,
-    * partitioned by the state-store key; like [[duplicateAlerts]], an
-    * unbounded production run either TTLs the state
-    * (ProcessingTimeTimeout — dedup within a retention horizon) or
-    * periodically compacts it into the batch bloom/anti-join path.
-    * Emits (key, doc_id) — the caller re-attaches payloads by id, so
-    * document text never enters the state store or the shuffle. */
-  def firstSeenOnly(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * partitioned by the state-store key. Emits (key, doc_id) — the
+    * caller re-attaches payloads by id, so document text never enters
+    * the state store or the shuffle.
+    *
+    * `stateTtlMs > 0` bounds the state for unbounded runs: each hash's
+    * entry expires `stateTtlMs` of processing time after its LAST
+    * sighting (sliding horizon — a hash still flowing stays deduped),
+    * after which the text would be emitted again; i.e. dedup within a
+    * retention window, the standard trade for infinite streams. The
+    * alternative at 10^12 scale is periodic compaction into the batch
+    * bloom/anti-join path ([[graft.operators.Dedup.dropSeenDuplicates]]).
+    * Operational note: pending processing-time timers keep a
+    * `Trigger.AvailableNow` run scheduling empty timer batches instead
+    * of terminating — drive TTL'd queries with a continuous trigger
+    * (production) or `Trigger.Once` (tests). */
+  def firstSeenOnly(docs: DataFrame, idCol: String, textCol: String,
+                    stateTtlMs: Long = 0L): DataFrame = {
     import docs.sparkSession.implicits._
     val keyed = docs.select(
         org.apache.spark.sql.functions.xxhash64(col(textCol)).as("key"),
         col(idCol).cast("long").as("doc_id")).as[HashedDoc]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed.groupByKey(_.key)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
         (key: Long, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
-          if (state.exists) {
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: forget the hash
+            Iterator.empty
+          } else if (state.exists) {
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             Iterator.empty // hash already emitted in an earlier batch
           } else {
             state.update(true)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             var best: HashedDoc = null
             rows.foreach(r => if (best == null || r.doc_id < best.doc_id) best = r)
             Iterator.single(best)

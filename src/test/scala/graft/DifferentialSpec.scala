@@ -109,6 +109,23 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("wordIds token count equals TextProfile n_words on adversarial strings") {
+    // two independent native word-split loops must agree everywhere —
+    // a divergence would desync q_tokenize from q_token_counts
+    val vocab = Seq("the", "a", "words") // partial on purpose: unks still count
+    val diff = corpus.select(
+        size(TextExpressions.wordIds($"text", vocab)).as("n_ids"),
+        TextExpressions.textProfile($"text").getField("n_words").as("n_words"))
+      .where($"n_ids" =!= $"n_words")
+    assert(diff.count() === 0)
+    // and the HOF reference spelling agrees too
+    val diff2 = corpus.select(
+        size(TextExpressions.wordIds($"text", vocab)).as("n_ids"),
+        size(wordsHof($"text")).as("n_hof"))
+      .where($"n_ids" =!= $"n_hof")
+    assert(diff2.count() === 0)
+  }
+
   test("simhash over native word split equals simhash over the HOF split (non-empty)") {
     // scope = texts with at least one word: the documented divergence is
     // exactly the zero-word case (native yields [""], HOF yields [])

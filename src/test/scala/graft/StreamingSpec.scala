@@ -117,6 +117,22 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("first_seen").collect().map(_.getLong(1)).toSet
     // min doc_id per distinct text, regardless of micro-batch split
     assert(got === Set(10L, 12L, 14L))
+
+    // TTL-bounded state path (timeout far beyond the test run: same
+    // output; exercises the ProcessingTimeTimeout wiring). Single-batch
+    // trigger: pending processing-time timers make AvailableNow spin
+    // empty timer batches forever, so Once is the terminating choice.
+    val stream2 = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir)
+    val q = StreamingValidation.firstSeenOnly(stream2, "doc_id", "text",
+        stateTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("first_seen_ttl")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("first_seen_ttl").collect().map(_.getLong(1)).toSet
+      === Set(10L, 12L, 14L))
   }
 
   test("running per-source stats via mapGroupsWithState") {
