@@ -256,6 +256,18 @@ object SparkEntry {
       Seq(r6(Drift.psi(obs, base))).toDF("psi")
     }),
 
+    // Jensen–Shannon divergence on the same split — the floor-free,
+    // bounded companion statistic, recomputed exactly in SQL
+    "q_jsd_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = Drift.categoricalFreq(docs.where(col("doc_id") % 2 === 0), "source")
+      val obs = Drift.categoricalFreq(docs, "source")
+      import s.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(r6(Drift.jsd(obs, base))).toDF("jsd")
+    }),
+
     // ---- windowed event analytics (streaming plan shape, batch run) ----
 
     // heavy hitters via the DataSketches frequent-items aggregate
@@ -805,6 +817,20 @@ object SparkEntry {
         |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
         |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS psi
         |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_jsd_source" ->
+      """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |           FROM documents GROUP BY 1),
+        |b AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ot AS (SELECT sum(n) AS t FROM o), bt AS (SELECT sum(n) AS t FROM b),
+        |p AS (SELECT coalesce(o.n, 0) / ot.t AS po, coalesce(b.n, 0) / bt.t AS pb
+        |      FROM o FULL JOIN b ON o.k = b.k, ot, bt)
+        |SELECT round(sum(
+        |    (CASE WHEN po > 0 THEN po * ln(po / ((po + pb) / 2)) ELSE 0 END
+        |   + CASE WHEN pb > 0 THEN pb * ln(pb / ((po + pb) / 2)) ELSE 0 END)
+        |    / 2), 6) AS jsd
+        |FROM p""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS n

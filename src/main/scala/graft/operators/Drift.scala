@@ -105,6 +105,25 @@ object Drift {
     }.sum
   }
 
+  /** Jensen–Shannon divergence between two categorical profiles
+    * (natural log; bounded [0, ln 2], symmetric, defined without a
+    * proportion floor because the mixture m is nonzero wherever either
+    * side is — the property that makes JSD the robust companion to
+    * [[psi]], whose eps floor dominates when a category exists on only
+    * one side). Zero-on-both-sides categories contribute 0. */
+  def jsd(a: CategoricalProfile, b: CategoricalProfile): Double = {
+    val na = a.total.toDouble.max(1.0)
+    val nb = b.total.toDouble.max(1.0)
+    val keys = (a.freq.keySet ++ b.freq.keySet).toSeq.sorted // stable fp sum order
+    keys.iterator.map { k =>
+      val pa = a.freq.getOrElse(k, 0L) / na
+      val pb = b.freq.getOrElse(k, 0L) / nb
+      val m = (pa + pb) / 2.0
+      def term(p: Double) = if (p > 0.0) p * math.log(p / m) else 0.0
+      (term(pa) + term(pb)) / 2.0
+    }.sum
+  }
+
   /** PSI over aligned histogram sketches (numeric flavor: bins are the
     * categories). Same proportion floor as the categorical form. */
   def psiHistogram(observed: HistogramProfile, baseline: HistogramProfile,

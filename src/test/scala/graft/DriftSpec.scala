@@ -61,6 +61,21 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("JSD: zero on identical, ln2 on disjoint, symmetric, hand-checked value") {
+    import graft.operators.Drift.CategoricalProfile
+    val base = CategoricalProfile(Map("a" -> 50L, "b" -> 50L))
+    assert(Drift.jsd(base, base) === 0.0)
+    // fully disjoint supports → the JSD upper bound ln 2
+    val other = CategoricalProfile(Map("c" -> 10L))
+    assert(math.abs(Drift.jsd(base, other) - math.log(2)) < 1e-12)
+    // hand-computed: p=(0.8,0.2) vs q=(0.5,0.5), m=(0.65,0.35)
+    val shifted = CategoricalProfile(Map("a" -> 80L, "b" -> 20L))
+    val expect = (0.8 * math.log(0.8 / 0.65) + 0.2 * math.log(0.2 / 0.35)
+      + 0.5 * math.log(0.5 / 0.65) + 0.5 * math.log(0.5 / 0.35)) / 2
+    assert(math.abs(Drift.jsd(shifted, base) - expect) < 1e-12)
+    assert(Drift.jsd(shifted, base) === Drift.jsd(base, shifted)) // symmetric
+  }
+
   test("histogram buffers merge associatively: (a+b)+c == a+(b+c)") {
     import graft.functions.HistogramBuffer
     def mk(vals: Seq[Double]): HistogramBuffer = {
