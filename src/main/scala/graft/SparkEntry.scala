@@ -44,6 +44,21 @@ object SparkEntry {
           (id % 4).cast("int") + 1)).as("source"))
   }
 
+  /** Shared body of q_psi_source / q_jsd_source: a categorical drift
+    * statistic of documents.source vs its even-doc_id half-sample,
+    * rounded HALF_UP to match SQL round(). */
+  private def sourceDriftStat(
+      s: SparkSession, d: String, alias: String,
+      stat: (Drift.CategoricalProfile, Drift.CategoricalProfile) => Double): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = Drift.categoricalFreq(docs.where(col("doc_id") % 2 === 0), "source")
+    val obs = Drift.categoricalFreq(docs, "source")
+    import s.implicits._
+    Seq(BigDecimal(stat(obs, base))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF(alias)
+  }
+
   /** Shared body of q_asof_clicks / q_asof_next: purchases stamped with
     * the prior (backward) or next (forward) click of the same user. */
   private def asofClicksQuery(s: SparkSession, d: String, forward: Boolean): DataFrame = {
@@ -243,30 +258,12 @@ object SparkEntry {
           / col("exp")), 6).as("chi_square"))
     }),
 
-    "q_psi_source" -> ((s, d) => {
-      // population stability index of documents.source vs a half-sample
-      // baseline — proportions and the eps floor replicated exactly in
-      // SQL (sketches are metadata-sized; the statistic is driver-side)
-      val docs = t(s, d, "documents")
-      val base = Drift.categoricalFreq(docs.where(col("doc_id") % 2 === 0), "source")
-      val obs = Drift.categoricalFreq(docs, "source")
-      import s.implicits._
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq(r6(Drift.psi(obs, base))).toDF("psi")
-    }),
-
-    // Jensen–Shannon divergence on the same split — the floor-free,
-    // bounded companion statistic, recomputed exactly in SQL
-    "q_jsd_source" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val base = Drift.categoricalFreq(docs.where(col("doc_id") % 2 === 0), "source")
-      val obs = Drift.categoricalFreq(docs, "source")
-      import s.implicits._
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq(r6(Drift.jsd(obs, base))).toDF("jsd")
-    }),
+    // categorical drift of documents.source vs a half-sample baseline —
+    // PSI (eps-floored) and its floor-free bounded companion JSD, both
+    // recomputed exactly in SQL (sketches are metadata-sized; the
+    // statistics are driver-side)
+    "q_psi_source" -> ((s, d) => sourceDriftStat(s, d, "psi", Drift.psi(_, _))),
+    "q_jsd_source" -> ((s, d) => sourceDriftStat(s, d, "jsd", Drift.jsd)),
 
     // ---- windowed event analytics (streaming plan shape, batch run) ----
 

@@ -96,10 +96,12 @@ object AsOfJoin {
 
     // 3. carry the latest right payload (and its ts) forward — or, for
     // the forward join, walk time DESCENDING so "last carried" means
-    // "earliest at-or-after"; right still sorts before left at equal ts
-    // (nulls-last keeps null-ts left rows unmatched in both directions)
+    // "earliest at-or-after"; right still sorts before left at equal
+    // ts. Null-ts LEFT rows must sort before every right row so their
+    // running frame is empty of matches: nulls FIRST in both walks
+    // (null-ts right rows were already dropped in step 1).
     val tsOrder =
-      if (forward) col("__graft_ts").desc_nulls_last
+      if (forward) col("__graft_ts").desc_nulls_first
       else col("__graft_ts").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__graft_side").asc)

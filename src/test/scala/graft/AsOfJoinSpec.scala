@@ -70,10 +70,14 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq(("A", null.asInstanceOf[Timestamp], 99.0)).toDF("k", "qts", "px"))
     val t = trades.unionByName(
       Seq(("A", null.asInstanceOf[Timestamp], 999L)).toDF("k", "tts", "trade_id"))
-    val out = AsOfJoin.asOfJoin(t, q, Seq("k"), "tts", "qts", Seq("px"))
-    assert(out.where($"asof_px" === 99.0).count() === 0L)
-    assert(out.where($"trade_id" === 999L).select("asof_px").head().isNullAt(0))
-    assert(out.count() === t.count()) // left-outer shape: every left row kept
+    for (fwd <- Seq(false, true)) {
+      val out = AsOfJoin.asOfJoin(t, q, Seq("k"), "tts", "qts", Seq("px"),
+        forward = fwd)
+      assert(out.where($"asof_px" === 99.0).count() === 0L, s"forward=$fwd")
+      assert(out.where($"trade_id" === 999L).select("asof_px").head().isNullAt(0),
+        s"null-ts left row must match nothing (forward=$fwd)")
+      assert(out.count() === t.count(), s"left-outer shape (forward=$fwd)")
+    }
   }
 
   test("null keys never match each other (SQL equi-join semantics)") {
