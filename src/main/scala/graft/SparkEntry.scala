@@ -258,6 +258,17 @@ object SparkEntry {
           / col("exp")), 6).as("chi_square"))
     }),
 
+    // per-group drift verdicts from ONE grouped sketch aggregation:
+    // each l_returnflag's l_quantity distribution KS-tested against the
+    // global baseline (the per-partition pass/fail pattern at sketch
+    // cost); the oracle rebuilds every per-group ECDF exactly
+    "q_ks_by_flag" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
+      Drift.ksByGroup(li, "l_returnflag", "l_quantity", base)
+        .orderBy("l_returnflag")
+    }),
+
     // categorical drift of documents.source vs a half-sample baseline —
     // PSI (eps-floored) and its floor-free bounded companion JSD, both
     // recomputed exactly in SQL (sketches are metadata-sized; the
@@ -814,6 +825,43 @@ object SparkEntry {
         |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
         |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS psi
         |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_ks_by_flag" ->
+      """WITH binned AS (
+        |  SELECT l_returnflag AS g,
+        |         CASE WHEN l_quantity < 0 THEN 0
+        |              WHEN l_quantity >= 55.0 THEN 65
+        |              ELSE 1 + least(63, CAST(floor((l_quantity / 55.0) * 64)
+        |                                      AS INT)) END AS b
+        |  FROM lineitem),
+        |bins AS (SELECT unnest(range(0, 66)) AS b),
+        |grps AS (SELECT DISTINCT g FROM binned),
+        |cnt AS (SELECT g, b, count(*) AS n FROM binned GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT grps.g, bins.b, coalesce(cnt.n, 0) AS n
+        |  FROM grps CROSS JOIN bins
+        |  LEFT JOIN cnt ON cnt.g = grps.g AND cnt.b = bins.b),
+        |base AS (SELECT bins.b, coalesce(t.n, 0) AS n FROM bins
+        |         LEFT JOIN (SELECT b, count(*) AS n FROM binned GROUP BY 1) t
+        |           ON bins.b = t.b),
+        |ec AS (
+        |  SELECT f.g, f.b,
+        |    sum(f.n) OVER (PARTITION BY f.g ORDER BY f.b)
+        |      / (sum(f.n) OVER (PARTITION BY f.g))::DOUBLE AS fg,
+        |    sum(bf.n) OVER (PARTITION BY f.g ORDER BY f.b)
+        |      / (SELECT sum(n) FROM base)::DOUBLE AS fb
+        |  FROM filled f JOIN base bf USING (b)),
+        |stats AS (SELECT g, max(abs(fg - fb)) AS stat FROM ec GROUP BY g),
+        |ns AS (SELECT g, count(*)::DOUBLE AS n FROM binned GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM binned)
+        |SELECT s.g AS l_returnflag, CAST(ns.n AS BIGINT) AS n,
+        |       round(s.stat, 6) AS ks_stat,
+        |       round(sqrt(-0.5 * ln(0.005))
+        |             * sqrt((ns.n + tot.n) / (ns.n * tot.n)), 6) AS ks_critical,
+        |       s.stat > sqrt(-0.5 * ln(0.005))
+        |                * sqrt((ns.n + tot.n) / (ns.n * tot.n)) AS ks_drifted
+        |FROM stats s JOIN ns USING (g), tot
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_jsd_source" ->
       """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n

@@ -48,6 +48,35 @@ object Drift {
     HistogramProfile(lo, hi, row.getAs[scala.collection.Seq[Long]]("h").toArray)
   }
 
+  /** Per-group KS drift verdicts in ONE grouped sketch aggregation —
+    * the per-partition pass/fail pattern at sketch cost: `groupBy(group)
+    * .agg(histogram)` partial-aggregates per partition, so the shuffle
+    * carries O(partitions × groups) count arrays (never rows), and the
+    * per-group KS-vs-baseline decisions run driver-side over
+    * metadata-sized sketches, exactly like [[check]] does globally.
+    * Returns (group, n, ks_stat, ks_critical, ks_drifted) for groups of
+    * dimension-like cardinality (sources, partitions, shards). */
+  def ksByGroup(df: DataFrame, groupCol: String, field: String,
+                baseline: HistogramProfile, alpha: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    HistogramAgg.register(spark)
+    val nBins = baseline.counts.length - 2
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(HistogramAgg.histogram(col(field), baseline.lo, baseline.hi, nBins).as("h"))
+      .collect()
+    import spark.implicits._
+    perGroup.map { r =>
+      val p = HistogramProfile(baseline.lo, baseline.hi,
+        r.getAs[scala.collection.Seq[Long]]("h").toArray)
+      val stat = ksStatistic(p, baseline)
+      val crit = ksCritical(p.total, baseline.total, alpha)
+      (Option(r.getString(0)).getOrElse("<null>"), p.total,
+        BigDecimal(stat).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(crit).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        stat > crit)
+    }.toSeq.toDF(groupCol, "n", "ks_stat", "ks_critical", "ks_drifted")
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

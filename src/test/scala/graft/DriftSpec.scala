@@ -76,6 +76,22 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.jsd(shifted, base) === Drift.jsd(base, shifted)) // symmetric
   }
 
+  test("per-group KS: shifted group flagged, faithful group not, one grouped agg") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group "ok" ~ U[0,100); group "bad" ~ U[40,140) — clearly shifted
+    val df = spark.range(20000).select(
+      when($"id" % 2 === 0, "ok").otherwise("bad").as("g"),
+      when($"id" % 2 === 0, ($"id" * 7 % 100).cast("double"))
+        .otherwise(($"id" * 7 % 100 + 40).cast("double")).as("v"))
+    val base = Drift.numericHistogram(df.where($"g" === "ok"), "v", 0, 100, 50)
+    val got = Drift.ksByGroup(df, "g", "v", base)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(got("bad") === true, "shifted group must be flagged")
+    assert(got("ok") === false, "the baseline's own group must pass")
+  }
+
   test("histogram buffers merge associatively: (a+b)+c == a+(b+c)") {
     import graft.functions.HistogramBuffer
     def mk(vals: Seq[Double]): HistogramBuffer = {
