@@ -199,6 +199,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("duplicated-span shuffles carry only (id, hash) — text never moves") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Dedup.duplicatedSpanFraction(docs, "doc_id", "text", 5)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.toLowerCase.contains("text")),
+        s"span-dup exchange must carry hashes, not text: $names")
+    }
+  }
+
+  test("per-group drift histogram aggregates partially before the shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // capture the grouped-agg plan (ksByGroup collects; rebuild its frame)
+    graft.functions.HistogramAgg.register(spark)
+    val grouped = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.HistogramAgg.histogram(col("l_quantity"), 0, 55, 64).as("h"))
+    val p = grouped.queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_histogram"),
+      s"grouped sketch must combine map-side before the shuffle:\n$p")
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     Predicates.register(spark)
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
