@@ -458,6 +458,57 @@ object SparkEntry {
       Mixing.realizedMix(sampled, "source").orderBy("source")
     }),
 
+    // seed-keyed deterministic epoch shuffle: top-100 of the permutation
+    // order (orderBy+limit = TakeOrderedAndProject, no global sort
+    // materialized for the check; the full sort is one range exchange).
+    // Knuth multiplicative hash here because it's plain-SQL-replicable;
+    // xxhash64 is the production default in Mixing.epochOrder
+    "q_epoch_order" -> ((s, d) => {
+      def h(c: Column) = (c * lit(2654435761L) + lit(42L)) % lit(4294967296L)
+      Mixing.epochOrder(t(s, d, "documents"), "doc_id", 42L,
+          hashExpr = Some(h(col("doc_id"))))
+        .select(col("doc_id"), h(col("doc_id")).as("h"))
+        .limit(100)
+    }),
+
+    // token-window chunking with overlap (maxLen=4, stride=3) over the
+    // oracle-visible derived sequence table; scalar projections of each
+    // chunk so the oracle compares values, not array encodings
+    "q_chunk_tokens" -> ((s, d) => {
+      val ch = Chunking.chunkTokens(seqFromDocs(s, d), "doc_id", "tokens",
+        maxLen = 4, overlap = 1)
+      ch.select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("n_chunk_tok"),
+          element_at(col("chunk_tokens"), 1).cast("long").as("first_tok"),
+          element_at(col("chunk_tokens"), col("n_chunk_tok")).cast("long")
+            .as("last_tok"),
+          aggregate(col("chunk_tokens"), lit(0L), (a, x) => a + x).as("tok_sum"))
+        .orderBy("doc_id", "chunk_id", "chunk_start", "n_chunk_tok",
+          "first_tok", "last_tok", "tok_sum")
+    }),
+
+    // embedding-column QC: violations over deterministically planted
+    // defects (NaN poison / zero vector / truncated dim by vec_id
+    // arithmetic — same planting pattern as seqFromDocs)
+    "q_embedding_qc" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val v = col("vec_id")
+      val emb = col("embedding")
+      val planted = e.select(v,
+        when(v % 101 === 1, concat(slice(emb, 1, 1),
+            array(lit(Float.NaN)), slice(emb, 3, 100000)))
+          .when(v % 101 === 2, transform(emb, _ => lit(0.0f)))
+          .when(v % 101 === 3, slice(emb, 1, 5))
+          .otherwise(emb).as("embedding"))
+      EmbeddingQC.violations(planted, "vec_id", "embedding", expectedDim = 64)
+        .orderBy("vec_id", "rule_id")
+    }),
+
+    // robust median/MAD outlier fence on l_extendedprice (exact-median
+    // oracle mode; approx_percentile is the bounded-memory scale mode)
+    "q_outliers_price" -> ((s, d) =>
+      Profile.robustOutliers(t(s, d, "lineitem"), "l_extendedprice", k = 3.5)),
+
     "q_fingerprints" -> ((s, d) => { // hash-specific: rows-only
       TextExpressions.register(s)
       t(s, d, "documents")
@@ -1142,6 +1193,70 @@ object SparkEntry {
         |t AS (SELECT sum(n)::DOUBLE AS t FROM c)
         |SELECT source, n, round(n / t.t, 6) AS fraction
         |FROM c, t ORDER BY source""".stripMargin,
+
+    "q_epoch_order" ->
+      """SELECT doc_id, (doc_id * 2654435761 + 42) % 4294967296 AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH $SeqTableCte,
+        |ch AS (
+        |  SELECT toks, len(toks) AS n,
+        |    unnest(range(0, CASE WHEN len(toks) <= 4 THEN 1
+        |      ELSE CAST(ceil((len(toks) - 4) / 3.0) AS INT) + 1 END)) AS cid,
+        |    did
+        |  FROM s2 WHERE len(toks) > 0)
+        |SELECT did AS doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        |  CAST(cid * 3 AS INTEGER) AS chunk_start,
+        |  CAST(least(4, n - cid * 3) AS INTEGER) AS n_chunk_tok,
+        |  CAST(toks[cid * 3 + 1] AS BIGINT) AS first_tok,
+        |  CAST(toks[least(cid * 3 + 4, n)] AS BIGINT) AS last_tok,
+        |  CAST(list_sum(toks[cid * 3 + 1 : cid * 3 + 4]) AS BIGINT) AS tok_sum
+        |FROM ch
+        |ORDER BY doc_id, chunk_id, chunk_start, n_chunk_tok,
+        |         first_tok, last_tok, tok_sum""".stripMargin,
+
+    "q_embedding_qc" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 101 = 1 THEN
+        |           list_concat(list_concat(embedding[1:1], [CAST('nan' AS FLOAT)]),
+        |                       embedding[3:])
+        |         WHEN vec_id % 101 = 2 THEN
+        |           list_transform(embedding, x -> CAST(0 AS FLOAT))
+        |         WHEN vec_id % 101 = 3 THEN embedding[1:5]
+        |         ELSE embedding END AS emb
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT vec_id, len(emb) AS dim,
+        |    len(list_filter(emb, x -> x IS NULL OR isnan(x) OR isinf(x))) AS nonf,
+        |    len(emb) > 0
+        |      AND len(list_filter(emb, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        |      AND len(list_filter(emb, x -> x <> 0)) = 0 AS zero
+        |  FROM p)
+        |SELECT vec_id, rule_id, offending_value FROM (
+        |  SELECT vec_id, 'R_EMB_DIM' AS rule_id,
+        |         'dim=' || dim AS offending_value FROM st WHERE dim <> 64
+        |  UNION ALL
+        |  SELECT vec_id, 'R_EMB_NONFINITE', 'n_nonfinite=' || nonf
+        |  FROM st WHERE nonf > 0
+        |  UNION ALL
+        |  SELECT vec_id, 'R_EMB_ZERO', 'all_zero' FROM st WHERE zero)
+        |ORDER BY vec_id, rule_id""".stripMargin,
+
+    "q_outliers_price" ->
+      """WITH m AS (SELECT median(l_extendedprice) AS m FROM lineitem),
+        |md AS (SELECT median(abs(l_extendedprice - m.m)) AS mad
+        |       FROM lineitem, m),
+        |b AS (SELECT m.m AS m, md.mad AS mad,
+        |             m.m - 3.5 * 1.4826 * md.mad AS lo,
+        |             m.m + 3.5 * 1.4826 * md.mad AS hi FROM m, md)
+        |SELECT 'l_extendedprice' AS field, round(m, 4) AS median,
+        |  round(mad, 4) AS mad, round(lo, 4) AS lo, round(hi, 4) AS hi,
+        |  (SELECT count(*) FROM lineitem, b
+        |   WHERE l_extendedprice < b.lo OR l_extendedprice > b.hi) AS n_outliers,
+        |  (SELECT count(l_extendedprice) FROM lineitem) AS n_rows
+        |FROM b""".stripMargin,
 
     // TextProfile quality arithmetic replicated exactly: whitespace word
     // split, BPE-ish token count (alnum runs + non-alnum non-ws chars),

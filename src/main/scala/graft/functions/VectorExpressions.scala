@@ -182,6 +182,65 @@ case class HyperplaneBucket(child: Expression, dim: Int, nBits: Int, seed: Int)
   override def prettyName: String = "graft_hyperplane_bucket"
 }
 
+/** One-pass embedding health stats: struct(dim, n_nonfinite, all_zero,
+  * l2_norm) from a single traversal of the vector. The QC checks an
+  * embedding column needs at 10^11 vectors (dimension consistency,
+  * NaN/Inf poisoning, zero-vector detection, norm profile) would each be
+  * a separate interpreted-HOF tree (`exists(vec, isnan)`,
+  * `aggregate(vec, …)`, `size`) with no CSE between them — the measured
+  * 100×+ anti-pattern (BENCH.md optimization log). Null elements count
+  * as non-finite: a vector with holes is as unusable as one with NaNs. */
+case class VecStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dim", IntegerType, nullable = false),
+    StructField("n_nonfinite", IntegerType, nullable = false),
+    StructField("all_zero", BooleanType, nullable = false),
+    StructField("l2_norm", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vec_stats requires array<float|double>, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isF = elemIsFloat
+    var nonfinite = 0; var sumSq = 0.0; var anyNonZero = false; var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nonfinite += 1
+      else {
+        val x = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) nonfinite += 1
+        else { if (x != 0.0) anyNonZero = true; sumSq += x * x }
+      }
+      i += 1
+    }
+    // all_zero: a non-empty, fully-finite vector of exact zeros — a
+    // vector with NaN/Inf holes is NONFINITE, not zero (and an empty
+    // one is a DIM problem); l2_norm is over the finite components only
+    val allZero = n > 0 && nonfinite == 0 && !anyNonZero
+    org.apache.spark.sql.catalyst.InternalRow(
+      n, nonfinite, allZero, math.sqrt(sumSq))
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecStats = copy(child = c)
+  override def prettyName: String = "graft_vec_stats"
+}
+
 object VectorExpressions {
   /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
@@ -199,6 +258,9 @@ object VectorExpressions {
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
       (es: Seq[Expression]) => HyperplaneBucket(
         es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3)))
+    reg.registerFunction(FunctionIdentifier("graft_vec_stats"),
+      new ExpressionInfo(classOf[VecStats].getName, "graft_vec_stats"),
+      (es: Seq[Expression]) => VecStats(es.head))
   }
 
   private def ensure(): Unit =
@@ -213,5 +275,8 @@ object VectorExpressions {
   def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Int): Column = {
     import org.apache.spark.sql.functions.lit
     ensure(); call_function("graft_hyperplane_bucket", vec, lit(dim), lit(nBits), lit(seed))
+  }
+  def vecStats(vec: Column): Column = {
+    ensure(); call_function("graft_vec_stats", vec)
   }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Embedding-column validation — the north-star constraint pass
+  * (BASELINE.json: declarative predicates → sparse violations Dataset)
+  * extended to `array<float>` payloads. The checks a 10^11-vector
+  * embedding table needs before training or ANN indexing:
+  *
+  *  - R_EMB_DIM       — dimension != the declared model dimension
+  *                      (truncated/concatenated rows poison ANN math);
+  *  - R_EMB_NONFINITE — NaN/Inf/null elements (one bad vector saturates
+  *                      every cosine it touches);
+  *  - R_EMB_ZERO      — all-zero vectors (cosine undefined; the 1e-30
+  *                      floor in [[graft.functions.CosineSimilarity]]
+  *                      maps them to 0 silently, so they must be CAUGHT
+  *                      here, not downstream);
+  *  - R_EMB_NORM      — L2 norm outside caller bounds (optional; e.g.
+  *                      unnormalized rows in a unit-norm table).
+  *
+  * All four predicates read ONE [[graft.functions.VecStats]] evaluation
+  * per row (single vector traversal; the struct is projected once and is
+  * non-cheap + multi-referenced, so CollapseProject keeps the
+  * projection — same SPARK-36718 discipline as TextAnalysis.analyze).
+  * Clean rows pay only the codegen'd boolean prefilter; only violating
+  * rows materialize the array-of-structs (the violations-are-rare
+  * two-tier shape of ValidationPass.seqViolations).
+  */
+object EmbeddingQC {
+
+  /** Per-row health stats: (idCol, dim, n_nonfinite, all_zero, l2_norm —
+    * rounded to 4 dp for cross-engine reproducibility). */
+  def stats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), VectorExpressions.vecStats(col(vecCol)).as("__vs"))
+      .select(col(idCol),
+        col("__vs.dim").as("dim"),
+        col("__vs.n_nonfinite").as("n_nonfinite"),
+        col("__vs.all_zero").as("all_zero"),
+        round(col("__vs.l2_norm"), 4).as("l2_norm"))
+
+  /** Sparse violations (idCol, rule_id, offending_value). `normBounds`
+    * checks the 4-dp-rounded L2 norm so the rule is exactly reproducible
+    * (same convention as the TextProfile-derived scores). */
+  def violations(df: DataFrame, idCol: String, vecCol: String, expectedDim: Int,
+                 normBounds: Option[(Double, Double)] = None): DataFrame = {
+    val vs = VectorExpressions.vecStats(col(vecCol))
+    val withVs = df.select(col(idCol), vs.as("__vs"))
+    val dim = col("__vs.dim")
+    val nonf = col("__vs.n_nonfinite")
+    val zero = col("__vs.all_zero")
+    val norm = round(col("__vs.l2_norm"), 4)
+
+    val checks: Seq[(String, Column, Column)] = Seq(
+      ("R_EMB_DIM", dim === expectedDim,
+        concat(lit("dim="), dim.cast("string"))),
+      ("R_EMB_NONFINITE", nonf === 0,
+        concat(lit("n_nonfinite="), nonf.cast("string"))),
+      ("R_EMB_ZERO", !zero, lit("all_zero"))) ++
+      normBounds.map { case (lo, hi) =>
+        ("R_EMB_NORM", norm.between(lo, hi),
+          concat(lit("l2_norm="), norm.cast("string")))
+      }
+
+    val cells = checks.map { case (ruleId, valid, off) =>
+      when(!valid, struct(lit(ruleId).as("rule_id"),
+        off.cast("string").as("offending_value")))
+    }
+    // No boolean prefilter here, unlike ValidationPass.seqViolations: a
+    // Filter above the __vs projection gets the struct INLINED into the
+    // pushed predicate (once per referenced field — 3+ vector traversals
+    // per clean row). explode() already drops clean rows' empty arrays,
+    // and the per-row array-of-3-nulls allocation is noise next to the
+    // 64-float traversal the single __vs projection saves.
+    withVs
+      .select(col(idCol), explode(filter(array(cells: _*), _.isNotNull)).as("v"))
+      .select(col(idCol), col("v.rule_id"), col("v.offending_value"))
+  }
+
+  /** Whole-table verdict in ONE partial-aggregating pass (shuffle =
+    * O(partitions) rows): row count, per-rule violation counts, distinct
+    * dims seen, and the norm profile. `normAvg` is rounded AFTER the
+    * global merge. */
+  def summary(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame =
+    df.select(VectorExpressions.vecStats(col(vecCol)).as("__vs"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__vs.dim") =!= expectedDim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("__vs.n_nonfinite") > 0, 1L).otherwise(0L)).as("n_nonfinite_rows"),
+        sum(when(col("__vs.all_zero"), 1L).otherwise(0L)).as("n_zero_rows"),
+        round(min(col("__vs.l2_norm")), 4).as("norm_min"),
+        round(max(col("__vs.l2_norm")), 4).as("norm_max"),
+        round(avg(col("__vs.l2_norm")), 4).as("norm_avg"))
+}

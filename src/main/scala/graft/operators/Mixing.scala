@@ -46,6 +46,29 @@ object Mixing {
   private def thresholdFor(w: Double, granularity: Int): Long =
     math.round(math.min(math.max(w, 0.0), 1.0) * granularity)
 
+  /** Deterministic epoch shuffle: a seed-keyed global reorder of the
+    * corpus, the "shuffle your training data differently every epoch"
+    * step done as a SORT, not an RNG — order by h(key, seed) and the
+    * permutation is reproducible bit-for-bit on any cluster size, stable
+    * under retries, and changes completely with the seed.
+    *
+    * Scale shape: a total sort = one range-partitioned exchange
+    * (sampled range boundaries, then per-partition local sort) — the
+    * same cost class as any global orderBy, and the ONLY correct way to
+    * get a seeded permutation without a driver-side index. Downstream
+    * writers keep the order per output file.
+    *
+    * `hashExpr` defaults to xxhash64(key, seed) (uniform, production
+    * path); the oracle path passes a plain-SQL-replicable mix like
+    * `(key * 2654435761 + seed) % 2^32` instead. Ties (hash collisions)
+    * are broken by the key itself so the order is total. */
+  def epochOrder(df: DataFrame, keyCol: String, seed: Long,
+                 hashExpr: Option[Column] = None): DataFrame = {
+    val h = hashExpr.getOrElse(xxhash64(col(keyCol), lit(seed)))
+    df.withColumn("__epoch_h", h).orderBy(col("__epoch_h"), col(keyCol))
+      .drop("__epoch_h")
+  }
+
   /** The realized mix after sampling: per-source counts + fraction of
     * the sampled total (one tiny aggregate for observability — "no
     * silent caps" applies to mixing too: always LOOK at the mix you

@@ -93,6 +93,41 @@ object Profile {
     }.toDF("field", "cnt", "min", "max", "avg")
   }
 
+  /** Robust (median/MAD) outlier detection on a numeric column — the
+    * distributional cousin of the declarative range checks: flag values
+    * outside median ± k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality; k=3.5 ≈ a 3.5σ fence that, unlike mean/stddev fences,
+    * the outliers themselves cannot drag).
+    *
+    * Two aggregation passes by construction (MAD needs the median
+    * first), plus the counting pass — each a two-level partial
+    * aggregate over the scan, shuffling O(partitions) rows. `exact=true`
+    * uses exact `median` (order-statistic memory O(n) per group at
+    * scale — the ORACLE path, bit-reproducible in any engine);
+    * production at 10^12 rows sets `exact=false` for the t-digest
+    * `approx_percentile` sketch, same plan shape with bounded memory.
+    *
+    * @return one row: (field, median, mad, lo, hi, n_outliers, n_rows)
+    *         with display columns rounded to 4 dp; the fence itself is
+    *         computed unrounded. */
+  def robustOutliers(df: DataFrame, field: String, k: Double = 3.5,
+                     exact: Boolean = true): DataFrame = {
+    val c = col(field).cast("double")
+    def med(x: Column): Column =
+      if (exact) median(x) else percentile_approx(x, lit(0.5), lit(10000))
+    val m = df.agg(med(c).as("m")).head().getDouble(0)
+    val mad = df.agg(med(abs(c - m)).as("mad")).head().getDouble(0)
+    val lo = m - k * 1.4826 * mad
+    val hi = m + k * 1.4826 * mad
+    df.agg(
+        count(c).as("n_rows"),
+        sum(when(c < lo || c > hi, 1L).otherwise(0L)).as("n_outliers"))
+      .select(lit(field).as("field"),
+        round(lit(m), 4).as("median"), round(lit(mad), 4).as("mad"),
+        round(lit(lo), 4).as("lo"), round(lit(hi), 4).as("hi"),
+        col("n_outliers"), col("n_rows"))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest
