@@ -509,6 +509,18 @@ object SparkEntry {
     "q_outliers_price" -> ((s, d) =>
       Profile.robustOutliers(t(s, d, "lineitem"), "l_extendedprice", k = 3.5)),
 
+    // C4-style line-level dedup: corpus-frequent boilerplate lines
+    // (planted by doc_id arithmetic) are scrubbed, document bodies kept
+    "q_line_dedup" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nfollow us on example social"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))).as("text"))
+      LineDedup.removeDuplicateLines(aug, "doc_id", "text", minOccurrences = 3)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     "q_fingerprints" -> ((s, d) => { // hash-specific: rows-only
       TextExpressions.register(s)
       t(s, d, "documents")
@@ -1257,6 +1269,27 @@ object SparkEntry {
         |   WHERE l_extendedprice < b.lo OR l_extendedprice > b.hi) AS n_outliers,
         |  (SELECT count(l_extendedprice) FROM lineitem) AS n_rows
         |FROM b""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN chr(10) || 'follow us on example social' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |          THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(sp) AS line, unnest(range(0, len(sp))) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM aug)),
+        |f AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+        |k AS (SELECT doc_id, pos, line FROM l
+        |      WHERE line NOT IN (SELECT line FROM f))
+        |SELECT a.doc_id,
+        |       coalesce(s.txt, '') AS text
+        |FROM aug a LEFT JOIN (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
+        |  FROM k GROUP BY doc_id) s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // TextProfile quality arithmetic replicated exactly: whitespace word
     // split, BPE-ish token count (alnum runs + non-alnum non-ws chars),

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level (intra-document) deduplication — the C4-style boilerplate
+  * scrub: drop every LINE whose occurrence count across the whole corpus
+  * reaches `minOccurrences` (navigation chrome, cookie banners, "all
+  * rights reserved" footers), keeping the rest of each document intact.
+  * Complements document-level [[Dedup]]: near-identical boilerplate
+  * never makes two documents near-duplicates, it just pollutes both.
+  *
+  * Scale shape, pass by pass:
+  *  1. counting — lines split map-side, the aggregate shuffles
+  *     (xxhash64(line), partial count) only: O(partitions × distinct
+  *     hashes) rows, never line text;
+  *  2. flagging — (id, pos, hash) triples semi-join the frequent-hash
+  *     set (narrow 20-byte rows; AQE broadcasts the frequent side when
+  *     it is small, which is the common case — boilerplate is by
+  *     definition few DISTINCT lines);
+  *  3. rebuild — the removal positions aggregate to one array per
+  *     flagged document (bounded by lines/doc) and join the corpus on
+  *     id: the ONE text-carrying exchange, same cost class as any
+  *     enrichment join; unflagged documents pass through the join with
+  *     a null removal set and keep their original text column verbatim.
+  *
+  * Same xxhash64 grouping trade as [[Dedup.exactDuplicates]]: a 64-bit
+  * collision between two distinct lines merges their counts (≈2.7×10^4
+  * colliding pairs at 10^12 distinct lines — negligible relative loss,
+  * documented there).
+  */
+object LineDedup {
+
+  private def splitLines(textCol: Column): Column = split(textCol, "\n")
+
+  /** Frequent-line observability: (line_hash, n_occurrences, example) for
+    * lines reaching `minOccurrences`, heaviest first. `example` carries
+    * one representative line text (min_by keeps the aggregate map-side
+    * combinable — no window, no text-keyed shuffle). */
+  def frequentLines(df: DataFrame, textCol: String, minOccurrences: Long): DataFrame =
+    df.select(explode(splitLines(col(textCol))).as("line"))
+      .groupBy(xxhash64(col("line")).as("line_hash"))
+      .agg(count(lit(1)).as("n"), min_by(col("line"), col("line")).as("example"))
+      .where(col("n") >= minOccurrences)
+      .orderBy(desc("n"), col("line_hash"))
+
+  /** Rewrite `textCol` with corpus-frequent lines removed (empty string
+    * if every line was boilerplate). Line order and all other columns
+    * are preserved. */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                           minOccurrences: Long): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    val lines = df.select(col(idCol),
+        posexplode(splitLines(col(textCol))).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), xxhash64(col("line")).as("h"))
+    val freq = lines.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minOccurrences).select("h")
+    val removals = lines.join(freq, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__rm"))
+    val rebuilt = concat_ws("\n",
+      filter(splitLines(col(textCol)), (x, i) => !array_contains(col("__rm"), i)))
+    df.join(removals, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__rm").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__rm")
+  }
+}

@@ -27,6 +27,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.count() === withDup.count() - 1)
   }
 
+  test("line-level dedup: corpus-frequent lines scrubbed, bodies and order kept") {
+    import graft.operators.LineDedup
+    val boiler = "all rights reserved"
+    val corpus = Seq(
+      (0L, s"alpha\n$boiler\nbeta", "web"),
+      (1L, s"$boiler\ngamma", "web"),
+      (2L, s"delta\n$boiler", "books"),
+      (3L, s"$boiler\n$boiler", "books"), // both occurrences go → empty doc
+      (4L, "epsilon zeta", "code"),       // single line, untouched
+      (5L, "shared twice\neta", "code"),
+      (6L, "shared twice\ntheta", "code")) // 2 < minOccurrences=3 → kept
+      .toDF("doc_id", "text", "source")
+    val cleaned = LineDedup.removeDuplicateLines(corpus, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, String, String)].collect()
+    assert(cleaned === Array(
+      (0L, "alpha\nbeta", "web"),
+      (1L, "gamma", "web"),
+      (2L, "delta", "books"),
+      (3L, "", "books"),
+      (4L, "epsilon zeta", "code"),
+      (5L, "shared twice\neta", "code"),
+      (6L, "shared twice\ntheta", "code")),
+      "boilerplate (5 occurrences) removed, 2-occurrence line kept, columns preserved")
+    val freq = LineDedup.frequentLines(corpus, "text", 3)
+      .as[(Long, Long, String)].collect()
+    assert(freq.length === 1 && freq.head._2 === 5 && freq.head._3 === boiler)
+    // threshold 2 additionally catches the shared-twice line
+    val freq2 = LineDedup.frequentLines(corpus, "text", 2)
+      .as[(Long, Long, String)].collect()
+    assert(freq2.map(_._3).toSet === Set(boiler, "shared twice"))
+  }
+
   test("incremental dedup: seen texts dropped (no false negatives), unseen kept") {
     val seen = docs.where($"doc_id" < 25)
     val batch = docs // 25 seen texts + the rest unseen

@@ -133,4 +133,39 @@ class ValidationPassSpec extends SparkSpec {
     val cond = r.columns.find(_.rule.field === "condition_id").get
     assert(cond.failingValues === Seq("NA"))
   }
+
+  test("schema check: missing / extra / type / nullability diffs, gate semantics") {
+    import org.apache.spark.sql.types._
+    import graft.operators.SchemaCheck
+    val contract = StructType(Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("tokens", ArrayType(IntegerType, containsNull = false)),
+      StructField("n_tok", IntegerType),
+      StructField("source", StringType)))
+    val drifted = StructType(Seq(
+      StructField("doc_id", StringType, nullable = true),   // relaxed
+      StructField("tokens", ArrayType(LongType, containsNull = false)), // widened
+      StructField("source", StringType),                    // n_tok dropped
+      StructField("quality", DoubleType)))                  // new column
+    val v = SchemaCheck.diff(drifted, contract)
+    assert(v === Seq(
+      SchemaCheck.SchemaViolation("doc_id", "R_SCHEMA_NULLABILITY",
+        "expected required, found nullable"),
+      SchemaCheck.SchemaViolation("n_tok", "R_SCHEMA_MISSING", "expected int"),
+      SchemaCheck.SchemaViolation("quality", "R_SCHEMA_EXTRA", "found double"),
+      SchemaCheck.SchemaViolation("tokens", "R_SCHEMA_TYPE",
+        "expected array<int>, found array<bigint>")))
+    // additive evolution: extras suppressed, the rest still reported
+    assert(!SchemaCheck.diff(drifted, contract, allowExtra = true)
+      .exists(_.ruleId == "R_SCHEMA_EXTRA"))
+    // gate: identical (or nullability-only-drifted) schemas validate
+    assert(SchemaCheck.compatible(contract, contract))
+    val relaxedOnly = StructType(contract.fields.map(_.copy(nullable = true)))
+    assert(SchemaCheck.compatible(relaxedOnly, contract))
+    assert(!SchemaCheck.compatible(drifted, contract), "missing+type drift blocks")
+    // DataFrame flavor carries the engine violation-row shape
+    val df = SchemaCheck.violations(spark, drifted, contract)
+    assert(df.columns === Array("field", "rule_id", "offending_value"))
+    assert(df.count() === 4)
+  }
 }
