@@ -509,6 +509,18 @@ object SparkEntry {
     "q_outliers_price" -> ((s, d) =>
       Profile.robustOutliers(t(s, d, "lineitem"), "l_extendedprice", k = 3.5)),
 
+    // exact dedup keyed on the TOKEN payload (the engine's north-star
+    // input shape — no detokenization needed; xxhash64 hashes the array
+    // directly): a doubled corpus must collapse pairwise
+    "q_seq_dedup" -> ((s, d) => {
+      val seq = seqFromDocs(s, d).select(col("doc_id"), col("tokens"))
+      val doubled = seq.unionByName(
+        seq.withColumn("doc_id", concat(lit("dup_"), col("doc_id"))))
+      Dedup.exactDuplicates(doubled, "doc_id", "tokens")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_docs")).as("n_docs_total"))
+    }),
+
     // C4-style line-level dedup: corpus-frequent boilerplate lines
     // (planted by doc_id arithmetic) are scrubbed, document bodies kept
     "q_line_dedup" -> ((s, d) => {
@@ -1269,6 +1281,16 @@ object SparkEntry {
         |   WHERE l_extendedprice < b.lo OR l_extendedprice > b.hi) AS n_outliers,
         |  (SELECT count(l_extendedprice) FROM lineitem) AS n_rows
         |FROM b""".stripMargin,
+
+    "q_seq_dedup" ->
+      s"""WITH $SeqTableCte,
+        |doubled AS (
+        |  SELECT did AS doc_id, toks FROM s2
+        |  UNION ALL
+        |  SELECT 'dup_' || did, toks FROM s2)
+        |SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
+        |  SELECT toks, count(*) AS n_docs FROM doubled
+        |  GROUP BY toks HAVING count(*) > 1)""".stripMargin,
 
     "q_line_dedup" ->
       """WITH aug AS (

@@ -107,6 +107,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min_by"), s"duplicates must collapse map-side:\n$p")
   }
 
+  test("line-dedup: counting and flagging exchanges never carry line text") {
+    import graft.operators.LineDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(LineDedup.removeDuplicateLines(docs, "doc_id", "text", 3))
+    assert(!p.contains("hashpartitioning(line"),
+      s"a line-text-keyed shuffle crept in:\n$p")
+    assert(p.contains("partial_count"),
+      s"line counting must combine map-side before the shuffle:\n$p")
+    // the only text-carrying exchange is the final id-keyed rebuild join
+    val freqPlan = plan(LineDedup.frequentLines(docs, "text", 3))
+    assert(freqPlan.contains("hashpartitioning(line_hash") ||
+      freqPlan.contains("hashpartitioning(_groupingexpression"),
+      s"frequency aggregate must key on the 8-byte hash:\n$freqPlan")
+  }
+
   test("no forced broadcast on the unbounded duplicate-key set") {
     val df = SeqTableGen.generate(spark, 1000)
     val lp = Uniqueness.violations(df, "doc_id").queryExecution.logical.toString

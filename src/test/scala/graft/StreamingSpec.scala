@@ -149,4 +149,32 @@ class StreamingSpec extends SparkSpec {
     val nClicks = batch.where($"event_type" === "click").count()
     assert(got("click")._1 === nClicks)
   }
+
+  test("streaming embedding QC: stateless violations pass equals batch truth") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EmbeddingQC
+    // plant a truncated-dim defect on every 10th vector, stage as a
+    // 2-file stream source (2 micro-batches)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_emb").toString
+    val planted = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id",
+        when($"vec_id" % 10 === 0, slice($"embedding", 1, 7))
+          .otherwise($"embedding").as("embedding"))
+    planted.repartition(2).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(planted.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // EmbeddingQC.violations is a stateless projection + explode — it
+    // runs on a streaming frame unchanged (Append mode, no watermark,
+    // no state store): ingest-time embedding QC for free
+    val v = EmbeddingQC.violations(stream, "vec_id", "embedding", expectedDim = 64)
+    assert(v.isStreaming)
+    StreamingValidation.runToMemorySink(v, "emb_qc", OutputMode.Append())
+    val got = spark.table("emb_qc").orderBy("vec_id", "rule_id")
+      .as[(Long, String, String)].collect()
+    val batchTruth = EmbeddingQC.violations(planted, "vec_id", "embedding", 64)
+      .orderBy("vec_id", "rule_id").as[(Long, String, String)].collect()
+    assert(got === batchTruth)
+    assert(got.nonEmpty && got.forall(_._2 == "R_EMB_DIM"))
+  }
 }
