@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val names = args.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    for (n <- names; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, d).write.mode("overwrite").format("noop").save()
+      println(f"[timeq] $n iter$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -107,16 +107,25 @@ object Profile {
     * production at 10^12 rows sets `exact=false` for the t-digest
     * `approx_percentile` sketch, same plan shape with bounded memory.
     *
+    * `sampleFilter` estimates the FENCE on a deterministic row subset
+    * (e.g. `col("id") % 100 === 0`) while still counting outliers over
+    * every row — the right shape at 10^12 rows even in exact mode: the
+    * fence is a low-precision population statistic a fixed sample pins,
+    * and the two order-statistic passes then touch 1/N of the data.
+    * Deterministic (hash/modulo) sampling keeps it oracle-replicable.
+    *
     * @return one row: (field, median, mad, lo, hi, n_outliers, n_rows)
     *         with display columns rounded to 4 dp; the fence itself is
     *         computed unrounded. */
   def robustOutliers(df: DataFrame, field: String, k: Double = 3.5,
-                     exact: Boolean = true): DataFrame = {
+                     exact: Boolean = true,
+                     sampleFilter: Option[Column] = None): DataFrame = {
     val c = col(field).cast("double")
     def med(x: Column): Column =
       if (exact) median(x) else percentile_approx(x, lit(0.5), lit(10000))
-    val m = df.agg(med(c).as("m")).head().getDouble(0)
-    val mad = df.agg(med(abs(c - m)).as("mad")).head().getDouble(0)
+    val est = sampleFilter.map(df.where).getOrElse(df)
+    val m = est.agg(med(c).as("m")).head().getDouble(0)
+    val mad = est.agg(med(abs(c - m)).as("mad")).head().getDouble(0)
     val lo = m - k * 1.4826 * mad
     val hi = m + k * 1.4826 * mad
     df.agg(
