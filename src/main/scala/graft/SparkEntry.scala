@@ -44,6 +44,24 @@ object SparkEntry {
           (id % 4).cast("int") + 1)).as("source"))
   }
 
+  /** Decontamination corpus: the derived seq table restricted to
+    * well-formed ids (the planted '  '/'DOC-' rows share one literal id
+    * value each, which would merge unrelated docs under one groupBy
+    * key). */
+  private def decontamCorpus(s: SparkSession, d: String): DataFrame =
+    seqFromDocs(s, d).where(col("doc_id").startsWith("doc_"))
+
+  /** Deterministic planted benchmark: the suffix (positions 1..len-1) of
+    * every mod-89 doc's CLEAN token formula — each bench row shares all
+    * its 3-grams with its corpus doc, so contamination is guaranteed and
+    * oracle-computable. */
+  private def decontamBench(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    t(s, d, "documents").where(id % 89 === 0)
+      .select(transform(sequence(lit(1), ((id % 7) + 4).cast("int")),
+        i => ((id * 31 + i * 17) % 50000).cast("int")).as("tokens"))
+  }
+
   /** Shared body of q_psi_source / q_jsd_source: a categorical drift
     * statistic of documents.source vs its even-doc_id half-sample,
     * rounded HALF_UP to match SQL round(). */
@@ -504,10 +522,13 @@ object SparkEntry {
         .orderBy("vec_id", "rule_id")
     }),
 
-    // robust median/MAD outlier fence on l_extendedprice (exact-median
-    // oracle mode; approx_percentile is the bounded-memory scale mode)
+    // robust median/MAD outlier fence on l_extendedprice: the fence is
+    // estimated on a deterministic 10% sample (the at-scale pattern —
+    // exact order statistics over a pinned subset), outliers counted on
+    // every row; approx_percentile is the sketch alternative
     "q_outliers_price" -> ((s, d) =>
-      Profile.robustOutliers(t(s, d, "lineitem"), "l_extendedprice", k = 3.5)),
+      Profile.robustOutliers(t(s, d, "lineitem"), "l_extendedprice", k = 3.5,
+        sampleFilter = Some(col("l_orderkey") % 10 === 0))),
 
     // exact dedup keyed on the TOKEN payload (the engine's north-star
     // input shape — no detokenization needed; xxhash64 hashes the array
@@ -520,6 +541,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_groups"),
           sum(col("n_docs")).as("n_docs_total"))
     }),
+
+    // token-level benchmark decontamination over the derived seq table:
+    // the "benchmark" is a deterministic suffix-slice of every mod-89
+    // doc's clean token sequence, so leaked 3-grams are planted by
+    // construction; Spark matches on native gram HASHES, the oracle on
+    // gram CONTENT (DuckDB list slices) — equal counts prove the hash
+    // path finds exactly the true overlaps
+    "q_decontaminate" -> ((s, d) => {
+      Decontamination.contaminated(
+          decontamCorpus(s, d), "doc_id", "tokens",
+          decontamBench(s, d), "tokens", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // the apply step: corpus minus contaminated docs, with a payload
+    // checksum (sum of n_tok) proving the survivors are the right rows
+    "q_decontam_clean" -> ((s, d) =>
+      Decontamination.removeContaminated(
+          decontamCorpus(s, d), "doc_id", "tokens",
+          decontamBench(s, d), "tokens", n = 3)
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_tok")).as("sum_ntok"))),
 
     // C4-style line-level dedup: corpus-frequent boilerplate lines
     // (planted by doc_id arithmetic) are scrubbed, document bodies kept
@@ -1269,9 +1312,10 @@ object SparkEntry {
         |ORDER BY vec_id, rule_id""".stripMargin,
 
     "q_outliers_price" ->
-      """WITH m AS (SELECT median(l_extendedprice) AS m FROM lineitem),
+      """WITH est AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0),
+        |m AS (SELECT median(l_extendedprice) AS m FROM est),
         |md AS (SELECT median(abs(l_extendedprice - m.m)) AS mad
-        |       FROM lineitem, m),
+        |       FROM est, m),
         |b AS (SELECT m.m AS m, md.mad AS mad,
         |             m.m - 3.5 * 1.4826 * md.mad AS lo,
         |             m.m + 3.5 * 1.4826 * md.mad AS hi FROM m, md)
@@ -1291,6 +1335,49 @@ object SparkEntry {
         |SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
         |  SELECT toks, count(*) AS n_docs FROM doubled
         |  GROUP BY toks HAVING count(*) > 1)""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, toks FROM s2 WHERE starts_with(did, 'doc_')),
+        |bench AS (
+        |  SELECT list_transform(range(1, doc_id % 7 + 5),
+        |                        i -> (doc_id * 31 + i * 17) % 50000) AS btoks
+        |  FROM documents WHERE doc_id % 89 = 0),
+        |bg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(range(0, greatest(len(btoks) - 2, 0)),
+        |                               i -> btoks[i + 1 : i + 3])) AS g
+        |  FROM bench)),
+        |cg AS (SELECT DISTINCT did, g FROM (
+        |  SELECT did, unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+        |                                    i -> toks[i + 1 : i + 3])) AS g
+        |  FROM corpus)),
+        |ng AS (SELECT did, count(*) AS n_grams FROM cg GROUP BY did),
+        |m AS (SELECT did, count(*) AS n_matched
+        |      FROM cg JOIN bg USING (g) GROUP BY did)
+        |SELECT m.did AS doc_id, ng.n_grams, m.n_matched,
+        |       round(m.n_matched / ng.n_grams, 6) AS contamination_rate
+        |FROM m JOIN ng USING (did)
+        |WHERE m.n_matched >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontam_clean" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, toks, n_tok FROM s2 WHERE starts_with(did, 'doc_')),
+        |bench AS (
+        |  SELECT list_transform(range(1, doc_id % 7 + 5),
+        |                        i -> (doc_id * 31 + i * 17) % 50000) AS btoks
+        |  FROM documents WHERE doc_id % 89 = 0),
+        |bg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(range(0, greatest(len(btoks) - 2, 0)),
+        |                               i -> btoks[i + 1 : i + 3])) AS g
+        |  FROM bench)),
+        |cg AS (SELECT DISTINCT did, g FROM (
+        |  SELECT did, unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+        |                                    i -> toks[i + 1 : i + 3])) AS g
+        |  FROM corpus)),
+        |bad AS (SELECT DISTINCT did FROM cg JOIN bg USING (g))
+        |SELECT count(*) AS n_clean, CAST(sum(n_tok) AS BIGINT) AS sum_ntok
+        |FROM corpus WHERE did NOT IN (SELECT did FROM bad)""".stripMargin,
 
     "q_line_dedup" ->
       """WITH aug AS (

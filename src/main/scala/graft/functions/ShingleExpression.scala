@@ -105,6 +105,75 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int, seed: Long = 4
   override def prettyName: String = "graft_minhash_bands"
 }
 
+/** Distinct hashes of every n-token window of a token array, in ONE
+  * native evaluation — the gram-extraction primitive for token-level
+  * decontamination (benchmark-leak detection on the north-star
+  * `tokens:array<int>` payload, no detokenization; the 13-gram overlap
+  * check of GPT-3 appendix C / PaLM-style decontamination, here with
+  * configurable n).
+  *
+  * Output is the SORTED DISTINCT window hashes: dedup happens per row
+  * inside the expression so the downstream explode→join carries each
+  * doc-gram once (shuffle/broadcast-probe volume = distinct grams, not
+  * windows — repetitive docs collapse before leaving the row). Docs
+  * shorter than n have no n-gram and return an empty array.
+  *
+  * The hash is an order-sensitive chain of splitmix64-finalized tokens
+  * (h ← (h ⊕ fmix64(tok)) · C per element), so equal windows hash equal
+  * and permuted windows don't. The oracle joins on gram CONTENT
+  * (DuckDB list slices); hash-equality equals content-equality absent
+  * 64-bit collisions (≈2.7e4 expected colliding PAIRS at 10^12 grams —
+  * negligible false-contamination, and decontamination errs safe:
+  * a collision flags a clean doc, never unflags a leaked one). */
+case class TokenGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val nWin = len - n + 1
+    if (nWin <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var h = 0x9E3779B97F4A7C15L ^ n
+      var j = 0
+      while (j < n) {
+        // null token elements hash as a reserved sentinel (tokens are
+        // non-null by schema; defensive for hand-built test frames)
+        val tok = if (arr.isNullAt(i + j)) Long.MinValue
+                  else arr.getInt(i + j).toLong
+        h = (h ^ fmix64(tok)) * 0xC2B2AE3D27D4EB4FL
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    var k = 1
+    while (k < nWin) {
+      if (hs(k) != hs(k - 1)) { hs(out) = hs(k); out += 1 }
+      k += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenGramHashes = copy(child = c)
+  override def prettyName: String = "graft_token_grams"
+}
+
 object ShingleExpression {
   /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
@@ -118,6 +187,9 @@ object ShingleExpression {
     reg.registerFunction(FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "graft_minhash_bands"),
       (es: Seq[Expression]) => MinHashBandKeys(es.head, intArg(es, 1), intArg(es, 2)))
+    reg.registerFunction(FunctionIdentifier("graft_token_grams"),
+      new ExpressionInfo(classOf[TokenGramHashes].getName, "graft_token_grams"),
+      (es: Seq[Expression]) => TokenGramHashes(es.head, intArg(es, 1)))
   }
 
   private def ensure(): Unit =
@@ -128,5 +200,8 @@ object ShingleExpression {
   }
   def minhashBands(tokens: Column, k: Int, bands: Int): Column = {
     ensure(); call_function("graft_minhash_bands", tokens, lit(k), lit(bands))
+  }
+  def tokenGrams(tokens: Column, n: Int): Column = {
+    ensure(); call_function("graft_token_grams", tokens, lit(n))
   }
 }

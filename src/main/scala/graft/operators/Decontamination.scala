@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleExpression
+
+/** Token-level benchmark decontamination: flag (and drop) training
+  * sequences that share n-token grams with an evaluation/benchmark set —
+  * the GPT-3-appendix-C / PaLM-style leak check, run directly on the
+  * north-star `tokens:array<int>` payload with no detokenization.
+  *
+  * Scale shape (the part that must survive 10^12 corpus sequences):
+  *  - gram extraction is one native expression per row
+  *    ([[graft.functions.TokenGramHashes]]) emitting SORTED DISTINCT
+  *    8-byte window hashes — repeated grams collapse inside the row,
+  *    before anything is exploded;
+  *  - the benchmark side is a bounded dimension BY CONSTRUCTION (eval
+  *    suites are 10^3–10^6 sequences, curated by hand), so its distinct
+  *    gram set is broadcast and the corpus side never shuffles: the
+  *    whole check is scan → explode → broadcast-hash semi-probe →
+  *    partial-aggregated per-doc count. Zero exchanges over corpus data
+  *    (pinned in PlanSpec);
+  *  - the per-doc match count aggregates only SURVIVING (matched)
+  *    grams, which for a healthy corpus is a vanishing fraction.
+  *
+  * The reference app has no decontamination analogue; this is an
+  * engine extension for the training-data pipeline tier (SURVEY §2
+  * "beyond-reference" block), orthogonal to near-dup dedup: dedup
+  * compares corpus↔corpus, decontamination compares corpus↔benchmark.
+  *
+  * Division of labor vs [[Dedup.ngramContamination]]: that operator
+  * works on TEXT via word shingles and attributes hits per
+  * (corpus_id, bench_id) pair (who leaked from which benchmark); this
+  * one works on the token payload directly — no detokenization, no
+  * string materialization — and reports per-doc totals plus the apply
+  * (removal) step, which is what a token-native training pipeline runs.
+  */
+object Decontamination {
+
+  /** Sorted distinct hashes of every `n`-token window (empty when the
+    * doc has fewer than n tokens). */
+  def gramHashes(tokens: Column, n: Int): Column =
+    ShingleExpression.tokenGrams(tokens, n)
+
+  /** Distinct benchmark gram hashes — one small frame to broadcast.
+    * Kept separate so callers amortize it across many corpus slices
+    * (build once, persist, reuse per partition/epoch). */
+  def benchmarkGrams(bench: DataFrame, tokCol: String, n: Int): DataFrame =
+    bench.select(explode(gramHashes(col(tokCol), n)).as("gram_hash")).distinct()
+
+  /** Per-doc contamination report: docs sharing >= `minMatches` distinct
+    * n-grams with the benchmark, with
+    * (doc_id, n_grams, n_matched, contamination_rate).
+    *
+    * `n_grams` counts the doc's DISTINCT grams (the denominator that
+    * pairs with the distinct-match numerator). The benchmark gram set is
+    * broadcast — bounded dimension by construction (scaladoc above); for
+    * a pathologically large benchmark pass `broadcastBench = false` to
+    * fall back to a shuffled semi-join. */
+  def contaminated(corpus: DataFrame, idCol: String, tokCol: String,
+                   bench: DataFrame, benchTokCol: String, n: Int,
+                   minMatches: Long = 1L,
+                   broadcastBench: Boolean = true): DataFrame = {
+    val bgRaw = benchmarkGrams(bench, benchTokCol, n)
+    val bg = if (broadcastBench) broadcast(bgRaw) else bgRaw
+    val cg = corpus
+      .select(col(idCol), gramHashes(col(tokCol), n).as("__grams"))
+      .select(col(idCol), size(col("__grams")).as("n_grams"),
+        explode(col("__grams")).as("gram_hash"))
+    // grams are distinct per doc already, so count(*) == distinct matches;
+    // n_grams is functionally determined by idCol — grouping on both keeps
+    // it through the aggregate without a join back
+    cg.join(bg, Seq("gram_hash"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minMatches)
+      .select(col(idCol), col("n_grams"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_grams"), 6)
+          .as("contamination_rate"))
+  }
+
+  /** The apply step: corpus minus contaminated docs (broadcast-able anti
+    * join on the id — the contaminated set is a tiny fraction of a
+    * healthy corpus, but the broadcast is left to the planner/AQE since
+    * "tiny" is an empirical property, not a structural one). */
+  def removeContaminated(corpus: DataFrame, idCol: String, tokCol: String,
+                         bench: DataFrame, benchTokCol: String, n: Int,
+                         minMatches: Long = 1L): DataFrame = {
+    val bad = contaminated(corpus, idCol, tokCol, bench, benchTokCol, n,
+      minMatches).select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}
