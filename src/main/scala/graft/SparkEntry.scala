@@ -542,6 +542,17 @@ object SparkEntry {
           sum(col("n_docs")).as("n_docs_total"))
     }),
 
+    // concat-and-chunk packing placement: every doc's global token
+    // offset (two-level distributed prefix sum — no SinglePartition
+    // window) and the fixed 512-token training windows it spans
+    "q_concat_pack" -> ((s, d) =>
+      Packing.concatChunk(
+          decontamCorpus(s, d).select(col("doc_id"), col("n_tok")),
+          "doc_id", "n_tok", windowLen = 512L)
+        .select(col("doc_id"), col("n_tok"), col("offset").as("tok_offset"),
+          col("first_window"), col("last_window"))
+        .orderBy("doc_id")),
+
     // token-level benchmark decontamination over the derived seq table:
     // the "benchmark" is a deterministic suffix-slice of every mod-89
     // doc's clean token sequence, so leaked 3-grams are planted by
@@ -1335,6 +1346,20 @@ object SparkEntry {
         |SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
         |  SELECT toks, count(*) AS n_docs FROM doubled
         |  GROUP BY toks HAVING count(*) > 1)""".stripMargin,
+
+    "q_concat_pack" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, n_tok FROM s2 WHERE starts_with(did, 'doc_')),
+        |o AS (SELECT did, n_tok,
+        |        CAST(coalesce(sum(n_tok) OVER (ORDER BY did
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS tok_offset
+        |      FROM corpus)
+        |SELECT did AS doc_id, CAST(n_tok AS BIGINT) AS n_tok, tok_offset,
+        |       tok_offset // 512 AS first_window,
+        |       CASE WHEN n_tok > 0 THEN (tok_offset + n_tok - 1) // 512
+        |            ELSE tok_offset // 512 END AS last_window
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $SeqTableCte,

@@ -70,4 +70,73 @@ object Packing {
       }
       .toDF(groupCol, "shard", idCol, costCol, "pack_id", "pack_pos")
   }
+
+  /** Global token offset of every document in id order — the prefix sum
+    * that positions each doc in the virtual concatenation of the whole
+    * corpus (the GPT-style "concat then cut fixed windows" pack regime,
+    * the complement of [[greedyPack]]: greedy never splits a document,
+    * concat-chunk always fills every window).
+    *
+    * A naive `sum().over(Window.orderBy(id))` is a SinglePartition
+    * exchange — one task folds the corpus. This is the two-level
+    * spelling that stays parallel at any size:
+    *   1. range-partition + sort the NARROW (id, cost) projection
+    *      (~16 bytes/row leaves the scan — column pruning does the rest),
+    *      pin it with localCheckpoint so both consumers see identical
+    *      partitions;
+    *   2. per-partition totals → driver prefix scan (O(partitions)
+    *      rows — same driver-side budget as the Lloyd means or offender
+    *      caps) → broadcast back;
+    *   3. intra-partition running sum via a window PARTITIONED BY the
+    *      pinned partition id + the broadcast partition offset.
+    * Every stage is parallel; the only global object is the
+    * O(partitions) offset table.
+    *
+    * Requires unique ids (duplicate ids have no defined walk order).
+    * Null costs count 0; rows keep their slot. */
+  def globalOffsets(df: DataFrame, idCol: String, costCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val narrow = df
+      .select(col(idCol), coalesce(col(costCol).cast("long"), lit(0L)).as("__c"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = narrow.groupBy("__pid").agg(sum("__c").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+    val offsets = totals.map(_._1).zip(prefix.map(_._2)).toSeq
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__pid", "__poff"))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    narrow.join(offDf, Seq("__pid"))
+      .withColumn("offset", coalesce(sum(col("__c")).over(w), lit(0L)) + col("__poff"))
+      .select(col(idCol), col("__c").as(costCol), col("offset"))
+  }
+
+  /** Concat-and-chunk packing: each document's span of fixed
+    * `windowLen`-token training windows in the virtual global
+    * concatenation. Returns per-doc
+    * (idCol, costCol, offset, first_window, last_window) — a doc
+    * crossing a window boundary is SPLIT across windows (that is the
+    * point of this regime: zero padding waste, attention masks handle
+    * the seams). Zero-cost docs sit at their offset's window with no
+    * span. Downstream materialization (slice tokens per window) is
+    * [[Chunking.chunkTokens]] on the fragment boundaries — this
+    * operator is the placement computation, which is the only part
+    * needing cross-document coordination. */
+  def concatChunk(df: DataFrame, idCol: String, costCol: String,
+                  windowLen: Long): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    // `div` is integer division (long / on Columns is double division,
+    // which loses exactness past 2^53 total tokens)
+    globalOffsets(df, idCol, costCol)
+      .withColumn("first_window", expr(s"offset div $windowLen"))
+      .withColumn("last_window",
+        when(col(costCol) > 0,
+          expr(s"(offset + $costCol - 1) div $windowLen"))
+          .otherwise(col("first_window")))
+  }
 }

@@ -120,6 +120,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("concat-chunk packing: hand-computed offsets and window spans") {
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 1L), (6L, 0L))
+      .toDF("doc_id", "n_tok")
+      .repartition(4) // placement must not depend on input partitioning
+    val got = graft.operators.Packing.concatChunk(df, "doc_id", "n_tok", 5L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L),   // [0,3) in window 0
+      (2L, 3L, 0L, 1L),   // [3,7) straddles 0→1
+      (3L, 7L, 1L, 1L),
+      (4L, 9L, 1L, 2L),   // [9,14) straddles 1→2
+      (5L, 14L, 2L, 2L),
+      (6L, 15L, 3L, 3L))) // zero-cost: sits at its window, no span
+  }
+
+  test("concat-chunk offsets equal the naive prefix sum on real docs") {
+    val naive = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, c)) => (id, acc + c) }
+    val expect = naive.sliding(2).map { case Array((_, off), (id, _)) => id -> off }
+      .toMap
+    val got = graft.operators.Packing.globalOffsets(docs, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
+  test("concat-chunk plan: no SinglePartition global-window exchange") {
+    val plan = graft.operators.Packing
+      .concatChunk(docs, "doc_id", "n_chars", 512L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "global prefix sum must stay two-level parallel, never one task")
+  }
+
   test("bloom build lifts the AQE runtime-filter caps (silent 8MB degrade)") {
     import graft.functions.BloomFunctions
     // 10M items at 1% fpp needs ~96M bits ≈ 12 MB — past the 8 MB
