@@ -177,4 +177,39 @@ class DifferentialSpec extends SparkSpec {
       (col("a").bitwiseXOR(col("b"))).as("x")).collect().map(_.getLong(0))
     assert(xored.forall(_ == 0xFFFL), s"expected complement buckets: ${xored.toSeq}")
   }
+
+  test("tokenGrams equals set-of-windows semantics on random token arrays") {
+    import graft.functions.ShingleExpression
+    // property: for any array and n, the native expression returns
+    // exactly the distinct n-windows (as a SET), sorted — checked by
+    // comparing match-counts between the native hash path and a
+    // driver-computed window-content path across random pairs
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { i =>
+      val len = rnd.nextInt(12)
+      (i, Seq.fill(len)(rnd.nextInt(5))) // tiny alphabet → real collisions
+    }
+    val df = rows.toDF("id", "tokens")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select($"id", ShingleExpression.tokenGrams($"tokens", n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val naive = rows.map { case (id, ts) =>
+        id -> ts.sliding(n).filter(_.length == n).map(_.toList).toSet
+      }.toMap
+      // same gram-set SIZE per doc (hashes are injective on these tiny
+      // windows with overwhelming probability), sorted, distinct
+      rows.foreach { case (id, _) =>
+        assert(got(id).length === naive(id).size, s"id=$id n=$n")
+        assert(got(id) === got(id).sorted.distinct, s"id=$id n=$n not sorted-distinct")
+      }
+      // cross-doc: equal windows hash equal — docs sharing a window in
+      // content must share one in hash space
+      val hashSets = got.map { case (k, v) => k -> v.toSet }
+      for ((a, sa) <- naive; (b, sb) <- naive if a < b) {
+        val contentShared = sa.intersect(sb).nonEmpty
+        val hashShared = hashSets(a).intersect(hashSets(b)).nonEmpty
+        assert(contentShared === hashShared, s"pair ($a,$b) n=$n")
+      }
+    }
+  }
 }
