@@ -771,6 +771,26 @@ object SparkEntry {
           ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
         .orderBy("doc_id", "rule_id", "offending_value")),
 
+    // row-level quarantine split over the same constraint suite: clean
+    // rows pass through byte-identical (checksummed below), dirty rows
+    // grouped by their violated-rule combination
+    "q_quarantine_clean" -> ((s, d) => {
+      val (clean, _) = ValidationPass.splitValid(seqFromDocs(s, d),
+        ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
+      clean.agg(count(lit(1)).as("n_clean"),
+        sum(col("n_tok")).as("sum_ntok"),
+        sum(size(col("tokens"))).as("sum_size"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
+    "q_quarantine_dirty" -> ((s, d) => {
+      val (_, dirty) = ValidationPass.splitValid(seqFromDocs(s, d),
+        ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
+      dirty.groupBy(array_join(col("violated_rules"), ",").as("rules"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("rules")
+    }),
+
     // token-id frequency over the derived sequence table: explode →
     // hash-aggregate (partial agg collapses to ≤vocab rows per partition
     // BEFORE the shuffle, so shuffle = O(partitions × vocab), not
@@ -1346,6 +1366,36 @@ object SparkEntry {
         |SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
         |  SELECT toks, count(*) AS n_docs FROM doubled
         |  GROUP BY toks HAVING count(*) > 1)""".stripMargin,
+
+    "q_quarantine_clean" ->
+      s"""WITH $SeqTableCte,
+        |v AS (SELECT *,
+        |  (did IS NULL OR regexp_matches(did, '^\\s*$$'))
+        |  OR (NOT regexp_matches(did, '^(?:doc_[0-9]{12})$$'))
+        |  OR (n_tok <> len(toks))
+        |  OR (NOT (list_max(toks) < 50000 AND list_min(toks) >= 0))
+        |  OR (source NOT IN ('web','books','code','wiki')) AS bad
+        |  FROM s2)
+        |SELECT count(*) AS n_clean, CAST(sum(n_tok) AS BIGINT) AS sum_ntok,
+        |       CAST(sum(len(toks)) AS BIGINT) AS sum_size,
+        |       min(did) AS min_doc, max(did) AS max_doc
+        |FROM v WHERE NOT bad""".stripMargin,
+
+    "q_quarantine_dirty" ->
+      s"""WITH $SeqTableCte,
+        |v AS (SELECT array_to_string(list_filter([
+        |    CASE WHEN did IS NULL OR regexp_matches(did, '^\\s*$$')
+        |         THEN 'R_NONNULL_DOCID' END,
+        |    CASE WHEN NOT regexp_matches(did, '^(?:doc_[0-9]{12})$$')
+        |         THEN 'R_REGEX_DOCID' END,
+        |    CASE WHEN n_tok <> len(toks) THEN 'R_NTOK_EQ_SIZE' END,
+        |    CASE WHEN NOT (list_max(toks) < 50000 AND list_min(toks) >= 0)
+        |         THEN 'R_TOKEN_RANGE' END,
+        |    CASE WHEN source NOT IN ('web','books','code','wiki')
+        |         THEN 'R_ENUM_SOURCE' END], x -> x IS NOT NULL), ',') AS rules
+        |  FROM s2)
+        |SELECT rules, count(*) AS n_rows FROM v WHERE rules <> ''
+        |GROUP BY rules ORDER BY rules""".stripMargin,
 
     "q_concat_pack" ->
       s"""WITH $SeqTableCte,

@@ -325,4 +325,31 @@ object ValidationPass {
       .select(carry :+ col("doc_id") :+ col("v.rule_id") :+
         col("v.offending_value"): _*)
   }
+
+  /** Row-level quarantine split: (clean, dirty). Clean rows pass through
+    * BYTE-IDENTICAL — all input columns, no projection — which is what
+    * makes the north-star per-row token-array-equality invariant hold by
+    * construction (the validated output IS the input row; pinned by
+    * test). Dirty rows additionally carry `violated_rules`, the rule ids
+    * they tripped in constraint-declaration order.
+    *
+    * Both frames are pure predicate filters over one scan shape — zero
+    * shuffles, whole-stage codegen, and at 10^12 rows each side prunes
+    * at the parquet scan when written back partitioned. Downstream:
+    * clean → the training sink, dirty → a quarantine table whose
+    * violation DETAIL (per-rule offending values) is [[seqViolations]]
+    * over the same constraints. */
+  def splitValid(df: DataFrame, constraints: Seq[SeqConstraint])
+      : (DataFrame, DataFrame) = {
+    val anyViolation = constraints
+      .map(c => !coalesce(c.valid, lit(false)))
+      .reduce(_ || _)
+    val ruleTags = constraints.map(c =>
+      when(!coalesce(c.valid, lit(false)), lit(c.ruleId)))
+    val clean = df.where(!anyViolation)
+    val dirty = df.where(anyViolation)
+      .withColumn("violated_rules",
+        filter(array(ruleTags: _*), x => x.isNotNull))
+    (clean, dirty)
+  }
 }

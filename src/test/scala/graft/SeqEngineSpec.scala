@@ -91,6 +91,30 @@ class SeqEngineSpec extends SparkSpec {
     assert(validated.count() > 0)
   }
 
+  test("quarantine split: exact partition, byte-identical clean rows, rule tags") {
+    val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
+    val (clean, dirty) = ValidationPass.splitValid(df, constraints)
+    // the two sides partition the input exactly
+    assert(clean.count() + dirty.count() === df.count())
+    assert(clean.columns === df.columns, "clean passes through unprojected")
+    // clean side carries the token arrays byte-identical (the north-star
+    // per-row invariant) — re-join by id over the unique-id subset
+    val uniq = df.groupBy("doc_id").count().where($"count" === 1).select("doc_id")
+    val diff = df.as("in").join(clean.as("out"), Seq("doc_id"))
+      .join(uniq, Seq("doc_id"))
+      .where(not($"in.tokens" === $"out.tokens"))
+    assert(diff.count() === 0)
+    // dirty rule tags agree with the violations dataset per row count:
+    // every rule id appearing in seqViolations appears in some tag array
+    val vioRules = ValidationPass.seqViolations(df, constraints)
+      .select("rule_id").distinct().as[String].collect().toSet
+    val tagRules = dirty.select(explode($"violated_rules").as("r"))
+      .distinct().as[String].collect().toSet
+    assert(tagRules === vioRules)
+    // no clean row violates anything
+    assert(ValidationPass.seqViolations(clean, constraints).count() === 0)
+  }
+
   test("validate-batch produces the same per-partition verdicts as the loop") {
     import graft.checkpoint.Manifest
     val dir = java.nio.file.Files.createTempDirectory("graft_vb").toString
