@@ -10,10 +10,16 @@ object TimeQueries {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    for (n <- names; i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, d).write.mode("overwrite").format("noop").save()
-      println(f"[timeq] $n iter$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val explain = sys.env.contains("GRAFT_EXPLAIN")
+    for (n <- names; i <- 1 to (if (explain) 1 else 3)) {
+      if (explain) {
+        println(s"[timeq] ===== $n =====");
+        SparkEntry.queries(n)(spark, d).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, d).write.mode("overwrite").format("noop").save()
+        println(f"[timeq] $n iter$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
     }
     spark.stop()
   }

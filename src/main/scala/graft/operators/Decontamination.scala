@@ -45,9 +45,20 @@ object Decontamination {
 
   /** Distinct benchmark gram hashes — one small frame to broadcast.
     * Kept separate so callers amortize it across many corpus slices
-    * (build once, persist, reuse per partition/epoch). */
+    * (build once, persist, reuse per partition/epoch).
+    *
+    * explode_outer, not explode, on BOTH sides here: plain explode
+    * triggers InferFiltersFromGenerate, whose `size(g) > 0 AND
+    * isnotnull(g)` filter gets substituted through the projection by
+    * predicate pushdown — re-evaluating the whole gram expression up to
+    * 3× per row (CodegenFallback gets no CSE; measured in the
+    * q_decontaminate plan). The rule skips outer generates; the join on
+    * gram_hash then drops the null row an empty/null array emits, so
+    * semantics are identical and the expression runs ONCE (pinned in
+    * PlanSpec). */
   def benchmarkGrams(bench: DataFrame, tokCol: String, n: Int): DataFrame =
-    bench.select(explode(gramHashes(col(tokCol), n)).as("gram_hash")).distinct()
+    bench.select(explode_outer(gramHashes(col(tokCol), n)).as("gram_hash"))
+      .where(col("gram_hash").isNotNull).distinct()
 
   /** Per-doc contamination report: docs sharing >= `minMatches` distinct
     * n-grams with the benchmark, with
@@ -67,7 +78,7 @@ object Decontamination {
     val cg = corpus
       .select(col(idCol), gramHashes(col(tokCol), n).as("__grams"))
       .select(col(idCol), size(col("__grams")).as("n_grams"),
-        explode(col("__grams")).as("gram_hash"))
+        explode_outer(col("__grams")).as("gram_hash"))
     // grams are distinct per doc already, so count(*) == distinct matches;
     // n_grams is functionally determined by idCol — grouping on both keeps
     // it through the aggregate without a join back

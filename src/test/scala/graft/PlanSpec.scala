@@ -141,6 +141,24 @@ class PlanSpec extends SparkSpec {
     assert(hits === 1, s"TextProfile duplicated $hits times:\n$optimized")
   }
 
+  test("decontamination evaluates token grams once per side, never in a filter") {
+    import graft.operators.Decontamination
+    val seq = SeqTableGen.generate(spark, 1000)
+    val bench = seq.limit(50).select(col("tokens"))
+    val rep = Decontamination.contaminated(seq, "doc_id", "tokens",
+      bench, "tokens", n = 3)
+    // explode (non-outer) triggers InferFiltersFromGenerate, whose
+    // size(g)>0 filter is pushdown-substituted into a SECOND (and third)
+    // evaluation of the gram expression — the operator uses explode_outer
+    // precisely to keep ONE evaluation per side
+    val optimized = rep.queryExecution.optimizedPlan.toString
+    val hits = "graft_token_grams".r.findAllIn(optimized).size
+    assert(hits === 2, s"token grams must appear once per side, got $hits:\n$optimized")
+    val inFilter = optimized.linesIterator
+      .filter(_.trim.startsWith("Filter")).exists(_.contains("graft_token_grams"))
+    assert(!inFilter, s"gram expression re-evaluated inside a Filter:\n$optimized")
+  }
+
   test("token-frequency explode collapses map-side before the shuffle") {
     val seq = SeqTableGen.generate(spark, 1000)
     val q = seq.select(explode(col("tokens")).as("token"))
