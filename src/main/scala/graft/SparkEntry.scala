@@ -553,6 +553,23 @@ object SparkEntry {
           col("first_window"), col("last_window"))
         .orderBy("doc_id")),
 
+    // the assembled packed windows: scalar projections of each window's
+    // token array (size / sum / ends) verify CONTENT AND ORDER of the
+    // reassembly against the oracle's global-position replica
+    // cost = ACTUAL array size (the planted n_tok≠size rows must not
+    // drift the reassembly offsets)
+    "q_pack_windows" -> ((s, d) =>
+      Packing.materializeWindows(
+          decontamCorpus(s, d).select(col("doc_id"), col("tokens"))
+            .withColumn("sz", size(col("tokens"))),
+          "doc_id", "tokens", "sz", windowLen = 512L)
+        .select(col("window_id"),
+          size(col("tokens")).cast("long").as("n_tok"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("tok_sum"),
+          element_at(col("tokens"), 1).cast("long").as("first_tok"),
+          element_at(col("tokens"), -1).cast("long").as("last_tok"))
+        .orderBy("window_id")),
+
     // token-level benchmark decontamination over the derived seq table:
     // the "benchmark" is a deterministic suffix-slice of every mod-89
     // doc's clean token sequence, so leaked 3-grams are planted by
@@ -1366,6 +1383,23 @@ object SparkEntry {
         |SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (
         |  SELECT toks, count(*) AS n_docs FROM doubled
         |  GROUP BY toks HAVING count(*) > 1)""".stripMargin,
+
+    "q_pack_windows" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, toks FROM s2 WHERE starts_with(did, 'doc_')),
+        |o AS (SELECT did, toks,
+        |        CAST(coalesce(sum(len(toks)) OVER (ORDER BY did
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS toff
+        |      FROM corpus),
+        |t AS (SELECT toff + pos AS gpos, tok FROM (
+        |        SELECT toff, unnest(toks) AS tok,
+        |               unnest(range(0, len(toks))) AS pos FROM o))
+        |SELECT gpos // 512 AS window_id, count(*) AS n_tok,
+        |       CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |       CAST(arg_min(tok, gpos) AS BIGINT) AS first_tok,
+        |       CAST(arg_max(tok, gpos) AS BIGINT) AS last_tok
+        |FROM t GROUP BY 1 ORDER BY window_id""".stripMargin,
 
     "q_quarantine_clean" ->
       s"""WITH $SeqTableCte,

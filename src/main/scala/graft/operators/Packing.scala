@@ -139,4 +139,34 @@ object Packing {
           expr(s"(offset + $costCol - 1) div $windowLen"))
           .otherwise(col("first_window")))
   }
+
+  /** Assemble the packed windows themselves: (window_id, tokens) with
+    * every window exactly `windowLen` tokens except the last. This is
+    * the materialization step after [[concatChunk]] placement — the one
+    * stage of the pack pipeline that must MOVE token data (reassembly is
+    * a data-motion problem by definition; placement above is not).
+    *
+    * Cost shape at scale: one id-keyed join attaching offsets to token
+    * arrays (the offsets side is 24 bytes/row), then one shuffle of
+    * (gpos, token) pairs keyed by window_id. Per-window state is bounded
+    * by `windowLen` (a training context length — thousands), so the
+    * collect_list aggregate never holds more than one window's tokens;
+    * no skew is possible because window_id is a dense sequence with
+    * uniform fill by construction. */
+  def materializeWindows(df: DataFrame, idCol: String, tokCol: String,
+                         costCol: String, windowLen: Long): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    val offs = globalOffsets(df, idCol, costCol).drop(costCol)
+    df.select(col(idCol), col(tokCol))
+      .join(offs, Seq(idCol))
+      // posexplode over a STORED column: the inferred size-filter is
+      // cheap here (attribute reference, nothing recomputed)
+      .select(col("offset"), posexplode(col(tokCol)).as(Seq("__p", "__tok")))
+      .select((col("offset") + col("__p")).as("gpos"), col("__tok"))
+      .withColumn("window_id", expr(s"gpos div $windowLen"))
+      .groupBy("window_id")
+      .agg(sort_array(collect_list(struct(col("gpos"), col("__tok")))).as("__s"))
+      .select(col("window_id"),
+        transform(col("__s"), x => x.getField("__tok")).as("tokens"))
+  }
 }

@@ -147,6 +147,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("materialized windows: exact content, order, and fill") {
+    val df = Seq(
+      (1L, Seq(10, 11, 12)),
+      (2L, Seq(20, 21, 22, 23)),
+      (3L, Seq(30)),
+      (4L, Seq(40, 41, 42, 43, 44)))
+      .toDF("doc_id", "tokens")
+      .withColumn("sz", size($"tokens"))
+      .repartition(3)
+    val w = graft.operators.Packing
+      .materializeWindows(df, "doc_id", "tokens", "sz", 5L)
+      .orderBy("window_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    // concat in id order: 10 11 12 | 20 21 22 23 | 30 | 40 41 42 43 44
+    assert(w === Seq(
+      0L -> Seq(10, 11, 12, 20, 21),
+      1L -> Seq(22, 23, 30, 40, 41),
+      2L -> Seq(42, 43, 44))) // last window short, never padded
+  }
+
   test("concat-chunk plan: no SinglePartition global-window exchange") {
     val plan = graft.operators.Packing
       .concatChunk(docs, "doc_id", "n_chars", 512L)
