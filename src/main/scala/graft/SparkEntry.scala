@@ -476,6 +476,16 @@ object SparkEntry {
       Mixing.realizedMix(sampled, "source").orderBy("source")
     }),
 
+    // deterministic train/val/test assignment: modulo-bucket oracle mode
+    // (granularity 100 so all three splits appear at sf0.01's id range)
+    "q_split_sets" -> ((s, d) =>
+      Mixing.assignSplits(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          granularity = 100, hashKey = false)
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")),
+
     // seed-keyed deterministic epoch shuffle: top-100 of the permutation
     // order (orderBy+limit = TakeOrderedAndProject, no global sort
     // materialized for the check; the full sort is one range exchange).
@@ -1312,6 +1322,16 @@ object SparkEntry {
     "q_epoch_order" ->
       """SELECT doc_id, (doc_id * 2654435761 + 42) % 4294967296 AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "q_split_sets" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |             WHEN doc_id % 100 < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
 
     "q_chunk_tokens" ->
       s"""WITH $SeqTableCte,

@@ -69,6 +69,40 @@ object Mixing {
       .drop("__epoch_h")
   }
 
+  /** Deterministic train/validation/test assignment: one `split` label
+    * per row from a hash bucket of the key — the holdout-set step of a
+    * training pipeline, with the same stateless-predicate properties as
+    * [[sampleByWeights]]: reproducible (function of the row, not of RNG
+    * state or partitioning), append-stable (new rows land in splits at
+    * the same ratios, existing rows never move), and free (a codegen'd
+    * projection — no shuffle, no sort, no sample() seed drift).
+    *
+    * `splits` are (label, fraction) in the given order; fractions are
+    * normalized over their sum, boundaries land on granularity units.
+    * `hashKey = false` buckets by `key mod granularity` (dense-id oracle
+    * path, plain-SQL-replicable) instead of xxhash64. */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)],
+                   granularity: Int = 10000, hashKey: Boolean = true,
+                   outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
+      "fractions must be non-negative with a positive sum")
+    val total = splits.map(_._2).sum
+    val bucket: Column =
+      if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
+      else pmod(col(keyCol).cast("long"), lit(granularity.toLong))
+    // cumulative upper bounds in declaration order; the last split
+    // absorbs rounding remainder so every bucket gets a label
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => math.round(c / total * granularity))
+    val label = splits.init.zip(bounds.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), b), acc) =>
+        when(bucket < b, name).otherwise(acc)
+      }
+    df.withColumn(outCol, label)
+  }
+
   /** The realized mix after sampling: per-source counts + fraction of
     * the sampled total (one tiny aggregate for observability — "no
     * silent caps" applies to mixing too: always LOOK at the mix you

@@ -147,6 +147,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("split assignment: exhaustive labels, exact modulo fractions, append-stable") {
+    import graft.operators.Mixing
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Mixing.assignSplits(docs, "doc_id", splits,
+      granularity = 100, hashKey = false)
+    // modulo mode on dense ids: exact fractions
+    val n = docs.count()
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === n)
+    assert(math.abs(counts("train") - 0.8 * n) <= 100 * 0.8 + 1)
+    // every row gets exactly one label from the declared set
+    assert(counts.keySet === Set("train", "val", "test"))
+    // append stability: labels of existing rows unchanged after a union
+    val more = docs.withColumn("doc_id", $"doc_id" + 1000000L)
+    val relabeled = Mixing.assignSplits(docs.unionByName(more), "doc_id",
+        splits, granularity = 100, hashKey = false)
+      .where($"doc_id" < 1000000L)
+    val a = labeled.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = relabeled.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b)
+    // hash mode: fractions approximate but all labels present, deterministic
+    val h1 = Mixing.assignSplits(docs, "doc_id", splits).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h1.keySet === Set("train", "val", "test"))
+    assert(h1("train") > h1("val") && h1("train") > h1("test"))
+  }
+
   test("materialized windows: exact content, order, and fill") {
     val df = Seq(
       (1L, Seq(10, 11, 12)),
