@@ -291,6 +291,52 @@ object ValidationPass {
       col("source").isin(sourceAllow: _*),
       coalesce(col("source"), lit("<null>"))))
 
+  /** Compile reference-style [[graft.model.Rule]]s into [[SeqConstraint]]s
+    * over the TYPED sequence table — the bridge that lets the same
+    * CDE/CSV rule tables which drive the reference app
+    * (/root/reference/utils/cde.py:258-339) drive this engine's flagship
+    * path. Each rule yields:
+    *  - for Required rules, a `R_REQUIRED_<FIELD>` non-null/non-blank
+    *    constraint (the reference counts missing separately from
+    *    invalid; here both land in the one violations Dataset under
+    *    distinct rule ids);
+    *  - for non-String types, a `R_<TYPE>_<FIELD>` validity constraint
+    *    with the exact reference cell semantics via
+    *    [[graft.functions.Predicates.valid]] on the column cast to
+    *    string (Integer "5.0"/"1e3" parsing, Enum∪FillNull vocab,
+    *    anchored-fullmatch Regex with bad-pattern fallback, multi-enum
+    *    token check). Null cells pass the typed check — missingness is
+    *    the Required constraint's job, so Optional columns may be null.
+    * Structural sequence constraints (n_tok==size(tokens), token-id
+    * range) have no reference rule type and stay native — compose:
+    * `seqConstraintsFromRules(rules) ++ nativeOnes`. */
+  def seqConstraintsFromRules(rules: Seq[Rule]): Seq[SeqConstraint] = {
+    def typeName(t: RuleType): String = t match {
+      case RuleType.IntegerT => "INTEGER"
+      case RuleType.FloatT   => "FLOAT"
+      case RuleType.EnumT    => "ENUM"
+      case RuleType.RegexT   => "REGEX"
+      case RuleType.StringT  => "STRING"
+    }
+    evaluable(rules).flatMap { r =>
+      val c = col(r.field).cast("string")
+      val up = r.field.toUpperCase(java.util.Locale.ROOT)
+      val req =
+        if (r.isRequired)
+          Seq(SeqConstraint(s"R_REQUIRED_$up",
+            col(r.field).isNotNull && !c.rlike("^\\s*$"),
+            coalesce(c, lit("<null>"))))
+        else Nil
+      val typed = r.dataType match {
+        case RuleType.StringT => Nil
+        case t => Seq(SeqConstraint(s"R_${typeName(t)}_$up",
+          col(r.field).isNull || Predicates.valid(r, c),
+          coalesce(c, lit("<null>"))))
+      }
+      req ++ typed
+    }
+  }
+
   /** Sparse violations for arbitrary named predicates (sequence-table
     * flavor of [[violationsFor]]); value column records the offending
     * doc_id's source/n_tok context compactly. */

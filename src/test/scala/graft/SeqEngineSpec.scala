@@ -91,6 +91,37 @@ class SeqEngineSpec extends SparkSpec {
     assert(validated.count() > 0)
   }
 
+  test("rule-table-driven constraints match the native seq constraints") {
+    import graft.model.{Requirement, Rule, RuleType}
+    // the reference-style rule rows equivalent to the native doc_id
+    // regex + source enum constraints
+    val rules = Seq(
+      Rule("seq", "doc_id", RuleType.RegexT, Requirement.Required,
+        pattern = "doc_[0-9]{12}"),
+      Rule("seq", "source", RuleType.EnumT, Requirement.Required,
+        validation = SeqTableGen.Sources))
+    val bridged = ValidationPass.seqConstraintsFromRules(rules)
+    assert(bridged.map(_.ruleId) === Seq("R_REQUIRED_DOC_ID", "R_REGEX_DOC_ID",
+      "R_REQUIRED_SOURCE", "R_ENUM_SOURCE"))
+    val native = ValidationPass
+      .seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
+      .filter(c => Set("R_NONNULL_DOCID", "R_REGEX_DOCID", "R_ENUM_SOURCE")(c.ruleId))
+    def rows(cs: Seq[ValidationPass.SeqConstraint], renames: Map[String, String]) =
+      ValidationPass.seqViolations(df, cs)
+        .select($"doc_id",
+          coalesce(typedLit(renames).apply($"rule_id"), $"rule_id").as("rule_id"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // align ids: bridged REQUIRED/REGEX/ENUM ↔ native NONNULL/REGEX/ENUM
+    val b = rows(bridged, Map(
+      "R_REQUIRED_DOC_ID" -> "R_NONNULL_DOCID",
+      "R_REGEX_DOC_ID" -> "R_REGEX_DOCID",
+      "R_REQUIRED_SOURCE" -> "R_X", // no native analogue; drop below
+      "R_ENUM_SOURCE" -> "R_ENUM_SOURCE"))
+      .filterNot(_._2 == "R_X")
+    val n = rows(native, Map.empty)
+    assert(b === n, s"bridged=${b.size} native=${n.size}")
+  }
+
   test("quarantine split: exact partition, byte-identical clean rows, rule tags") {
     val constraints = ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
     val (clean, dirty) = ValidationPass.splitValid(df, constraints)
