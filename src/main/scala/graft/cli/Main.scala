@@ -265,6 +265,30 @@ object Main {
       .select("source", "shard", "pack_id").distinct().count()
     fresh.unpersist()
     println(s"""{"op":"ingest","canonical_urls":$canon,"fresh_docs":$freshCnt,"packs":$packs}""")
+
+    // token-payload assembly: quarantine split → benchmark
+    // decontamination → train/val/test assignment → concat-and-chunk
+    // window materialization — the post-validation steps a token-native
+    // trainer pipeline runs, end-to-end on one generated table
+    val seq = SeqTableGen.generate(spark, 50000).cache()
+    val constraints = graft.operators.ValidationPass
+      .seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
+    val (clean, dirty) = graft.operators.ValidationPass
+      .splitValid(seq, constraints)
+    val benchTok = seq
+      .where(pmod(xxhash64(col("doc_id")), lit(100L)) === 0)
+      .select("tokens")
+    val contam = graft.operators.Decontamination.contaminated(
+      clean, "doc_id", "tokens", benchTok, "tokens", n = 8).count()
+    val train = graft.operators.Mixing.assignSplits(clean, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .where(col("split") === "train")
+    val windows = graft.operators.Packing.materializeWindows(
+      train.withColumn("sz", size(col("tokens"))),
+      "doc_id", "tokens", "sz", windowLen = 2048L).count()
+    println(s"""{"op":"tokens","clean":${clean.count()},"quarantined":${dirty.count()},""" +
+      s""""contaminated":$contam,"train_windows":$windows}""")
+    seq.unpersist()
   }
 
   /** In-memory demo: generate → validate → render report. */
