@@ -57,6 +57,24 @@ object Main {
       case "pipeline" :: rest =>
         val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         pipeline(spark, dir)
+      case "drift-baseline" :: path :: out :: Nil =>
+        // profile n_tok + source of a stored table once; later runs
+        // drift-check snapshots against the STORED baseline
+        val df = spark.read.parquet(path)
+        val (lo, hi) = (0.0, 300.0)
+        Drift.saveHistogram(spark, out,
+          Drift.numericHistogram(df, "n_tok", lo, hi, 64))
+        Drift.saveFreq(spark, out, Drift.categoricalFreq(df, "source"))
+        println(s"""{"mode":"drift-baseline","path":"$path","out":"$out"}""")
+      case "drift-check" :: path :: baseline :: Nil =>
+        val df = spark.read.parquet(path)
+        val v = Drift.check(df,
+          "n_tok", Drift.loadHistogram(spark, baseline),
+          "source", Drift.loadFreq(spark, baseline))
+        println(s"""{"mode":"drift-check","path":"$path",""" +
+          s""""ks":${f"${v.ksStatistic}%.6f"},"ks_critical":${f"${v.ksCritical}%.6f"},""" +
+          s""""ks_drifted":${v.ksDrifted},"chi_square":${f"${v.chiSquare}%.4f"},""" +
+          s""""chi_drifted":${v.chiDrifted}}""")
       case other =>
         System.err.println(s"unknown args: $other — see Scaladoc")
         sys.exit(2)

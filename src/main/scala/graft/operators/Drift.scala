@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HistogramAgg
@@ -219,4 +219,41 @@ object Drift {
     val chiCrit = chiSquareCritical(dof, alpha)
     DriftVerdict(ks, ksCrit, ks > ksCrit, chi, dof, chiCrit, chi > chiCrit)
   }
+
+  // --- baseline persistence -------------------------------------------
+  //
+  // The north-star flow checks each snapshot against a STORED baseline
+  // profile, computed once on a reference corpus and reused across runs
+  // (and across the streaming path, which takes the same profiles).
+  // Profiles are metadata-sized (nBins+2 longs / one row per category),
+  // so they persist as tiny parquet tables — readable by any engine,
+  // no bespoke serialization. Layout:
+  //   <path>/histogram: (bin_idx int, count long, lo double, hi double)
+  //   <path>/freq:      (value string, count long)
+
+  def saveHistogram(spark: SparkSession, path: String, p: HistogramProfile): Unit = {
+    import spark.implicits._
+    p.counts.zipWithIndex
+      .map { case (c, i) => (i, c, p.lo, p.hi) }.toSeq
+      .toDF("bin_idx", "count", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/histogram")
+  }
+
+  def loadHistogram(spark: SparkSession, path: String): HistogramProfile = {
+    val rows = spark.read.parquet(s"$path/histogram")
+      .orderBy("bin_idx").collect()
+    require(rows.nonEmpty, s"empty histogram baseline at $path")
+    HistogramProfile(rows.head.getDouble(2), rows.head.getDouble(3),
+      rows.map(_.getLong(1)))
+  }
+
+  def saveFreq(spark: SparkSession, path: String, p: CategoricalProfile): Unit = {
+    import spark.implicits._
+    p.freq.toSeq.sortBy(_._1).toDF("value", "count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/freq")
+  }
+
+  def loadFreq(spark: SparkSession, path: String): CategoricalProfile =
+    CategoricalProfile(spark.read.parquet(s"$path/freq")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
 }

@@ -116,4 +116,27 @@ class DriftSpec extends AnyFunSuite {
     assert(e.zip(e.tail).forall { case (x, y) => x <= y })
     assert(math.abs(e.last - 1.0) < 1e-12)
   }
+
+  test("baseline profiles round-trip through parquet exactly") {
+    val spark = SparkSpec.session
+    import graft.sources.SeqTableGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_store").toString
+    val df = SeqTableGen.generate(spark, 5000, withViolations = false)
+    val hist = Drift.numericHistogram(df, "n_tok", 0, 300, 64)
+    val freq = Drift.categoricalFreq(df, "source")
+    Drift.saveHistogram(spark, dir, hist)
+    Drift.saveFreq(spark, dir, freq)
+    val hist2 = Drift.loadHistogram(spark, dir)
+    val freq2 = Drift.loadFreq(spark, dir)
+    assert(hist2.lo === hist.lo && hist2.hi === hist.hi)
+    assert(hist2.counts.toSeq === hist.counts.toSeq)
+    assert(freq2.freq === freq.freq)
+    // the reloaded baseline produces identical verdicts, and a corpus
+    // checked against its own stored profile never drifts
+    val v1 = Drift.check(df, "n_tok", hist, "source", freq)
+    val v2 = Drift.check(df, "n_tok", hist2, "source", freq2)
+    assert(v1 === v2)
+    assert(!v2.ksDrifted && !v2.chiDrifted)
+  }
+
 }
