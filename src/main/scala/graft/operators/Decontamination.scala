@@ -91,6 +91,49 @@ object Decontamination {
           .as("contamination_rate"))
   }
 
+  /** Streaming-composable contamination predicate: TRUE where the row
+    * shares at least one n-gram with the bloom of the benchmark gram
+    * set. A pure per-row projection — no explode, no join, no aggregate
+    * — so it filters a `readStream` micro-batch exactly like any other
+    * predicate (the batch operators above need aggregation state that
+    * streaming would have to watermark).
+    *
+    * Bloom semantics err SAFE for decontamination: a false positive
+    * flags a clean doc — at most a tiny over-removal — while leaked
+    * docs are NEVER missed (no false negatives). Build the bloom once
+    * from the benchmark (bounded by construction) and reuse it across
+    * batches/epochs.
+    *
+    * False-positive math: Spark's sketch bloom (double-hashed Murmur)
+    * has a MEASURED fpp floor around 6e-6 regardless of how low you ask
+    * (k=23 at requested 1e-7 still lands ~6e-6 — the classic
+    * double-hashing degradation at high k). A per-gram rate compounds
+    * per document (g grams ⇒ ≈ g·fpp false-flag odds), so one bloom
+    * cannot make a 1k-gram doc safe. The predicate therefore probes TWO
+    * independent blooms — the second built over a remixed
+    * (xxhash64-of-hash) gram key — and flags only when BOTH hit:
+    * effective per-gram fpp ≈ floor² ≈ 4e-11, i.e. ~4e-8 per 1k-gram
+    * doc, at twice the (small) bloom cost. No false negatives either
+    * way.
+    *
+    * Returns None when the benchmark has no grams (nothing to flag). */
+  def contaminationPredicate(bench: DataFrame, benchTokCol: String, n: Int,
+                             fpp: Double = 1e-6): Option[Column => Column] = {
+    import graft.functions.BloomFunctions
+    val bg = benchmarkGrams(bench, benchTokCol, n).persist()
+    try {
+      val items = math.max(bg.count(), 1L)
+      for {
+        bloomA <- BloomFunctions.buildBloom(bg, col("gram_hash"), items, fpp)
+        bloomB <- BloomFunctions.buildBloom(
+          bg, xxhash64(col("gram_hash")), items, fpp)
+      } yield (tokens: Column) =>
+        exists(gramHashes(tokens, n), h =>
+          BloomFunctions.mightContain(bloomA, h) &&
+          BloomFunctions.mightContain(bloomB, xxhash64(h)))
+    } finally bg.unpersist()
+  }
+
   /** The apply step: corpus minus contaminated docs (broadcast-able anti
     * join on the id — the contaminated set is a tiny fraction of a
     * healthy corpus, but the broadcast is left to the planner/AQE since

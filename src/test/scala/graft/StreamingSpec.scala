@@ -177,4 +177,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === batchTruth)
     assert(got.nonEmpty && got.forall(_._2 == "R_EMB_DIM"))
   }
+
+  test("streaming decontamination filter: bloom predicate equals exact batch set") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Decontamination
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_decon").toString
+    val seq = graft.sources.SeqTableGen.generate(spark, 2000, withViolations = false)
+    seq.repartition(2).write.mode("overwrite").parquet(dir)
+    // benchmark = every 50th doc's token suffix → those docs must flag
+    val bench = seq.where(pmod(xxhash64($"doc_id"), lit(50L)) === 0)
+      .select(slice($"tokens", 2, 100000).as("tokens"))
+    val Some(pred) = Decontamination.contaminationPredicate(bench, "tokens", n = 8)
+
+    val stream = spark.readStream.schema(seq.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val flagged = stream.where(pred($"tokens")).select("doc_id")
+    assert(flagged.isStreaming)
+    StreamingValidation.runToMemorySink(flagged, "decon_flags", OutputMode.Append())
+    val got = spark.table("decon_flags").as[String].collect().toSet
+
+    // exact batch truth (content join, no bloom)
+    val exact = Decontamination.contaminated(seq, "doc_id", "tokens",
+        bench, "tokens", n = 8)
+      .select("doc_id").as[String].collect().toSet
+    // bloom has NO false negatives: every exact hit must be flagged
+    assert(exact.subsetOf(got), s"missed: ${exact -- got}")
+    // double-bloom per-gram fpp ≈ (6e-6)² — spurious flags over the
+    // corpus's ~260k gram probes are vanishingly unlikely
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    assert(exact.nonEmpty)
+  }
 }
