@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
     inject("graft_multienum_valid", classOf[MultiEnumTokensValid],
       es => MultiEnumTokensValid(es.head, stringArrayArg(es, 1)))
+    inject("graft_token_grams", classOf[TokenGramHashes],
+      es => TokenGramHashes(es.head, intArg(es, 1)))
+    inject("graft_vec_stats", classOf[VecStats],
+      es => VecStats(es.head))
   }
 }

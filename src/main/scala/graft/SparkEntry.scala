@@ -798,6 +798,14 @@ object SparkEntry {
           ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
         .orderBy("doc_id", "rule_id", "offending_value")),
 
+    // token-payload gram diversity: the token-native repetition signal
+    // (distinct 3-token windows / total windows per doc)
+    "q_token_diversity" -> ((s, d) =>
+      decontamCorpus(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenGramDiversity(col("tokens"), 3).as("gram_diversity"))
+        .orderBy("doc_id")),
+
     // row-level quarantine split over the same constraint suite: clean
     // rows pass through byte-identical (checksummed below), dirty rows
     // grouped by their violated-rule combination
@@ -1420,6 +1428,19 @@ object SparkEntry {
         |       CAST(arg_min(tok, gpos) AS BIGINT) AS first_tok,
         |       CAST(arg_max(tok, gpos) AS BIGINT) AS last_tok
         |FROM t GROUP BY 1 ORDER BY window_id""".stripMargin,
+
+    "q_token_diversity" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, toks FROM s2 WHERE starts_with(did, 'doc_')),
+        |g AS (SELECT did,
+        |        list_transform(range(0, greatest(len(toks) - 2, 0)),
+        |                       i -> toks[i + 1 : i + 3]) AS gl
+        |      FROM corpus),
+        |g2 AS (SELECT did, len(gl) AS wins, unnest(gl) AS gr
+        |       FROM g WHERE len(gl) > 0)
+        |SELECT did AS doc_id,
+        |       round(count(DISTINCT gr) / any_value(wins), 6) AS gram_diversity
+        |FROM g2 GROUP BY did ORDER BY doc_id""".stripMargin,
 
     "q_quarantine_clean" ->
       s"""WITH $SeqTableCte,

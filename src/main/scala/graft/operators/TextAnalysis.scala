@@ -130,6 +130,20 @@ object TextAnalysis {
   def repetitionRatio(text: Column): Column =
     repetitionRatioFrom(textProfile(text))
 
+  /** Token-payload n-gram diversity ∈ (0,1]: distinct n-token windows
+    * over total windows — 1 means no repeated window, low values flag
+    * loops/boilerplate in the TOKEN stream (the token-native analogue of
+    * [[repetitionRatioFrom]], no detokenization). One native
+    * [[graft.functions.TokenGramHashes]] evaluation per row; docs
+    * shorter than n yield null (no windows to judge). */
+  def tokenGramDiversity(tokens: Column, n: Int): Column = {
+    val wins = greatest(size(tokens) - (n - 1), lit(0))
+    when(wins > 0,
+      round(size(graft.functions.ShingleExpression.tokenGrams(tokens, n))
+        .cast("double") / wins, 6))
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** PII patterns kept deliberately RE2-compatible (no lookaround, no
     * backrefs) so the same literal runs under Java regex (Spark), RE2
     * (DuckDB oracle), and Hyperscan-class engines. Pattern-based PII

@@ -236,9 +236,11 @@ class SinksAndSourcesSpec extends SparkSpec {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql(
       "SELECT graft_shingles('a b c d', 3) AS sh, " +
-      "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos")
+      "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos, " +
+      "graft_token_grams(array(1, 2, 3, 4), 3) AS tg")
       .head()
     assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    assert(r.getSeq[Long](2).length === 2)
   }
 }
