@@ -77,6 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MultiEnumTokensValid(es.head, stringArrayArg(es, 1)))
     inject("graft_token_grams", classOf[TokenGramHashes],
       es => TokenGramHashes(es.head, intArg(es, 1)))
+    inject("graft_token_grams_seq", classOf[TokenGramHashes],
+      es => TokenGramHashes(es.head, intArg(es, 1), distinct = false))
     inject("graft_vec_stats", classOf[VecStats],
       es => VecStats(es.head))
   }

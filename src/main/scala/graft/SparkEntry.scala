@@ -798,6 +798,20 @@ object SparkEntry {
           ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
         .orderBy("doc_id", "rule_id", "offending_value")),
 
+    // substring-level dedup APPLY: tokens covered by a 3-gram occurring
+    // in >= 2 distinct docs are scrubbed (Lee-et-al removal on the token
+    // payload); scalar projections verify content and order of survivors
+    "q_span_scrub" -> ((s, d) => {
+      val scrubbed = Dedup.removeDuplicatedSpans(
+        decontamCorpus(s, d).select(col("doc_id"), col("tokens")),
+        "doc_id", "tokens", n = 3)
+      scrubbed.select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_orig"),
+          size(col("tokens_clean")).cast("long").as("n_kept"),
+          aggregate(col("tokens_clean"), lit(0L), (a, x) => a + x).as("kept_sum"))
+        .orderBy("doc_id")
+    }),
+
     // token-payload gram diversity: the token-native repetition signal
     // (distinct 3-token windows / total windows per doc)
     "q_token_diversity" -> ((s, d) =>
@@ -1428,6 +1442,32 @@ object SparkEntry {
         |       CAST(arg_min(tok, gpos) AS BIGINT) AS first_tok,
         |       CAST(arg_max(tok, gpos) AS BIGINT) AS last_tok
         |FROM t GROUP BY 1 ORDER BY window_id""".stripMargin,
+
+    "q_span_scrub" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, toks FROM s2 WHERE starts_with(did, 'doc_')),
+        |gp AS (SELECT did, pos, toks[pos + 1 : pos + 3] AS g FROM (
+        |         SELECT did, toks,
+        |                unnest(range(0, greatest(len(toks) - 2, 0))) AS pos
+        |         FROM corpus)),
+        |dup AS (SELECT g FROM (
+        |          SELECT g, count(DISTINCT did) AS nd FROM gp GROUP BY g)
+        |        WHERE nd >= 2),
+        |st AS (SELECT did, list_sort(list(pos)) AS starts
+        |       FROM gp JOIN dup USING (g) GROUP BY did),
+        |r AS (SELECT c.did, c.toks, coalesce(s.starts, []) AS starts
+        |      FROM corpus c LEFT JOIN st s USING (did)),
+        |k AS (SELECT did, toks,
+        |        list_transform(
+        |          list_filter(range(0, len(toks)),
+        |            p -> len(list_filter(starts,
+        |                   q -> q <= p AND p < q + 3)) = 0),
+        |          p -> toks[p + 1]) AS kept
+        |      FROM r)
+        |SELECT did AS doc_id, CAST(len(toks) AS BIGINT) AS n_orig,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(list_sum(kept), 0) AS BIGINT) AS kept_sum
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_token_diversity" ->
       s"""WITH $SeqTableCte,

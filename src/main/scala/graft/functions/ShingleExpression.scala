@@ -125,7 +125,7 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int, seed: Long = 4
   * 64-bit collisions (≈2.7e4 expected colliding PAIRS at 10^12 grams —
   * negligible false-contamination, and decontamination errs safe:
   * a collision flags a clean doc, never unflags a leaked one). */
-case class TokenGramHashes(child: Expression, n: Int)
+case class TokenGramHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, s"gram size must be >= 1, got $n")
 
@@ -160,6 +160,10 @@ case class TokenGramHashes(child: Expression, n: Int)
       hs(i) = h
       i += 1
     }
+    // distinct=false keeps WINDOW ORDER (index i = window start) — the
+    // positional mode span-scrubbing needs; distinct=true is the
+    // set-semantics mode decontamination explodes
+    if (!distinct) return ArrayData.toArrayData(hs)
     java.util.Arrays.sort(hs)
     var out = 1
     var k = 1
@@ -171,7 +175,8 @@ case class TokenGramHashes(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): TokenGramHashes = copy(child = c)
-  override def prettyName: String = "graft_token_grams"
+  override def prettyName: String =
+    if (distinct) "graft_token_grams" else "graft_token_grams_seq"
 }
 
 object ShingleExpression {
@@ -190,6 +195,9 @@ object ShingleExpression {
     reg.registerFunction(FunctionIdentifier("graft_token_grams"),
       new ExpressionInfo(classOf[TokenGramHashes].getName, "graft_token_grams"),
       (es: Seq[Expression]) => TokenGramHashes(es.head, intArg(es, 1)))
+    reg.registerFunction(FunctionIdentifier("graft_token_grams_seq"),
+      new ExpressionInfo(classOf[TokenGramHashes].getName, "graft_token_grams_seq"),
+      (es: Seq[Expression]) => TokenGramHashes(es.head, intArg(es, 1), distinct = false))
   }
 
   private def ensure(): Unit =
@@ -203,5 +211,9 @@ object ShingleExpression {
   }
   def tokenGrams(tokens: Column, n: Int): Column = {
     ensure(); call_function("graft_token_grams", tokens, lit(n))
+  }
+  /** Window-ordered (non-distinct) gram hashes: index i = window start. */
+  def tokenGramsSeq(tokens: Column, n: Int): Column = {
+    ensure(); call_function("graft_token_grams_seq", tokens, lit(n))
   }
 }

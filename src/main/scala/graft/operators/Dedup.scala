@@ -399,6 +399,49 @@ object Dedup {
         round(col("n_shared") / col("n_grams"), 6))
   }
 
+  /** Substring-level dedup APPLY on the token payload (the removal step
+    * of Lee et al. — [[duplicatedSpanFraction]] is the signal, this is
+    * the scrub): every token covered by an n-token window that occurs in
+    * at least `minDocs` DISTINCT documents is cut; survivors keep their
+    * order. Returns df plus `tokens_clean`.
+    *
+    * Distributed shape: window-ordered gram hashes per doc (ONE native
+    * evaluation; token arrays never leave their row for the analysis),
+    * a hash-keyed count-distinct-docs aggregate, a hash-keyed join
+    * flagging duplicated window STARTS, one per-doc collect of those
+    * starts (bounded by windows/doc), and an id-keyed join back for the
+    * rebuild — three narrow shuffles + the rebuild join, the honest cost
+    * class of substring-level dedup at any scale. The rebuild itself is
+    * a per-row HOF filter (O(len × flagged-starts) interpreted — fine:
+    * flagged starts are few on a healthy corpus, and only flagged DOCS
+    * pay the lambda; unflagged docs pass through on the null branch).
+    *
+    * Same 64-bit hash-equality trade as [[exactDuplicates]]: a gram-hash
+    * collision can scrub a clean span (≈2.7e4 colliding pairs expected
+    * at 10^12 grams — vanishing relative loss, and removal errs safe). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, tokCol: String,
+                            n: Int, minDocs: Long = 2L): DataFrame = {
+    graft.functions.ShingleExpression.register(df.sparkSession)
+    val pos = df
+      .select(col(idCol),
+        graft.functions.ShingleExpression.tokenGramsSeq(col(tokCol), n).as("__g"))
+      .select(col(idCol), posexplode_outer(col("__g")).as(Seq("__p", "__h")))
+      .where(col("__h").isNotNull)
+    val dup = pos.groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h")
+    val starts = pos.join(dup, Seq("__h"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("tokens_clean",
+        when(col("__starts").isNull, col(tokCol))
+          .otherwise(filter(col(tokCol), (_, i) =>
+            !exists(col("__starts"), s => s <= i && i < s + n))))
+      .drop("__starts")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per document (custom Expression over the word array).

@@ -70,6 +70,23 @@ class DecontaminationSpec extends SparkSpec {
     assert(rep.count() === 0L)
   }
 
+  test("span scrub: cross-doc repeated spans cut, within-doc repeats kept") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, Seq(1, 2, 3, 9, 8)),       // shares (1,2,3) with doc 2
+      (2L, Seq(7, 1, 2, 3, 6)),       // shares (1,2,3) with doc 1
+      (3L, Seq(5, 5, 5, 5, 5, 4)),    // within-doc repetition only → kept
+      (4L, Seq(10, 11)))              // shorter than n → untouched
+      .toDF("doc_id", "tokens")
+    val got = Dedup.removeDuplicatedSpans(corpus, "doc_id", "tokens", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(got(1L) === Seq(9, 8))        // positions 0-2 covered
+    assert(got(2L) === Seq(7, 6))        // positions 1-3 covered
+    assert(got(3L) === Seq(5, 5, 5, 5, 5, 4)) // single doc: not duplicated
+    assert(got(4L) === Seq(10, 11))
+  }
+
   test("benchmark side broadcasts; corpus side has no pre-join exchange") {
     val corpus = Seq((1L, Seq(1, 2, 3))).toDF("doc_id", "tokens")
     val bench = Seq(Tuple1(Seq(1, 2, 3))).toDF("tokens")
