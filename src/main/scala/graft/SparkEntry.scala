@@ -1477,10 +1477,13 @@ object SparkEntry {
         |                       i -> toks[i + 1 : i + 3]) AS gl
         |      FROM corpus),
         |g2 AS (SELECT did, len(gl) AS wins, unnest(gl) AS gr
-        |       FROM g WHERE len(gl) > 0)
-        |SELECT did AS doc_id,
-        |       round(count(DISTINCT gr) / any_value(wins), 6) AS gram_diversity
-        |FROM g2 GROUP BY did ORDER BY doc_id""".stripMargin,
+        |       FROM g WHERE len(gl) > 0),
+        |d AS (SELECT did,
+        |        round(count(DISTINCT gr) / any_value(wins), 6) AS gd
+        |      FROM g2 GROUP BY did)
+        |SELECT c.did AS doc_id, d.gd AS gram_diversity
+        |FROM corpus c LEFT JOIN d ON c.did = d.did
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quarantine_clean" ->
       s"""WITH $SeqTableCte,

@@ -3,13 +3,15 @@ import org.apache.spark.sql.SparkSession
 object TimeQueries {
   def main(args: Array[String]): Unit = {
     val names = args.toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // same env contract as graft.Bench (SPARK_GRAFT_SF_DIR / _CPUS)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val explain = sys.env.contains("GRAFT_EXPLAIN")
     for (n <- names; i <- 1 to (if (explain) 1 else 3)) {
       if (explain) {

@@ -57,15 +57,29 @@ object Main {
       case "pipeline" :: rest =>
         val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         pipeline(spark, dir)
-      case "drift-baseline" :: path :: out :: Nil =>
+      case "drift-baseline" :: path :: out :: rest =>
         // profile n_tok + source of a stored table once; later runs
-        // drift-check snapshots against the STORED baseline
+        // drift-check snapshots against the STORED baseline. The
+        // histogram range comes from the DATA (one min/max aggregate,
+        // +10% headroom above max so modest upward drift still lands in
+        // counted bins) unless explicit lo hi args pin it — a hardcoded
+        // range would dump out-of-range mass into one overflow bin and
+        // blind the KS statistic.
         val df = spark.read.parquet(path)
-        val (lo, hi) = (0.0, 300.0)
+        val (lo, hi) = rest match {
+          case l :: h :: Nil => (l.toDouble, h.toDouble)
+          case _ =>
+            val r = df.agg(min(col("n_tok")).cast("double"),
+              max(col("n_tok")).cast("double")).head()
+            require(!r.isNullAt(0), s"no n_tok values to profile in $path")
+            val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+            (mn, mx + math.max(1.0, (mx - mn) * 0.1))
+        }
         Drift.saveHistogram(spark, out,
           Drift.numericHistogram(df, "n_tok", lo, hi, 64))
         Drift.saveFreq(spark, out, Drift.categoricalFreq(df, "source"))
-        println(s"""{"mode":"drift-baseline","path":"$path","out":"$out"}""")
+        println(s"""{"mode":"drift-baseline","path":"$path","out":"$out",""" +
+          s""""lo":$lo,"hi":$hi}""")
       case "drift-check" :: path :: baseline :: Nil =>
         val df = spark.read.parquet(path)
         val v = Drift.check(df,
@@ -291,14 +305,26 @@ object Main {
     val seq = SeqTableGen.generate(spark, 50000).cache()
     val constraints = graft.operators.ValidationPass
       .seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources)
-    val (clean, dirty) = graft.operators.ValidationPass
+    val (clean0, dirty) = graft.operators.ValidationPass
       .splitValid(seq, constraints)
+    // duplicate doc_ids pass every per-row constraint but are ambiguous
+    // keys for the id-joined steps below (offsets, decontamination
+    // grouping) — the uniqueness stage excludes them, exactly like the
+    // validated-output contract (SeqEngineSpec token-equality test)
+    // no broadcast hint: the dup-id set is unbounded in principle (the
+    // repo's own no-forced-broadcast rule) — AQE broadcasts when small
+    val dupIds = Uniqueness.duplicatesSimple(clean0, "doc_id").select("doc_id")
+    val clean = clean0.join(dupIds, Seq("doc_id"), "left_anti")
     val benchTok = seq
       .where(pmod(xxhash64(col("doc_id")), lit(100L)) === 0)
       .select("tokens")
-    val contam = graft.operators.Decontamination.contaminated(
-      clean, "doc_id", "tokens", benchTok, "tokens", n = 8).count()
-    val train = graft.operators.Mixing.assignSplits(clean, "doc_id",
+    val decon = graft.operators.Decontamination.removeContaminated(
+      clean, "doc_id", "tokens", benchTok, "tokens", n = 8).cache()
+    val deconCnt = decon.count()
+    val contam = clean.count() - deconCnt
+    // train windows pack the DECONTAMINATED survivors — flagged docs
+    // must not leak benchmark content into the training stream
+    val train = graft.operators.Mixing.assignSplits(decon, "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .where(col("split") === "train")
     val windows = graft.operators.Packing.materializeWindows(
@@ -306,7 +332,7 @@ object Main {
       "doc_id", "tokens", "sz", windowLen = 2048L).count()
     println(s"""{"op":"tokens","clean":${clean.count()},"quarantined":${dirty.count()},""" +
       s""""contaminated":$contam,"train_windows":$windows}""")
-    seq.unpersist()
+    decon.unpersist(); seq.unpersist()
   }
 
   /** In-memory demo: generate → validate → render report. */

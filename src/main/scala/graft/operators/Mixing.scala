@@ -91,11 +91,28 @@ object Mixing {
     val total = splits.map(_._2).sum
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
-      else pmod(col(keyCol).cast("long"), lit(granularity.toLong))
+      else {
+        // modulo mode needs a numeric key; try_cast (ANSI-safe) + loud
+        // failure — a silently-null bucket would label EVERY row with
+        // the last split
+        val b = pmod(col(keyCol).try_cast("long"), lit(granularity.toLong))
+        when(b.isNull, raise_error(concat(
+            lit(s"assignSplits(hashKey=false): key '$keyCol' not numeric: "),
+            coalesce(col(keyCol).cast("string"), lit("<null>")))).cast("long"))
+          .otherwise(b)
+      }
     // cumulative upper bounds in declaration order; the last split
     // absorbs rounding remainder so every bucket gets a label
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
       .tail.map(c => math.round(c / total * granularity))
+    // every positive-fraction split must span >= 1 bucket, or coarse
+    // granularity silently starves it (e.g. 5% at granularity 10)
+    bounds.zip(0L +: bounds.init).zip(splits).foreach {
+      case ((hi, lo), (name, w)) =>
+        require(w == 0 || hi > lo,
+          s"split '$name' (fraction $w) spans zero buckets at granularity " +
+          s"$granularity — raise granularity")
+    }
     val label = splits.init.zip(bounds.init)
       .foldRight(lit(splits.last._1): Column) { case (((name, _), b), acc) =>
         when(bucket < b, name).otherwise(acc)

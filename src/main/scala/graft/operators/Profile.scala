@@ -124,7 +124,11 @@ object Profile {
     def med(x: Column): Column =
       if (exact) median(x) else percentile_approx(x, lit(0.5), lit(10000))
     val est = sampleFilter.map(df.where).getOrElse(df)
-    val m = est.agg(med(c).as("m")).head().getDouble(0)
+    val mRow = est.agg(med(c).as("m")).head()
+    require(!mRow.isNullAt(0),
+      s"robustOutliers: empty fence sample for '$field' — " +
+      "sampleFilter matched no rows (or all-null column)")
+    val m = mRow.getDouble(0)
     val mad = est.agg(med(abs(c - m)).as("mad")).head().getDouble(0)
     val lo = m - k * 1.4826 * mad
     val hi = m + k * 1.4826 * mad

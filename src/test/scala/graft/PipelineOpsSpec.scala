@@ -173,6 +173,21 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(h1.keySet === Set("train", "val", "test"))
     assert(h1("train") > h1("val") && h1("train") > h1("test"))
+    // modulo mode on a non-numeric key fails loudly (a silent null
+    // bucket would label every row with the LAST split)
+    val ex = intercept[Exception] {
+      Mixing.assignSplits(
+          docs.withColumn("k", concat(lit("x"), $"doc_id")), "k",
+          splits, granularity = 100, hashKey = false)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not numeric") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not numeric")))
+    // coarse granularity that starves a positive split is rejected
+    intercept[IllegalArgumentException] {
+      Mixing.assignSplits(docs, "doc_id",
+        Seq("a" -> 0.85, "b" -> 0.1, "c" -> 0.05), granularity = 10)
+    }
   }
 
   test("materialized windows: exact content, order, and fill") {
