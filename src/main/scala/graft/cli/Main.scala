@@ -57,6 +57,28 @@ object Main {
       case "pipeline" :: rest =>
         val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         pipeline(spark, dir)
+      case "stream-validate" :: path :: out :: Nil =>
+        // validate-as-data-lands: the stateless constraint projection
+        // runs on a file stream (each new parquet file = a micro-batch;
+        // production swaps in the Kafka/Iceberg source, same plan), and
+        // the streaming checkpoint gives exactly-once resume — the
+        // streaming complement of the manifest-checkpointed batch modes.
+        // Uniqueness is cross-row state and stays with the batch pass
+        // (or streaming.firstSeenOnly where per-key state is acceptable).
+        val schema = spark.read.parquet(path).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 4).parquet(path)
+        val vio = ValidationPass.seqViolations(stream,
+          ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources))
+        val q = vio.writeStream.format("parquet")
+          .option("path", s"$out/violations_stream")
+          .option("checkpointLocation", s"$out/_stream_checkpoint")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val n = spark.read.parquet(s"$out/violations_stream").count()
+        println(s"""{"mode":"stream-validate","path":"$path","violations":$n}""")
       case "drift-baseline" :: path :: out :: rest =>
         // profile n_tok + source of a stored table once; later runs
         // drift-check snapshots against the STORED baseline. The

@@ -411,7 +411,11 @@ object Dedup {
     * flagging duplicated window STARTS, one per-doc collect of those
     * starts (bounded by windows/doc), and an id-keyed join back for the
     * rebuild — three narrow shuffles + the rebuild join, the honest cost
-    * class of substring-level dedup at any scale. The rebuild itself is
+    * class of substring-level dedup at any scale. The gram projection
+    * feeds two branches (count + flag), so it EVALUATES twice — a
+    * deliberate recompute-over-persist trade: the exploded (id, pos,
+    * hash) frame is O(total windows), far too large to cache at corpus
+    * scale, while re-deriving hashes is one linear pass per branch. The rebuild itself is
     * a per-row HOF filter (O(len × flagged-starts) interpreted — fine:
     * flagged starts are few on a healthy corpus, and only flagged DOCS
     * pay the lambda; unflagged docs pass through on the null branch).
