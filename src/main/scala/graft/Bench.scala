@@ -74,7 +74,11 @@ object Bench {
     }
     val rowsPerSec = seqThroughput(spark, 8000000L)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale; a
+    // comma-decimal locale would make this machine-parsed line invalid
+    def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt("%.3f", v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     // load sampled BOTH sides of the run: a burst arriving mid-suite
@@ -85,9 +89,9 @@ object Bench {
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
-      s""""seq_rows_per_sec":${f"$rowsPerSec%.0f"},"sf":"$sfDir","cpus":$cpus,""" +
-      s""""load_avg_1m":${f"$loadAvg%.2f"},"load_avg_1m_end":${f"$loadAvgEnd%.2f"}}""")
+      s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,""" +
+      s""""seq_rows_per_sec":${fmt("%.0f", rowsPerSec)},"sf":"$sfDir","cpus":$cpus,""" +
+      s""""load_avg_1m":${fmt("%.2f", loadAvg)},"load_avg_1m_end":${fmt("%.2f", loadAvgEnd)}}""")
     spark.stop()
   }
 }

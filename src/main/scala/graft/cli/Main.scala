@@ -20,7 +20,14 @@ import graft.sources.SeqTableGen
   *   validate-batch <path> <out> [manifest] — same checks, ONE job for
   *            all pending partitions (scales past 10^4 partitions where
   *            the per-partition loop is driver-bound; coarser resume)
+  *   stream-validate <path> <out>           — constraint pass as a file
+  *            stream with exactly-once checkpoint resume
+  *   drift-baseline <path> <out> [lo hi]    — store n_tok/source
+  *            profiles (range from data +10% headroom unless pinned)
+  *   drift-check <path> <baseline>          — KS/chi-square verdict of a
+  *            snapshot vs a STORED baseline (one JSON line)
   *   demo     [nRows]                       — in-memory end-to-end run
+  *   pipeline [dir]                         — training-data pipeline demo
   *
   * Usage: spark-submit --class graft.cli.Main <jar> <mode> ...
   */
@@ -90,12 +97,17 @@ object Main {
         val df = spark.read.parquet(path)
         val (lo, hi) = rest match {
           case l :: h :: Nil => (l.toDouble, h.toDouble)
-          case _ =>
+          case Nil =>
             val r = df.agg(min(col("n_tok")).cast("double"),
               max(col("n_tok")).cast("double")).head()
             require(!r.isNullAt(0), s"no n_tok values to profile in $path")
             val (mn, mx) = (r.getDouble(0), r.getDouble(1))
             (mn, mx + math.max(1.0, (mx - mn) * 0.1))
+          case other =>
+            // a lone lo (or a stray token) silently falling back to the
+            // data-derived range would pin the WRONG baseline
+            System.err.println(s"drift-baseline: give BOTH lo and hi or neither, got: $other")
+            sys.exit(2)
         }
         Drift.saveHistogram(spark, out,
           Drift.numericHistogram(df, "n_tok", lo, hi, 64))
@@ -104,12 +116,21 @@ object Main {
           s""""lo":$lo,"hi":$hi}""")
       case "drift-check" :: path :: baseline :: Nil =>
         val df = spark.read.parquet(path)
+        // an empty snapshot would give ks_critical = Infinity (invalid
+        // JSON) and ks_drifted=false — a dead pipeline reported healthy
+        if (df.isEmpty) {
+          System.err.println(s"drift-check: empty snapshot at $path — nothing to judge")
+          sys.exit(2)
+        }
         val v = Drift.check(df,
           "n_tok", Drift.loadHistogram(spark, baseline),
           "source", Drift.loadFreq(spark, baseline))
+        // Locale.ROOT: f"" formats with the JVM default locale, and a
+        // comma-decimal locale would emit invalid JSON
+        def d6(x: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(x))
         println(s"""{"mode":"drift-check","path":"$path",""" +
-          s""""ks":${f"${v.ksStatistic}%.6f"},"ks_critical":${f"${v.ksCritical}%.6f"},""" +
-          s""""ks_drifted":${v.ksDrifted},"chi_square":${f"${v.chiSquare}%.4f"},""" +
+          s""""ks":${d6(v.ksStatistic)},"ks_critical":${d6(v.ksCritical)},""" +
+          s""""ks_drifted":${v.ksDrifted},"chi_square":${d6(v.chiSquare)},""" +
           s""""chi_drifted":${v.chiDrifted}}""")
       case other =>
         System.err.println(s"unknown args: $other — see Scaladoc")
@@ -343,7 +364,9 @@ object Main {
     val decon = graft.operators.Decontamination.removeContaminated(
       clean, "doc_id", "tokens", benchTok, "tokens", n = 8).cache()
     val deconCnt = decon.count()
-    val contam = clean.count() - deconCnt
+    // count the uncached clean lineage ONCE (dedup shuffle + anti-join)
+    val cleanCnt = clean.count()
+    val contam = cleanCnt - deconCnt
     // train windows pack the DECONTAMINATED survivors — flagged docs
     // must not leak benchmark content into the training stream
     val train = graft.operators.Mixing.assignSplits(decon, "doc_id",
@@ -352,7 +375,7 @@ object Main {
     val windows = graft.operators.Packing.materializeWindows(
       train.withColumn("sz", size(col("tokens"))),
       "doc_id", "tokens", "sz", windowLen = 2048L).count()
-    println(s"""{"op":"tokens","clean":${clean.count()},"quarantined":${dirty.count()},""" +
+    println(s"""{"op":"tokens","clean":$cleanCnt,"quarantined":${dirty.count()},""" +
       s""""contaminated":$contam,"train_windows":$windows}""")
     decon.unpersist(); seq.unpersist()
   }

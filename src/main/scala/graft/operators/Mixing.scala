@@ -93,12 +93,16 @@ object Mixing {
       if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
       else {
         // modulo mode needs a numeric key; try_cast (ANSI-safe) + loud
-        // failure — a silently-null bucket would label EVERY row with
-        // the last split
+        // failure on NON-NUMERIC values — a silently-null bucket would
+        // label EVERY row with the last split. A genuinely NULL key is
+        // not a type error: it lands deterministically in bucket 0,
+        // mirroring hash mode (where xxhash64(null) is one constant
+        // bucket), so nullable key columns behave the same either way.
         val b = pmod(col(keyCol).try_cast("long"), lit(granularity.toLong))
-        when(b.isNull, raise_error(concat(
+        when(col(keyCol).isNull, lit(0L))
+          .when(b.isNull, raise_error(concat(
             lit(s"assignSplits(hashKey=false): key '$keyCol' not numeric: "),
-            coalesce(col(keyCol).cast("string"), lit("<null>")))).cast("long"))
+            col(keyCol).cast("string"))).cast("long"))
           .otherwise(b)
       }
     // cumulative upper bounds in declaration order; the last split

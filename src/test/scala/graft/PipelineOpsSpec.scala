@@ -188,6 +188,14 @@ class PipelineOpsSpec extends SparkSpec {
       Mixing.assignSplits(docs, "doc_id",
         Seq("a" -> 0.85, "b" -> 0.1, "c" -> 0.05), granularity = 10)
     }
+    // a genuinely NULL key is not a type error: deterministic bucket 0
+    // (train), mirroring hash mode's constant null bucket
+    val withNull = Seq(java.lang.Long.valueOf(7L), null.asInstanceOf[java.lang.Long])
+      .toDF("doc_id")
+    val nullLabel = Mixing.assignSplits(withNull, "doc_id", splits,
+        granularity = 100, hashKey = false)
+      .where($"doc_id".isNull).select("split").as[String].head()
+    assert(nullLabel === "train")
   }
 
   test("materialized windows: exact content, order, and fill") {
