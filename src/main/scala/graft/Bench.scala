@@ -67,12 +67,18 @@ object Bench {
     // JIT/codegen warm-up on the smallest scale
     try SparkEntry.entry(spark).collect() catch { case _: Throwable => }
 
+    // headline throughput FIRST: measured after the (now 75-query)
+    // sweep it read 150-950k rows/s on the same binary whose per-query
+    // times were healthy — end-of-session heap/GC and page-cache state
+    // was polluting the metric, not the engine (per-query sweep
+    // unchanged: each query is independently timed)
+    val rowsPerSec = seqThroughput(spark, 8000000L)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = try time(exec(fn(spark, sfDir)))
       catch { case _: Throwable => -1.0 }
       name -> secs
     }
-    val rowsPerSec = seqThroughput(spark, 8000000L)
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale; a
     // comma-decimal locale would make this machine-parsed line invalid
