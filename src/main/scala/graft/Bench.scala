@@ -27,19 +27,31 @@ object Bench {
   def seqThroughput(spark: SparkSession, n: Long): Double = {
     import graft.operators.{Uniqueness, ValidationPass}
     import graft.sources.SeqTableGen
-    val path = s"/tmp/graft_bench_seq_$n"
+    // SPARK_GRAFT_BENCH_DIR relocates the materialized input (e.g. to
+    // /dev/shm when the sandbox fs layer is degraded — it has been
+    // measured sys-bound at 13 MB/s cold / 430 MB/s warm single-stream,
+    // below what the validated 2.37 M rows/s needs in scan bandwidth)
+    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp")
+    val path = s"$base/graft_bench_seq_$n"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       SeqTableGen.generate(spark, n).write.mode("overwrite").parquet(path)
     val df = spark.read.parquet(path)
-    // best-of-2: first iteration absorbs JIT/codegen/page-cache warmup
-    val secs = (1 to 2).map { _ =>
-      time {
+    // best-of-4: iteration 1 absorbs JIT/codegen/page-cache warmup, and
+    // the extra iterations ride out the host's intermittent multi-second
+    // external bursts — a single 10-30 s window was a lottery (observed
+    // 131 k-944 k rows/s on a binary whose scaling harness measured
+    // 3.1 M rows/s the same morning); per-iteration times go to stderr
+    // so the spread is visible next to the one-line JSON
+    val secs = (1 to 4).map { i =>
+      val s = time {
         val vio = ValidationPass.seqViolations(
           df, ValidationPass.seqConstraints(SeqTableGen.Vocab, SeqTableGen.Sources))
         val dups = Uniqueness.duplicatesSimple(df, "doc_id")
         exec(vio)
         exec(dups)
       }
+      System.err.println(f"[bench] seqThroughput iter$i $s%.2f s")
+      s
     }.min
     n / secs
   }
