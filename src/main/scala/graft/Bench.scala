@@ -76,8 +76,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // JIT/codegen warm-up on the smallest scale
-    try SparkEntry.entry(spark).collect() catch { case _: Throwable => }
+    // JIT/codegen warm-up on the smallest scale. NonFatal only, and
+    // LOUD: a silently-swallowed warm-up failure means the first timed
+    // iteration absorbs compile cost (and hides a real breakage)
+    try SparkEntry.entry(spark).collect()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] WARM-UP FAILED (entry): $e")
+    }
 
     // headline throughput FIRST: measured after the (now 75-query)
     // sweep it read 150-950k rows/s on the same binary whose per-query
@@ -88,7 +93,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = try time(exec(fn(spark, sfDir)))
-      catch { case _: Throwable => -1.0 }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] QUERY FAILED ($name): $e"); -1.0
+      }
       name -> secs
     }
 
@@ -106,10 +113,20 @@ object Bench {
     // well above that baseline mean external contention during the run.
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(
+    val json =
       s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,""" +
       s""""seq_rows_per_sec":${fmt("%.0f", rowsPerSec)},"sf":"$sfDir","cpus":$cpus,""" +
-      s""""load_avg_1m":${fmt("%.2f", loadAvg)},"load_avg_1m_end":${fmt("%.2f", loadAvgEnd)}}""")
+      s""""load_avg_1m":${fmt("%.2f", loadAvg)},"load_avg_1m_end":${fmt("%.2f", loadAvgEnd)}}"""
+    // machine-readable contract (BENCH_r03.json came back "parsed":null
+    // because the line drowned in sbt/log4j noise): write BENCH.json
+    // next to the run, THEN stop Spark, THEN print the line as the very
+    // last stdout output — nothing can interleave after the stop
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH.json"))
+    java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    System.out.flush()
+    println(json)
   }
 }

@@ -129,6 +129,24 @@ object SparkEntry {
           element_at(col("qs"), 1).as("p50"), element_at(col("qs"), 2).as("p99"))
     }),
 
+    // exact companion of q_approx_profile: the SAME profile shape with
+    // the sketches swapped for their exact kernels (count_distinct /
+    // interpolated percentile) — SQL-oracle-able vs DuckDB, so the
+    // profile CONTRACT carries a green row while the sketch variant
+    // above stays the documented rows-only path (HLL/t-digest internals
+    // are engine-specific)
+    "q_profile_exact" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("l_orderkey")).as("n_orders"),
+          count_distinct(col("l_partkey")).as("n_parts"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), array(0.5D, 0.99D))").as("qs"))
+        .select(col("n_rows"), col("n_orders"), col("n_parts"),
+          round(element_at(col("qs"), 1), 4).as("p50"),
+          round(element_at(col("qs"), 2), 4).as("p99"))
+    }),
+
     // ---- predicate checks (P8-P13 re-expressed over typed tables) ----
 
     "q_enum_violations" -> ((s, d) => {
@@ -516,8 +534,8 @@ object SparkEntry {
     }),
 
     // embedding-column QC: violations over deterministically planted
-    // defects (NaN poison / zero vector / truncated dim by vec_id
-    // arithmetic — same planting pattern as seqFromDocs)
+    // defects (NaN poison / zero vector / truncated dim / NULL whole
+    // vector by vec_id arithmetic — same planting pattern as seqFromDocs)
     "q_embedding_qc" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val v = col("vec_id")
@@ -527,6 +545,7 @@ object SparkEntry {
             array(lit(Float.NaN)), slice(emb, 3, 100000)))
           .when(v % 101 === 2, transform(emb, _ => lit(0.0f)))
           .when(v % 101 === 3, slice(emb, 1, 5))
+          .when(v % 101 === 4, lit(null).cast("array<float>"))
           .otherwise(emb).as("embedding"))
       EmbeddingQC.violations(planted, "vec_id", "embedding", expectedDim = 64)
         .orderBy("vec_id", "rule_id")
@@ -734,6 +753,31 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // IVF planted-recall companion (the q_minhash_recall pattern for the
+    // ANN scale path): every query vector has an EXACT planted duplicate
+    // (vec_id + 1000000, identical floats) — identical vectors get the
+    // identical nearestCentroid argmax, so the duplicate's cell is BY
+    // CONSTRUCTION the first cell probed, and top-10 at cosine 1.0 must
+    // surface both copies even at nProbe = 2 of 8. The oracle computes
+    // the exact expected hit count (2 per query).
+    "q_ivf_recall" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val doubled = embs.unionByName(
+        embs.withColumn("vec_id", col("vec_id") + 1000000))
+      val idx = Similarity.buildIvf(doubled, "vec_id", "embedding", nCentroids = 8)
+      val queries = embs.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+      val found = queries.map { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Float](1).toArray
+        Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nProbe = 2)
+          .where(col("vec_id") === qid || col("vec_id") === qid + 1000000)
+          .count()
+      }.sum
+      import s.implicits._
+      Seq(found).toDF("n_planted_found")
+    }),
+
     "q_embedding_neardup" -> ((s, d) => { // rows-only
       val embs = t(s, d, "embeddings")
       val doubled = embs.unionByName(
@@ -778,6 +822,20 @@ object SparkEntry {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
       feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
           col("frames_sampled"))
+        .orderBy("media_id")
+    }),
+
+    // oracle companion for the multimodal pass: mime and frames_sampled
+    // ARE SQL-expressible (mime by the generator's id%3 arithmetic;
+    // frames_sampled = 1 for decodable stills/audio, min(frameSample=4,
+    // nFrames≥4) = 4 for video) — so the codec plumbing (every payload
+    // decodes, every mime routes to the right codec) gets a green
+    // CORRECTNESS row; only n_bytes/features stay rows-only (encoder
+    // byte output / pixel math). Ids ride the documents table so the
+    // oracle touches only real parquet.
+    "q_multimodal_meta" -> ((s, _) => {
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
+      feats.toDF().select(col("media_id"), col("mime"), col("frames_sampled"))
         .orderBy("media_id")
     }),
 
@@ -1200,6 +1258,33 @@ object SparkEntry {
     "q_embedding_recall" ->
       "SELECT count(*) AS n_planted_found FROM embeddings WHERE vec_id < 500",
 
+    // IVF planted recall: 2 guaranteed hits (query + its exact duplicate,
+    // both cosine 1.0, same coarse cell by argmax determinism) per query
+    "q_ivf_recall" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_planted_found
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "q_profile_exact" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 4) AS p99
+        |FROM lineitem""".stripMargin,
+
+    // multimodal metadata: the generator's id%3 mime routing and the
+    // decode contract (stills/audio sample 1 frame; 4-6-frame MJPEG
+    // clips sample min(frameSample=4, nFrames) = 4) replicated in SQL;
+    // ids ride the dense documents.doc_id domain
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/x-msvideo' END AS mime,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS INTEGER)
+        |    AS frames_sampled
+        |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin,
+
     // TextProfile language argmax replicated exactly: per-language
     // |distinct words ∩ stopword profile| (zh by substring containment),
     // argmax over (score, lang) structs — ties go to the
@@ -1382,6 +1467,7 @@ object SparkEntry {
         |         WHEN vec_id % 101 = 2 THEN
         |           list_transform(embedding, x -> CAST(0 AS FLOAT))
         |         WHEN vec_id % 101 = 3 THEN embedding[1:5]
+        |         WHEN vec_id % 101 = 4 THEN NULL
         |         ELSE embedding END AS emb
         |  FROM embeddings),
         |st AS (
@@ -1390,10 +1476,12 @@ object SparkEntry {
         |    len(emb) > 0
         |      AND len(list_filter(emb, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         |      AND len(list_filter(emb, x -> x <> 0)) = 0 AS zero
-        |  FROM p)
+        |  FROM p WHERE emb IS NOT NULL)
         |SELECT vec_id, rule_id, offending_value FROM (
-        |  SELECT vec_id, 'R_EMB_DIM' AS rule_id,
-        |         'dim=' || dim AS offending_value FROM st WHERE dim <> 64
+        |  SELECT vec_id, 'R_EMB_NULL' AS rule_id,
+        |         'null_embedding' AS offending_value FROM p WHERE emb IS NULL
+        |  UNION ALL
+        |  SELECT vec_id, 'R_EMB_DIM', 'dim=' || dim FROM st WHERE dim <> 64
         |  UNION ALL
         |  SELECT vec_id, 'R_EMB_NONFINITE', 'n_nonfinite=' || nonf
         |  FROM st WHERE nonf > 0

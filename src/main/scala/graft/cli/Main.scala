@@ -84,7 +84,11 @@ object Main {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val n = spark.read.parquet(s"$out/violations_stream").count()
+        // explicit schema: a fully-clean run leaves _spark_metadata but
+        // zero data files, and schema INFERENCE on that throws — the
+        // violations schema is known from the streaming frame itself
+        val n = spark.read.schema(vio.schema)
+          .parquet(s"$out/violations_stream").count()
         println(s"""{"mode":"stream-validate","path":"$path","violations":$n}""")
       case "drift-baseline" :: path :: out :: rest =>
         // profile n_tok + source of a stored table once; later runs
@@ -372,11 +376,19 @@ object Main {
     val train = graft.operators.Mixing.assignSplits(decon, "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .where(col("split") === "train")
+    // placement + materialization share ONE prefix-sum frame (the
+    // checkpointed offsets would otherwise compute — and leak — twice),
+    // released as soon as both consumers have run
+    val trainSized = train.withColumn("sz", size(col("tokens")))
+    val offs = graft.operators.Packing.globalOffsets(trainSized, "doc_id", "sz")
+    val placed = graft.operators.Packing.concatChunk(
+      trainSized, "doc_id", "sz", windowLen = 2048L, offsets = Some(offs)).count()
     val windows = graft.operators.Packing.materializeWindows(
-      train.withColumn("sz", size(col("tokens"))),
-      "doc_id", "tokens", "sz", windowLen = 2048L).count()
+      trainSized, "doc_id", "tokens", "sz", windowLen = 2048L,
+      offsets = Some(offs)).count()
+    graft.operators.Packing.releaseOffsets(offs)
     println(s"""{"op":"tokens","clean":$cleanCnt,"quarantined":${dirty.count()},""" +
-      s""""contaminated":$contam,"train_windows":$windows}""")
+      s""""contaminated":$contam,"placed_docs":$placed,"train_windows":$windows}""")
     decon.unpersist(); seq.unpersist()
   }
 

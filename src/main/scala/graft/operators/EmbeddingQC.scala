@@ -54,6 +54,12 @@ object EmbeddingQC {
     val norm = round(col("__vs.l2_norm"), 4)
 
     val checks: Seq[(String, Column, Column)] = Seq(
+      // NULL whole-vector rows would otherwise sail through silently:
+      // VecStats returns a null struct, every when(!valid, …) cell below
+      // evaluates to null and is filtered out (round-3 ADVICE). `valid`
+      // must be a real boolean here — `__vs.isNotNull` — not a
+      // null-struct-derived predicate.
+      ("R_EMB_NULL", col("__vs").isNotNull, lit("null_embedding")),
       ("R_EMB_DIM", dim === expectedDim,
         concat(lit("dim="), dim.cast("string"))),
       ("R_EMB_NONFINITE", nonf === 0,
@@ -87,6 +93,7 @@ object EmbeddingQC {
     df.select(VectorExpressions.vecStats(col(vecCol)).as("__vs"))
       .agg(
         count(lit(1)).as("n_rows"),
+        sum(when(col("__vs").isNull, 1L).otherwise(0L)).as("n_null_rows"),
         sum(when(col("__vs.dim") =!= expectedDim, 1L).otherwise(0L)).as("n_bad_dim"),
         sum(when(col("__vs.n_nonfinite") > 0, 1L).otherwise(0L)).as("n_nonfinite_rows"),
         sum(when(col("__vs.all_zero"), 1L).otherwise(0L)).as("n_zero_rows"),

@@ -88,6 +88,24 @@ object Mixing {
     require(splits.nonEmpty, "at least one split")
     require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
       "fractions must be non-negative with a positive sum")
+    if (!hashKey) {
+      // modulo mode buckets by try_cast('long'), which TRUNCATES
+      // fractional numerics (1.5 → bucket 1) — deterministic but almost
+      // certainly not what a caller passing a float key meant, and
+      // unlike non-numeric strings it raises no runtime error. Reject
+      // the TYPE up front; fractional strings ("1.5") still fail loudly
+      // through the runtime raise_error below.
+      import org.apache.spark.sql.types._
+      df.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType
+             | NullType => ()
+        case d: DecimalType if d.scale == 0 => ()
+        case other => throw new IllegalArgumentException(
+          s"assignSplits(hashKey=false): key '$keyCol' has fractional " +
+          s"numeric type $other — modulo bucketing would silently " +
+          "truncate; use an integral key or hashKey=true")
+      }
+    }
     val total = splits.map(_._2).sum
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))

@@ -91,6 +91,22 @@ class ChunkingSpec extends SparkSpec {
       (5L, "R_EMB_NORM", "l2_norm=50.0")))
   }
 
+  test("embedding QC: NULL whole-vector rows are flagged, not silently healthy") {
+    // round-3 ADVICE: VecStats yields a null struct on a null vector, so
+    // every field-derived when(!valid, …) cell evaluates to null and a
+    // writer emitting all-null embeddings sailed through the gate
+    val df = vecDf(0L -> Seq(3f, 4f), 1L -> null, 2L -> null)
+    val v = EmbeddingQC.violations(df, "vec_id", "embedding", expectedDim = 2)
+      .as[(Long, String, String)].collect().sorted
+    assert(v === Array(
+      (1L, "R_EMB_NULL", "null_embedding"),
+      (2L, "R_EMB_NULL", "null_embedding")))
+    val sm = EmbeddingQC.summary(df, "embedding", expectedDim = 2).head()
+    assert(sm.getAs[Long]("n_rows") === 3)
+    assert(sm.getAs[Long]("n_null_rows") === 2)
+    assert(sm.getAs[Long]("n_bad_dim") === 0)
+  }
+
   test("embedding QC stats + summary: hand-computed norms, one traversal per row") {
     val df = vecDf(0L -> Seq(3f, 4f), 1L -> Seq(1f, 1f))
     val st = EmbeddingQC.stats(df, "vec_id", "embedding")

@@ -341,6 +341,89 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0)))
   }
 
+  test("duplicated-span fraction: one boilerplate gram in EVERY doc stays bounded") {
+    // the hot-gram case the operator exists to find (license header in
+    // every doc): the shared 5-gram count must flow through the
+    // map-side-collapsing aggregate, and every doc reports it shared.
+    // 2000 docs × one hot gram would have put 2000 rows through a single
+    // window partition in the round-3 spelling; here the aggregate sees
+    // one partial row per input partition.
+    val n = 2000
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("license header common to all docs "),
+        lit("unique"), col("id"), lit(" trailing words here")).as("text"))
+    val got = Dedup.duplicatedSpanFraction(df, "doc_id", "text", n = 5)
+    assert(got.count() === n)
+    // every doc: 10 words → 6 distinct 5-grams, of which the two grams
+    // not touching the unique word are shared corpus-wide
+    val row = got.where(col("doc_id") === 7L).head()
+    assert(row.getAs[Long]("n_grams") === 6L)
+    assert(row.getAs[Long]("n_shared") === 2L)
+    assert(got.where(col("n_shared") < 2L).count() === 0)
+  }
+
+  test("exact dedup exact-mode: hash collisions keep distinct texts (forced collision)") {
+    // real xxhash64 collisions are impractical to craft — force one with
+    // a constant hash column: ALL rows 'collide'
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    // default (hash-only) mode under total collision: ONE survivor —
+    // the documented ~2.7e-8 loss mode at 10^12 docs
+    val hashOnly = Dedup.dropExactDuplicatesBy(
+      df, "doc_id", "text", lit(0L), exact = false).collect()
+    assert(hashOnly.length === 1 && hashOnly.head.getLong(0) === 1L)
+    // exact mode: texts compared within the colliding hash group —
+    // "beta" survives the collision, true dup (3,"alpha") still drops
+    val exact = Dedup.dropExactDuplicatesBy(
+        df, "doc_id", "text", lit(0L), exact = true)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(exact === Array((1L, "alpha"), (2L, "beta")))
+    // on real (collision-free) data both modes agree
+    val a = Dedup.dropExactDuplicates(docs, "doc_id", "text").count()
+    val b = Dedup.dropExactDuplicates(docs, "doc_id", "text", exact = true).count()
+    assert(a === b)
+  }
+
+  test("materialized windows: shared offsets frame reused by placement + assembly, then released") {
+    import graft.operators.Packing
+    val df = Seq(
+      (1L, Seq(10, 11, 12)),
+      (2L, Seq(20, 21, 22, 23)),
+      (3L, Seq(30)))
+      .toDF("doc_id", "tokens")
+      .withColumn("sz", size($"tokens"))
+    val offs = Packing.globalOffsets(df, "doc_id", "sz")
+    val placed = Packing.concatChunk(df, "doc_id", "sz", 5L, Some(offs))
+      .select("doc_id", "first_window", "last_window")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(placed === Array((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 1L)))
+    val w = Packing.materializeWindows(df, "doc_id", "tokens", "sz", 5L, Some(offs))
+      .orderBy("window_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(w === Seq(0L -> Seq(10, 11, 12, 20, 21), 1L -> Seq(22, 23, 30)))
+    // release the checkpoint blocks — must not throw, and must actually
+    // unpersist the pinned RDD backing the offsets frame
+    Packing.releaseOffsets(offs)
+    val stillCached = offs.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE => l
+    }
+    assert(stillCached.isEmpty, "offsets checkpoint blocks not released")
+  }
+
+  test("assignSplits modulo mode rejects fractional numeric key TYPES up front") {
+    import graft.operators.Mixing
+    val frac = Seq(1.5, 2.0).toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      Mixing.assignSplits(frac, "k", Seq("a" -> 0.5, "b" -> 0.5),
+        granularity = 100, hashKey = false)
+    }
+    assert(ex.getMessage.contains("fractional"))
+    // hash mode takes any type, including fractional
+    assert(Mixing.assignSplits(frac, "k", Seq("a" -> 0.5, "b" -> 0.5))
+      .count() === 2)
+  }
+
   test("ngram contamination: shared-shingle counts match hand-computed overlap") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w q r"),
       (3L, "c d e f g h")).toDF("doc_id", "text")

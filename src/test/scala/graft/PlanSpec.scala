@@ -246,6 +246,46 @@ class PlanSpec extends SparkSpec {
       assert(!names.exists(_.toLowerCase.contains("text")),
         s"span-dup exchange must carry hashes, not text: $names")
     }
+    // hot-gram safety (round-3 VERDICT #1): the per-hash count must be a
+    // map-side-partial AGGREGATE, never a window — `count(*) OVER
+    // (PARTITION BY __h)` serializes a boilerplate gram shared by 10^8
+    // docs through one sorted window partition, where the aggregate
+    // collapses it to one row per input partition pre-shuffle and the
+    // join back is AQE-skew-splittable
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"per-hash count must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial count per gram hash:\n$p")
+  }
+
+  test("pack-window materialization shuffles array FRAGMENTS, not per-token structs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .withColumn("sz", size(col("tokens")))
+    val out = graft.operators.Packing
+      .materializeWindows(docs, "doc_id", "tokens", "sz", 512L)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    // the reassembly aggregate (whose partial buffers are what the
+    // exchange ships, serialized as buf:binary) must be fed token-array
+    // FRAGMENTS — the round-3 spelling fed it per-token (gpos, token)
+    // structs, paying ~4-6x the minimal shuffle volume
+    val partialAggInputs = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString.contains("Partial")) =>
+          a.child.output.map(at => s"${at.name}:${at.dataType.simpleString}")
+      }
+    assert(partialAggInputs.exists(_.exists(_.contains("array"))),
+      s"pre-shuffle aggregate input carries no token-array fragment: $partialAggInputs")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("__tok"),
+      s"per-token struct shuffle is back:\n$plan")
   }
 
   test("per-group drift histogram aggregates partially before the shuffle") {
