@@ -68,21 +68,32 @@ object Scaling {
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val n4 = 4 * n
     val parts = n4 * 4 // identical physical layout at both levels
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Locale.ROOT: a comma-decimal JVM locale would break the parsed line
+    def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    val loadStart = load()
     // the sandbox host carries variable external load — alternate the
     // two levels and take best-of-reps per level so a noisy window
-    // penalizes both sides equally
+    // penalizes both sides equally; the 1-min load is sampled before
+    // each session so every sample is adjudicable on its own (the
+    // established protocol: only runs with idle start AND end count)
     val samples = (1 to reps).flatMap { i =>
       Seq(
-        "n"  -> run(s"local[$n]", n4, rows, parts),
-        "4n" -> run(s"local[$n4]", n4, rows, parts))
+        ("n",  load(), run(s"local[$n]", n4, rows, parts)),
+        ("4n", load(), run(s"local[$n4]", n4, rows, parts)))
     }
-    val tN = samples.collect { case ("n", v) => v }.max
-    val t4N = samples.collect { case ("4n", v) => v }.max
+    val tN = samples.collect { case ("n", _, v) => v }.max
+    val t4N = samples.collect { case ("4n", _, v) => v }.max
     val eff = (t4N / tN) / 4.0
-    val all = samples.map { case (k, v) => s"""["$k",${f"$v%.0f"}]""" }.mkString("[", ",", "]")
+    val all = samples.map { case (k, l, v) =>
+      s"""["$k",${fmt("%.0f", v)},${fmt("%.2f", l)}]""" }.mkString("[", ",", "]")
     println(
       s"""{"metric":"scaling_efficiency","rows":$rows,"n":$n,"n4":$n4,""" +
-      s""""throughput_n":${f"$tN%.0f"},"throughput_4n":${f"$t4N%.0f"},""" +
-      s""""efficiency":${f"$eff%.3f"},"samples":$all}""")
+      s""""throughput_n":${fmt("%.0f", tN)},"throughput_4n":${fmt("%.0f", t4N)},""" +
+      s""""efficiency":${fmt("%.3f", eff)},"samples":$all,""" +
+      s""""samples_format":["level","rows_per_sec","load_avg_1m_pre"],""" +
+      s""""load_avg_1m":${fmt("%.2f", loadStart)},"load_avg_1m_end":${fmt("%.2f", load())}}""")
   }
 }

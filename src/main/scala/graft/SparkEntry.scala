@@ -765,17 +765,13 @@ object SparkEntry {
       val doubled = embs.unionByName(
         embs.withColumn("vec_id", col("vec_id") + 1000000))
       val idx = Similarity.buildIvf(doubled, "vec_id", "embedding", nCentroids = 8)
-      val queries = embs.where(col("vec_id") < 8).orderBy("vec_id")
-        .select("vec_id", "embedding").collect()
-      val found = queries.map { r =>
-        val qid = r.getLong(0)
-        val q = r.getSeq[Float](1).toArray
-        Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nProbe = 2)
-          .where(col("vec_id") === qid || col("vec_id") === qid + 1000000)
-          .count()
-      }.sum
-      import s.implicits._
-      Seq(found).toDF("n_planted_found")
+      val queries = embs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopKBatch(idx, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 10, nProbe = 2)
+        .where(col("id") === col("query_id") ||
+          col("id") === col("query_id") + 1000000)
+        .agg(count(lit(1)).as("n_planted_found"))
     }),
 
     "q_embedding_neardup" -> ((s, d) => { // rows-only

@@ -142,24 +142,75 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
   }
 
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-30)
+  }
+
+  /** Driver-side probe set: the nProbe centroids nearest to `query`
+    * (k×dim matrix walk — metadata-sized, same budget as the Lloyd
+    * means). */
+  private def probeSet(index: IvfIndex, query: Array[Float],
+                       nProbe: Int): Seq[Int] =
+    index.centroids
+      .map { case (cid, cvec) => (cid, cosLocal(query, cvec)) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+
   /** ANN query: probe the nProbe nearest centroids only, exact cosine
     * within the probed cells. On an index opened via [[readIvf]] the
     * isin predicate is a PARTITION filter: the scan lists only the
     * probed centroid_id directories (pinned by test). */
   def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
               query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-30)
-    }
-    val probeIds = index.centroids
-      .map { case (cid, cvec) => (cid, cos(query, cvec)) }
-      .sortBy(-_._2).take(nProbe).map(_._1)
+    val probeIds = probeSet(index, query, nProbe)
     bruteForceTopK(
-      index.assigned.where(col("centroid_id").isin(probeIds.toSeq: _*)),
+      index.assigned.where(col("centroid_id").isin(probeIds: _*)),
       idCol, vecCol, query, k)
+  }
+
+  /** Batched ANN: top-k per query for a BOUNDED query table against the
+    * IVF index in ONE distributed job — the at-scale shape for query
+    * batches, where a driver loop of [[ivfTopK]] calls pays per-job
+    * scheduling overhead per query and rescans shared cells.
+    *
+    * Probe assignment runs on the driver over the k×dim centroid matrix
+    * (queries are broadcast-bounded by contract, exactly like
+    * [[topKForQueries]]); the corpus scan is pruned ONCE to the union of
+    * all probed cells (a partition filter on a [[readIvf]] index), each
+    * (query, cell) pair matches via a broadcast hash join on
+    * centroid_id — a corpus row is scored only against the queries that
+    * probed its cell — and a per-query window keeps top-k. Corpus-side
+    * data motion: zero (broadcast join + windowed top-k with partial
+    * WindowGroupLimit). */
+  def ivfTopKBatch(index: IvfIndex, idCol: String, vecCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.assigned.sparkSession
+    VectorExpressions.register(spark)
+    val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
+    val pairRows: Seq[Row] = qRows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray
+      probeSet(index, qv, nProbe).map(cid => Row(r.get(0), cid, r.getSeq[Float](1)))
+    }
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        queries.schema(qIdCol).dataType),
+      org.apache.spark.sql.types.StructField("__cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__qv",
+        queries.schema(qVecCol).dataType)))
+    import scala.jdk.CollectionConverters._
+    val pairs = spark.createDataFrame(pairRows.asJava, pairSchema)
+    val probedUnion = pairRows.map(_.getInt(1)).distinct
+    val scored = index.assigned
+      .where(col("centroid_id").isin(probedUnion: _*))
+      .join(broadcast(pairs), col("centroid_id") === col("__cid"))
+      .select(col("query_id"), col(idCol).as("id"),
+        VectorExpressions.cosine(col(vecCol), col("__qv")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -494,6 +494,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(partial.contains(0L)) // the exact match lives in the probed cell
   }
 
+  test("IVF batched probe: one job agrees with the per-query ivfTopK loop") {
+    val index = Similarity.buildIvf(embs, "vec_id", "embedding", nCentroids = 8)
+    val queries = embs.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    val batch = Similarity.ivfTopKBatch(index, "vec_id", "embedding",
+        queries, "qid", "embedding", k = 10, nProbe = 2)
+      .select("query_id", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    val looped = queries.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      Similarity.ivfTopK(index, "vec_id", "embedding",
+          r.getSeq[Float](1).toArray, k = 10, nProbe = 2)
+        .collect().map(x => (qid, x.getLong(0), math.round(x.getDouble(1) * 1e9)))
+    }.toSet
+    assert(batch === looped)
+    // every query's own vector is in the probed cell → rank-1 self hit
+    val self = Similarity.ivfTopKBatch(index, "vec_id", "embedding",
+        queries, "qid", "embedding", k = 1, nProbe = 2).collect()
+    assert(self.forall(r => r.getLong(0) === r.getLong(1)))
+  }
+
   test("IVF bucketed storage: probed read lists ONLY the probed partitions") {
     val index = Similarity.buildIvf(embs, "vec_id", "embedding", nCentroids = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
