@@ -494,6 +494,18 @@ object SparkEntry {
       Mixing.realizedMix(sampled, "source").orderBy("source")
     }),
 
+    // per-key document cap ("at most N pages per domain"): keep the cap
+    // smallest (rank, id) rows per source — salted two-phase threshold
+    // on a narrow frame, payload filtered via broadcast join; the
+    // multiplicative-mix rank is the SQL-replicable oracle spelling
+    // (production default ranks by xxhash64(id, seed))
+    "q_cap_per_source" -> ((s, d) => {
+      val h = (col("doc_id") * lit(2654435761L) + lit(7L)) % lit(4294967296L)
+      Mixing.capPerKey(t(s, d, "documents"), "source", "doc_id", 15,
+          rankExpr = Some(h))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // deterministic train/val/test assignment: modulo-bucket oracle mode
     // (granularity 100 so all three splits appear at sf0.01's id range)
     "q_split_sets" -> ((s, d) =>
@@ -791,6 +803,18 @@ object SparkEntry {
       import s.implicits._
       Seq(Dedup.dropExactDuplicates(doubled, "doc_id", "text").count())
         .toDF("n_kept")
+    }),
+
+    // exact-dedup keep-BEST: the surviving copy minimizes (keepBy, id)
+    // rather than plain min id — here keepBy = id mod 7, a
+    // SQL-replicable stand-in for "highest quality copy wins"
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.dropExactDuplicates(doubled, "doc_id", "text",
+          keepBy = Some(pmod(col("doc_id"), lit(7L))))
+        .select("doc_id")
     }),
 
     // greedy sequence packing: per-source first-fit into 1000-char
@@ -1195,6 +1219,15 @@ object SparkEntry {
     "q_dedup_apply" ->
       "SELECT count(*) AS n_kept FROM documents",
 
+    "q_dedup_keep_best" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text
+        |           ORDER BY doc_id % 7, doc_id) AS rn
+        |  FROM doubled) WHERE rn = 1""".stripMargin,
+
     "q_dup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1421,6 +1454,14 @@ object SparkEntry {
         |t AS (SELECT sum(n)::DOUBLE AS t FROM c)
         |SELECT source, n, round(n / t.t, 6) AS fraction
         |FROM c, t ORDER BY source""".stripMargin,
+
+    "q_cap_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 2654435761 + 7) % 4294967296, doc_id)
+        |           AS rn
+        |  FROM documents) WHERE rn <= 15""".stripMargin,
 
     "q_epoch_order" ->
       """SELECT doc_id, (doc_id * 2654435761 + 42) % 4294967296 AS h

@@ -71,8 +71,10 @@ object Dedup {
     * sort key is the 8-byte long, and the alternative (min-id semi-join)
     * shuffles the full corpus AND sort-merges both sides. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String,
-                          exact: Boolean = false): DataFrame =
-    dropExactDuplicatesBy(df, idCol, textCol, xxhash64(col(textCol)), exact)
+                          exact: Boolean = false,
+                          keepBy: Option[Column] = None): DataFrame =
+    dropExactDuplicatesBy(df, idCol, textCol, xxhash64(col(textCol)), exact,
+      keepBy)
 
   /** [[dropExactDuplicates]] with an injectable hash column (tests force
     * collisions with a constant hash — crafting real xxhash64 collisions
@@ -84,15 +86,25 @@ object Dedup {
     * stays in the key even in exact mode: rows only compare texts within
     * a hash bucket, so the sort comparator usually decides on the first
     * 8 bytes.) */
+  /** `keepBy`: which duplicate survives. None (default) keeps min id;
+    * Some(k) keeps the row minimizing (k, id) — "keep the BEST copy",
+    * e.g. `Some(-col("quality_score"))` for highest quality or
+    * `Some(col("crawl_ts"))` for earliest crawl. Still one min_by
+    * aggregate: the preference rides the ordering key, so the shape
+    * (map-side collapse, 8-byte shuffle key) is unchanged. */
   private[graft] def dropExactDuplicatesBy(
       df: DataFrame, idCol: String, textCol: String,
-      hash: Column, exact: Boolean): DataFrame = {
+      hash: Column, exact: Boolean,
+      keepBy: Option[Column] = None): DataFrame = {
     val cols = df.columns
     val keys =
       if (exact) Seq(hash.as("__content_hash"), col(textCol).as("__content"))
       else Seq(hash.as("__content_hash"))
+    val ord = keepBy
+      .map(k => struct(k.as("k"), col(idCol).as("i")))
+      .getOrElse(struct(col(idCol).as("i")))
     df.groupBy(keys: _*)
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .agg(min_by(struct(cols.map(col): _*), ord).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 

@@ -142,6 +142,81 @@ object Mixing {
     df.withColumn(outCol, label)
   }
 
+  /** Deterministic per-key document cap — the "at most `cap` pages per
+    * domain" step of a web-scale corpus (hostname caps against SEO
+    * farms / mirror floods; also usable per source, per license, per
+    * shard). Keeps, for every key, the `cap` rows with the smallest
+    * (rank, id) where rank = xxhash64(id, seed) — a deterministic
+    * pseudo-random choice: reproducible bit-for-bit, retry-stable, and
+    * re-runs pick identical rows. (NOT append-stable by design: a later
+    * doc with a smaller rank displaces — a cap is a corpus-level
+    * property, unlike the row-local [[sampleByWeights]] predicate.)
+    *
+    * Distributed shape — the payload never rides a window, and in the
+    * common case never shuffles at all:
+    *  1. a NARROW (key, id, rank) projection (~24 bytes/row; text and
+    *     token arrays stay put) finds each key's cap-th smallest
+    *     (rank, id) tuple via the salted two-phase row_number of
+    *     [[graft.operators.ValidationPass cappedOffenders]] — phase 1
+    *     partitions by (key, salt(id)) so a hot domain spreads over
+    *     `nSalts` tasks (raise nSalts so maxKeyRows/nSalts fits a
+    *     task), phase 2 re-ranks the ≤ nSalts×cap survivors per key;
+    *     the global top-cap is contained in the union of per-salt
+    *     top-caps, so the result equals the single-window spelling;
+    *  2. only keys EXCEEDING the cap yield a threshold row (under-cap
+    *     keys have no cap-th element), so the threshold frame is
+    *     bounded by the number of over-cap keys — typically tiny, so
+    *     AQE broadcasts the payload-side LEFT join and the corpus is
+    *     filtered in place with zero payload exchange; a genuinely
+    *     huge over-cap key set degrades to a shuffle join that AQE
+    *     skew-splits (a window partition never splits).
+    *  3. keep a row iff its key has no threshold or (rank, id) ≤
+    *     threshold — exactly `cap` survivors per over-cap key since
+    *     (rank, id) is a total order (id unique).
+    *
+    * NULL keys are exempt (kept uncapped): no meaningful domain, and
+    * SQL join semantics would silently exempt them anyway — documented
+    * rather than accidental. `rankExpr` swaps the ranking hash (the
+    * oracle path uses a plain-SQL-replicable multiplicative mix, as
+    * [[epochOrder]] does). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+                seed: Long = 0L, nSalts: Int = 32,
+                rankExpr: Option[Column] = None): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(nSalts > 0, "nSalts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rank: Column = rankExpr.getOrElse(xxhash64(col(idCol), lit(seed)))
+    val narrow = df.select(col(keyCol).as("__k"), col(idCol).as("__i"),
+      rank.as("__r"))
+    val w1 = Window
+      .partitionBy(col("__k"), pmod(xxhash64(col("__i")), lit(nSalts.toLong)))
+      .orderBy(col("__r"), col("__i"))
+    val w2 = Window.partitionBy(col("__k")).orderBy(col("__r"), col("__i"))
+    val thresholds = narrow
+      .withColumn("__rn", row_number().over(w1)).where(col("__rn") <= cap)
+      .withColumn("__rn", row_number().over(w2)).where(col("__rn") === cap)
+      .select(col("__k"),
+        struct(col("__r").as("r"), col("__i").as("i")).as("__thr"))
+    df.withColumn("__cap_r", rank)
+      .join(thresholds.withColumnRenamed("__k", keyCol), Seq(keyCol), "left")
+      .where(col("__thr").isNull ||
+        struct(col("__cap_r").as("r"), col(idCol).as("i")) <= col("__thr"))
+      .select(df.columns.map(col): _*) // using-join moved the key first
+  }
+
+  /** Observability companion to [[capPerKey]] ("no silent caps"): per
+    * over-cap key, how many rows the cap would drop, plus totals —
+    * one narrow aggregate, no payload motion. */
+  def capPerKeyStats(df: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    // NULL keys mirror capPerKey's exemption: never reported as capped
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > cap)
+      .select(col(keyCol), col("n_rows"),
+        (col("n_rows") - cap).as("n_dropped"))
+  }
+
   /** The realized mix after sampling: per-source counts + fraction of
     * the sampled total (one tiny aggregate for observability — "no
     * silent caps" applies to mixing too: always LOOK at the mix you

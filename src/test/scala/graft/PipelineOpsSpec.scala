@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextExpressions, VectorExpressions}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Mixing, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the driver-generated documents /
   * embeddings tables (TESTDATA.md). */
@@ -198,6 +198,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nullLabel === "train")
   }
 
+  test("capPerKey keeps exactly cap smallest-(rank,id) per over-cap key; " +
+       "under-cap and NULL keys untouched") {
+    val df = Seq[(Long, String, String)](
+      (1L, "a", "x1"), (2L, "a", "x2"), (3L, "a", "x3"),
+      (4L, "a", "x4"), (5L, "a", "x5"),
+      (6L, "b", "y1"), (7L, "b", "y2"),
+      (8L, null, "z1"), (9L, null, "z2"),
+      (10L, null, "z3"), (11L, null, "z4"))
+      .toDF("doc_id", "dom", "text")
+    // rank = doc_id % 3 → key a orders as (rank,id):
+    // (0,3),(1,1),(1,4),(2,2),(2,5); cap=3 keeps ids {1,3,4}
+    val kept = Mixing.capPerKey(df, "dom", "doc_id", 3, nSalts = 4,
+      rankExpr = Some(pmod($"doc_id", lit(3L))))
+    assert(kept.select("doc_id").as[Long].collect().sorted ===
+      Array(1L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 11L))
+    assert(kept.columns === df.columns) // payload columns preserved
+    // stats companion: only the over-cap key, NULL group exempt
+    val stats = Mixing.capPerKeyStats(df, "dom", 3).collect()
+    assert(stats.length === 1)
+    assert(stats.head.getAs[String]("dom") === "a")
+    assert(stats.head.getAs[Long]("n_rows") === 5L)
+    assert(stats.head.getAs[Long]("n_dropped") === 2L)
+  }
+
+  test("capPerKey equals the single-window spelling (differential over caps and salts)") {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("dom", pmod($"doc_id", lit(7L)).cast("string"))
+    for (cap <- Seq(1, 5, 23); salts <- Seq(1, 8)) {
+      val got = Mixing.capPerKey(keyed, "dom", "doc_id", cap,
+          seed = 11L, nSalts = salts)
+        .select("doc_id").as[Long].collect().sorted
+      val w = Window.partitionBy($"dom")
+        .orderBy(xxhash64($"doc_id", lit(11L)), $"doc_id")
+      val want = keyed.withColumn("__rn", row_number().over(w))
+        .where($"__rn" <= cap).select("doc_id").as[Long].collect().sorted
+      assert(got === want, s"cap=$cap salts=$salts")
+    }
+  }
+
   test("materialized windows: exact content, order, and fill") {
     val df = Seq(
       (1L, Seq(10, 11, 12)),
@@ -382,6 +421,28 @@ class PipelineOpsSpec extends SparkSpec {
     val a = Dedup.dropExactDuplicates(docs, "doc_id", "text").count()
     val b = Dedup.dropExactDuplicates(docs, "doc_id", "text", exact = true).count()
     assert(a === b)
+  }
+
+  test("dropExactDuplicates keepBy: best copy survives, ties fall back to min id") {
+    val df = Seq(
+      (1L, "same", 0.2), (2L, "same", 0.9), (3L, "same", 0.9),
+      (4L, "uniq", 0.1))
+      .toDF("doc_id", "text", "q")
+    // keep the HIGHEST-quality copy: minimize (-q, id) → id 2 (0.9, tie
+    // with 3 broken by id); unique text untouched
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text",
+        keepBy = Some(-$"q"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L))
+    // default (no keepBy) unchanged: min id wins
+    val dflt = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(dflt === Array(1L, 4L))
+    // keepBy composes with exact mode (collision-safe text comparison)
+    val both = Dedup.dropExactDuplicatesBy(df, "doc_id", "text", lit(0L),
+        exact = true, keepBy = Some(-$"q"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(both === Array(2L, 4L))
   }
 
   test("materialized windows: shared offsets frame reused by placement + assembly, then released") {

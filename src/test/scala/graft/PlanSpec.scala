@@ -259,6 +259,29 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial count per gram hash:\n$p")
   }
 
+  test("capPerKey: payload text never enters a shuffle; ranking is narrow-keyed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("dom", pmod(col("doc_id"), lit(5L)).cast("string"))
+    val out = graft.operators.Mixing.capPerKey(docs, "dom", "doc_id", 10)
+    out.collect() // finalize AQE stages (threshold side broadcasts)
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    // the two-phase rank windows shuffle the narrow (key, id, rank)
+    // projection; the over-cap threshold frame broadcasts, so the
+    // corpus payload is filtered in place — NO exchange carries text
+    assert(exchanges.nonEmpty, "rank windows must shuffle the narrow frame")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.toLowerCase.contains("text")),
+        s"cap exchange must carry (key, id, rank) only, got $names")
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small over-cap threshold side must broadcast:\n$p")
+  }
+
   test("pack-window materialization shuffles array FRAGMENTS, not per-token structs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
