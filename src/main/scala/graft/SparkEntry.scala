@@ -837,6 +837,23 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // cross-snapshot NEAR-dup planted recall (the q_minhash_recall
+    // pattern for the asymmetric batch-vs-seen path): every batch row is
+    // an exact copy (id + 1000000) of a seen doc, so each must surface
+    // against its twin at jaccard 1.0 — identical shingle sets collide
+    // in every band by construction, so LSH randomness can't miss.
+    "q_seen_neardup_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.where(col("doc_id") < 500)
+      val batch = seen.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.minhashSeenDuplicates(batch, "doc_id", "text",
+          seen, "doc_id", "text",
+          k = 32, bands = 8, threshold = 0.9, maxBucket = 5000)
+        .where(col("batch_id") === col("seen_id") + 1000000 &&
+          col("jaccard") === 1.0)
+        .agg(count(lit(1)).as("n_planted_found"))
+    }),
+
     // rows-only: JPEG/PNG/WAV decode output isn't SQL-expressible
     "q_multimodal_features" -> ((s, _) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
@@ -1282,6 +1299,9 @@ object SparkEntry {
       "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 500",
 
     "q_simhash_recall" ->
+      "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 500",
+
+    "q_seen_neardup_recall" ->
       "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 500",
 
     "q_embedding_recall" ->

@@ -219,6 +219,76 @@ object Dedup {
     verified.where(col("jaccard") >= threshold)
   }
 
+  /** Incremental (cross-snapshot) NEAR-dup: flag `batch` rows whose text
+    * is Jaccard-≥-threshold similar to ANY doc in the `seen` corpus —
+    * the near-dup analogue of [[dropSeenDuplicates]] ("is this new crawl
+    * page a light rewrite of something already ingested?"), which exact
+    * hashing misses. Returns (batch_id, seen_id, jaccard) pairs.
+    *
+    * Distributed shape, asymmetric by design (seen ≫ batch):
+    *  1. both sides project to narrow (band_idx, band_hash, id) triples
+    *     via the native MinHash band expression — text and shingle sets
+    *     never enter the banded exchange;
+    *  2. the SEEN side pre-aggregates ids per bucket with the same
+    *     `maxBucket` cap as [[minhashNearDuplicates]] (a boilerplate
+    *     bucket of m seen docs would otherwise contribute m candidates
+    *     per colliding batch row); the batch side stays exploded, so the
+    *     join is batch-triples × capped-seen-buckets, never a pairwise
+    *     corpus product;
+    *  3. candidates dedup on the narrow (batch_id, seen_id) BEFORE the
+    *     shingle sets are re-attached for the exact-Jaccard verify.
+    *
+    * In steady state, compute the seen side's banded-bucket frame and
+    * shingle projection ONCE per snapshot and persist them as parquet
+    * (both are deterministic projections — the same
+    * store-the-derivation pattern as the IVF index); this call then
+    * reads them instead of re-deriving the whole corpus per ingest. */
+  def minhashSeenDuplicates(
+      batch: DataFrame, batchId: String, batchText: String,
+      seen: DataFrame, seenId: String, seenText: String,
+      k: Int = 64, bands: Int = 8, threshold: Double = 0.8,
+      shingleN: Int = 3, maxBucket: Int = 200): DataFrame = {
+    graft.functions.MinHashExpression.register(batch.sparkSession)
+    graft.functions.ShingleExpression.register(batch.sparkSession)
+    val bsh = batch.select(col(batchId).as("batch_id"),
+      array_distinct(shingles(col(batchText), shingleN)).as("__sh_b"))
+    val ssh = seen.select(col(seenId).as("seen_id"),
+      array_distinct(shingles(col(seenText), shingleN)).as("__sh_s"))
+    def banded(sh: DataFrame, id: String, shCol: String) = sh.select(
+      col(id),
+      posexplode(graft.functions.ShingleExpression.minhashBands(
+        col(shCol), k, bands)).as(Seq("band_idx", "band_hash")))
+    val sBuckets = banded(ssh, "seen_id", "__sh_s")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("seen_id")).as("__seen_ids"))
+      .where(size(col("__seen_ids")) <= maxBucket)
+    val cand = banded(bsh, "batch_id", "__sh_b")
+      .join(sBuckets, Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), explode(col("__seen_ids")).as("seen_id"))
+      .dropDuplicates("batch_id", "seen_id")
+    cand
+      .join(bsh, Seq("batch_id"))
+      .join(ssh, Seq("seen_id"))
+      .select(col("batch_id"), col("seen_id"),
+        (size(array_intersect(col("__sh_b"), col("__sh_s"))).cast("double") /
+          size(array_union(col("__sh_b"), col("__sh_s")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Apply step for [[minhashSeenDuplicates]]: keep only batch rows with
+    * NO near-duplicate in the seen corpus (anti-join on the flagged
+    * batch ids — one narrow key exchange). */
+  def dropSeenNearDuplicates(
+      batch: DataFrame, batchId: String, batchText: String,
+      seen: DataFrame, seenId: String, seenText: String,
+      k: Int = 64, bands: Int = 8, threshold: Double = 0.8,
+      shingleN: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val flagged = minhashSeenDuplicates(batch, batchId, batchText,
+        seen, seenId, seenText, k, bands, threshold, shingleN, maxBucket)
+      .select(col("batch_id").as(batchId)).distinct()
+    batch.join(flagged, Seq(batchId), "left_anti")
+  }
+
   /** Apply near-dedup: drop the larger id of every near-duplicate pair
     * (min-id representative survives). With `clustered = false` this is
     * the single-pass apply: for chains a~b~c it may keep {a} or {a,c}

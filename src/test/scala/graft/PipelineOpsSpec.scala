@@ -73,6 +73,34 @@ class PipelineOpsSpec extends SparkSpec {
       === batch.count())
   }
 
+  test("cross-snapshot near-dup: planted copies flagged at 1.0, novel rows survive") {
+    val seen = docs.limit(40).select("doc_id", "text").cache()
+    val copies = seen.withColumn("doc_id", $"doc_id" + 1000000)
+    val fresh = Seq( // nonsense shingles: disjoint from the corpus, jaccard 0
+      (2000001L, "zymurgy quokka obelisk cantilever mnemonic floss"),
+      (2000002L, "isotope harpsichord velvet graupel syzygy lantern"))
+      .toDF("doc_id", "text")
+    val batch = copies.unionByName(fresh)
+    val pairs = Dedup.minhashSeenDuplicates(batch, "doc_id", "text",
+      seen, "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every copy collides with its twin (identical shingle sets → every
+    // band matches) and the exact verify scores it 1.0
+    val twins = pairs.filter { case (b, s, j) => b == s + 1000000 && j == 1.0 }
+    assert(twins.length === 40, s"all 40 planted twins must surface; got ${twins.length}")
+    // nonsense rows share no shingle with any seen doc: the exact-jaccard
+    // verify kills any band-collision fluke deterministically
+    assert(!pairs.exists(_._1 >= 2000000L), "novel rows must not be flagged")
+    val kept = Dedup.dropSeenNearDuplicates(batch, "doc_id", "text",
+      seen, "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2000001L, 2000002L),
+      "apply step keeps exactly the novel rows")
+    // empty seen side: batch passes through untouched
+    assert(Dedup.dropSeenNearDuplicates(batch, "doc_id", "text",
+      seen.limit(0), "doc_id", "text").count() === batch.count())
+  }
+
   test("greedy packing: hand-computed packs, oversized doc gets its own pack") {
     val df = Seq( // (source, id, cost) — budget 10, walk in id order
       ("A", 1L, 3L), ("A", 2L, 4L), ("A", 3L, 5L), ("A", 4L, 10L), ("A", 5L, 2L),
