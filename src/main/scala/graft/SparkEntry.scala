@@ -380,6 +380,35 @@ object SparkEntry {
         .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
         .orderBy("doc_id")),
 
+    // the downstream FILTER stage over the quality signals: Gopher-style
+    // per-rule verdicts (word count, mean word length, punct/stopword/
+    // digit/upper ratios, repetition) + the keep conjunction, every flag
+    // oracle-replicated rule by rule
+    "q_gopher_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilterReport(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // domain-blocklist gate: suffix matching (entry blocks itself + all
+    // subdomains) over hosts synthesized deterministically from source —
+    // predicate path (arrays_overlap on the substring_index suffix
+    // chain); the join path is differential-tested in PipelineOpsSpec
+    "q_domain_filter" -> ((s, d) => {
+      val host0 = when(col("doc_id") % 3 === 0,
+          concat(lower(col("source")), lit(".example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("www."), lower(col("source")), lit(".example.com")))
+        .otherwise(concat(lower(col("source")), lit(".net")))
+      val withUrl = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://"), host0, lit("/p/"), col("doc_id")).as("url"))
+      graft.operators.WebFilter
+        .filterBlockedHosts(withUrl, "url",
+          Seq("src3.example.com", "src7.net", "src11.example.com"))
+        .select(col("doc_id"),
+          graft.operators.WebFilter.hostOf(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
     // text → token ids with a corpus-learned vocabulary (top-20 words,
     // rank = id, deterministic tie order) — the step that PRODUCES the
     // engine's north-star input shape (doc_id, tokens); the oracle
@@ -1769,6 +1798,61 @@ object SparkEntry {
         |    * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
         |    * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.7 END), 4) AS quality_score
         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    // seven Gopher rules + keep, replicated rule by rule on the same
+    // 4-dp-rounded (6-dp repetition) feature arithmetic the green
+    // q_quality_scores / q_digit_punct / q_repetition oracles pin
+    "q_gopher_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio,
+        |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS digit_ratio,
+        |    round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS upper_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+        |      ELSE 0.0 END AS rep_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents))
+        |SELECT doc_id,
+        |  (n_words >= 50 AND n_words <= 100000)::INT AS r_word_count,
+        |  (mwl BETWEEN 3.0 AND 10.0)::INT AS r_mean_word_len,
+        |  (punct_ratio <= 0.2)::INT AS r_punct,
+        |  (stop_ratio >= 0.05)::INT AS r_stopword,
+        |  (digit_ratio <= 0.15)::INT AS r_digit,
+        |  (upper_ratio <= 0.3)::INT AS r_upper,
+        |  (rep_ratio <= 0.6)::INT AS r_repetition,
+        |  (n_words >= 50 AND n_words <= 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |   AND punct_ratio <= 0.2 AND stop_ratio >= 0.05 AND digit_ratio <= 0.15
+        |   AND upper_ratio <= 0.3 AND rep_ratio <= 0.6)::INT AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // suffix semantics spelled directly: an entry blocks exact host and
+    // every '.'-boundary subdomain
+    "q_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.example.com'
+        |         WHEN doc_id % 3 = 1 THEN 'www.' || lower(source) || '.example.com'
+        |         ELSE lower(source) || '.net' END AS host
+        |  FROM documents)
+        |SELECT doc_id, host FROM u
+        |WHERE NOT (host IN ('src3.example.com', 'src7.net', 'src11.example.com')
+        |       OR host LIKE '%.src3.example.com'
+        |       OR host LIKE '%.src7.net'
+        |       OR host LIKE '%.src11.example.com')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_exact_dups" ->
       """SELECT count(*) AS n_groups, sum(n_docs)::BIGINT AS n_docs_total FROM (

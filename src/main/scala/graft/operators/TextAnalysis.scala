@@ -213,4 +213,77 @@ object TextAnalysis {
     * projection, no shuffle; see [[graft.functions.WordIds]]. */
   def tokenize(text: Column, vocab: Seq[String], unkId: Int = -1): Column =
     TextExpressions.wordIds(text, vocab, unkId)
+
+  /** Thresholds for the composite document-quality FILTER
+    * ([[qualityRules]]) — the published Gopher heuristics (Rae et al.
+    * 2021 §A1.1) and C4 cleanups re-expressed over the TextProfile
+    * signal set. Every comparison runs on the 4-dp-rounded (6-dp for
+    * repetition) profile fields, the same cross-engine-reproducible
+    * values [[qualityFeaturesFrom]]/[[repetitionRatioFrom]] expose. */
+  final case class QualityThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.05,
+      maxDigitRatio: Double = 0.15,
+      maxUpperRatio: Double = 0.3,
+      maxRepetitionRatio: Double = 0.6)
+
+  /** Per-rule verdict struct for the Gopher-style quality filter: seven
+    * boolean rules plus the conjunction `keep`. `tp` must be a PROJECTED
+    * profile attribute (one [[textProfile]] eval per row — same CSE
+    * discipline as [[repetitionRatioFrom]]). The signal queries
+    * (q_quality_scores etc.) SCORE documents; this is the downstream
+    * FILTER stage a training pipeline actually gates ingestion on, with
+    * the per-rule flags kept so rejected volume is attributable by rule
+    * (the observability the funnel report needs). */
+  def qualityRules(tp: Column, t: QualityThresholds = QualityThresholds()): Column = {
+    val nWords = tp.getField("n_words")
+    val mwl = round(tp.getField("mean_word_len"), 4)
+    val rWordCount = nWords >= t.minWords && nWords <= t.maxWords
+    val rMeanWordLen = mwl >= t.minMeanWordLen && mwl <= t.maxMeanWordLen
+    val rPunct = round(tp.getField("punct_ratio"), 4) <= t.maxPunctRatio
+    val rStopword = round(tp.getField("stopword_ratio"), 4) >= t.minStopwordRatio
+    val rDigit = round(tp.getField("digit_ratio"), 4) <= t.maxDigitRatio
+    val rUpper = round(tp.getField("upper_ratio"), 4) <= t.maxUpperRatio
+    val rRepetition = repetitionRatioFrom(tp) <= t.maxRepetitionRatio
+    struct(
+      rWordCount.as("r_word_count"),
+      rMeanWordLen.as("r_mean_word_len"),
+      rPunct.as("r_punct"),
+      rStopword.as("r_stopword"),
+      rDigit.as("r_digit"),
+      rUpper.as("r_upper"),
+      rRepetition.as("r_repetition"),
+      (rWordCount && rMeanWordLen && rPunct && rStopword &&
+        rDigit && rUpper && rRepetition).as("keep"))
+  }
+
+  /** Per-document rule report: (idCol, one int column per rule, keep).
+    * Flags are ints (0/1) so the frame round-trips bit-stably through
+    * parquet/DuckDB hashing. One profile eval per row; embarrassingly
+    * parallel (no exchange — the scan partitioning survives). */
+  def qualityFilterReport(df: DataFrame, idCol: String, textCol: String,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    TextExpressions.register(df.sparkSession)
+    val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_punct",
+      "r_stopword", "r_digit", "r_upper", "r_repetition", "keep")
+    df.select(col(idCol), textProfile(col(textCol)).as("__tp"))
+      .select(col(idCol) +: {
+        val rules = qualityRules(col("__tp"), t)
+        ruleNames.map(n => rules.getField(n).cast("int").as(n))
+      }: _*)
+  }
+
+  /** The gate itself: rows whose text passes every rule, original
+    * schema untouched (clean rows pass through UNPROJECTED, the
+    * quarantine-split convention). A 100-TB corpus scan stays a scan:
+    * predicate-only, no exchange, columns prune to textCol + consumers. */
+  def applyQualityFilter(df: DataFrame, textCol: String,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    TextExpressions.register(df.sparkSession)
+    df.where(qualityRules(textProfile(col(textCol)), t).getField("keep"))
+  }
 }

@@ -952,6 +952,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.aviFeatures(interleaved, 4)._1 === 1)
   }
 
+  // ---------- corpus gating ----------
+
+  test("gopher quality filter: per-rule attribution and the keep gate") {
+    // 60 words, 50% stopwords, 31 distinct, mwl 4.0, no caps/digits/punct
+    val good = (1 to 30).flatMap(i => Seq("the", s"w${('a' + i % 26).toChar}ord"))
+      .mkString(" ")
+    val corpus = Seq(
+      (0L, good),               // passes every rule
+      (1L, "tiny doc"),         // fails r_word_count (and r_stopword)
+      (2L, good.toUpperCase),   // fails ONLY r_upper (words lower-cased first)
+      (3L, (1 to 30).flatMap(_ => Seq("the", "spam")).mkString(" ")) // r_repetition
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.qualityFilterReport(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rep(0L).getAs[Int]("keep") === 1)
+    Seq("r_word_count", "r_mean_word_len", "r_punct", "r_stopword",
+      "r_digit", "r_upper", "r_repetition").foreach(n =>
+      assert(rep(0L).getAs[Int](n) === 1, n))
+    assert(rep(1L).getAs[Int]("r_word_count") === 0)
+    assert(rep(1L).getAs[Int]("keep") === 0)
+    assert(rep(2L).getAs[Int]("r_upper") === 0)
+    assert(rep(2L).getAs[Int]("r_word_count") === 1)
+    assert(rep(2L).getAs[Int]("r_stopword") === 1) // "THE" lower-cases to a stopword
+    assert(rep(2L).getAs[Int]("r_repetition") === 1)
+    assert(rep(3L).getAs[Int]("r_repetition") === 0)
+    assert(rep(3L).getAs[Int]("r_word_count") === 1)
+    // the gate keeps exactly the clean row, schema untouched
+    val kept = TextAnalysis.applyQualityFilter(corpus, "text")
+    assert(kept.schema === corpus.schema)
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("domain blocklist: suffix semantics; predicate and join paths agree") {
+    import graft.operators.WebFilter
+    val rows = Seq(
+      (0L, "http://src3.example.com/a"),           // exact hit
+      (1L, "https://www.src3.example.com/b?x=1"),  // subdomain hit
+      (2L, "http://deep.a.b.c.d.src3.example.com"),// beyond-depth labels still hit
+      (3L, "http://notsrc3.example.com/c"),        // label boundary: NOT a hit
+      (4L, "http://src7.net:8080/d"),              // port stripped, hit
+      (5L, "http://example.com/e"),                // apex not listed: kept
+      (6L, "not a url at all"),                    // null host: kept
+      (7L, "http://SRC7.NET/upper")                // case-insensitive hit
+    ).toDF("id", "url")
+    val blocklist = Seq("src3.example.com", "SRC7.net")
+    val keptPred = WebFilter.filterBlockedHosts(rows, "url", blocklist)
+      .select("id").as[Long].collect().toSet
+    assert(keptPred === Set(3L, 5L, 6L))
+    val blockDf = blocklist.toDF("domain")
+    val keptJoin = WebFilter
+      .filterBlockedHostsJoin(rows, "id", "url", blockDf)
+      .select("id").as[Long].collect().toSet
+    assert(keptJoin === keptPred)
+    assert(WebFilter.filterBlockedHosts(rows, "url", blocklist).schema === rows.schema)
+  }
+
   test("multimodal: batched feature extraction preserves ids, shape, determinism") {
     val media = Multimodal.syntheticMedia(spark, 200)
     val feats = Multimodal.extractFeatures(media, frameSample = 4, batchSize = 16)

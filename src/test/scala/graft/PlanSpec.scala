@@ -141,6 +141,28 @@ class PlanSpec extends SparkSpec {
     assert(hits === 1, s"TextProfile duplicated $hits times:\n$optimized")
   }
 
+  test("quality filter report: one TextProfile eval, zero exchanges") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = TextAnalysis.qualityFilterReport(docs, "doc_id", "text")
+    val optimized = rep.queryExecution.optimizedPlan.toString
+    val hits = "graft_text_profile".r.findAllIn(optimized).size
+    assert(hits === 1, s"TextProfile duplicated $hits times:\n$optimized")
+    val phys = rep.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"quality report shuffled:\n$phys")
+  }
+
+  test("domain blocklist predicate path stays a scan: zero exchanges, zero joins") {
+    import graft.operators.WebFilter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val withUrl = docs.select(col("doc_id"),
+      concat(lit("http://h"), col("doc_id") % 10, lit(".example.com/p")).as("url"))
+    val kept = WebFilter.filterBlockedHosts(withUrl, "url", Seq("h3.example.com"))
+    val phys = kept.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"predicate filter shuffled:\n$phys")
+    assert(!phys.toLowerCase.contains("join"), s"predicate filter joined:\n$phys")
+  }
+
   test("decontamination evaluates token grams once per side, never in a filter") {
     import graft.operators.Decontamination
     val seq = SeqTableGen.generate(spark, 1000)
