@@ -335,6 +335,24 @@ object SparkEntry {
     "q_asof_clicks" -> ((s, d) => asofClicksQuery(s, d, forward = false)),
     "q_asof_next" -> ((s, d) => asofClicksQuery(s, d, forward = true)),
 
+    // point-in-interval range join: per-anchor activity in the two
+    // hours after every mod-97 anchor event. Bucketed equi-join (W = 1h
+    // → ≤3 buckets/interval) — the direct BETWEEN spelling plans as a
+    // BroadcastNestedLoopJoin (PlanSpec pins the difference); DuckDB's
+    // IEJoin computes the same theta-join natively as the oracle
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val anchors = ev.where(col("event_id") % 97 === 0)
+        .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      RangeJoin.pointInInterval(
+          ev.select("event_id", "ts", "value"), anchors,
+          "ts", "w_start", "w_end", bucketWidth = 3600L * 1000000L)
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("anchor_id")
+    }),
+
     // ---- text analysis ----
 
     "q_token_counts" -> ((s, d) => {
@@ -1237,6 +1255,15 @@ object SparkEntry {
         |       r.value AS next_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (SELECT event_id AS anchor_id, ts AS w_start,
+        |                   ts + INTERVAL 2 HOUR AS w_end
+        |            FROM events WHERE event_id % 97 = 0)
+        |SELECT iv.anchor_id, count(*) AS n, round(sum(p.value), 4) AS sum_value
+        |FROM events p JOIN iv
+        |  ON p.ts >= iv.w_start AND p.ts <= iv.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

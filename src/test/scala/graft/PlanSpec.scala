@@ -344,6 +344,27 @@ class PlanSpec extends SparkSpec {
       s"grouped sketch must combine map-side before the shuffle:\n$p")
   }
 
+  test("range join plans as a hash join, never a nested loop") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val anchors = ev.where(col("event_id") % 97 === 0)
+      .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    val points = ev.select("event_id", "ts", "value")
+    // the direct BETWEEN spelling is the 100-TB cliff this operator
+    // exists to avoid — Catalyst has no equi-keys to hash on
+    val naive = points.join(anchors,
+      col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+    assert(plan(naive).contains("BroadcastNestedLoopJoin"),
+      "fixture no longer demonstrates the nested-loop cliff")
+    val bucketed = graft.operators.RangeJoin.pointInInterval(
+      points, anchors, "ts", "w_start", "w_end", bucketWidth = 3600L * 1000000L)
+    val p = plan(bucketed)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"range join must be an equi-join on the bucket:\n$p")
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     Predicates.register(spark)
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
