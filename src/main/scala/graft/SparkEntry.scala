@@ -353,6 +353,22 @@ object SparkEntry {
         .orderBy("anchor_id")
     }),
 
+    // gap-based sessionization: per-user activity sessions with a
+    // 30-minute inactivity close, via Spark's native session_window
+    // aggregate; the oracle reconstructs the identical sessions with
+    // lag + cumulative break counting (new session iff gap STRICTLY
+    // exceeds 30 min — session_window merges at exactly prev+gap,
+    // SessionizeSpec pins the boundary)
+    "q_sessions" -> ((s, d) =>
+      Sessionize.sessionize(t(s, d, "events"), Seq("user_id"), "ts",
+          "30 minutes",
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_last"), "yyyy-MM-dd HH:mm:ss").as("session_last"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // ---- text analysis ----
 
     "q_token_counts" -> ((s, d) => {
@@ -1264,6 +1280,24 @@ object SparkEntry {
         |FROM events p JOIN iv
         |  ON p.ts >= iv.w_start AND p.ts <= iv.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

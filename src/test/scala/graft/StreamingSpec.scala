@@ -178,6 +178,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 == "R_EMB_DIM"))
   }
 
+  test("streaming sessionization: append-mode sessions equal batch truth") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sessionize
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val ev = (0 until 2000).map { i =>
+      (i % 13L, (i * 2654435761L + 7) % 86400L, 1.0)
+    }.toDF("user", "sec", "value")
+      .withColumn("ts", timestamp_micros($"sec" * 1000000L))
+      .select("user", "ts", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    // a far-future sentinel event in a LATER file pushes the watermark
+    // past every real session's close, so append mode emits them all
+    // before AvailableNow terminates (the standard end-of-stream flush)
+    Thread.sleep(1100) // file-source batches order by mod time
+    Seq((-1L, 10L * 86400L, 0.0)).toDF("user", "sec", "value")
+      .withColumn("ts", timestamp_micros($"sec" * 1000000L))
+      .select("user", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sess = Sessionize.sessionizeStream(stream, Seq("user"), "ts",
+      gap = "10 minutes", delay = "0 seconds",
+      aggs = Seq(count(lit(1)).as("n"), sum($"value").as("v")))
+    assert(sess.isStreaming)
+    StreamingValidation.runToMemorySink(sess, "sessions", OutputMode.Append())
+    val got = spark.table("sessions").where($"user" =!= -1L)
+      .select("user", "session_start", "session_last", "n", "v")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().toSet
+    val truth = Sessionize.sessionize(ev, Seq("user"), "ts", "10 minutes",
+        Seq(count(lit(1)).as("n"), sum($"value").as("v")))
+      .select("user", "session_start", "session_last", "n", "v")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().toSet
+    assert(got === truth)
+    assert(truth.size > 13, "fixture must produce multiple sessions per user")
+  }
+
   test("streaming decontamination filter: bloom predicate equals exact batch set") {
     import org.apache.spark.sql.functions._
     import graft.operators.Decontamination
