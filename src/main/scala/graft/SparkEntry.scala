@@ -369,6 +369,19 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // quality-ranked token-budget selection: keep the best-scored docs
+    // until the corpus-wide budget fills (exclusive-prefix-sum < budget
+    // keeps the boundary doc). Two-level distributed prefix sum on the
+    // (-score, id) walk — never a SinglePartition window; the
+    // Knuth-hash pseudo-score is the SQL-replicable oracle spelling
+    "q_budget_select" -> ((s, d) => {
+      val score = (col("doc_id") * lit(2654435761L) + lit(99L)) % lit(4294967296L)
+      Selection.tokenBudget(t(s, d, "documents"), "doc_id", "n_chars",
+          score, budget = 80000L)
+        .select(col("doc_id"), col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis ----
 
     "q_token_counts" -> ((s, d) => {
@@ -1298,6 +1311,20 @@ object SparkEntry {
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_budget_select" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id * 2654435761 + 99) % 4294967296 AS score
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id,
+        |         CAST(coalesce(sum(n_chars) OVER (ORDER BY score DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM r)
+        |SELECT doc_id, cum_before FROM o
+        |WHERE cum_before < 80000 ORDER BY doc_id""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

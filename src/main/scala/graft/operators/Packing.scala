@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed-budget training packs —
@@ -93,14 +93,24 @@ object Packing {
     * O(partitions) offset table.
     *
     * Requires unique ids (duplicate ids have no defined walk order).
-    * Null costs count 0; rows keep their slot. */
-  def globalOffsets(df: DataFrame, idCol: String, costCol: String): DataFrame = {
+    * Null costs count 0; rows keep their slot.
+    *
+    * `orderBy` overrides the walk order (default: ascending id). Plain
+    * expressions, walked ASCENDING — negate a numeric column to
+    * descend. Pass a TOTAL order — include the id as the final
+    * tiebreak — or partition boundaries are nondeterministic. Order
+    * expressions ride the narrow projection (still O(order-key)
+    * bytes/row) and are dropped from the result. */
+  def globalOffsets(df: DataFrame, idCol: String, costCol: String,
+                    orderBy: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
+    val order = if (orderBy.nonEmpty) orderBy else Seq(col(idCol))
     val narrow = df
-      .select(col(idCol), coalesce(col(costCol).cast("long"), lit(0L)).as("__c"))
-      .repartitionByRange(col(idCol))
-      .sortWithinPartitions(idCol)
+      .select(col(idCol) +: coalesce(col(costCol).cast("long"), lit(0L)).as("__c") +:
+        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+      .repartitionByRange(order.indices.map(i => col(s"__o$i")): _*)
+      .sortWithinPartitions(order.indices.map(i => col(s"__o$i")): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val totals = narrow.groupBy("__pid").agg(sum("__c").as("__t"))
@@ -109,7 +119,8 @@ object Packing {
     val offsets = totals.map(_._1).zip(prefix.map(_._2)).toSeq
     import spark.implicits._
     val offDf = broadcast(offsets.toDF("__pid", "__poff"))
-    val w = Window.partitionBy("__pid").orderBy(idCol)
+    val w = Window.partitionBy("__pid")
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     narrow.join(offDf, Seq("__pid"))
       .withColumn("offset", coalesce(sum(col("__c")).over(w), lit(0L)) + col("__poff"))

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quality-ranked corpus selection under a global token budget: walk
+  * the documents from best to worst score and keep them until the
+  * budget fills — "take the best N tokens", the standard final cut of a
+  * training-data pipeline (quality-classifier ranking → fixed token
+  * target).
+  *
+  * The global walk is a prefix sum, NOT a sort-and-scan: the naive
+  * `sum(cost) OVER (ORDER BY score DESC)` collapses the corpus through
+  * one SinglePartition window task. This reuses
+  * [[Packing.globalOffsets]]'s two-level spelling (range-partition by
+  * the rank key → per-partition totals → O(partitions) driver scan →
+  * broadcast back), so every stage stays parallel and exact past 2^53
+  * total tokens.
+  *
+  * Selection rule: a document is kept iff the budget was not already
+  * full when its turn came (exclusive prefix sum < budget) — the
+  * boundary document crossing the budget line IS kept, so the selection
+  * is never empty for a positive budget and total kept cost is
+  * < budget + max single cost.
+  *
+  * Reference scope: engine extension; the reference validates rows and
+  * has no corpus-selection stage.
+  */
+object Selection {
+
+  /** @param df       corpus; must carry `idCol` (unique), `costCol`,
+    *                 and the columns `score` reads
+    * @param idCol    unique document id
+    * @param costCol  per-document token count (null counts 0)
+    * @param score    quality score — HIGHER is better; ties broken by
+    *                 ascending id
+    * @param budget   global token budget (> 0)
+    * @param offsets precomputed best-first offsets frame (the
+    *                [[Packing.globalOffsets]] result for
+    *                `orderBy = (-score, id)`) to share across consumers;
+    *                when created internally its checkpoint blocks live
+    *                until [[Packing.releaseOffsets]] — pass one in and
+    *                release it after the LAST action, like
+    *                [[Packing.concatChunk]]
+    * @return the kept rows of `df` (all original columns) plus
+    *         `cum_before` — the exact number of tokens already taken by
+    *         strictly better-ranked documents
+    */
+  def tokenBudget(df: DataFrame, idCol: String, costCol: String,
+                  score: Column, budget: Long,
+                  offsets: Option[DataFrame] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // ascending walk on (-score, id) = best-first; offsets frame is
+    // narrow (id, cost, offset)
+    val offs = offsets.getOrElse(Packing.globalOffsets(df, idCol, costCol,
+      orderBy = Seq(score * lit(-1), col(idCol))))
+    val kept = offs.where(col("offset") < budget)
+      .select(col(idCol), col("offset").as("cum_before"))
+    // narrow kept-id frame joins back to the full-width corpus; at a
+    // selective budget AQE broadcasts it, otherwise it is an id-keyed
+    // hash join — the payload shuffles at most once
+    df.join(kept, Seq(idCol))
+  }
+}
