@@ -456,6 +456,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // top-3 TF-IDF terms per document — topical keyword extraction for
+    // corpus-composition reports; unsmoothed idf = ln(N/df) so the SQL
+    // oracle replicates the math exactly (ties break on word asc)
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // WITHIN-doc repetition removal (word granularity on the synthetic
+    // single-line corpus — same code path as the newline default):
+    // first occurrence survives, later repeats drop, volume observable
+    "q_intradoc_dedup" -> ((s, d) =>
+      LineDedup.dedupLinesWithinDoc(t(s, d, "documents")
+          .select("doc_id", "text"), "text", delim = " ")
+        .orderBy("doc_id")),
+
     // text → token ids with a corpus-learned vocabulary (top-20 words,
     // rank = id, deterministic tie order) — the step that PRODUCES the
     // engine's north-star input shape (doc_id, tokens); the oracle
@@ -911,6 +926,22 @@ object SparkEntry {
       val seen = docs.where(col("doc_id") < 250)
       Dedup.dropSeenDuplicates(docs, seen, "text", expectedSeen = 250)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // snapshot diff: per-key added/removed/changed/unchanged between two
+    // derived snapshots (old = id%3≠0 with id%10==0 texts mutated; new =
+    // id%5≠0) — the incremental-crawl refresh classifier; narrow
+    // (key, xxhash64) full-outer join vs a direct-equality SQL oracle
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "text")
+      SnapshotDiff.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
     }),
 
     // cross-snapshot NEAR-dup planted recall (the q_minhash_recall
@@ -1853,6 +1884,55 @@ object SparkEntry {
         |FROM aug a LEFT JOIN (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
         |  FROM k GROUP BY doc_id) s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF replicated exactly: same word split as q_word_jaccard, raw
+    // idf = ln(N/df), ties on (score desc, word asc) — identical (tf,
+    // df) inputs yield bit-identical doubles in both engines
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfc AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT doc_id, rank, word, round(score, 6) AS tfidf FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf * ln(n.n / dfc.dfc) AS score,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * ln(n.n / dfc.dfc) DESC, tf.word)
+        |           AS INTEGER) AS rank
+        |  FROM tf JOIN dfc USING (word), n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // within-doc first-occurrence dedup: min-subscript per (doc, unit),
+    // rejoin in first-appearance order; n_dropped = total − distinct
+    "q_intradoc_dedup" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls
+        |           FROM documents),
+        |e AS (SELECT doc_id, unnest(ls) AS line,
+        |             generate_subscripts(ls, 1) AS idx FROM l),
+        |g AS (SELECT doc_id, line, min(idx) AS mi, count(*) AS c
+        |      FROM e GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
+        |       string_agg(line, ' ' ORDER BY mi) AS text
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END
+        |           AS text
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(nw.doc_id, old.doc_id) AS doc_id,
+        |       CASE WHEN old.doc_id IS NULL THEN 'added'
+        |            WHEN nw.doc_id IS NULL THEN 'removed'
+        |            WHEN old.text = nw.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM old FULL JOIN nw ON old.doc_id = nw.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // TextProfile quality arithmetic replicated exactly: whitespace word

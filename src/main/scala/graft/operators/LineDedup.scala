@@ -64,4 +64,36 @@ object LineDedup {
         when(col("__rm").isNull, col(textCol)).otherwise(rebuilt))
       .drop("__rm")
   }
+
+  /** WITHIN-document repetition removal: keep the FIRST occurrence of
+    * each line inside a document, drop later repeats (the intra-doc
+    * companion of the Gopher `dup_line_frac` rule — pages that repeat
+    * their own nav blocks, SEO keyword walls, template stutter). Pure
+    * projection: `array_distinct` preserves first-occurrence order, so
+    * this is zero-shuffle, codegen'd, and scales with input splits —
+    * corpus-frequency-based [[removeDuplicateLines]] is the only
+    * variant that needs an aggregate.
+    *
+    * `delim` is both the split REGEX and the rejoin string (default
+    * newline; pass `" "` for word-granularity unit streams). Adds
+    * `n_dropped` (lines removed) so rejected volume is observable. */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+                          delim: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val kept = array_distinct(lines)
+    df.withColumn("n_dropped",
+        (size(lines) - size(kept)).cast("long"))
+      .withColumn(textCol, array_join(kept, delim))
+  }
+
+  /** Intra-document repeated-line fraction — the SIGNAL form of
+    * [[dedupLinesWithinDoc]] (score first, gate later — the quality-
+    * filter convention): (n_lines − n_distinct_lines) / n_lines,
+    * 0.0 for empty text. Zero-shuffle projection. */
+  def repeatedLineFraction(textCol: Column, delim: String = "\n"): Column = {
+    val lines = split(textCol, java.util.regex.Pattern.quote(delim))
+    val n = size(lines)
+    when(n === 0, lit(0.0))
+      .otherwise((n - size(array_distinct(lines))).cast("double") / n)
+  }
 }

@@ -286,4 +286,52 @@ object TextAnalysis {
     TextExpressions.register(df.sparkSession)
     df.where(qualityRules(textProfile(col(textCol)), t).getField("keep"))
   }
+
+  /** Top-k TF-IDF terms per document — the classic keyword/topical
+    * signal a curation pipeline uses for corpus composition reports and
+    * domain tagging. idf = ln(N / df): raw, unsmoothed, so the math is
+    * exactly replicable in plain SQL (words present in every document
+    * score 0 and sort by the `word` tie-break in both engines).
+    *
+    * Scale shape, pass by pass:
+    *  1. tf — explode words, groupBy (id, word): partial_count collapses
+    *     repeated words map-side, the shuffle carries (id, word, n)
+    *     only, never text;
+    *  2. df — groupBy word over the ALREADY-distinct (id, word) frame:
+    *     O(distinct words) rows after map-side combine;
+    *  3. N — one scalar crossJoin (BroadcastNestedLoopJoin of one row,
+    *     the [[Mixing.realizedMix]] pattern);
+    *  4. idf join — narrow (word → df) against (id, word, tf); AQE
+    *     broadcasts the vocabulary side when it fits (common: vocab ≪
+    *     corpus), sort-merge otherwise;
+    *  5. top-k — row_number windowed per doc: partitions are bounded by
+    *     distinct-words-per-document, so no single-task skew regardless
+    *     of corpus size (the unbounded-window hazard documented on
+    *     [[graft.operators.ValidationPass]] does not apply).
+    *
+    * Ties (equal score) break on `word` ascending — identical (tf, df)
+    * pairs produce bit-identical doubles in any IEEE engine, so the
+    * ordering is stable across Spark and the SQL oracle. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDocFreq: Long = 1L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minDocFreq >= 1L, "minDocFreq must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    val docFreq = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(docFreq, Seq("word"))
+      .crossJoin(nDocs)
+      .withColumn("__score", col("__tf") * log(col("__n") / col("__df")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("word"),
+        round(col("__score"), 6).as("tfidf"))
+  }
 }
