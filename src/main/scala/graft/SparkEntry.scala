@@ -463,6 +463,19 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc unigram
+    // log-likelihood ratio of a target exemplar set (src1/src2) vs the
+    // raw corpus, add-one smoothing — word-keyed oracle mode (the
+    // hashed-bucket production path is differential-tested in
+    // CurationSpec with its bounded-broadcast weight table)
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.dsirLogWeights(docs, "doc_id", "text",
+          docs.where(col("source").isin("src1", "src2")), "text",
+          hashed = false)
+        .orderBy("doc_id")
+    }),
+
     // WITHIN-doc repetition removal (word granularity on the synthetic
     // single-line corpus — same code path as the newline default):
     // first occurrence survives, later repeats drop, volume observable
@@ -806,6 +819,21 @@ object SparkEntry {
           dim = 64, threshold = 0.999)
         .where(col("id_b") === col("id_a") + 1000000)
         .agg(count(lit(1)).as("n_planted_found"))
+    }),
+
+    // SemDeDup (cluster-then-compare semantic dedup) with a FULL
+    // survivor oracle: at τ=0.999 the only qualifying pairs are the
+    // planted exact copies (max natural pairwise cosine ≈ 0.51, judged
+    // sound at both SFs), identical vectors always share a cluster
+    // (same floats → same argmax), so within-cluster == global and the
+    // oracle can state the drop rule directly with NOT EXISTS
+    "q_semdedup" -> ((s, d) => {
+      val embs = t(s, d, "embeddings").select("vec_id", "embedding")
+      val doubled = embs.unionByName(
+        embs.withColumn("vec_id", col("vec_id") + 1000000))
+      Similarity.semDedup(doubled, "vec_id", "embedding",
+          nCentroids = 8, threshold = 0.999)
+        .select("vec_id").orderBy("vec_id")
     }),
 
     "q_exact_dups" -> ((s, d) => {
@@ -1919,6 +1947,44 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR replicated exactly: same word split, add-one smoothing over
+    // V = distinct raw words, ln-ratio summed per doc, rounded 6 dp
+    "q_dsir_weights" ->
+      """WITH wr AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |wt AS (SELECT wr.word FROM wr JOIN documents USING (doc_id)
+        |       WHERE source IN ('src1', 'src2')),
+        |cr AS (SELECT word, count(*) AS cr FROM wr GROUP BY 1),
+        |ct AS (SELECT word, count(*) AS ct FROM wt GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr)::DOUBLE FROM cr) AS nr,
+        |               (SELECT count(*)::DOUBLE FROM cr) AS v,
+        |               (SELECT coalesce(sum(ct), 0)::DOUBLE FROM ct) AS nt),
+        |lw AS (SELECT cr.word,
+        |         ln((coalesce(ct.ct, 0) + 1.0) / (tot.nt + tot.v))
+        |       - ln((cr.cr + 1.0) / (tot.nr + tot.v)) AS lw
+        |       FROM cr LEFT JOIN ct USING (word), tot)
+        |SELECT doc_id, round(sum(lw), 6) AS dsir_weight
+        |FROM wr JOIN lw USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the drop rule stated directly: survivor iff no smaller-id vector
+    // at cosine ≥ τ (within-cluster == global at τ=0.999 — see the
+    // Spark-side comment); float vectors cast to DOUBLE for DuckDB's
+    // list_cosine_similarity
+    "q_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings)
+        |SELECT a.vec_id FROM e a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.999)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (

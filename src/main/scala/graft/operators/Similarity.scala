@@ -213,4 +213,58 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the IVF coarse
+    * quantizer, then compare pairs WITHIN each cluster only and drop
+    * every vector that has a smaller-id cluster-mate at cosine ≥
+    * `threshold` (min-id survivor per similarity star — the greedy
+    * keep-one-per-ε-ball rule, deterministically tie-broken).
+    *
+    * Scale shape: the within-cluster self-join shuffles (id, vec,
+    * centroid_id) once per side — O(n) vector motion, unavoidable for
+    * pairwise cosine — and pairwise COMPUTE is Σ cᵢ², bounded by the
+    * cluster granularity (SemDeDup's own trick: nCentroids ~ n/10⁴
+    * keeps cells small; the paper runs 50k clusters on 5B embeddings).
+    * Monitor skew with [[clusterSizes]] before committing a threshold
+    * run — a degenerate cell turns the quadratic loose ("no silent
+    * caps": this operator surfaces the histogram instead of capping
+    * silently, because dropping pairs would silently under-dedup).
+    * Exactly-equal vectors always share a cluster (same floats → same
+    * argmax against the same broadcast centroid matrix), so planted-
+    * duplicate recall is clustering-independent — the property
+    * q_semdedup's full-survivor oracle keys on. */
+  def semDedupDrops(index: IvfIndex, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val spark = index.assigned.sparkSession
+    VectorExpressions.register(spark)
+    val a = index.assigned.select(col(idCol).as("__ia"),
+      col(vecCol).as("__va"), col("centroid_id").as("__ca"))
+    val b = index.assigned.select(col(idCol).as("__ib"),
+      col(vecCol).as("__vb"), col("centroid_id").as("__cb"))
+    a.join(b, col("__ca") === col("__cb") && col("__ia") < col("__ib"))
+      .where(VectorExpressions.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ib").as(idCol)).distinct()
+  }
+
+  /** The apply step: corpus minus [[semDedupDrops]] (anti-join on the
+    * narrow dropped-id frame; payload columns move only on the
+    * survivor side of the final join, same convention as
+    * [[Dedup.applyNearDedup]]). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, threshold: Double,
+               refineIters: Int = 1): DataFrame = {
+    val index = buildIvf(corpus, idCol, vecCol, nCentroids, refineIters)
+    corpus.join(semDedupDrops(index, idCol, vecCol, threshold),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Cluster-occupancy histogram for [[semDedupDrops]] skew triage:
+    * (centroid_id, n_vectors), biggest first — one narrow aggregate. */
+  def clusterSizes(index: IvfIndex): DataFrame =
+    index.assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(desc("n_vectors"), col("centroid_id"))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LineDedup, SnapshotDiff, TextAnalysis}
+import graft.operators.{Curation, LineDedup, Similarity, SnapshotDiff, TextAnalysis}
 
 /** Corpus-curation operators added in round 4: TF-IDF keyword
   * extraction, within-doc repetition removal, snapshot diff. */
@@ -118,5 +118,100 @@ class CurationSpec extends SparkSpec {
     val st = SnapshotDiff.diff(o, n, "doc_id", Seq("text", "lang"))
       .as[(Long, String)].collect()
     assert(st === Array((1L, "changed")))
+  }
+
+  // ---------- DSIR importance weights ----------
+
+  // raw: two "webby" docs, one "target-like" doc; target favors "wiki"
+  val dsirRaw = Seq(
+    (1L, "spam spam click"),
+    (2L, "wiki facts"),
+    (3L, "click spam")).toDF("doc_id", "text")
+  val dsirTarget = Seq("wiki facts", "wiki knowledge")
+    .toDF("text")
+
+  test("dsirLogWeights: hand-computed word-mode weights") {
+    // raw counts: spam 3, click 2, wiki 1, facts 1 → N_R=7, V=4
+    // target counts: wiki 2, facts 1, knowledge 1 → N_T=4
+    def lw(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (4.0 + 4.0)) - math.log((cr + 1.0) / (7.0 + 4.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Curation.dsirLogWeights(dsirRaw, "doc_id", "text",
+        dsirTarget, "text", hashed = false)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(out === Array(
+      (1L, r6(2 * lw(0, 3) + lw(0, 2))),          // spam spam click
+      (2L, r6(lw(2, 1) + lw(1, 1))),              // wiki facts
+      (3L, r6(lw(0, 2) + lw(0, 3)))))             // click spam
+    // the target-like doc must rank first
+    assert(out.maxBy(_._2)._1 === 2L)
+  }
+
+  test("dsirLogWeights hashed mode: same ranking, bounded broadcast table") {
+    // 64k buckets ≫ 5 distinct words → no collisions → identical
+    // ORDERING to word mode (weights differ: V = nBuckets)
+    val hashed = Curation.dsirLogWeights(dsirRaw, "doc_id", "text",
+        dsirTarget, "text", nBuckets = 65536, hashed = true)
+    val hOrder = hashed.orderBy(desc("dsir_weight"), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    val wOrder = Curation.dsirLogWeights(dsirRaw, "doc_id", "text",
+        dsirTarget, "text", hashed = false)
+      .orderBy(desc("dsir_weight"), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(hOrder === wOrder)
+    // the nBuckets-bounded weight table must broadcast in hashed mode
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dsirSelect keeps the top-k payload rows") {
+    val sel = Curation.dsirSelect(dsirRaw, "doc_id", "text",
+        dsirTarget, "text", k = 1, hashed = false)
+      .as[(Long, String)].collect()
+    assert(sel === Array((2L, "wiki facts")))
+  }
+
+  // ---------- SemDeDup ----------
+
+  def vecDf(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("semDedup drops the higher-id exact duplicate, keeps distinct vectors") {
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val e3 = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val corpus = vecDf(1L -> e1, 2L -> e2, 3L -> e3, 10L -> e1, 11L -> e2)
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nCentroids = 3, threshold = 0.999)
+      .select("vec_id").orderBy("vec_id").as[Long].collect()
+    assert(out === Array(1L, 2L, 3L)) // 10, 11 are copies of 1, 2
+  }
+
+  test("semDedup survivor keeps full row; near-but-below-threshold pair kept") {
+    val a = Seq(1.0f, 0.0f, 0.1f, 0.0f)
+    val b = Seq(1.0f, 0.1f, 0.0f, 0.0f) // cos(a,b) ≈ 0.990 < 0.999
+    val corpus = vecDf(1L -> a, 2L -> b)
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nCentroids = 1, threshold = 0.999)
+      .orderBy("vec_id").as[(Long, Seq[Float])].collect()
+    assert(out.map(_._1) === Array(1L, 2L))
+    assert(out(1)._2 === b) // payload column intact
+    // tighter world: same pair IS a duplicate at τ=0.98
+    val tight = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nCentroids = 1, threshold = 0.98)
+      .select("vec_id").as[Long].collect()
+    assert(tight === Array(1L))
+  }
+
+  test("clusterSizes covers every vector exactly once") {
+    val corpus = vecDf((0L until 20L).map(i =>
+      i -> Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        0.5f, -0.25f)): _*)
+    val idx = Similarity.buildIvf(corpus, "vec_id", "embedding",
+      nCentroids = 4, refineIters = 1)
+    val sizes = Similarity.clusterSizes(idx).as[(Int, Long)].collect()
+    assert(sizes.map(_._2).sum === 20L)
+    assert(sizes.forall(_._2 > 0))
   }
 }
