@@ -463,6 +463,22 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // Gopher character-level repetition: most-frequent-2-gram char
+    // coverage + duplicated-3-gram char mass, integer-ratio arithmetic
+    // from ONE native RepetitionSignals eval — SQL-replicable exactly
+    "q_char_repetition" -> ((s, d) => {
+      TextExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextExpressions.repetitionSignals(col("text"), 2, 3).as("__r"))
+        .select(col("doc_id"),
+          round(col("__r").getField("top_ngram_char_frac"), 6)
+            .as("top2_char_frac"),
+          round(col("__r").getField("dup_ngram_char_frac"), 6)
+            .as("dup3_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): per-doc unigram
     // log-likelihood ratio of a target exemplar set (src1/src2) vs the
     // raw corpus, add-one smoothing — word-keyed oracle mode (the
@@ -1947,6 +1963,51 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // top-gram mass: among the grams with the max count, the largest
+    // count×charlen (whitespace-free char mass / total word-char mass);
+    // dup mass: Σ count×charlen over grams occurring ≥ 2
+    "q_char_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS ws
+        |  FROM documents),
+        |den AS (
+        |  SELECT doc_id, coalesce(sum(len(w)), 0)::DOUBLE AS denom
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1),
+        |c2 AS (
+        |  SELECT doc_id, g, count(*) AS cnt, any_value(cl) AS cl FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g,
+        |           len(ws[i]) + len(ws[i+1]) AS cl
+        |    FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |    WHERE len(ws) >= 2)
+        |  GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, max(cnt * cl) AS mass FROM (
+        |    SELECT doc_id, cnt, cl,
+        |           max(cnt) OVER (PARTITION BY doc_id) AS mc FROM c2)
+        |  WHERE cnt = mc GROUP BY doc_id),
+        |c3 AS (
+        |  SELECT doc_id, g, count(*) AS cnt, any_value(cl) AS cl FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g,
+        |           len(ws[i]) + len(ws[i+1]) + len(ws[i+2]) AS cl
+        |    FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+        |    WHERE len(ws) >= 3)
+        |  GROUP BY 1, 2),
+        |dup3 AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(cnt * cl) FILTER (WHERE cnt >= 2), 0) AS mass
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT den.doc_id,
+        |  round(CASE WHEN den.denom = 0 THEN 0
+        |             ELSE coalesce(top2.mass, 0) / den.denom END, 6)
+        |    AS top2_char_frac,
+        |  round(CASE WHEN den.denom = 0 THEN 0
+        |             ELSE coalesce(dup3.mass, 0) / den.denom END, 6)
+        |    AS dup3_char_frac
+        |FROM den LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // DSIR replicated exactly: same word split, add-one smoothing over
     // V = distinct raw words, ln-ratio summed per doc, rounded 6 dp

@@ -371,6 +371,100 @@ case class WordIds(child: Expression, vocab: Seq[String], unkId: Int)
   override def prettyName: String = "graft_word_ids"
 }
 
+/** Gopher-style character-level repetition signals (Rae et al. 2021,
+  * arXiv:2112.11446, Table A1) in one pass per n over the word stream:
+  *
+  *  - `top_ngram_char_frac`: character mass covered by the MOST
+  *    FREQUENT word `topN`-gram — count × gram character length
+  *    (whitespace excluded) over the total word-character mass. Count
+  *    ties resolve to the larger character coverage, so the VALUE is
+  *    deterministic without a lexicographic tie-break.
+  *  - `dup_ngram_char_frac`: the same mass summed over all `dupN`-grams
+  *    occurring at least twice — the simple overlap-counting variant
+  *    (occurrences may overlap, so the fraction can exceed 1; gating
+  *    pipelines threshold it far below that). Both are exactly
+  *    integer-ratio arithmetic, so the SQL oracle reproduces them
+  *    bit-for-bit.
+  *
+  * Complements [[TextProfile]]'s word-level `repetition_ratio`: these
+  * catch the stutter that distinct-word counting can't see (repeated
+  * PHRASES over a diverse vocabulary). Native expression for the same
+  * reason as [[WordShingles]] — a per-row HashMap loop has no HOF
+  * spelling that isn't interpreted. */
+case class RepetitionSignals(child: Expression, topN: Int, dupN: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(topN >= 1 && dupN >= 1, "n-gram sizes must be >= 1")
+
+  override def dataType: DataType = RepetitionSignals.Schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_repetition_signals requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // same tokenization as TextProfile: filter(split(lower(trim), \s+))
+    val words = s.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").filter(_.nonEmpty)
+    val n = words.length
+    val lens = new Array[Long](n)
+    var denom = 0L
+    var i = 0
+    while (i < n) {
+      lens(i) = words(i).codePointCount(0, words(i).length).toLong
+      denom += lens(i); i += 1
+    }
+    // (top-gram mass, duplicated-gram mass) for one n-gram size
+    def masses(k: Int): (Long, Long) = {
+      if (n < k || denom == 0L) return (0L, 0L)
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      var a = 0
+      while (a + k <= n) {
+        val sb = new java.lang.StringBuilder
+        var cl = 0L
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ') // words contain no whitespace
+          sb.append(words(a + j)); cl += lens(a + j); j += 1
+        }
+        val e = counts.get(sb.toString)
+        if (e == null) counts.put(sb.toString, Array(1L, cl)) else e(0) += 1
+        a += 1
+      }
+      var maxCount = 0L; var topMass = 0L; var dupMass = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val mass = e(0) * e(1)
+        if (e(0) > maxCount) { maxCount = e(0); topMass = mass }
+        else if (e(0) == maxCount && mass > topMass) topMass = mass
+        if (e(0) >= 2L) dupMass += mass
+      }
+      (topMass, dupMass)
+    }
+    val (top, dupAtTopN) = masses(topN)
+    val dup = if (dupN == topN) dupAtTopN else masses(dupN)._2
+    if (denom == 0L) InternalRow(0.0, 0.0)
+    else InternalRow(top.toDouble / denom, dup.toDouble / denom)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionSignals =
+    copy(child = c)
+  override def prettyName: String = "graft_repetition_signals"
+}
+
+object RepetitionSignals {
+  val Schema: StructType = StructType(Seq(
+    StructField("top_ngram_char_frac", DoubleType, nullable = false),
+    StructField("dup_ngram_char_frac", DoubleType, nullable = false)))
+}
+
 object TextExpressions {
   /** Idempotent registration (quiet re-entry: no "replaced function"
     * warnings on repeat calls). The Column builders below self-register
@@ -398,6 +492,12 @@ object TextExpressions {
     reg.registerFunction(FunctionIdentifier("graft_compression_ratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName, "graft_compression_ratio"),
       (es: Seq[Expression]) => CompressionRatio(es.head))
+    reg.registerFunction(FunctionIdentifier("graft_repetition_signals"),
+      new ExpressionInfo(classOf[RepetitionSignals].getName,
+        "graft_repetition_signals"),
+      (es: Seq[Expression]) => RepetitionSignals(es.head,
+        es(1).eval(InternalRow.empty).toString.toInt,
+        es(2).eval(InternalRow.empty).toString.toInt))
     reg.registerFunction(FunctionIdentifier("graft_word_ids"),
       new ExpressionInfo(classOf[WordIds].getName, "graft_word_ids"),
       (es: Seq[Expression]) => WordIds(
@@ -430,6 +530,10 @@ object TextExpressions {
   }
   def compressionRatio(text: Column): Column = {
     ensure(); call_function("graft_compression_ratio", text)
+  }
+  def repetitionSignals(text: Column, topN: Int, dupN: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensure(); call_function("graft_repetition_signals", text, lit(topN), lit(dupN))
   }
   def wordIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
     import org.apache.spark.sql.functions.{array, lit}

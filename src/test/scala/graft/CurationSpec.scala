@@ -204,6 +204,40 @@ class CurationSpec extends SparkSpec {
     assert(tight === Array(1L))
   }
 
+  // ---------- Gopher char-level repetition signals ----------
+
+  def repSignals(text: String, topN: Int, dupN: Int): (Double, Double) = {
+    graft.functions.TextExpressions.register(spark)
+    val r = Seq(Tuple1(text)).toDF("text")
+      .select(graft.functions.TextExpressions
+        .repetitionSignals($"text", topN, dupN).as("r"))
+      .select($"r.top_ngram_char_frac", $"r.dup_ngram_char_frac")
+      .as[(Double, Double)].head()
+    r
+  }
+
+  test("repetitionSignals: hand-computed top-2-gram and dup-3-gram masses") {
+    // words [a,bb,a,bb,a] lens [1,2,1,2,1] denom 7
+    // 2-grams: "a bb"×2 (cl 3), "bb a"×2 (cl 3) → top 6/7
+    // 3-grams: "a bb a"×2 (cl 4), "bb a bb"×1 → dup 8/7 (>1: overlap)
+    val (top, dup) = repSignals("a bb a bb a", 2, 3)
+    assert(math.abs(top - 6.0 / 7) < 1e-12)
+    assert(math.abs(dup - 8.0 / 7) < 1e-12)
+  }
+
+  test("repetitionSignals: all-distinct text, count-tie breaks to larger mass") {
+    // "q w ee": all 2-grams count 1 → top = largest char mass 3/4; no dups
+    val (top, dup) = repSignals("q w ee", 2, 3)
+    assert(math.abs(top - 3.0 / 4) < 1e-12)
+    assert(dup === 0.0)
+  }
+
+  test("repetitionSignals: short and empty inputs yield zeros") {
+    assert(repSignals("solo", 2, 3) === ((0.0, 0.0)))
+    assert(repSignals("", 2, 3) === ((0.0, 0.0)))
+    assert(repSignals("   ", 2, 3) === ((0.0, 0.0)))
+  }
+
   test("clusterSizes covers every vector exactly once") {
     val corpus = vecDf((0L until 20L).map(i =>
       i -> Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
