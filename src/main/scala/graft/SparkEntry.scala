@@ -1006,6 +1006,26 @@ object SparkEntry {
     }),
 
     // rows-only: JPEG/PNG/WAV decode output isn't SQL-expressible
+    // perceptual image near-dup planted recall: 150 noisy PNGs + exact
+    // byte copies (id + 1000000); identical payloads hash to identical
+    // dHashes, so the banded Hamming join must surface every pair — the
+    // visual analogue of q_simhash_recall
+    "q_image_neardup" -> ((s, _) => {
+      import s.implicits._
+      val base = s.range(150).map { id =>
+        val w = 24 + (id % 5).toInt; val h = 20 + (id % 4).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticNoisyPng(id, w, h),
+          "image/png", w, h, 0L)
+      }
+      val doubled = base.union(
+        base.map(r => r.copy(media_id = r.media_id + 1000000)))
+      Dedup.hammingNearDuplicates(
+          Multimodal.imageDHashes(doubled), "media_id", "dhash",
+          maxHamming = 0)
+        .where(col("id_b") === col("id_a") + 1000000)
+        .agg(count(lit(1)).as("n_planted_found"))
+    }),
+
     "q_multimodal_features" -> ((s, _) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
       feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
@@ -1495,6 +1515,11 @@ object SparkEntry {
 
     "q_seen_neardup_recall" ->
       "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 500",
+
+    // planted image pairs: one (id, id+1000000) exact-copy pair per
+    // synthetic PNG — identical bytes ⇒ identical dHash ⇒ Hamming 0
+    "q_image_neardup" ->
+      "SELECT count(*) AS n_planted_found FROM documents WHERE doc_id < 150",
 
     "q_embedding_recall" ->
       "SELECT count(*) AS n_planted_found FROM embeddings WHERE vec_id < 500",

@@ -579,39 +579,64 @@ object Dedup {
     * [[simhashOverflowBuckets]] — no silent caps. */
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame =
+    hammingNearDuplicates(withSimHash(df, idCol, textCol), "id", "simhash",
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs over ANY 64-bit similarity-preserving signature
+    * column (SimHash for text, dHash for images — same geometry):
+    * Hamming ≤ `maxHamming` pairs found by the 4 × 16-bit chunk banding,
+    * pigeonhole-sound for maxHamming ≤ 3, then exact bit_count verify.
+    * Input frame carries (idCol, sigCol) ONLY — signatures are computed
+    * upstream where the payload lives, so this join never sees text or
+    * media bytes. Buckets capped like the MinHash path (quadratic in the
+    * hottest bucket otherwise); count the skipped ones with
+    * [[hammingOverflowBuckets]] — no silent caps. */
+  def hammingNearDuplicates(
+      sig: DataFrame, idCol: String, sigCol: String, maxHamming: Int = 3,
       maxBucket: Int = 200): DataFrame = {
-    val chunks = simhashChunks(df, idCol, textCol)
+    require(maxHamming <= 3,
+      s"4x16-bit banding is exhaustive only for maxHamming <= 3, got $maxHamming")
+    val chunks = sigChunks(sig, idCol, sigCol)
     val buckets = chunks
       .groupBy(col("chunk_idx"), col("chunk_val"))
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
       .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     val cand = buckets
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+        col("a.sig").as("h_a"), col("b.sig").as("h_b"))
       .dropDuplicates("id_a", "id_b")
     cand.select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
-  /** (id, simhash, chunk_idx, chunk_val) banding projection. */
-  private def simhashChunks(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withSimHash(df, idCol, textCol).select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
+  /** (id, sig, chunk_idx, chunk_val) banding projection. */
+  private def sigChunks(sig: DataFrame, idCol: String, sigCol: String): DataFrame =
+    sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
 
-  /** Buckets skipped by the simhash `maxBucket` cap (observability
+  /** Buckets skipped by a signature `maxBucket` cap (observability
     * companion — same contract as [[minhashOverflowBuckets]]). */
-  def simhashOverflowBuckets(
-      df: DataFrame, idCol: String, textCol: String, maxBucket: Int = 200): DataFrame =
-    simhashChunks(df, idCol, textCol)
+  def hammingOverflowBuckets(
+      sig: DataFrame, idCol: String, sigCol: String,
+      maxBucket: Int = 200): DataFrame =
+    sigChunks(sig, idCol, sigCol)
       .groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > maxBucket)
+
+  /** Buckets skipped by the simhash `maxBucket` cap. */
+  def simhashOverflowBuckets(
+      df: DataFrame, idCol: String, textCol: String, maxBucket: Int = 200): DataFrame =
+    hammingOverflowBuckets(withSimHash(df, idCol, textCol), "id", "simhash",
+      maxBucket)
 
   // ---------- embedding cosine near-dup ----------
 

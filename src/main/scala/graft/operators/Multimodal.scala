@@ -401,4 +401,104 @@ object Multimodal {
     df.withColumn("target_width", ceil(col("width") * scale).cast("int"))
       .withColumn("target_height", ceil(col("height") * scale).cast("int"))
   }
+
+  // ------------------------------------------------ perceptual image dedup
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup signature: area-average the pixels down to a
+    * 9×8 grayscale grid, set bit (y·8 + x) iff cell (x,y) is brighter
+    * than its right neighbor. Byte-level hashing misses re-encoded /
+    * resized copies; dHash survives both (gradients are scale-stable),
+    * and Hamming distance between dHashes is a visual-similarity
+    * metric — which plugs straight into [[Dedup.hammingNearDuplicates]],
+    * the same banded join the text SimHash path uses. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](9 * 8)
+    val counts = new Array[Int](9 * 8)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * 9 / w, 8)
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+        sums(gy * 9 + gx) += gray; counts(gy * 9 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def cell(gx: Int, gy: Int): Double = {
+      val i = gy * 9 + gx
+      if (counts(i) > 0) sums(i) / counts(i) else 0.0
+    }
+    var sig = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gx, gy) > cell(gx + 1, gy)) sig |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
+  /** dHash of an encoded image payload; None when undecodable (the
+    * flag-row convention — never a fake hash). */
+  def imageDHash(payload: Array[Byte]): Option[Long] = {
+    val img = try javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map(dHash64)
+  }
+
+  /** (media_id, dhash) for every visual row — PNG stills and the FIRST
+    * frame of MJPEG-AVI clips (title-card dedup; full-clip dedup would
+    * hash sampled frames the same way). Batched mapPartitions like
+    * [[extractFeatures]]: bytes never shuffle, only 16-byte signature
+    * rows flow into the banded near-dup join. Undecodable/non-visual
+    * rows are absent from the output (countable by anti-join — no
+    * silent drops at the operator boundary). */
+  def imageDHashes(media: Dataset[MediaRecord],
+                   batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val hash = r.mime match {
+            case "image/png" => imageDHash(r.payload)
+            case "video/x-msvideo" | "video/avi" =>
+              aviMjpegFrames(r.payload).headOption.flatMap(imageDHash)
+            case _ => None
+          }
+          hash.map(h => (r.media_id, h))
+        }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Noisy deterministic PNG (hash-mixed pixels, NOT the affine gradient
+    * of [[syntheticPng]] — gradients of different ids share neighbor
+    * ORDERINGS, so every gradient image dHashes identically; dedup
+    * exercises need images whose signatures actually differ). */
+  def syntheticNoisyPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = id * 6364136223846793005L + x * 1442695040888963407L + y * 2862933555777941757L
+        v ^= (v >>> 33); v *= 0xFF51AFD7ED558CCDL; v ^= (v >>> 33)
+        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 }

@@ -238,6 +238,48 @@ class CurationSpec extends SparkSpec {
     assert(repSignals("   ", 2, 3) === ((0.0, 0.0)))
   }
 
+  // ---------- perceptual image dedup (dHash) ----------
+
+  test("dHash: identical payloads equal, resize stays near, noise differs") {
+    import graft.operators.Multimodal
+    val p = Multimodal.syntheticNoisyPng(7L, 36, 28)
+    val h1 = Multimodal.imageDHash(p).get
+    assert(Multimodal.imageDHash(p.clone()).get === h1) // re-decode stable
+    // bilinear downscale preserves the coarse gradient structure
+    val resized = Multimodal.resizePng(p, maxSide = 18)
+    val h2 = Multimodal.imageDHash(resized).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 16,
+      s"resize moved dHash too far: ${java.lang.Long.bitCount(h1 ^ h2)}")
+    // a different noisy image is far away
+    val other = Multimodal.imageDHash(
+      Multimodal.syntheticNoisyPng(8L, 36, 28)).get
+    assert(java.lang.Long.bitCount(h1 ^ other) > 10)
+    // undecodable payload → None, never a fake hash
+    assert(Multimodal.imageDHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("imageDHashes hashes stills + first video frame, skips audio") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(spark, 9) // ids 0..8, mime = id%3
+    val out = Multimodal.imageDHashes(media)
+      .select("media_id").as[Long].collect().sorted
+    assert(out === Array(0L, 2L, 3L, 5L, 6L, 8L)) // id%3==1 (wav) absent
+  }
+
+  test("hammingNearDuplicates on dHashes finds planted copy pairs only") {
+    import graft.operators.{Dedup, Multimodal}
+    val base = spark.range(20).map { id =>
+      Multimodal.MediaRecord(id, Multimodal.syntheticNoisyPng(id, 30, 24),
+        "image/png", 30, 24, 0L)
+    }
+    val doubled = base.union(base.map(r => r.copy(media_id = r.media_id + 100)))
+    val pairs = Dedup.hammingNearDuplicates(
+        Multimodal.imageDHashes(doubled), "media_id", "dhash", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length === 20)
+    assert(pairs.forall(p => p._2 === p._1 + 100 && p._3 === 0))
+  }
+
   test("clusterSizes covers every vector exactly once") {
     val corpus = vecDf((0L until 20L).map(i =>
       i -> Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
