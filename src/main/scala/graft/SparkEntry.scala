@@ -463,6 +463,22 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // HTML → text extraction over deterministically synthesized markup
+    // (script/style subtrees, attributes, entities, comments) — the
+    // identical RE2-compatible regex chain runs in the oracle
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">body{x:1}</style>"),
+        lit("<!-- crawler note --></head><body><h1 class=\"t\">"),
+        col("source"), lit("</h1><p>"), col("text"),
+        lit(" &amp; more&nbsp;&#39;quoted&#39;</p>"),
+        lit("<script>var a = 1 < 2;</script></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("text_extracted"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher character-level repetition: most-frequent-2-gram char
     // coverage + duplicated-3-gram char mass, integer-ratio arithmetic
     // from ONE native RepetitionSignals eval — SQL-replicable exactly
@@ -1988,6 +2004,32 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same extraction chain, step by step, in DuckDB's RE2 dialect
+    // (regexp_replace needs the explicit 'g'/'gs'/'gis' flags that Spark
+    // applies implicitly); entity decode order matches (&amp; last)
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style type="text/css">body{x:1}</style>'
+        |    || '<!-- crawler note --></head><body><h1 class="t">'
+        |    || source || '</h1><p>' || text
+        |    || ' &amp; more&nbsp;&#39;quoted&#39;</p>'
+        |    || '<script>var a = 1 < 2;</script></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |          '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |        '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS text_extracted
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // top-gram mass: among the grams with the max count, the largest
     // count×charlen (whitespace-free char mass / total word-char mass);

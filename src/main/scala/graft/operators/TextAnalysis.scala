@@ -287,6 +287,35 @@ object TextAnalysis {
     df.where(qualityRules(textProfile(col(textCol)), t).getField("keep"))
   }
 
+  /** HTML → text extraction — the crawl-ingest step that runs before
+    * every text signal in a web pipeline: drop `<script>`/`<style>`
+    * subtrees and comments, strip remaining tags, decode the common
+    * entities (`&amp;` LAST so `&amp;lt;` doesn't double-decode),
+    * collapse whitespace. A full DOM parser (trafilatura-class main-
+    * content extraction) is the documented heavier step; this is the
+    * deterministic regex tier every pipeline keeps for the fast path.
+    *
+    * Pure codegen'd `regexp_replace`/`replace` chain: zero shuffle,
+    * zero UDF, survives column pruning — a 100-TB HTML scan stays a
+    * scan. Patterns are RE2-compatible (no backtracking hazards: the
+    * non-greedy subtree matches are linear), so the SQL oracle runs the
+    * IDENTICAL chain. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Top-k TF-IDF terms per document — the classic keyword/topical
     * signal a curation pipeline uses for corpus composition reports and
     * domain tagging. idf = ln(N / df): raw, unsmoothed, so the math is

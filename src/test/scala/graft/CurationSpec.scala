@@ -238,6 +238,28 @@ class CurationSpec extends SparkSpec {
     assert(repSignals("   ", 2, 3) === ((0.0, 0.0)))
   }
 
+  // ---------- HTML → text extraction ----------
+
+  test("htmlToText: subtree drops, tag strip, entity decode, whitespace collapse") {
+    def ext(h: String): String =
+      Seq(Tuple1(h)).toDF("h")
+        .select(TextAnalysis.htmlToText($"h")).as[String].head()
+    assert(ext("<html><body><p>hello   world</p></body></html>")
+      === "hello world")
+    // script/style content must VANISH, not just lose its tags
+    assert(ext("<script>if (a < b) alert('x')</script>keep") === "keep")
+    assert(ext("<style media=\"all\">p > a {}</style>keep") === "keep")
+    assert(ext("a<!-- hidden\nnote -->b") === "a b")
+    // entities, incl. the &amp;lt; double-decode trap: stays literal <
+    assert(ext("fish &amp; chips") === "fish & chips")
+    assert(ext("&amp;lt;not-a-tag&amp;gt;") === "&lt;not-a-tag&gt;")
+    assert(ext("q&#39;s &quot;x&quot;&nbsp;y") === "q's \"x\" y")
+    // attributes with > inside quotes are NOT handled (regex tier) —
+    // multiline tags are
+    assert(ext("<div\n class='a'>text</div>") === "text")
+    assert(ext("") === "")
+  }
+
   // ---------- perceptual image dedup (dHash) ----------
 
   test("dHash: identical payloads equal, resize stays near, noise differs") {
