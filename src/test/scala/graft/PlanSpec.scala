@@ -365,6 +365,48 @@ class PlanSpec extends SparkSpec {
       s"range join must be an equi-join on the bucket:\n$p")
   }
 
+  test("tf-idf: text never shuffles; tf and df both aggregate map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis
+      .tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.toLowerCase == "text"),
+        s"tf-idf exchange must carry (id, word) tuples, not text: $names")
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"expected map-side partial counts for tf/df:\n$p")
+  }
+
+  test("dsir scoring: corpus text never shuffles in hashed mode") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Curation.dsirLogWeights(
+      docs, "doc_id", "text",
+      docs.where(col("source").isin("src1", "src2")), "text",
+      nBuckets = 4096, hashed = true)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.toLowerCase == "text"),
+        s"dsir exchange must carry buckets/weights, not text: $names")
+    }
+    // the bounded weight table must reach the scoring join as a broadcast
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"hashed-mode weight table must broadcast:\n$p")
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     Predicates.register(spark)
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,
