@@ -463,6 +463,28 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // token-balanced output sharding over the distributed prefix sum:
+    // contiguous offset ranges → 8 shards of near-equal char mass
+    // (imbalance bounded by one document); oracle replays the cumsum
+    "q_balanced_shards" -> ((s, d) => {
+      val shards = Packing.balancedShards(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", nShards = 8)
+      Packing.shardSizes(shards, "n_chars")
+    }),
+
+    // curriculum difficulty buckets: exact interpolated quartile
+    // thresholds broadcast into a stateless projection (never ntile's
+    // SinglePartition sort); dyadic quantile positions on an integer
+    // score make the thresholds bit-exact in both engines
+    "q_difficulty_buckets" -> ((s, d) =>
+      Mixing.quantileBuckets(t(s, d, "documents"), "n_chars",
+          nBuckets = 4, exact = true)
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket")),
+
     // HTML → text extraction over deterministically synthesized markup
     // (script/style subtrees, attributes, entities, comments) — the
     // identical RE2-compatible regex chain runs in the oracle
@@ -2004,6 +2026,34 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // width = ceil(total/8) exactly as Spark's (total + n - 1) div n;
+    // a doc's shard comes from its START offset (docs never split)
+    "q_balanced_shards" ->
+      """WITH o AS (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM documents),
+        |w AS (SELECT (sum(n_chars) + 7) // 8 AS w FROM documents)
+        |SELECT CAST(least(o.off // w.w, 7) AS INTEGER) AS shard_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_cost
+        |FROM o, w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_difficulty_buckets" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |                  quantile_cont(n_chars, 0.50) AS q2,
+        |                  quantile_cont(n_chars, 0.75) AS q3
+        |           FROM documents)
+        |SELECT bucket, count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT n_chars,
+        |        (CASE WHEN n_chars > t.q1 THEN 1 ELSE 0 END
+        |       + CASE WHEN n_chars > t.q2 THEN 1 ELSE 0 END
+        |       + CASE WHEN n_chars > t.q3 THEN 1 ELSE 0 END) AS bucket
+        |      FROM documents, t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same extraction chain, step by step, in DuckDB's RE2 dialect
     // (regexp_replace needs the explicit 'g'/'gs'/'gis' flags that Spark

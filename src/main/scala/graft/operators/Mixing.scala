@@ -217,6 +217,42 @@ object Mixing {
         (col("n_rows") - cap).as("n_dropped"))
   }
 
+  /** Quantile-bucketed difficulty assignment — the curriculum-learning
+    * step ("train easy→hard", or "mix one part from each difficulty
+    * decile"): label every row with its score's quantile bucket
+    * 0..nBuckets-1.
+    *
+    * NOT an `ntile()` window: an unpartitioned ranking window is a
+    * SinglePartition total sort — one task folds the corpus. Instead:
+    * one aggregate pass computes the nBuckets-1 interior quantile
+    * thresholds (exact interpolated `percentile` for the oracle path,
+    * `approx_percentile` with bounded sketch memory as the scale path),
+    * the driver broadcasts them as literals, and assignment is a
+    * stateless codegen'd projection — bucket = #(thresholds < score),
+    * strict, so boundary rows land LOW, matching SQL's quantile_cont
+    * comparison exactly on integer-valued scores.
+    *
+    * The trade vs ntile: bucket POPULATIONS are only as equal as the
+    * score's tie structure allows (heavily-tied scores bulge a bucket
+    * — ntile would split ties arbitrarily instead, which is
+    * non-deterministic under retries anyway). */
+  def quantileBuckets(df: DataFrame, scoreCol: String, nBuckets: Int,
+                      exact: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
+    require(nBuckets > 1, "nBuckets must be > 1")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val qsSql = qs.mkString("array(", ", ", ")")
+    val aggExpr =
+      if (exact) expr(s"percentile($scoreCol, $qsSql)")
+      else expr(s"approx_percentile($scoreCol, $qsSql, $accuracy)")
+    val thresholds = df.agg(aggExpr).head().getSeq[Any](0)
+      .map(v => v.toString.toDouble)
+    val bucket = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col(scoreCol) > t, 1).otherwise(0)
+    }
+    df.withColumn("bucket", bucket)
+  }
+
   /** The realized mix after sampling: per-source counts + fraction of
     * the sampled total (one tiny aggregate for observability — "no
     * silent caps" applies to mixing too: always LOOK at the mix you

@@ -217,4 +217,39 @@ object Packing {
       .select(col("window_id"),
         flatten(transform(col("__s"), x => x.getField("__f"))).as("tokens"))
   }
+
+  /** Token-balanced output sharding — the dataloader-packaging step:
+    * assign every document (whole, never split) to one of `nShards`
+    * shards of near-equal TOTAL COST (token count), not row count, so
+    * no dataloader worker finishes early. Contiguous-range assignment
+    * over the [[globalOffsets]] prefix sum: shard = offset div
+    * ceil(total / nShards) — deterministic, order-preserving (shard 0
+    * holds the walk's first documents), and each shard's imbalance is
+    * bounded by ONE document's cost. Same two-level prefix-sum
+    * machinery as [[concatChunk]] (pass a shared `offsets` frame to
+    * run it once; [[releaseOffsets]] when done) — no new exchange
+    * shapes at any corpus size.
+    *
+    * Returns (idCol, costCol, offset, shard_id). Audit the realized
+    * balance with [[shardSizes]] — "no silent caps" applies to skew
+    * you PRODUCED, too. */
+  def balancedShards(df: DataFrame, idCol: String, costCol: String,
+                     nShards: Int,
+                     offsets: Option[DataFrame] = None): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val offs = offsets.getOrElse(globalOffsets(df, idCol, costCol))
+    // total = last offset + last cost; one tiny agg over the narrow
+    // (already-checkpointed) offsets frame
+    val total = offs.agg(max(col("offset") + col(costCol))).head().getLong(0)
+    val width = math.max(1L, (total + nShards - 1) / nShards)
+    offs.withColumn("shard_id",
+      least(expr(s"offset div $width"), lit(nShards - 1L)).cast("int"))
+  }
+
+  /** Realized shard balance: (shard_id, n_docs, total_cost) — the
+    * observability companion of [[balancedShards]]. */
+  def shardSizes(shards: DataFrame, costCol: String): DataFrame =
+    shards.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("total_cost"))
+      .orderBy(col("shard_id"))
 }

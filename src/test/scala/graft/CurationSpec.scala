@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, LineDedup, Similarity, SnapshotDiff, TextAnalysis}
+import graft.operators.{Curation, LineDedup, Mixing, Similarity, SnapshotDiff, TextAnalysis}
 
 /** Corpus-curation operators added in round 4: TF-IDF keyword
   * extraction, within-doc repetition removal, snapshot diff. */
@@ -236,6 +236,51 @@ class CurationSpec extends SparkSpec {
     assert(repSignals("solo", 2, 3) === ((0.0, 0.0)))
     assert(repSignals("", 2, 3) === ((0.0, 0.0)))
     assert(repSignals("   ", 2, 3) === ((0.0, 0.0)))
+  }
+
+  // ---------- token-balanced sharding ----------
+
+  test("balancedShards: contiguous ranges, one-doc imbalance bound, shared offsets") {
+    import graft.operators.Packing
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+      .toDF("doc_id", "cost")
+    val out = Packing.balancedShards(docs, "doc_id", "cost", nShards = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "shard_id").as[(Long, Int)].collect()
+    assert(out === Array((1L, 0), (2L, 0), (3L, 1), (4L, 1)))
+    // a giant doc lands whole in one shard; balance still bounded by it
+    val skewed = Seq((1L, 100L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("doc_id", "cost")
+    val sizes = Packing.shardSizes(
+        Packing.balancedShards(skewed, "doc_id", "cost", nShards = 4), "cost")
+      .as[(Int, Long, Long)].collect()
+    assert(sizes.map(_._3).sum === 104L)
+    assert(sizes.head === ((0, 1L, 100L))) // the giant alone in shard 0
+    // precomputed offsets path runs the prefix sum once and agrees
+    val offs = Packing.globalOffsets(docs, "doc_id", "cost")
+    val shared = Packing.balancedShards(docs, "doc_id", "cost", 2, Some(offs))
+      .orderBy("doc_id").select("doc_id", "shard_id")
+      .as[(Long, Int)].collect()
+    Packing.releaseOffsets(offs)
+    assert(shared === out)
+  }
+
+  // ---------- quantile difficulty buckets ----------
+
+  test("quantileBuckets: exact quartiles on 1..8, approx agrees, no ntile sort") {
+    val df = (1 to 8).map(i => (i.toLong, i)).toDF("id", "score")
+    val exact = Mixing.quantileBuckets(df, "score", nBuckets = 4, exact = true)
+      .orderBy("id").select("score", "bucket").as[(Int, Int)].collect()
+    // thresholds 2.75 / 4.5 / 6.25 → pairs per bucket
+    assert(exact === Array((1, 0), (2, 0), (3, 1), (4, 1),
+      (5, 2), (6, 2), (7, 3), (8, 3)))
+    val approx = Mixing.quantileBuckets(df, "score", nBuckets = 4)
+      .orderBy("id").select("bucket").as[Int].collect()
+    assert(approx === exact.map(_._2)) // sketch is exact at tiny n
+    // assignment stage is a projection: no exchange after the agg pass
+    val plan = Mixing.quantileBuckets(df, "score", 4, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   // ---------- HTML → text extraction ----------
