@@ -178,6 +178,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 == "R_EMB_DIM"))
   }
 
+  test("streaming ingest curation: html→text→quality→repetition equals batch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions
+    import graft.operators.TextAnalysis
+    // the whole crawl-ingest curation tier is stateless projections, so
+    // it runs UNCHANGED on a readStream frame: extract text from markup,
+    // gate on the Gopher rules, score char-level repetition — per
+    // micro-batch, no state store, Append mode
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_html").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat(lit("<html><body><p>"), $"text",
+          lit("</p><script>x()</script></body></html>")).as("html"))
+    docs.repartition(2).write.mode("overwrite").parquet(dir)
+    TextExpressions.register(spark)
+
+    def curate(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", TextAnalysis.htmlToText($"html").as("text"))
+      .select($"doc_id",
+        TextAnalysis.textProfile($"text").as("__tp"),
+        TextExpressions.repetitionSignals($"text", 2, 3).as("__r"))
+      .select($"doc_id",
+        TextAnalysis.qualityRules($"__tp").getField("keep").as("keep"),
+        round($"__r".getField("dup_ngram_char_frac"), 6).as("dup3"))
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val curated = curate(stream)
+    assert(curated.isStreaming)
+    StreamingValidation.runToMemorySink(curated, "ingest_curation",
+      OutputMode.Append())
+    val got = spark.table("ingest_curation").orderBy("doc_id")
+      .as[(Long, Boolean, Double)].collect()
+    val batchTruth = curate(docs).orderBy("doc_id")
+      .as[(Long, Boolean, Double)].collect()
+    assert(got === batchTruth)
+    assert(got.length === 500)
+  }
+
   test("streaming sessionization: append-mode sessions equal batch truth") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sessionize
