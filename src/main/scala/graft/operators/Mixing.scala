@@ -245,8 +245,11 @@ object Mixing {
     val aggExpr =
       if (exact) expr(s"percentile($scoreCol, $qsSql)")
       else expr(s"approx_percentile($scoreCol, $qsSql, $accuracy)")
-    val thresholds = df.agg(aggExpr).head().getSeq[Any](0)
-      .map(v => v.toString.toDouble)
+    // empty/all-null input → null threshold array → every row bucket 0
+    val aggRow = df.agg(aggExpr).head()
+    val thresholds =
+      if (aggRow.isNullAt(0)) Seq.empty[Double]
+      else aggRow.getSeq[Any](0).map(v => v.toString.toDouble)
     val bucket = thresholds.foldLeft(lit(0)) { (acc, t) =>
       acc + when(col(scoreCol) > t, 1).otherwise(0)
     }

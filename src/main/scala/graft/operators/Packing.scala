@@ -239,8 +239,10 @@ object Packing {
     require(nShards > 0, "nShards must be positive")
     val offs = offsets.getOrElse(globalOffsets(df, idCol, costCol))
     // total = last offset + last cost; one tiny agg over the narrow
-    // (already-checkpointed) offsets frame
-    val total = offs.agg(max(col("offset") + col(costCol))).head().getLong(0)
+    // (already-checkpointed) offsets frame. Empty corpus → null max →
+    // width 1 (result is empty anyway).
+    val totalRow = offs.agg(max(col("offset") + col(costCol))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val width = math.max(1L, (total + nShards - 1) / nShards)
     offs.withColumn("shard_id",
       least(expr(s"offset div $width"), lit(nShards - 1L)).cast("int"))

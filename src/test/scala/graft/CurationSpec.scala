@@ -283,6 +283,14 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("balancedShards and quantileBuckets tolerate empty input") {
+    import graft.operators.Packing
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "cost")
+    assert(Packing.balancedShards(empty, "doc_id", "cost", 4).count() === 0)
+    val emptyScore = Seq.empty[(Long, Int)].toDF("id", "score")
+    assert(Mixing.quantileBuckets(emptyScore, "score", 4).count() === 0)
+  }
+
   // ---------- HTML → text extraction ----------
 
   test("htmlToText: subtree drops, tag strip, entity decode, whitespace collapse") {
