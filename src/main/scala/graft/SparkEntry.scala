@@ -463,6 +463,20 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // curation-funnel observability: per-stage survivor counts + char
+    // mass as CollectMetrics of ONE pass (the count() below is the only
+    // job; no per-stage rescans) — each gate replicated in SQL
+    "q_funnel" -> ((s, d) => {
+      TextExpressions.register(s)
+      val f = Funnel(t(s, d, "documents"), massCol = Some("n_chars"))
+        .stage("len_gate", _.where(col("n_chars") >= 200))
+        .stage("word_gate",
+          _.where(TextAnalysis.tokenCount(col("text")) >= 30))
+        .stage("source_gate", _.where(!col("source").isin("src3", "src7")))
+      f.df.count() // the single pass; metrics accumulate as a side effect
+      f.reportDf().orderBy("stage")
+    }),
+
     // token-balanced output sharding over the distributed prefix sum:
     // contiguous offset ranges → 8 shards of near-equal char mass
     // (imbalance bounded by one document); oracle replays the cumsum
@@ -2026,6 +2040,26 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH base AS (
+        |  SELECT n_chars, source,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS nw
+        |  FROM documents)
+        |SELECT 'input' AS stage, count(*) AS n_rows,
+        |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS mass FROM base
+        |UNION ALL
+        |SELECT 'len_gate', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM base WHERE n_chars >= 200
+        |UNION ALL
+        |SELECT 'word_gate', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM base WHERE n_chars >= 200 AND nw >= 30
+        |UNION ALL
+        |SELECT 'source_gate', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM base WHERE n_chars >= 200 AND nw >= 30
+        |  AND source NOT IN ('src3', 'src7')
+        |ORDER BY stage""".stripMargin,
 
     // width = ceil(total/8) exactly as Spark's (total + n - 1) div n;
     // a doc's shard comes from its START offset (docs never split)

@@ -291,6 +291,31 @@ class CurationSpec extends SparkSpec {
     assert(Mixing.quantileBuckets(emptyScore, "score", 4).count() === 0)
   }
 
+  // ---------- curation funnel ----------
+
+  test("funnel: per-stage metrics from ONE pass, mass tracked, input row first") {
+    import graft.operators.Funnel
+    val docs = Seq(
+      (1L, 10L, "keep"), (2L, 3L, "keep"), (3L, 10L, "drop"), (4L, 10L, "keep"))
+      .toDF("id", "chars", "verdict")
+    val f = Funnel(docs, massCol = Some("chars"))
+      .stage("len", _.where($"chars" >= 5))
+      .stage("verdict", _.where($"verdict" === "keep"))
+    assert(f.df.count() === 2) // the single action
+    assert(f.report() === Seq(
+      ("input", 4L, Some(33L)),
+      ("len", 3L, Some(30L)),
+      ("verdict", 2L, Some(20L))))
+    // massless mode
+    val g = Funnel(docs).stage("len", _.where($"chars" >= 5))
+    g.df.count()
+    assert(g.report().map(r => (r._1, r._2, r._3)) === Seq(
+      ("input", 4L, None), ("len", 3L, None)))
+    // zero extra jobs: the report is metrics, not recomputation — a
+    // second report() call returns instantly with the same values
+    assert(f.report() === f.report())
+  }
+
   // ---------- HTML → text extraction ----------
 
   test("htmlToText: subtree drops, tag strip, entity decode, whitespace collapse") {
