@@ -463,6 +463,22 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // Efraimidis–Spirakis weighted sampling without replacement,
+    // deterministic draw (multiplicative-hash oracle mode): top-50 by
+    // ln(u)/w — char-mass-weighted corpus subsample
+    "q_weighted_sample" -> ((s, d) =>
+      Mixing.weightedSample(t(s, d, "documents"), "doc_id", "n_chars",
+          k = 50, seed = 7L, hashKey = false)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // per-source z-score normalization from integer-exact sufficient
+    // statistics (n, Σx, Σx²) — identical expression order in the
+    // oracle makes the doubles bit-equal
+    "q_group_zscore" -> ((s, d) =>
+      Profile.groupZScores(t(s, d, "documents"), "n_chars", "source")
+        .select(col("doc_id"), col("source"), round(col("z"), 6).as("z"))
+        .orderBy("doc_id")),
+
     // curation-funnel observability: per-stage survivor counts + char
     // mass as CollectMetrics of ONE pass (the count() below is the only
     // job; no per-stage rescans) — each gate replicated in SQL
@@ -2040,6 +2056,29 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    ln((((doc_id * 2654435761 + 7) % 4294967296) + 0.5)
+        |       / 4294967296.0) / n_chars AS key
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY key DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_group_zscore" ->
+      """WITH st AS (
+        |  SELECT source, count(n_chars) AS n, sum(n_chars) AS s,
+        |         sum(n_chars * n_chars) AS ss
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.source,
+        |  round(CASE
+        |    WHEN (ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) <= 0 THEN 0
+        |    ELSE (n_chars - s * 1.0 / n)
+        |         / sqrt(ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+        |  END, 6) AS z
+        |FROM documents d JOIN st USING (source)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_funnel" ->
       """WITH base AS (

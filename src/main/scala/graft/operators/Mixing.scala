@@ -217,6 +217,44 @@ object Mixing {
         (col("n_rows") - cap).as("n_dropped"))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (IPL 2006), the one-pass reservoir algorithm every weighted
+    * corpus-subsampling job uses — made fully deterministic: each row's
+    * uniform draw u ∈ (0,1) comes from a seeded hash of its id instead
+    * of an RNG, and the k rows with the largest u^(1/w) win
+    * (equivalently ln(u)/w, computed in log space so tiny weights
+    * can't underflow). Deterministic ⇒ retry-stable, append-stable,
+    * cluster-size-independent — the same reasons [[sampleByWeights]]
+    * refuses `sample()`.
+    *
+    * Scale shape: one codegen'd projection computing the key + a
+    * TakeOrderedAndProject (each task keeps its local top-k; no global
+    * sort, no single-task window) + a semi-join moving only selected
+    * payloads. `hashKey = true` draws u from xxhash64 (production);
+    * `false` uses the multiplicative hash the SQL oracle replicates.
+    * Zero/negative/null weights never win (key → -∞ handled as null
+    * filter): a zero-weight row must have probability zero. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 0L,
+                     hashKey: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m = 4294967296L // 2^32 draw granularity
+    val bucket: Column =
+      if (hashKey) pmod(xxhash64(col(idCol), lit(seed)), lit(m))
+      else pmod(col(idCol).cast("long") * 2654435761L + seed, lit(m))
+    // u ∈ (0,1): never exactly 0 (ln(0) = -Inf) or 1 (key ties at 0)
+    val u = (bucket.cast("double") + 0.5) / m.toDouble
+    val w = col(weightCol).cast("double")
+    val key = log(u) / w
+    val top = df
+      .where(w.isNotNull && w > 0)
+      .select(col(idCol), key.as("__es_key"))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+    df.join(top, Seq(idCol), "left_semi")
+  }
+
   /** Quantile-bucketed difficulty assignment — the curriculum-learning
     * step ("train easy→hard", or "mix one part from each difficulty
     * decile"): label every row with its score's quantile bucket

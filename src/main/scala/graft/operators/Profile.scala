@@ -162,4 +162,34 @@ object Profile {
       .select(explode(col("tk")).as("hh"))
       .select(col("hh.item").as("item"), col("hh.count").as("n"))
       .orderBy(desc("n"), col("item"))
+
+  /** Per-group z-score normalization — "normalize quality scores within
+    * each source so gates don't favor verbose domains". Two passes that
+    * cost one aggregate + one join: per-group SUFFICIENT STATISTICS
+    * (n, Σx, Σx²) collapse map-side to one row per group, and the
+    * normalized column is a projection after the group join (AQE
+    * broadcasts the stats side — O(groups) rows).
+    *
+    * Mean and population variance are derived from the sufficient
+    * statistics with one fixed expression order — on integer-valued
+    * columns the sums are EXACT, so the derived doubles (and the SQL
+    * oracle's) are bit-identical. Degenerate groups (var ≤ 0, e.g. a
+    * single row) get z = 0.0 rather than NaN/±Inf — a constant column
+    * is "perfectly typical", not an outlier. NULL values keep z null. */
+  def groupZScores(df: DataFrame, valueCol: String, groupCol: String,
+                   outCol: String = "z"): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(x).as("__n"),
+      sum(x).as("__s"),
+      sum(x * x).as("__ss"))
+    val mean = col("__s") / col("__n")
+    val variance = col("__ss") / col("__n") - mean * mean
+    df.join(stats, Seq(groupCol), "left")
+      .withColumn(outCol,
+        when(x.isNull, lit(null).cast("double"))
+          .when(variance <= 0, lit(0.0))
+          .otherwise((x - mean) / sqrt(variance)))
+      .drop("__n", "__s", "__ss")
+  }
 }

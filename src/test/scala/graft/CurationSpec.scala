@@ -291,6 +291,48 @@ class CurationSpec extends SparkSpec {
     assert(Mixing.quantileBuckets(emptyScore, "score", 4).count() === 0)
   }
 
+  // ---------- weighted sampling (Efraimidis–Spirakis) ----------
+
+  test("weightedSample: weight dominance, determinism, zero-weight exclusion") {
+    // one row with overwhelming weight must always be in a k=2 sample
+    val docs = Seq((1L, 1L), (2L, 1000000L), (3L, 1L), (4L, 0L), (5L, -2L))
+      .toDF("id", "w")
+    val got = Mixing.weightedSample(docs, "id", "w", k = 2, seed = 42L)
+      .select("id").as[Long].collect().sorted
+    assert(got.length === 2 && got.contains(2L))
+    assert(!got.contains(4L) && !got.contains(5L)) // w <= 0 never wins
+    // same seed same sample; different seed may differ but same size
+    val again = Mixing.weightedSample(docs, "id", "w", k = 2, seed = 42L)
+      .select("id").as[Long].collect().sorted
+    assert(again === got)
+    // k beyond the positive-weight population returns exactly it
+    val all = Mixing.weightedSample(docs, "id", "w", k = 10, seed = 1L)
+      .select("id").as[Long].collect().sorted
+    assert(all === Array(1L, 2L, 3L))
+  }
+
+  // ---------- per-group z-scores ----------
+
+  test("groupZScores: hand-computed values, degenerate group, null value") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, "a", Some(2)), (2L, "a", Some(4)), (3L, "a", Some(6)),
+      (4L, "b", Some(9)),                       // single row: var 0 → z 0
+      (5L, "a", None))                          // null stays null
+      .toDF("id", "g", "v")
+    val out = Profile.groupZScores(df, "v", "g")
+      .orderBy("id").select("id", "z").as[(Long, Option[Double])].collect()
+    // group a: mean 4, var ((4+16+36)/3 - 16) = 56/3-16 = 8/3
+    // (tolerance: the hand formula and the engine's fixed expression
+    // order differ in the last ulp — the ORACLE uses the engine's order)
+    val sd = math.sqrt(8.0 / 3)
+    assert(math.abs(out(0)._2.get - (-2.0 / sd)) < 1e-12)
+    assert(out(1)._2.get === 0.0)
+    assert(math.abs(out(2)._2.get - 2.0 / sd) < 1e-12)
+    assert(out(3)._2.get === 0.0)   // degenerate, not NaN
+    assert(out(4)._2.isEmpty)       // null in → null out
+  }
+
   // ---------- curation funnel ----------
 
   test("funnel: per-stage metrics from ONE pass, mass tracked, input row first") {
