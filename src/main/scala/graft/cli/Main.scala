@@ -64,6 +64,9 @@ object Main {
       case "pipeline" :: rest =>
         val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         pipeline(spark, dir)
+      case "curate" :: rest =>
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        curate(spark, dir)
       case "stream-validate" :: path :: out :: Nil =>
         // validate-as-data-lands: the stateless constraint projection
         // runs on a file stream (each new parquet file = a micro-batch;
@@ -390,6 +393,77 @@ object Main {
     println(s"""{"op":"tokens","clean":$cleanCnt,"quarantined":${dirty.count()},""" +
       s""""contaminated":$contam,"placed_docs":$placed,"train_windows":$windows}""")
     decon.unpersist(); seq.unpersist()
+  }
+
+  /** Web-corpus curation pass over a testdata dir — the round-4 tier
+    * end-to-end: HTML extraction → funnel-gated quality filtering →
+    * within-doc dedup → DSIR selection → weighted sampling → semantic
+    * dedup → snapshot diff → balanced shards. One JSON line per stage
+    * group (the observability contract every stage keeps). */
+  def curate(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Funnel, LineDedup, Mixing, Packing,
+      Profile, Similarity, SnapshotDiff, TextAnalysis}
+    graft.functions.TextExpressions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // ingest: synthesize markup, extract, funnel-gate — ONE pass, the
+    // stage counts ride the write as CollectMetrics
+    val html = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      concat(lit("<html><body><h1>"), col("source"), lit("</h1><p>"),
+        col("text"), lit("</p><script>t()</script></body></html>"))
+        .as("html"))
+    val extracted = html.select(col("doc_id"), col("source"),
+      col("n_chars"), TextAnalysis.htmlToText(col("html")).as("text"))
+    val f = Funnel(extracted, massCol = Some("n_chars"))
+      .stage("len_gate", _.where(col("n_chars") >= 100))
+      .stage("quality_gate", TextAnalysis.applyQualityFilter(_, "text",
+        TextAnalysis.QualityThresholds(minStopwordRatio = 0.0)))
+    val kept = f.df.cache()
+    val keptCnt = kept.count() // the funnel's single action
+    val funnelStr = f.report().map { case (s, n, m) =>
+      s""""$s":[$n,${m.getOrElse(-1L)}]""" }.mkString(",")
+    println(s"""{"op":"ingest_funnel",$funnelStr}""")
+
+    // repetition scrub + keyword/importance signals
+    val deduped = LineDedup.dedupLinesWithinDoc(kept, "text", delim = " ")
+    val dropped = deduped.agg(sum(col("n_dropped"))).head().getLong(0)
+    val terms = TextAnalysis.tfIdfTopTerms(kept, "doc_id", "text", k = 1)
+      .count()
+    val target = kept.where(col("source").isin("src1", "src2"))
+    val dsirKept = graft.operators.Curation.dsirSelect(
+      kept, "doc_id", "text", target, "text", k = keptCnt.toInt / 2).count()
+    val wSample = Mixing.weightedSample(kept, "doc_id", "n_chars", k = 50)
+      .count()
+    println(s"""{"op":"signals","intradoc_dropped_units":$dropped,""" +
+      s""""tfidf_docs":$terms,"dsir_selected":$dsirKept,""" +
+      s""""weighted_sample":$wSample}""")
+
+    // embeddings: semantic dedup on a planted-duplicate corpus
+    val doubled = embs.select("vec_id", "embedding").unionByName(
+      embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val semKept = Similarity.semDedup(doubled, "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.999).count()
+    println(s"""{"op":"semdedup","in":${2 * embs.count()},"kept":$semKept}""")
+
+    // refresh bookkeeping + packaging: snapshot diff, z-scored length,
+    // difficulty buckets, token-balanced shards
+    val oldSnap = docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    val newSnap = docs.where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val diffStr = SnapshotDiff.summary(oldSnap, newSnap, "doc_id", Seq("text"))
+      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .sorted.mkString(",")
+    val zOut = Profile.groupZScores(docs, "n_chars", "source")
+      .agg(max(abs(col("z")))).head().getDouble(0)
+    val buckets = Mixing.quantileBuckets(docs, "n_chars", nBuckets = 4)
+      .groupBy("bucket").count().count()
+    val shards = Packing.shardSizes(
+      Packing.balancedShards(docs.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", nShards = 8), "n_chars")
+    val maxShard = shards.agg(max(col("total_cost"))).head().getLong(0)
+    println(s"""{"op":"package",$diffStr,"max_abs_z":${f"$zOut%.3f"},""" +
+      s""""difficulty_buckets":$buckets,"shards":8,"max_shard_cost":$maxShard}""")
+    kept.unpersist(); docs.unpersist()
   }
 
   /** In-memory demo: generate → validate → render report. */
