@@ -463,6 +463,16 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // temperature-based source rebalancing (p ∝ n^(1/T), T = 2 lifts
+    // the tail): keep-fractions from integer counts through fixed IEEE
+    // ops, applied as the stateless modulo predicate — realized mix
+    // per source verified exactly
+    "q_temperature_mix" -> ((s, d) =>
+      Mixing.sampleByTemperature(t(s, d, "documents"), "doc_id", "source",
+          temperature = 2.0, granularity = 10000, hashKey = false)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     // Efraimidis–Spirakis weighted sampling without replacement,
     // deterministic draw (multiplicative-hash oracle mode): top-50 by
     // ln(u)/w — char-mass-weighted corpus subsample
@@ -2056,6 +2066,18 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT source, pow(n, 1.0 / 2.0) / n AS ratio FROM c),
+        |m AS (SELECT max(ratio) AS mx FROM r),
+        |t AS (SELECT source, CAST(round(ratio / mx * 10000) AS BIGINT)
+        |        AS thr FROM r, m)
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d JOIN t USING (source)
+        |WHERE d.doc_id % 10000 < t.thr
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

@@ -217,6 +217,46 @@ object Mixing {
         (col("n_rows") - cap).as("n_dropped"))
   }
 
+  /** Temperature-based source rebalancing — the multilingual-corpus
+    * technique (sample language s with p_s ∝ n_s^(1/T); T > 1 upweights
+    * the tail, T = 1 keeps the natural mix) applied to any source
+    * column. Keep-fractions that realize the tempered mix:
+    * f_s ∝ n_s^(1/T) / n_s, scaled so the largest fraction is 1 (the
+    * most-upweighted source keeps everything; every other source
+    * downsamples deterministically).
+    *
+    * Pure driver arithmetic over one narrow count aggregate, then the
+    * [[sampleByWeights]] stateless predicate does the work — same
+    * retry/append stability, same zero-shuffle scan shape. All math is
+    * fixed-order IEEE ops on integer counts (pow/sqrt/div), so the SQL
+    * oracle reproduces the fractions bit-exactly. */
+  def temperatureFractions(counts: Map[String, Long],
+                           temperature: Double): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    require(counts.values.forall(_ >= 0), "counts must be non-negative")
+    val ratios = counts.collect { case (s, n) if n > 0 =>
+      s -> math.pow(n.toDouble, 1.0 / temperature) / n.toDouble
+    }
+    if (ratios.isEmpty) Map.empty
+    else {
+      val m = ratios.values.max
+      ratios.map { case (s, r) => s -> r / m }
+    }
+  }
+
+  /** Count → temper → filter in one call. `hashKey = false` is the
+    * SQL-replicable oracle mode, as everywhere in [[Mixing]]. */
+  def sampleByTemperature(df: DataFrame, keyCol: String, sourceCol: String,
+                          temperature: Double, granularity: Int = 10000,
+                          hashKey: Boolean = true): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    sampleByWeights(df, keyCol, sourceCol,
+      temperatureFractions(counts, temperature),
+      defaultWeight = 0.0, granularity = granularity, hashKey = hashKey)
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
     * (IPL 2006), the one-pass reservoir algorithm every weighted
     * corpus-subsampling job uses — made fully deterministic: each row's

@@ -291,6 +291,41 @@ class CurationSpec extends SparkSpec {
     assert(Mixing.quantileBuckets(emptyScore, "score", 4).count() === 0)
   }
 
+  // ---------- temperature mixing ----------
+
+  test("temperatureFractions: T=1 natural mix, T→∞ flattens, tail lifted") {
+    val counts = Map("big" -> 900L, "small" -> 100L)
+    // T = 1: ratio n/n = 1 for every source → keep everything
+    assert(Mixing.temperatureFractions(counts, 1.0)
+      === Map("big" -> 1.0, "small" -> 1.0))
+    // T = 2: f ∝ sqrt(n)/n = 1/sqrt(n) → small keeps ALL, big keeps
+    // sqrt(100/900) = 1/3 of its rows
+    val t2 = Mixing.temperatureFractions(counts, 2.0)
+    assert(t2("small") === 1.0)
+    assert(math.abs(t2("big") - 1.0 / 3.0) < 1e-12)
+    // zero-count sources drop out; empty input stays empty
+    assert(!Mixing.temperatureFractions(counts + ("gone" -> 0L), 2.0)
+      .contains("gone"))
+    assert(Mixing.temperatureFractions(Map.empty, 2.0).isEmpty)
+  }
+
+  test("sampleByTemperature realizes the tempered mix deterministically") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i < 900) "big" else "small")).toDF("doc_id", "source")
+    val kept = Mixing.sampleByTemperature(docs, "doc_id", "source",
+        temperature = 2.0, granularity = 1000, hashKey = false)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 100L) // tail keeps everything
+    // big keeps ids with id % 1000 < round(1000/3) = 333 → ids 0..332
+    assert(kept("big") === 333L)
+    // deterministic: a second run selects the identical rows
+    val ids1 = Mixing.sampleByTemperature(docs, "doc_id", "source", 2.0,
+      1000, hashKey = false).select("doc_id").as[Long].collect().sorted
+    val ids2 = Mixing.sampleByTemperature(docs, "doc_id", "source", 2.0,
+      1000, hashKey = false).select("doc_id").as[Long].collect().sorted
+    assert(ids1 === ids2)
+  }
+
   // ---------- weighted sampling (Efraimidis–Spirakis) ----------
 
   test("weightedSample: weight dominance, determinism, zero-weight exclusion") {
