@@ -2069,7 +2069,7 @@ object SparkEntry {
 
     "q_temperature_mix" ->
       """WITH c AS (SELECT source, count(*)::DOUBLE AS n
-        |           FROM documents GROUP BY 1),
+        |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
         |r AS (SELECT source, pow(n, 1.0 / 2.0) / n AS ratio FROM c),
         |m AS (SELECT max(ratio) AS mx FROM r),
         |t AS (SELECT source, CAST(round(ratio / mx * 10000) AS BIGINT)
@@ -2099,7 +2099,8 @@ object SparkEntry {
         |    ELSE (n_chars - s * 1.0 / n)
         |         / sqrt(ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
         |  END, 6) AS z
-        |FROM documents d JOIN st USING (source)
+        |FROM documents d
+        |LEFT JOIN st ON d.source IS NOT DISTINCT FROM st.source
         |ORDER BY doc_id""".stripMargin,
 
     "q_funnel" ->
@@ -2186,8 +2187,12 @@ object SparkEntry {
         |    x -> x <> '') AS ws
         |  FROM documents),
         |den AS (
-        |  SELECT doc_id, coalesce(sum(len(w)), 0)::DOUBLE AS denom
-        |  FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1),
+        |  -- from t directly, NOT via unnest: a zero-word document must
+        |  -- keep its row (Spark emits (0.0, 0.0) for it)
+        |  SELECT doc_id,
+        |         coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |           ::DOUBLE AS denom
+        |  FROM t),
         |c2 AS (
         |  SELECT doc_id, g, count(*) AS cnt, any_value(cl) AS cl FROM (
         |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g,

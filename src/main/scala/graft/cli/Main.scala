@@ -425,14 +425,17 @@ object Main {
       s""""$s":[$n,${m.getOrElse(-1L)}]""" }.mkString(",")
     println(s"""{"op":"ingest_funnel",$funnelStr}""")
 
-    // repetition scrub + keyword/importance signals
+    // repetition scrub + keyword/importance signals. Guards: a strict
+    // gate can keep 0-1 docs — sum() is then NULL and k would be 0
     val deduped = LineDedup.dedupLinesWithinDoc(kept, "text", delim = " ")
-    val dropped = deduped.agg(sum(col("n_dropped"))).head().getLong(0)
+    val dropped = Option(deduped.agg(sum(col("n_dropped"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val terms = TextAnalysis.tfIdfTopTerms(kept, "doc_id", "text", k = 1)
       .count()
     val target = kept.where(col("source").isin("src1", "src2"))
     val dsirKept = graft.operators.Curation.dsirSelect(
-      kept, "doc_id", "text", target, "text", k = keptCnt.toInt / 2).count()
+      kept, "doc_id", "text", target, "text",
+      k = math.max(1, keptCnt.toInt / 2)).count()
     val wSample = Mixing.weightedSample(kept, "doc_id", "n_chars", k = 50)
       .count()
     println(s"""{"op":"signals","intradoc_dropped_units":$dropped,""" +

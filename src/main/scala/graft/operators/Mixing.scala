@@ -28,6 +28,33 @@ object Mixing {
     * from `weights` get `defaultWeight` (0.0 = dropped). Weights are
     * clamped to [0,1]; granularity bounds the weight resolution (1e-4
     * at the default 10000). */
+  /** Shared modulo-mode key guard (the assignSplits hardening, applied
+    * to every hashKey=false path): fractional numeric TYPES are
+    * rejected up front (try_cast truncation would silently move split
+    * boundaries), non-numeric VALUES raise at runtime (a silently-null
+    * bucket would drop or mislabel every row), and a genuinely NULL key
+    * lands deterministically in bucket 0, mirroring hash mode where
+    * xxhash64(null) is one constant bucket. */
+  private def moduloLong(df: DataFrame, keyCol: String, op: String)(
+      bucketOf: Column => Column): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType
+           | NullType => ()
+      case d: DecimalType if d.scale == 0 => ()
+      case other => throw new IllegalArgumentException(
+        s"$op(hashKey=false): key '$keyCol' has fractional " +
+        s"numeric type $other — modulo bucketing would silently " +
+        "truncate; use an integral key or hashKey=true")
+    }
+    val b = bucketOf(col(keyCol).try_cast("long"))
+    when(col(keyCol).isNull, lit(0L))
+      .when(b.isNull, raise_error(concat(
+        lit(s"$op(hashKey=false): key '$keyCol' not numeric: "),
+        col(keyCol).cast("string"))).cast("long"))
+      .otherwise(b)
+  }
+
   def sampleByWeights(
       df: DataFrame, keyCol: String, sourceCol: String,
       weights: Map[String, Double], defaultWeight: Double = 0.0,
@@ -35,7 +62,8 @@ object Mixing {
     require(granularity > 0, "granularity must be positive")
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
-      else pmod(col(keyCol).cast("long"), lit(granularity.toLong))
+      else moduloLong(df, keyCol, "sampleByWeights")(
+        k => pmod(k, lit(granularity.toLong)))
     val threshold: Column = weights.toSeq.sortBy(_._1)
       .foldLeft(lit(thresholdFor(defaultWeight, granularity))) { case (acc, (s, w)) =>
         when(col(sourceCol) === s, lit(thresholdFor(w, granularity))).otherwise(acc)
@@ -88,41 +116,11 @@ object Mixing {
     require(splits.nonEmpty, "at least one split")
     require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
       "fractions must be non-negative with a positive sum")
-    if (!hashKey) {
-      // modulo mode buckets by try_cast('long'), which TRUNCATES
-      // fractional numerics (1.5 → bucket 1) — deterministic but almost
-      // certainly not what a caller passing a float key meant, and
-      // unlike non-numeric strings it raises no runtime error. Reject
-      // the TYPE up front; fractional strings ("1.5") still fail loudly
-      // through the runtime raise_error below.
-      import org.apache.spark.sql.types._
-      df.schema(keyCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType
-             | NullType => ()
-        case d: DecimalType if d.scale == 0 => ()
-        case other => throw new IllegalArgumentException(
-          s"assignSplits(hashKey=false): key '$keyCol' has fractional " +
-          s"numeric type $other — modulo bucketing would silently " +
-          "truncate; use an integral key or hashKey=true")
-      }
-    }
     val total = splits.map(_._2).sum
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
-      else {
-        // modulo mode needs a numeric key; try_cast (ANSI-safe) + loud
-        // failure on NON-NUMERIC values — a silently-null bucket would
-        // label EVERY row with the last split. A genuinely NULL key is
-        // not a type error: it lands deterministically in bucket 0,
-        // mirroring hash mode (where xxhash64(null) is one constant
-        // bucket), so nullable key columns behave the same either way.
-        val b = pmod(col(keyCol).try_cast("long"), lit(granularity.toLong))
-        when(col(keyCol).isNull, lit(0L))
-          .when(b.isNull, raise_error(concat(
-            lit(s"assignSplits(hashKey=false): key '$keyCol' not numeric: "),
-            col(keyCol).cast("string"))).cast("long"))
-          .otherwise(b)
-      }
+      else moduloLong(df, keyCol, "assignSplits")( // shared guard above
+        k => pmod(k, lit(granularity.toLong)))
     // cumulative upper bounds in declaration order; the last split
     // absorbs rounding remainder so every bucket gets a label
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
@@ -281,7 +279,8 @@ object Mixing {
     val m = 4294967296L // 2^32 draw granularity
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(idCol), lit(seed)), lit(m))
-      else pmod(col(idCol).cast("long") * 2654435761L + seed, lit(m))
+      else moduloLong(df, idCol, "weightedSample")(
+        k => pmod(k * 2654435761L + seed, lit(m)))
     // u ∈ (0,1): never exactly 0 (ln(0) = -Inf) or 1 (key ties at 0)
     val u = (bucket.cast("double") + 0.5) / m.toDouble
     val w = col(weightCol).cast("double")

@@ -227,8 +227,10 @@ object Packing {
     * holds the walk's first documents), and each shard's imbalance is
     * bounded by ONE document's cost. Same two-level prefix-sum
     * machinery as [[concatChunk]] (pass a shared `offsets` frame to
-    * run it once; [[releaseOffsets]] when done) — no new exchange
-    * shapes at any corpus size.
+    * run it once; [[releaseOffsets]] when done — with `offsets = None`
+    * the internally-created frame's checkpoint blocks stay pinned until
+    * the session ends, so long-lived sessions should pass their own) —
+    * no new exchange shapes at any corpus size.
     *
     * Returns (idCol, costCol, offset, shard_id). Audit the realized
     * balance with [[shardSizes]] — "no silent caps" applies to skew

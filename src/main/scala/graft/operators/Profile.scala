@@ -179,17 +179,20 @@ object Profile {
   def groupZScores(df: DataFrame, valueCol: String, groupCol: String,
                    outCol: String = "z"): DataFrame = {
     val x = col(valueCol).cast("double")
-    val stats = df.groupBy(col(groupCol)).agg(
+    // null-SAFE group join: rows with a NULL group form their own
+    // population (groupBy already aggregates them as one group; a plain
+    // equi-join would then orphan them to null stats)
+    val stats = df.groupBy(col(groupCol).as("__g")).agg(
       count(x).as("__n"),
       sum(x).as("__s"),
       sum(x * x).as("__ss"))
     val mean = col("__s") / col("__n")
     val variance = col("__ss") / col("__n") - mean * mean
-    df.join(stats, Seq(groupCol), "left")
+    df.join(stats, col(groupCol) <=> col("__g"), "left")
       .withColumn(outCol,
         when(x.isNull, lit(null).cast("double"))
           .when(variance <= 0, lit(0.0))
           .otherwise((x - mean) / sqrt(variance)))
-      .drop("__n", "__s", "__ss")
+      .drop("__g", "__n", "__s", "__ss")
   }
 }

@@ -66,8 +66,13 @@ object RangeJoin {
       pointTs: String, ivStart: String, ivEnd: String,
       bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val overlap = (points.columns.toSet - pointTs -- keys)
-      .intersect(intervals.columns.toSet - ivStart - ivEnd -- keys)
+    // FULL cross-side intersection (only the equi-keys may repeat):
+    // excluding each side's own role columns would let e.g. an
+    // intervals frame that also carries a column named like `pointTs`
+    // slip past the guard and blow up later with AMBIGUOUS_REFERENCE
+    // deep inside the join instead of this message.
+    val overlap = (points.columns.toSet -- keys)
+      .intersect(intervals.columns.toSet -- keys)
     require(overlap.isEmpty,
       s"non-key columns present on both sides: ${overlap.mkString(", ")}")
 

@@ -33,7 +33,9 @@ object Selection {
     * @param idCol    unique document id
     * @param costCol  per-document token count (null counts 0)
     * @param score    quality score — HIGHER is better; ties broken by
-    *                 ascending id
+    *                 ascending id. NULL scores rank WORST (after every
+    *                 real score): an unscored document must never
+    *                 consume budget ahead of a scored one
     * @param budget   global token budget (> 0)
     * @param offsets precomputed best-first offsets frame (the
     *                [[Packing.globalOffsets]] result for
@@ -51,9 +53,12 @@ object Selection {
                   offsets: Option[DataFrame] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
     // ascending walk on (-score, id) = best-first; offsets frame is
-    // narrow (id, cost, offset)
+    // narrow (id, cost, offset). A raw `score * -1` would put NULL
+    // scores FIRST (ascending sorts nulls first) — i.e. hand unscored
+    // docs the budget — so nulls are pinned past every real score.
+    val worst = lit(Double.MaxValue)
     val offs = offsets.getOrElse(Packing.globalOffsets(df, idCol, costCol,
-      orderBy = Seq(score * lit(-1), col(idCol))))
+      orderBy = Seq(coalesce(score * lit(-1), worst), col(idCol))))
     val kept = offs.where(col("offset") < budget)
       .select(col(idCol), col("offset").as("cum_before"))
     // narrow kept-id frame joins back to the full-width corpus; at a

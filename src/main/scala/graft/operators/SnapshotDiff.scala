@@ -33,9 +33,15 @@ object SnapshotDiff {
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
            compareCols: Seq[String], exact: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // xxhash64 SKIPS null inputs when folding, so hashing the raw
+    // columns would make (x, null) and (null, x) collide SYSTEMATICALLY
+    // (a value moving across columns reads as "unchanged"). Interleave
+    // each column with its null flag: the fold is sequential, so the
+    // flag positions disambiguate every null pattern.
     def sig(df: DataFrame): Column =
       if (exact) struct(compareCols.map(df(_)): _*)
-      else xxhash64(compareCols.map(df(_)): _*)
+      else xxhash64(compareCols.flatMap(c =>
+        Seq(df(c), df(c).isNull.cast("int"))): _*)
     val o = oldDf.select(col(idCol).as("__ko"), sig(oldDf).as("__so"))
     val n = newDf.select(col(idCol).as("__kn"), sig(newDf).as("__sn"))
     o.join(n, col("__ko") === col("__kn"), "full_outer")

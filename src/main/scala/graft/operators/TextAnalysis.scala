@@ -284,7 +284,16 @@ object TextAnalysis {
   def applyQualityFilter(df: DataFrame, textCol: String,
       t: QualityThresholds = QualityThresholds()): DataFrame = {
     TextExpressions.register(df.sparkSession)
-    df.where(qualityRules(textProfile(col(textCol)), t).getField("keep"))
+    // A raw qualityRules(textProfile(...)) in the WHERE would evaluate
+    // the (CodegenFallback) profile once per rule (~10×/row): the
+    // optimizer inlines projected aliases into filter predicates and
+    // interpreted predicates get no common-subexpression elimination —
+    // the measured 3-8× class (round-1 VERDICT). Binding the profile to
+    // a single-element HOF lambda forces exactly ONE evaluation per
+    // row; the lambda body is cheap field comparisons. Pinned by
+    // PlanSpec ("quality gate evaluates TextProfile once").
+    df.where(exists(array(textProfile(col(textCol))),
+      tp => qualityRules(tp, t).getField("keep")))
   }
 
   /** HTML → text extraction — the crawl-ingest step that runs before

@@ -120,6 +120,20 @@ class CurationSpec extends SparkSpec {
     assert(st === Array((1L, "changed")))
   }
 
+  test("hash diff distinguishes null patterns: a value moving across columns is 'changed'") {
+    // xxhash64 skips nulls — without the interleaved null flags,
+    // (x, null) and (null, x) would collide and read 'unchanged'
+    val o = Seq((1L, Some("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option.empty[String]))
+      .toDF("doc_id", "a", "b")
+    val n = Seq((1L, Option.empty[String], Some("x")),
+      (2L, Option.empty[String], Option.empty[String]))
+      .toDF("doc_id", "a", "b")
+    val st = SnapshotDiff.diff(o, n, "doc_id", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(st === Array((1L, "changed"), (2L, "unchanged")))
+  }
+
   // ---------- DSIR importance weights ----------
 
   // raw: two "webby" docs, one "target-like" doc; target favors "wiki"
@@ -326,6 +340,37 @@ class CurationSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("modulo-mode guards: non-numeric keys raise instead of dropping every row") {
+    val strDocs = Seq(("doc-1", "web"), ("doc-2", "web")).toDF("id", "source")
+    val exSample = intercept[Exception] {
+      Mixing.sampleByWeights(strDocs, "id", "source", Map("web" -> 1.0),
+        hashKey = false).count()
+    }
+    assert(exSample.getMessage.contains("not numeric") ||
+      Option(exSample.getCause).exists(_.getMessage.contains("not numeric")))
+    val exEs = intercept[Exception] {
+      Mixing.weightedSample(strDocs.withColumn("w", lit(1L)), "id", "w",
+        k = 1, hashKey = false).count()
+    }
+    assert(exEs.getMessage.contains("not numeric") ||
+      Option(exEs.getCause).exists(_.getMessage.contains("not numeric")))
+    // hash mode takes string keys fine
+    assert(Mixing.weightedSample(strDocs.withColumn("w", lit(1L)), "id", "w",
+      k = 1).count() === 1)
+  }
+
+  test("tokenBudget ranks null scores WORST, never budget-first") {
+    import graft.operators.Selection
+    val docs = Seq(
+      (1L, 10L, Some(0.9)), (2L, 10L, Some(0.5)),
+      (3L, 10L, Option.empty[Double])) // unscored must lose
+      .toDF("doc_id", "cost", "score")
+    val kept = Selection.tokenBudget(docs, "doc_id", "cost",
+        col("score"), budget = 15L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L)) // 0.9 then 0.5; null never selected
+  }
+
   // ---------- weighted sampling (Efraimidis–Spirakis) ----------
 
   test("weightedSample: weight dominance, determinism, zero-weight exclusion") {
@@ -347,6 +392,19 @@ class CurationSpec extends SparkSpec {
   }
 
   // ---------- per-group z-scores ----------
+
+  test("groupZScores: NULL group is its own population (null-safe join)") {
+    import graft.operators.Profile
+    val df = Seq((1L, Option.empty[String], Some(1)),
+      (2L, Option.empty[String], Some(3)), (3L, Some("a"), Some(9)))
+      .toDF("id", "g", "v")
+    val out = Profile.groupZScores(df, "v", "g")
+      .orderBy("id").select("id", "z").as[(Long, Option[Double])].collect()
+    // null group: mean 2, var 1 → z = ∓1; singleton "a" → 0
+    assert(out(0)._2.get === -1.0)
+    assert(out(1)._2.get === 1.0)
+    assert(out(2)._2.get === 0.0)
+  }
 
   test("groupZScores: hand-computed values, degenerate group, null value") {
     import graft.operators.Profile

@@ -407,6 +407,21 @@ class PlanSpec extends SparkSpec {
       s"hashed-mode weight table must broadcast:\n$p")
   }
 
+  test("quality gate evaluates TextProfile once per row, not once per rule") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gated = graft.operators.TextAnalysis.applyQualityFilter(docs, "text")
+    val p = plan(gated)
+    // the HOF-bound spelling: ONE profile eval feeding the lambda, so
+    // each plan line mentions graft_text_profile at most once (the
+    // FileScan echoes the Filter predicate in its DataFilters metadata
+    // — same single eval). The inlined-alias spelling put ~10
+    // references in the Filter line, one per rule.
+    val perLine = p.split("\n")
+      .map(l => "graft_text_profile".r.findAllIn(l).size)
+    assert(perLine.exists(_ == 1) && perLine.forall(_ <= 1),
+      s"expected exactly one TextProfile eval per plan line:\n$p")
+  }
+
   test("multi-enum + regex predicates stay UDF-free") {
     Predicates.register(spark)
     val multi = Rule("t", "c", RuleType.EnumT, Requirement.Required,

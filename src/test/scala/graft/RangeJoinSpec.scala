@@ -70,6 +70,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(truth !== naivePairs, "keys must actually restrict the fixture")
   }
 
+  test("cross-side name collision is rejected up front, role columns included") {
+    // intervals also carrying a column named like the POINT timestamp
+    // used to slip past the guard and explode later with an ambiguous
+    // reference inside the operator
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points,
+        intervals.withColumn("ts", col("start")),
+        "ts", "start", "end", bucketWidth = 37L)
+    }
+    assert(ex.getMessage.contains("non-key columns present on both sides"))
+  }
+
   test("timestamp columns bucket via unix_micros (self-range-join lineage)") {
     // both sides derived from ONE frame — the shared-lineage case the
     // internal renames exist for
