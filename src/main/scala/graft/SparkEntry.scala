@@ -505,12 +505,21 @@ object SparkEntry {
 
     // token-balanced output sharding over the distributed prefix sum:
     // contiguous offset ranges → 8 shards of near-equal char mass
-    // (imbalance bounded by one document); oracle replays the cumsum
+    // (imbalance bounded by one document); oracle replays the cumsum.
+    // Shared-offsets + releaseOffsets: the prefix sum's checkpoint
+    // blocks are freed as soon as the 8-row summary is materialized —
+    // the `offsets = None` convenience path pins them for the session,
+    // which accumulates across bench replays (round-4 ADVICE).
     "q_balanced_shards" -> ((s, d) => {
-      val shards = Packing.balancedShards(
-        t(s, d, "documents").select("doc_id", "n_chars"),
-        "doc_id", "n_chars", nShards = 8)
-      Packing.shardSizes(shards, "n_chars")
+      val docs = t(s, d, "documents").select("doc_id", "n_chars")
+      val offs = Packing.globalOffsets(docs, "doc_id", "n_chars")
+      val sizes = Packing.shardSizes(
+        Packing.balancedShards(docs, "doc_id", "n_chars", nShards = 8,
+          offsets = Some(offs)), "n_chars")
+      val rows = sizes.collect() // nShards rows — driver-bounded
+      Packing.releaseOffsets(offs)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), sizes.schema)
     }),
 
     // curriculum difficulty buckets: exact interpolated quartile
@@ -1051,14 +1060,18 @@ object SparkEntry {
     }),
 
     // snapshot diff: per-key added/removed/changed/unchanged between two
-    // derived snapshots (old = id%3≠0 with id%10==0 texts mutated; new =
+    // derived snapshots (old = id%3≠0 with id%7==0 texts mutated; new =
     // id%5≠0) — the incremental-crawl refresh classifier; narrow
-    // (key, xxhash64) full-outer join vs a direct-equality SQL oracle
+    // (key, xxhash64) full-outer join vs a direct-equality SQL oracle.
+    // The mutated set (%7) intersects BOTH snapshots (e.g. id=7: %3≠0,
+    // %5≠0) so all four statuses — including 'changed' — are exercised
+    // end-to-end (a %10 mutation set was a subset of the new-snapshot
+    // exclusion %5, leaving 'changed' untested against the oracle).
     "q_snapshot_diff" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
         .select(col("doc_id"),
-          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       val newSnap = docs.where(col("doc_id") % 5 =!= 0)
         .select("doc_id", "text")
@@ -2095,6 +2108,7 @@ object SparkEntry {
         |  FROM documents GROUP BY 1)
         |SELECT doc_id, d.source,
         |  round(CASE
+        |    WHEN n_chars IS NULL THEN NULL
         |    WHEN (ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) <= 0 THEN 0
         |    ELSE (n_chars - s * 1.0 / n)
         |         / sqrt(ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
@@ -2267,7 +2281,7 @@ object SparkEntry {
     "q_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,
-        |         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
         |           AS text
         |  FROM documents WHERE doc_id % 3 <> 0),
         |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)

@@ -460,10 +460,16 @@ object Main {
       .agg(max(abs(col("z")))).head().getDouble(0)
     val buckets = Mixing.quantileBuckets(docs, "n_chars", nBuckets = 4)
       .groupBy("bucket").count().count()
+    // shared-offsets + releaseOffsets: free the prefix-sum checkpoint
+    // once the shard summary is materialized (round-4 ADVICE — the
+    // offsets=None path pins blocks for the session)
+    val shardDocs = docs.select("doc_id", "n_chars")
+    val shardOffs = Packing.globalOffsets(shardDocs, "doc_id", "n_chars")
     val shards = Packing.shardSizes(
-      Packing.balancedShards(docs.select("doc_id", "n_chars"),
-        "doc_id", "n_chars", nShards = 8), "n_chars")
+      Packing.balancedShards(shardDocs, "doc_id", "n_chars", nShards = 8,
+        offsets = Some(shardOffs)), "n_chars")
     val maxShard = shards.agg(max(col("total_cost"))).head().getLong(0)
+    Packing.releaseOffsets(shardOffs)
     println(s"""{"op":"package",$diffStr,"max_abs_z":${f"$zOut%.3f"},""" +
       s""""difficulty_buckets":$buckets,"shards":8,"max_shard_cost":$maxShard}""")
     kept.unpersist(); docs.unpersist()

@@ -55,19 +55,32 @@ object Mixing {
       .otherwise(b)
   }
 
+  /** `nullWeight` is the keep fraction for rows whose source IS NULL —
+    * a `weights` map can't key null, and `col === s` is never true for a
+    * null source, so without it null-source rows silently fall to
+    * `defaultWeight` ("no silent caps": callers sampling real data
+    * should decide null's fate explicitly; [[sampleByTemperature]]
+    * tempers the null group like any other source). */
   def sampleByWeights(
       df: DataFrame, keyCol: String, sourceCol: String,
       weights: Map[String, Double], defaultWeight: Double = 0.0,
-      granularity: Int = 10000, hashKey: Boolean = true): DataFrame = {
+      granularity: Int = 10000, hashKey: Boolean = true,
+      nullWeight: Option[Double] = None): DataFrame = {
     require(granularity > 0, "granularity must be positive")
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(keyCol)), lit(granularity.toLong))
       else moduloLong(df, keyCol, "sampleByWeights")(
         k => pmod(k, lit(granularity.toLong)))
-    val threshold: Column = weights.toSeq.sortBy(_._1)
+    val named: Column = weights.toSeq.sortBy(_._1)
       .foldLeft(lit(thresholdFor(defaultWeight, granularity))) { case (acc, (s, w)) =>
         when(col(sourceCol) === s, lit(thresholdFor(w, granularity))).otherwise(acc)
       }
+    val threshold = nullWeight match {
+      case Some(w) =>
+        when(col(sourceCol).isNull, lit(thresholdFor(w, granularity)))
+          .otherwise(named)
+      case None => named
+    }
     df.where(bucket < threshold)
   }
 
@@ -229,7 +242,18 @@ object Mixing {
     * fixed-order IEEE ops on integer counts (pow/sqrt/div), so the SQL
     * oracle reproduces the fractions bit-exactly. */
   def temperatureFractions(counts: Map[String, Long],
-                           temperature: Double): Map[String, Double] = {
+                           temperature: Double): Map[String, Double] =
+    temperatureFractionsOpt(
+      counts.map { case (s, n) => (Some(s): Option[String]) -> n }, temperature)
+      .collect { case (Some(s), f) => s -> f }
+
+  /** [[temperatureFractions]] over optional keys so a NULL source group
+    * (key `None`) joins the joint max-normalization — the tempered
+    * fraction of every group depends on ALL group sizes, so null can't
+    * be tempered separately. */
+  private def temperatureFractionsOpt(
+      counts: Map[Option[String], Long],
+      temperature: Double): Map[Option[String], Double] = {
     require(temperature > 0, "temperature must be positive")
     require(counts.values.forall(_ >= 0), "counts must be non-negative")
     val ratios = counts.collect { case (s, n) if n > 0 =>
@@ -243,16 +267,26 @@ object Mixing {
   }
 
   /** Count → temper → filter in one call. `hashKey = false` is the
-    * SQL-replicable oracle mode, as everywhere in [[Mixing]]. */
+    * SQL-replicable oracle mode, as everywhere in [[Mixing]].
+    *
+    * Any source TYPE works (counts read the raw value, the keep
+    * predicate compares the column to its literal under Spark's own
+    * coercion), and a NULL source forms its own tempered group — it is
+    * a population like any other, not a silent drop. */
   def sampleByTemperature(df: DataFrame, keyCol: String, sourceCol: String,
                           temperature: Double, granularity: Int = 10000,
                           hashKey: Boolean = true): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
-      .toMap
+    val rows = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("n")).collect()
+    val (nullRows, namedRows) = rows.partition(_.isNullAt(0))
+    val counts: Map[Option[String], Long] =
+      namedRows.map(r => Option(r.get(0).toString) -> r.getLong(1)).toMap ++
+        nullRows.headOption.map(r => (None: Option[String]) -> r.getLong(1))
+    val fractions = temperatureFractionsOpt(counts, temperature)
     sampleByWeights(df, keyCol, sourceCol,
-      temperatureFractions(counts, temperature),
-      defaultWeight = 0.0, granularity = granularity, hashKey = hashKey)
+      fractions.collect { case (Some(s), f) => s -> f },
+      defaultWeight = 0.0, granularity = granularity, hashKey = hashKey,
+      nullWeight = fractions.get(None))
   }
 
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
@@ -279,8 +313,18 @@ object Mixing {
     val m = 4294967296L // 2^32 draw granularity
     val bucket: Column =
       if (hashKey) pmod(xxhash64(col(idCol), lit(seed)), lit(m))
-      else moduloLong(df, idCol, "weightedSample")(
-        k => pmod(k * 2654435761L + seed, lit(m)))
+      else moduloLong(df, idCol, "weightedSample") { k =>
+        // overflow-safe (k * 2654435761 + seed) mod 2^32: the direct
+        // product wraps for |k| above ~3.5e9 (and throws under ANSI,
+        // the session default), so split the multiplier a = aHi*2^16
+        // + aLo — every intermediate stays under 2^50 and the result
+        // is congruent mod 2^32 with the exact product, which is what
+        // the SQL oracle computes via DuckDB's HUGEINT promotion.
+        val aHi = 40503L; val aLo = 31153L // 2654435761 = aHi*65536 + aLo
+        val u = pmod(k, lit(m))
+        pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo +
+          lit(((seed % m) + m) % m), lit(m))
+      }
     // u ∈ (0,1): never exactly 0 (ln(0) = -Inf) or 1 (key ties at 0)
     val u = (bucket.cast("double") + 0.5) / m.toDouble
     val w = col(weightCol).cast("double")

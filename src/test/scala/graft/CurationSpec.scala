@@ -340,6 +340,44 @@ class CurationSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("sampleByTemperature: non-string sources and NULL group tempered, not dropped") {
+    // int source column (round-4 ADVICE: getString(0) threw
+    // ClassCastException) with a NULL-source population that must be
+    // tempered like any other group, never silently dropped
+    val docs = (0L until 1000L).map { i =>
+      (i, if (i < 900) Some(1) else if (i < 950) Some(2) else None)
+    }.toDF("doc_id", "source")
+    val kept = Mixing.sampleByTemperature(docs, "doc_id", "source",
+        temperature = 2.0, granularity = 1000, hashKey = false)
+      .groupBy("source").count()
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1))
+      .toMap
+    // counts 900/50/50 at T=2: f ∝ 1/sqrt(n) → both 50-row groups keep
+    // all; the 900 group keeps round(sqrt(50/900)*1000) = 236 buckets
+    assert(kept(2) === 50L)
+    assert(kept(-1) === 50L) // the NULL group survived in full
+    assert(kept(1) === 236L)
+  }
+
+  test("weightedSample modulo draw is overflow-safe and exact for huge ids") {
+    // ids beyond 2^32 made the direct (k * 2654435761 + seed) product
+    // overflow Long (ANSI throws; legacy wrapped) — the split-multiplier
+    // spelling must equal exact BigInt arithmetic mod 2^32
+    val m = BigInt(4294967296L)
+    val seed = 7L
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 12345L, 4000000000L,
+      987654321098L, 3L, 42L, 5000000001L, 1234567890123456789L)
+    val docs = ids.map(i => (i, 1L)).toDF("id", "w")
+    def u(k: Long): Double =
+      (((BigInt(k) * 2654435761L + seed).mod(m)).toDouble + 0.5) / 4294967296.0
+    // w = 1 for all rows → key = ln(u): top-k are the largest draws
+    val expected = ids.sortBy(i => (-u(i), i)).take(3).sorted
+    val got = Mixing.weightedSample(docs, "id", "w", k = 3, seed = seed,
+        hashKey = false)
+      .select("id").as[Long].collect().sorted
+    assert(got === expected.toArray)
+  }
+
   test("modulo-mode guards: non-numeric keys raise instead of dropping every row") {
     val strDocs = Seq(("doc-1", "web"), ("doc-2", "web")).toDF("id", "source")
     val exSample = intercept[Exception] {
