@@ -187,10 +187,21 @@ object Similarity {
     * WindowGroupLimit). */
   def ivfTopKBatch(index: IvfIndex, idCol: String, vecCol: String,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int, nProbe: Int = 4): DataFrame = {
+                   k: Int, nProbe: Int = 4,
+                   maxQueries: Int = 100000): DataFrame = {
     val spark = index.assigned.sparkSession
     VectorExpressions.register(spark)
-    val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
+    // the bounded-query-set contract, enforced: the batch is collected
+    // to the driver for probe assignment (k×dim matrix walks) and
+    // broadcast to every corpus partition — an unbounded `queries`
+    // frame would OOM the driver silently. limit(max+1) keeps the
+    // guard itself one cheap partial scan, never a full count.
+    val qRows = queries.select(col(qIdCol), col(qVecCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ivfTopKBatch collects the query set to the driver: got more " +
+      s"than maxQueries=$maxQueries rows — window the batch (or raise " +
+      "maxQueries deliberately)")
     val pairRows: Seq[Row] = qRows.toSeq.flatMap { r =>
       val qv = r.getSeq[Float](1).toArray
       probeSet(index, qv, nProbe).map(cid => Row(r.get(0), cid, r.getSeq[Float](1)))
@@ -223,30 +234,160 @@ object Similarity {
     * `threshold` (min-id survivor per similarity star — the greedy
     * keep-one-per-ε-ball rule, deterministically tie-broken).
     *
-    * Scale shape: the within-cluster self-join shuffles (id, vec,
-    * centroid_id) once per side — O(n) vector motion, unavoidable for
-    * pairwise cosine — and pairwise COMPUTE is Σ cᵢ², bounded by the
-    * cluster granularity (SemDeDup's own trick: nCentroids ~ n/10⁴
-    * keeps cells small; the paper runs 50k clusters on 5B embeddings).
-    * Monitor skew with [[clusterSizes]] before committing a threshold
-    * run — a degenerate cell turns the quadratic loose ("no silent
-    * caps": this operator surfaces the histogram instead of capping
-    * silently, because dropping pairs would silently under-dedup).
-    * Exactly-equal vectors always share a cluster (same floats → same
-    * argmax against the same broadcast centroid matrix), so planted-
-    * duplicate recall is clustering-independent — the property
+    * Scale shape: the within-cell self-join shuffles (id, vec, cell)
+    * once per side — O(n) vector motion, unavoidable for pairwise
+    * cosine — and pairwise COMPUTE is Σ cᵢ² over cells BOUNDED by
+    * `maxCellSize`: any coarse cell above the cap is re-bounded by
+    * [[boundedPool]] (exact-duplicate collapse → hyperplane sub-cells
+    * → pivot pass) before the join, so a degenerate k-means cell — a
+    * dense near-duplicate clump, exactly what this operator exists to
+    * find — can no longer go quadratic in one task (round-4 VERDICT).
+    * Audit the realized pool with [[semDedupCellStats]] and the coarse
+    * occupancy with [[clusterSizes]]. Exactly-equal vectors always
+    * share a cluster (same floats → same argmax against the same
+    * broadcast centroid matrix) and survive every defense pass
+    * together (identical windows keys, identical signatures), so
+    * planted-duplicate recall is clustering-independent — the property
     * q_semdedup's full-survivor oracle keys on. */
   def semDedupDrops(index: IvfIndex, idCol: String, vecCol: String,
-                    threshold: Double): DataFrame = {
+                    threshold: Double, maxCellSize: Int = 8192): DataFrame = {
+    val (pool, exactDrops, pivotDrops) =
+      boundedPool(index, idCol, vecCol, threshold, maxCellSize)
+    val a = pool.select(col(idCol).as("__ia"),
+      col(vecCol).as("__va"), col("__cell").as("__ca"))
+    val b = pool.select(col(idCol).as("__ib"),
+      col(vecCol).as("__vb"), col("__cell").as("__cb"))
+    val pairDrops = a
+      .join(b, col("__ca") === col("__cb") && col("__ia") < col("__ib"))
+      .where(VectorExpressions.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ib").as(idCol))
+    pairDrops.unionByName(exactDrops).unionByName(pivotDrops).distinct()
+  }
+
+  /** The oversized-cell defense for [[semDedupDrops]] (round-4 VERDICT
+    * "What's wrong" #1: a degenerate k-means cell put its entire
+    * pairwise product through ONE join task — 10⁷ vectors in a cell is
+    * 5×10¹³ cosine evaluations in one place). Rows are regrouped into
+    * cells of ≤ ~`maxCellSize` before the pairwise self-join, via three
+    * escalating passes that each preserve the planted-duplicate recall
+    * contract (identical vectors always stay together):
+    *
+    *  1. EXACT COLLAPSE (oversized cells only): identical vectors
+    *     collapse to their min-id representative in one window pass —
+    *     every non-min copy drops with the rep as witness (cos = 1 ≥ τ
+    *     for any τ ≤ 1), and the rep is a valid witness for anything
+    *     the copies would have witnessed (identical vector, smaller
+    *     id), so the drop set is EXACTLY the original semantics. This
+    *     alone bounds the classic degenerate case (massive exact-dup
+    *     groups), and it makes every surviving row's vector distinct.
+    *  2. HYPERPLANE SUB-CELLS: still-oversized cells append
+    *     ceil(log2(n/maxCellSize))+1 bits (≤ 16) of the deterministic
+    *     random-hyperplane signature ([[graft.functions.HyperplaneBucket]],
+    *     the [[Dedup.hyperplaneBucket]] kernel) to the cell key. LSH
+    *     property: high-cosine pairs agree on sign bits w.h.p., so
+    *     near-dup recall degrades gracefully while a big DIVERSE cell
+    *     splits geometrically.
+    *  3. PIVOT PASS: a sub-cell the hyperplanes could not split is a
+    *     dense clump of near-identical (but distinct) vectors — sign
+    *     bits all agree. For each such cell, every row with
+    *     cos(row, pivot) ≥ τ against the min-id pivot drops DIRECTLY
+    *     (the pivot is a smaller-id witness — sound, no approximation),
+    *     which in a genuine clump is everyone but the pivot; only the
+    *     residual (cos < τ to the pivot — geometrically scarce in a
+    *     clump dense enough to get stuck) rejoins the pairwise pool.
+    *
+    * Passes 2–3 refine SemDeDup's own approximation (the paper already
+    * compares within-cluster only; sub-celling is a finer clustering),
+    * trading bounded per-task work for potentially missing cross-sub-cell
+    * near-dup pairs — exactly the trade the paper makes at the coarse
+    * level. Residual cells can in principle still exceed the cap;
+    * [[semDedupCellStats]] surfaces the realized pool histogram — no
+    * silent caps. Returns (pairwise pool with `__cell`, exact drops,
+    * pivot drops). */
+  private def boundedPool(index: IvfIndex, idCol: String, vecCol: String,
+                          threshold: Double, maxCellSize: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(maxCellSize > 0, "maxCellSize must be positive")
     val spark = index.assigned.sparkSession
     VectorExpressions.register(spark)
-    val a = index.assigned.select(col(idCol).as("__ia"),
-      col(vecCol).as("__va"), col("centroid_id").as("__ca"))
-    val b = index.assigned.select(col(idCol).as("__ib"),
-      col(vecCol).as("__vb"), col("centroid_id").as("__cb"))
-    a.join(b, col("__ca") === col("__cb") && col("__ia") < col("__ib"))
-      .where(VectorExpressions.cosine(col("__va"), col("__vb")) >= threshold)
-      .select(col("__ib").as(idCol)).distinct()
+    val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
+    val emptyIds = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          index.assigned.schema(idCol).dataType))))
+
+    // cell occupancy: nCentroids rows — driver-bounded by construction
+    // (the centroid matrix itself lives on the driver), broadcastable
+    val sizes = index.assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__n"))
+    val tagged = index.assigned.join(broadcast(sizes), Seq("centroid_id"))
+    def cellOf(sub: Column): Column =
+      struct(col("centroid_id").as("c"), sub.as("s")).as("__cell")
+    val boundedRows = tagged.where(col("__n") <= maxCellSize)
+      .select(col(idCol), col(vecCol), cellOf(lit(-1L)))
+    val oversized = tagged.where(col("__n") > maxCellSize)
+
+    // 1. exact collapse (window over the vector itself: identical
+    //    floats, same cell by construction)
+    val w = Window.partitionBy(col("centroid_id"), col(vecCol))
+    val withRep = oversized.withColumn("__rep", min(col(idCol)).over(w))
+    val exactDrops = withRep.where(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    val reps = withRep.where(col(idCol) === col("__rep")).drop("__rep")
+
+    // 2. per-cell band width from the occupancy, masked from one full
+    //    16-bit signature evaluation per row
+    val bits = least(lit(16.0),
+      ceil(log2(col("__n").cast("double") / maxCellSize)) + 1)
+    // 2^bits - 1 as the signature mask; bits <= 17 so the double is exact
+    val mask = (pow(lit(2.0), bits) - 1).cast("long")
+    val sig = Dedup.hyperplaneBucket(col(vecCol), dim, nBits = 16, seed = 41)
+    val banded = reps.select(col(idCol), col(vecCol),
+      cellOf(sig.bitwiseAND(mask)))
+
+    // 3. pivot pass over sub-cells the hyperplanes could not split
+    val subSizes = banded.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n2"))
+    val banded2 = banded.join(subSizes, Seq("__cell"))
+    val settled = banded2.where(col("__n2") <= maxCellSize)
+      .select(col(idCol), col(vecCol), col("__cell"))
+    val stuck = banded2.where(col("__n2") > maxCellSize)
+    val (pivotDrops, residual) =
+      if (dim == 0) (emptyIds, stuck.select(col(idCol), col(vecCol), col("__cell")))
+      else {
+        val pivots = stuck.groupBy(col("__cell")).agg(
+          min(col(idCol)).as("__pid"),
+          min_by(col(vecCol), col(idCol)).as("__pvec"))
+        val joined = stuck.join(pivots, Seq("__cell"))
+        val cosPiv = VectorExpressions.cosine(col(vecCol), col("__pvec"))
+        (joined.where(col(idCol) > col("__pid") && cosPiv >= threshold)
+           .select(col(idCol)),
+         // the pivot survives its cell (min id — no in-cell witness);
+         // residuals keep pairing among themselves
+         joined.where(col(idCol) > col("__pid") &&
+             (cosPiv < threshold || cosPiv.isNull))
+           .select(col(idCol), col(vecCol), col("__cell")))
+      }
+    (boundedRows.unionByName(settled).unionByName(residual),
+      exactDrops, pivotDrops)
+  }
+
+  /** Realized pairwise-pool histogram of [[semDedupDrops]] — the cells
+    * the self-join will actually quadratic over, AFTER the oversized-
+    * cell defense (exact collapse → hyperplane sub-cells → pivot pass).
+    * The observability companion to [[clusterSizes]]: a cell still above
+    * `maxCellSize` here is a residual clump the defense could not bound
+    * (pathological input) — surfaced, never silently capped. */
+  def semDedupCellStats(index: IvfIndex, idCol: String, vecCol: String,
+                        threshold: Double,
+                        maxCellSize: Int = 8192): DataFrame = {
+    val (pool, _, _) =
+      boundedPool(index, idCol, vecCol, threshold, maxCellSize)
+    pool.groupBy(col("__cell")).agg(count(lit(1)).as("n_vectors"))
+      .select(col("__cell.c").as("centroid_id"),
+        col("__cell.s").as("sub_cell"), col("n_vectors"))
+      .orderBy(desc("n_vectors"), col("centroid_id"), col("sub_cell"))
   }
 
   /** The apply step: corpus minus [[semDedupDrops]] (anti-join on the
@@ -255,9 +396,9 @@ object Similarity {
     * [[Dedup.applyNearDedup]]). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, threshold: Double,
-               refineIters: Int = 1): DataFrame = {
+               refineIters: Int = 1, maxCellSize: Int = 8192): DataFrame = {
     val index = buildIvf(corpus, idCol, vecCol, nCentroids, refineIters)
-    corpus.join(semDedupDrops(index, idCol, vecCol, threshold),
+    corpus.join(semDedupDrops(index, idCol, vecCol, threshold, maxCellSize),
       Seq(idCol), "left_anti")
   }
 

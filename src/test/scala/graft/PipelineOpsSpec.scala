@@ -603,6 +603,14 @@ class PipelineOpsSpec extends SparkSpec {
     val self = Similarity.ivfTopKBatch(index, "vec_id", "embedding",
         queries, "qid", "embedding", k = 1, nProbe = 2).collect()
     assert(self.forall(r => r.getLong(0) === r.getLong(1)))
+    // the driver-collect bound is ENFORCED, not implicit: an oversized
+    // query frame raises instead of silently OOMing the driver
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKBatch(index, "vec_id", "embedding",
+        embs.select($"vec_id".as("qid"), $"embedding"),
+        "qid", "embedding", k = 1, nProbe = 2, maxQueries = 3)
+    }
+    assert(ex.getMessage.contains("maxQueries"))
   }
 
   test("IVF bucketed storage: probed read lists ONLY the probed partitions") {
