@@ -241,6 +241,132 @@ case class VecStats(child: Expression)
   override def prettyName: String = "graft_vec_stats"
 }
 
+/** Product-quantization encoder (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): split the vector into
+  * nSub contiguous subspaces and store, per subspace, the index of the
+  * L2-nearest codeword — one byte per subspace (codebooks ≤ 256
+  * entries), i.e. dim×4 bytes of float32 become nSub bytes. `right` is
+  * the codebook tensor as a FOLDABLE nested-array literal
+  * (sub → code → subvector), decoded once per executor into flat float
+  * arrays. Ties in the argmin break to the LOWEST code index —
+  * deterministic, so identical vectors always encode to identical
+  * codes (the invariant the planted-recall oracle keys on). Codes are
+  * stored offset by -128 so all 256 fit a signed byte. */
+case class PqEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType, right.foldable) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(ArrayType(ArrayType(FloatType, _), _), _), true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r, f) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_encode requires (array<float|double>, foldable " +
+          s"array<array<array<float>>>), got (${l.simpleString}, " +
+          s"${r.simpleString}, foldable=$f)")
+    }
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] = {
+    val subs = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(subs.numElements()) { s =>
+      val codes = subs.getArray(s)
+      Array.tabulate(codes.numElements()) { c =>
+        codes.getArray(c).toFloatArray()
+      }
+    }
+  }
+
+  override def nullSafeEval(input: Any, unused: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nSub = cb.length
+    if (nSub == 0) return null
+    val subDim = cb(0)(0).length
+    if (arr.numElements() < nSub * subDim) return null
+    val isF = elemIsFloat
+    val out = new Array[Byte](nSub)
+    var s = 0
+    while (s < nSub) {
+      val base = s * subDim
+      val codes = cb(s)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < codes.length) {
+        val cw = codes(c); var d = 0.0; var i = 0
+        while (i < subDim) {
+          val x = if (arr.isNullAt(base + i)) 0.0
+            else if (isF) arr.getFloat(base + i).toDouble
+            else arr.getDouble(base + i)
+          val diff = x - cw(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict: ties keep lowest
+        c += 1
+      }
+      out(s) = (best - 128).toByte
+      s += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** Asymmetric-distance (ADC) scorer for PQ codes: the query is NOT
+  * quantized — the driver precomputes lut(sub)(code) = dot(q_sub,
+  * codeword) and the per-row score is nSub table lookups + adds,
+  * approximating dot(query, vector) with only quantization error on
+  * the DATABASE side (the A in ADC). `right` is the foldable LUT
+  * literal. On L2-normalized inputs the score approximates cosine. */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType, right.foldable) match {
+      case (BinaryType, ArrayType(ArrayType(DoubleType, _), _), true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r, f) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc requires (binary, foldable array<array<double>>), " +
+          s"got (${l.simpleString}, ${r.simpleString}, foldable=$f)")
+    }
+
+  @transient private lazy val lut: Array[Array[Double]] = {
+    val subs = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(subs.numElements())(s => subs.getArray(s).toDoubleArray())
+  }
+
+  override def nullSafeEval(input: Any, unused: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    if (codes.length != lut.length) return null
+    var score = 0.0; var s = 0
+    while (s < codes.length) {
+      val idx = codes(s) + 128
+      val t = lut(s)
+      if (idx < 0 || idx >= t.length) return null
+      score += t(idx); s += 1
+    }
+    score
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_pq_adc"
+}
+
 object VectorExpressions {
   /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
@@ -261,6 +387,12 @@ object VectorExpressions {
     reg.registerFunction(FunctionIdentifier("graft_vec_stats"),
       new ExpressionInfo(classOf[VecStats].getName, "graft_vec_stats"),
       (es: Seq[Expression]) => VecStats(es.head))
+    reg.registerFunction(FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1)))
+    reg.registerFunction(FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc"),
+      (es: Seq[Expression]) => PqAdcScore(es(0), es(1)))
   }
 
   private def ensure(): Unit =
@@ -278,5 +410,13 @@ object VectorExpressions {
   }
   def vecStats(vec: Column): Column = {
     ensure(); call_function("graft_vec_stats", vec)
+  }
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    ensure(); call_function("graft_pq_encode", vec, typedlit(codebooks))
+  }
+  def pqAdcScore(codes: Column, lut: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    ensure(); call_function("graft_pq_adc", codes, typedlit(lut))
   }
 }

@@ -613,6 +613,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxQueries"))
   }
 
+  test("PQ: identical vectors encode identically; codes compress >= 16x") {
+    val normed = Similarity.withL2Normalized(embs, "embedding", "nvec")
+    val doubled = normed.unionByName(
+      normed.where($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 7000L))
+    val model = Similarity.trainPq(doubled, "nvec", nSub = 8, nCodes = 16,
+      iters = 1)
+    assert(model.nSub === 8 && model.subDim === 8)
+    val enc = Similarity.pqEncodeAll(doubled, "nvec", model)
+    // binary codes: exactly nSub bytes per vector — 64 float32 (256 B)
+    // compress to 8 B = 32x, comfortably past the 16x bar
+    val lens = enc.select(length($"pq_codes")).distinct()
+      .as[Int].collect().toSeq
+    assert(lens === Seq(8))
+    val dim = embs.select(size($"embedding")).head().getInt(0)
+    assert(dim * 4 / model.nSub >= 16)
+    // planted twins (identical floats) get byte-identical codes
+    val twins = enc.where($"vec_id" < 10).select($"vec_id", $"pq_codes")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val copies = enc.where($"vec_id" >= 7000L && $"vec_id" < 7010L)
+      .select($"vec_id", $"pq_codes")
+      .collect().map(r => (r.getLong(0) - 7000L) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(twins === copies)
+  }
+
+  test("PQ ADC top-k agrees with brute-force cosine within quantization tolerance") {
+    // set-overlap with brute-force is NOT the right bar on random
+    // vectors (beyond the self-match the true neighborhood is a dead
+    // heat ADC cannot rank) — the guaranteed property is the score
+    // bound: |adc(x) − dot(q,x)| = |dot(q, x̂−x)| ≤ maxErr for every x,
+    // so every ADC top-10 pick's TRUE score is ≥ (brute 10th score −
+    // 2·maxErr). That inequality pins encode/LUT/ADC consistency
+    // end-to-end; the identical-encoding test pins exactness.
+    val normed = Similarity.withL2Normalized(embs, "embedding", "nvec")
+      .cache()
+    val model = Similarity.trainPq(normed, "nvec", nSub = 8, nCodes = 32,
+      iters = 2)
+    val enc = Similarity.pqEncodeAll(normed, "nvec", model)
+      .select($"vec_id", $"pq_codes", $"nvec")
+    val qs = normed.where($"vec_id" < 4)
+      .select($"vec_id", $"nvec").collect()
+    qs.foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val lut = model.adcLut(q)
+      val scored = enc.select($"vec_id",
+        graft.functions.VectorExpressions.pqAdcScore($"pq_codes", lut)
+          .as("adc"),
+        graft.functions.VectorExpressions.dot($"nvec", typedLit(q.toSeq))
+          .as("dot")).cache()
+      val maxErr = scored.agg(max(abs($"adc" - $"dot"))).head().getDouble(0)
+      // the codes must carry real signal: error well inside the dot range
+      assert(maxErr < 0.9, s"quantization error too large: $maxErr")
+      val brute10th = Similarity
+        .bruteForceTopK(normed, "vec_id", "nvec", q, 10)
+        .agg(min($"score")).head().getDouble(0)
+      val adcTop = Similarity.pqTopK(enc, "vec_id", "pq_codes", model, q, 10)
+        .join(scored.select($"vec_id", $"dot"), Seq("vec_id"))
+      val worstTrue = adcTop.agg(min($"dot")).head().getDouble(0)
+      assert(worstTrue >= brute10th - 2 * maxErr - 1e-6,
+        s"q=$qid: ADC pick true-score $worstTrue below tolerance " +
+        s"(brute 10th $brute10th, maxErr $maxErr)")
+      // the self vector dominates random cross-sims by construction and
+      // quantization error is bounded: the query itself must surface
+      assert(adcTop.where($"vec_id" === qid).count() === 1L,
+        s"q=$qid: self vector missing from ADC top-10")
+      scored.unpersist()
+    }
+    normed.unpersist()
+  }
+
   test("IVF bucketed storage: probed read lists ONLY the probed partitions") {
     val index = Similarity.buildIvf(embs, "vec_id", "embedding", nCentroids = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
