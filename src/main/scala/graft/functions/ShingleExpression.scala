@@ -132,12 +132,36 @@ case class TokenGramHashes(child: Expression, n: Int, distinct: Boolean = true)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType | StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int|bigint|string>, got ${other.simpleString}")
+    }
+
   private def fmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
+
+  // element accessor resolved ONCE from the child type: int32 is the
+  // north-star tokens payload; int64 widens it; string covers word-level
+  // decontamination (no tokenizer) — word identity via xxhash64 of the
+  // UTF-8 bytes, so equal words hash equal across rows and frames
+  @transient private lazy val tokAt: (ArrayData, Int) => Long =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+      case ArrayType(LongType, _)    => (a, i) => a.getLong(i)
+      case ArrayType(StringType, _)  => (a, i) =>
+        val s = a.getUTF8String(i)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -153,7 +177,7 @@ case class TokenGramHashes(child: Expression, n: Int, distinct: Boolean = true)
         // null token elements hash as a reserved sentinel (tokens are
         // non-null by schema; defensive for hand-built test frames)
         val tok = if (arr.isNullAt(i + j)) Long.MinValue
-                  else arr.getInt(i + j).toLong
+                  else tokAt(arr, i + j)
         h = (h ^ fmix64(tok)) * 0xC2B2AE3D27D4EB4FL
         j += 1
       }

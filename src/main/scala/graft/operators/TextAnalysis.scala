@@ -325,6 +325,74 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Block-level tags that delimit layout units for [[mainContent]].
+    * `\b` (RE2-supported, unlike lookahead) stops `p` matching `<pre>`
+    * etc.; the non-greedy attribute tail keeps the scan linear. */
+  private val BlockTagSplit: String =
+    "(?is)</?(?:html|head|body|div|p|section|article|nav|footer|header|" +
+    "aside|ul|ol|li|h[1-6]|table|tr|td|th|form|main|br|blockquote|pre)\\b[^>]*>"
+
+  /** Tag-strip + entity-decode + whitespace-collapse of one fragment —
+    * the [[htmlToText]] tail, factored so [[mainContent]] can apply it
+    * per BLOCK (scripts/styles/comments must already be gone). */
+  private def fragmentText(frag: Column): Column = {
+    val noTags = regexp_replace(frag, "<[^>]+>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Main-content extraction — the readability-class tier ABOVE
+    * [[htmlToText]]: real crawl HTML is dominated by nav bars, footers,
+    * cookie banners and sidebars that a flat tag-strip keeps, and this
+    * is the step every web-corpus pipeline runs between crawl and
+    * quality filtering. Classic block-scoring heuristic (Arc90
+    * readability / jusText / boilerpipe family): split the page into
+    * layout blocks at block-level tag boundaries, score each block by
+    * TEXT LENGTH and LINK DENSITY, keep blocks that read like prose —
+    * long enough (`minBlockChars`) and not link-dominated (anchor-text
+    * chars / text chars ≤ `maxLinkNumer`/`maxLinkDenom`, an integer
+    * cross-multiplication so the comparison is bit-exact in any
+    * engine). Navigation and footers are short clusters of `<a>` text
+    * (density ~1) and cookie banners are short — both gates together
+    * drop them while multi-sentence article paragraphs pass.
+    *
+    * Shape: script/style/comment subtrees drop first (the
+    * [[htmlToText]] prefix), then ONE `split` on [[BlockTagSplit]] and
+    * per-block HOF scoring (`filter`/`transform`/`aggregate` over the
+    * block array — per-row work is bounded by page size, zero shuffle,
+    * zero UDF: a 100-TB crawl scan stays a scan and the whole operator
+    * is a projection, pinned by PlanSpec). Inline `<a>` tags survive
+    * the block split by construction, so anchor mass is measured
+    * inside the block it belongs to. All patterns RE2-safe → the SQL
+    * oracle replays the identical chain. Kept blocks join with a
+    * single space in document order. */
+  def mainContent(html: Column, minBlockChars: Int = 80,
+                  maxLinkNumer: Int = 1, maxLinkDenom: Int = 3): Column = {
+    require(minBlockChars >= 0, "minBlockChars must be >= 0")
+    require(maxLinkNumer >= 0 && maxLinkDenom > 0, "density bound invalid")
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val cleaned = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = split(cleaned, BlockTagSplit)
+    def linkLen(b: Column): Column = aggregate(
+      regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+      lit(0), (acc, a) => acc + length(fragmentText(a)))
+    // score each block ONCE into (txt, ll) — the filter and the final
+    // join then read fields instead of re-running the extraction chain
+    val scored = transform(blocks, b =>
+      struct(fragmentText(b).as("txt"), linkLen(b).as("ll")))
+    val kept = filter(scored, s =>
+      length(s.getField("txt")) >= minBlockChars &&
+      s.getField("ll") * maxLinkDenom <=
+        length(s.getField("txt")) * maxLinkNumer)
+    array_join(transform(kept, s => s.getField("txt")), " ")
+  }
+
   /** Top-k TF-IDF terms per document — the classic keyword/topical
     * signal a curation pipeline uses for corpus composition reports and
     * domain tagging. idf = ln(N / df): raw, unsmoothed, so the math is

@@ -264,6 +264,66 @@ class CurationSpec extends SparkSpec {
     assert(maxPool <= 50L)
   }
 
+  // ---------- main-content extraction ----------
+
+  test("mainContent: hand-built page keeps the article, drops boilerplate") {
+    val article = "The quick brown fox jumps over the lazy dog while " +
+      "the inquisitive cat watches from a very comfortable windowsill nearby."
+    assert(article.length >= 80) // fixture sanity: passes the length gate
+    val page =
+      "<html><head><title>T</title><script>if (1 < 2) nav();</script>" +
+      "<style>p{a:1}</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav>" +
+      "<div>We use cookies. <a href=\"/ok\">Accept</a></div>" +
+      "<h1>Headline</h1>" +
+      s"<p>$article</p>" +
+      "<p>An article block mentioning a <b>bold</b> &amp; " +
+      "<a href=\"/ref\">reference link</a> inside mostly prose text that " +
+      "comfortably exceeds the eighty character gate.</p>" +
+      "<footer><a href=\"/tos\">Terms of Service</a> " +
+      "<a href=\"/priv\">Privacy Policy</a> (c) Example</footer>" +
+      "</body></html>"
+    val out = Seq(Tuple1(page)).toDF("html")
+      .select(TextAnalysis.mainContent($"html").as("main"))
+      .as[String].head()
+    // both prose paragraphs survive (the second carries one short link —
+    // density well under 1/3 — and decodes &amp;); nav, cookie banner,
+    // headline and footer are all gone
+    assert(out === article + " " +
+      "An article block mentioning a bold & reference link inside " +
+      "mostly prose text that comfortably exceeds the eighty character gate.")
+    assert(!out.contains("Home") && !out.contains("cookies") &&
+      !out.contains("Headline") && !out.contains("Privacy"))
+  }
+
+  test("mainContent: link-dense long block drops, thresholds are tunable") {
+    // a LONG block that is almost entirely anchor text (link farm) must
+    // fail the density gate even though it passes the length gate
+    val farm = "<div>" + (1 to 20).map(i =>
+      s"""<a href="/$i">assorted catalog entry number $i</a>""").mkString(" ") +
+      "</div>"
+    val out = Seq(Tuple1(s"<html><body>$farm</body></html>")).toDF("html")
+      .select(TextAnalysis.mainContent($"html").as("main"))
+      .as[String].head()
+    assert(out === "")
+    // loosened density bound (1/1) lets the same block through
+    val loose = Seq(Tuple1(s"<html><body>$farm</body></html>")).toDF("html")
+      .select(TextAnalysis.mainContent($"html",
+        maxLinkNumer = 1, maxLinkDenom = 1).as("main"))
+      .as[String].head()
+    assert(loose.contains("catalog entry number 7"))
+    // inline tags (<span>, <b>, <a>) never split a block — only the
+    // block-level list does, and its `\b` stops prefix false matches
+    // (`p` against `<param>`): the whole paragraph scores as ONE block
+    val inline = "<html><body><p>" + ("word " * 30).trim +
+      " <span>inner</span> <param name=\"x\"> tail words</p></body></html>"
+    val inlineOut = Seq(Tuple1(inline)).toDF("html")
+      .select(TextAnalysis.mainContent($"html").as("m"))
+      .as[String].head()
+    assert(inlineOut.contains("inner") && inlineOut.contains("tail words"))
+  }
+
   // ---------- Gopher char-level repetition signals ----------
 
   def repSignals(text: String, topN: Int, dupN: Int): (Double, Double) = {

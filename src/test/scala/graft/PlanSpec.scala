@@ -152,6 +152,21 @@ class PlanSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"quality report shuffled:\n$phys")
   }
 
+  test("main-content extraction stays a projection: zero exchanges, zero joins") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.mainContent(col("text")).as("main_text"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"main-content shuffled:\n$phys")
+    // node-level check: the projection legitimately CONTAINS array_join
+    // the function, so a substring match on "join" would false-positive
+    val joins = out.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"main-content joined:\n$phys")
+  }
+
   test("domain blocklist predicate path stays a scan: zero exchanges, zero joins") {
     import graft.operators.WebFilter
     val docs = spark.read.parquet(s"$sf/documents.parquet")
