@@ -28,6 +28,8 @@ import graft.sources.SeqTableGen
   *            snapshot vs a STORED baseline (one JSON line)
   *   demo     [nRows]                       — in-memory end-to-end run
   *   pipeline [dir]                         — training-data pipeline demo
+  *   stream-curate [dir]                    — the composed curation gate
+  *            sequence on a file stream, with batch-parity check
   *
   * Usage: spark-submit --class graft.cli.Main <jar> <mode> ...
   */
@@ -67,6 +69,37 @@ object Main {
       case "curate" :: rest =>
         val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         curate(spark, dir)
+      case "stream-curate" :: rest =>
+        // curate-as-data-lands: the COMPOSED gate sequence (extraction →
+        // length → quality → blocklist → seen-dedup → decontamination)
+        // on a file stream — every gate is stateless or stream-static,
+        // so the micro-batch run keeps bit-identical survivors to the
+        // batch run (parity verified inline and pinned by StreamingSpec)
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text", "n_chars")
+        val seen = docs.where(col("doc_id") < 100)
+        val bench = docs.where(col("doc_id") % 97 === 0)
+          .select(filter(split(lower(trim(col("text"))), "\\s+"),
+            w => w =!= "").as("tokens"))
+        def gates(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.CurationGates(df, seen,
+            blockedHosts = Seq("h3.example.com"), bench = Some(bench))
+        // FileStreamSource needs a landing DIRECTORY (multi-file), not a
+        // single parquet file — stage the fixture as arriving batches
+        val landing = java.nio.file.Files
+          .createTempDirectory("graft_stream_curate").toString
+        docs.repartition(4).write.mode("overwrite").parquet(landing)
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = graft.streaming.StreamingValidation.runToMemorySink(
+          gates(stream).select("doc_id"), "stream_curate_out")
+        val kept = spark.table("stream_curate_out").count()
+        val batchKept = gates(docs).count()
+        println(s"""{"mode":"stream-curate","dir":"$dir",""" +
+          s""""in":${docs.count()},"kept":$kept,"batch_kept":$batchKept,""" +
+          s""""parity":${kept == batchKept}}""")
       case "stream-validate" :: path :: out :: Nil =>
         // validate-as-data-lands: the stateless constraint projection
         // runs on a file stream (each new parquet file = a micro-batch;

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** The full curate keep-gate sequence as ONE reusable composition —
+  * main-content extraction → length gate → Gopher quality gate →
+  * domain blocklist → seen-corpus dedup → decontamination predicate.
+  *
+  * Every gate is either a stateless projection/predicate or a
+  * stream-static operation (the bloom filters and blocklist literals
+  * are built from STATIC frames on the driver; the dedup confirm is a
+  * stream-static left-anti join), so the SAME function curates a batch
+  * frame and a `readStream` micro-batch stream bit-identically —
+  * streaming parity is pinned by StreamingSpec and surfaced by the
+  * `stream-curate` CLI mode. At 100 TB this is the shape that matters:
+  * the gates run inside the scan (zero exchanges until the dedup
+  * confirm join, which moves only bloom-suspected rows). */
+object CurationGates {
+
+  /** Word tokens in the repo's oracle-mirror spelling. */
+  private def wordsOf(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
+  /** Apply the gate sequence to `docs` (doc_id, source, text, n_chars).
+    *
+    *  - `seen`: static already-ingested corpus — exact text dedup via
+    *    bloom prefilter + anti-join confirm ([[Dedup.dropSeenDuplicates]]).
+    *  - `blockedHosts`: domain blocklist (suffix semantics,
+    *    [[WebFilter.filterBlockedHosts]]); the synthetic URL derives
+    *    from doc_id exactly like q_domain_filter.
+    *  - `bench`: static benchmark frame with a `tokens` array column —
+    *    docs containing any benchmark n-gram are dropped
+    *    ([[Decontamination.contaminationPredicate]], no false negatives).
+    *
+    * Returns the curated frame (doc_id, source, url, text) where
+    * `text` is the extracted main content. */
+  def apply(docs: DataFrame, seen: DataFrame,
+            blockedHosts: Seq[String] = Nil,
+            bench: Option[DataFrame] = None,
+            minChars: Int = 100,
+            expectedSeen: Long = 1000L,
+            contamN: Int = 5): DataFrame = {
+    TextExpressions.register(docs.sparkSession)
+    // ingest: synthesized crawl page (planted nav/footer boilerplate —
+    // the q_main_content fixture shape) → readability-class extraction
+    def page(text: Column): Column = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+        "</nav><p>"),
+      text,
+      lit("</p><footer><a href=\"/tos\">Terms of Service</a> " +
+        "<a href=\"/privacy\">Privacy Policy</a></footer></body></html>"))
+    def extract(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("source"),
+      concat(lit("http://h"), col("doc_id") % 10,
+        lit(".example.com/p")).as("url"),
+      TextAnalysis.mainContent(page(col("text")),
+        minBlockChars = minChars).as("text"))
+
+    val extracted = extract(docs)
+    // length gate rides the extraction's own minBlockChars, re-stated
+    // on the joined result (a page whose every block fell short is '')
+    val longEnough = extracted.where(length(col("text")) >= minChars)
+    val quality = TextAnalysis.applyQualityFilter(longEnough, "text",
+      TextAnalysis.QualityThresholds(minStopwordRatio = 0.0))
+    val allowed =
+      if (blockedHosts.isEmpty) quality
+      else WebFilter.filterBlockedHosts(quality, "url", blockedHosts)
+    // dedup against the SAME extraction of the seen corpus — bloom from
+    // the static side, stream-safe anti-join confirm
+    val fresh = Dedup.dropSeenDuplicates(allowed,
+      extract(seen).select("text"), "text", expectedSeen)
+    bench.flatMap(b =>
+      Decontamination.contaminationPredicate(b, "tokens", contamN)) match {
+      case Some(pred) => fresh.where(!pred(wordsOf(col("text"))))
+      case None       => fresh
+    }
+  }
+}

@@ -256,6 +256,43 @@ class StreamingSpec extends SparkSpec {
     assert(truth.size > 13, "fixture must produce multiple sessions per user")
   }
 
+  test("streaming curate gate sequence equals batch truth end-to-end") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CurationGates
+    // the COMPOSED curate tier (extraction → length → quality →
+    // blocklist → seen-dedup → decontamination) on a micro-batch file
+    // stream must keep bit-identical survivors to the batch run — every
+    // gate is stateless or stream-static by construction
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_curate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text", "n_chars")
+    docs.repartition(2).write.mode("overwrite").parquet(dir)
+    val seen = docs.where($"doc_id" < 100)
+    val bench = docs.where($"doc_id" % 97 === 0)
+      .select(filter(split(lower(trim($"text")), "\\s+"),
+        w => w =!= "").as("tokens"))
+    def gates(df: org.apache.spark.sql.DataFrame) =
+      CurationGates(df, seen, blockedHosts = Seq("h3.example.com"),
+        bench = Some(bench), contamN = 5)
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val curated = gates(stream)
+    assert(curated.isStreaming)
+    StreamingValidation.runToMemorySink(curated.select("doc_id"),
+      "curate_gates", OutputMode.Append())
+    val got = spark.table("curate_gates").as[Long].collect().sorted
+    val truth = gates(docs).select("doc_id").as[Long].collect().sorted
+    assert(got === truth)
+    // fixture sanity: the gates BITE — something survives, the
+    // blocklisted host is gone, every seen doc is deduped away, and
+    // the self-planted benchmark docs are decontaminated
+    assert(truth.nonEmpty && truth.length < 500)
+    assert(!truth.exists(_ % 10 === 3), "blocklisted h3 docs leaked")
+    assert(!truth.exists(_ < 100), "seen duplicates leaked")
+    assert(!truth.exists(_ % 97 === 0), "contaminated docs leaked")
+  }
+
   test("streaming decontamination filter: bloom predicate equals exact batch set") {
     import org.apache.spark.sql.functions._
     import graft.operators.Decontamination
