@@ -550,6 +550,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // main-content extraction (readability-class block scoring): pages
+    // synthesized with planted boilerplate — nav bar, cookie banner,
+    // short headline/teaser, link-heavy footer — around the document
+    // text as the article paragraph. Length + link-density gates must
+    // keep exactly the article (when it is long enough) and drop every
+    // planted block; the oracle replays the identical RE2-safe chain
+    "q_main_content" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>Page</title><script>nav.init(1 < 2);" +
+          "</script></head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a> " +
+          "<a href=\"/faq\">FAQ</a></nav><div class=\"cookie\">We use " +
+          "cookies to improve your experience. " +
+          "<a href=\"/accept\">Accept</a></div><h1>"),
+        col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Short teaser.</p><footer>" +
+          "<a href=\"/tos\">Terms of Service</a> " +
+          "<a href=\"/privacy\">Privacy Policy</a> (c) Example Corp" +
+          "</footer></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.mainContent(page).as("main_text"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher character-level repetition: most-frequent-2-gram char
     // coverage + duplicated-3-gram char mass, integer-ratio arithmetic
     // from ONE native RepetitionSignals eval — SQL-replicable exactly
@@ -630,12 +656,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // rows-only: deflate byte counts aren't SQL-expressible; the
+    // SQL-expressible halves are oracled by q_compression_meta below
     "q_compression_ratio" -> ((s, d) => { // deflate size: rows-only
       TextExpressions.register(s)
       t(s, d, "documents")
         .select(col("doc_id"),
           round(TextExpressions.compressionRatio(col("text")), 4).as("deflate_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // the oracle companion for q_compression_ratio (the
+    // q_multimodal_meta pattern): everything ABOUT the deflate signal
+    // that SQL can state — per-doc determinism across a repartition
+    // (every row must reproduce its ratio bit-for-bit on a reshuffled
+    // copy) and the input byte mass the ratio denominates over — leaving
+    // only the compressed byte count itself rows-only
+    "q_compression_meta" -> ((s, d) => {
+      TextExpressions.register(s)
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id"),
+        round(TextExpressions.compressionRatio(col("text")), 4).as("r1"),
+        octet_length(col("text")).as("__nb"))
+      val b = docs.repartition(7, col("doc_id")).select(col("doc_id"),
+        round(TextExpressions.compressionRatio(col("text")), 4).as("r2"))
+      a.join(b, Seq("doc_id")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r1") === col("r2"), 1L).otherwise(0L))
+          .as("n_deterministic"),
+        sum(col("__nb").cast("long")).as("total_text_bytes"))
     }),
 
     "q_repetition" -> ((s, d) => {
@@ -852,11 +901,39 @@ object SparkEntry {
         .select("doc_id", "text").orderBy("doc_id")
     }),
 
+    // rows-only: the Karp–Rabin hash values are seed-specific; the
+    // SQL-expressible halves are oracled by q_fingerprint_meta below
     "q_fingerprints" -> ((s, d) => { // hash-specific: rows-only
       TextExpressions.register(s)
       t(s, d, "documents")
         .select(col("doc_id"), TextExpressions.fingerprint(col("text"), 32).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // the oracle companion for q_fingerprints: per-doc determinism
+    // across a repartition, plus content-functionality — every group of
+    // EQUAL texts must carry exactly one distinct fingerprint (the
+    // fingerprint is a pure function of content, never of id/partition/
+    // evaluation order). Distinct-fp-equals-distinct-text is NOT
+    // claimed: a windowed fingerprint legitimately collides docs that
+    // share their minimizing window, so only the hash values themselves
+    // stay rows-only (q_fingerprints).
+    "q_fingerprint_meta" -> ((s, d) => {
+      TextExpressions.register(s)
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id"), col("text"),
+        TextExpressions.fingerprint(col("text"), 32).as("f1"))
+      val b = docs.repartition(5, col("doc_id")).select(col("doc_id"),
+        TextExpressions.fingerprint(col("text"), 32).as("f2"))
+      val det = a.join(b, Seq("doc_id")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("f1") === col("f2"), 1L).otherwise(0L))
+          .as("n_deterministic"))
+      val multi = a.groupBy(col("text"))
+        .agg(countDistinct(col("f1")).as("__nf"))
+        .agg(coalesce(sum(when(col("__nf") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_multi_fp_texts"))
+      det.crossJoin(multi)
     }),
 
     // ---- dedup ----
@@ -1006,6 +1083,39 @@ object SparkEntry {
         .where(col("id") === col("query_id") ||
           col("id") === col("query_id") + 1000000)
         .agg(count(lit(1)).as("n_planted_found"))
+    }),
+
+    // IVF-PQ planted recall (the q_ivf_recall pattern for the
+    // compressed tier): corpus L2-normalized then PQ-encoded to 8
+    // bytes/vector (32x); each query is a corpus member with an exact
+    // twin — identical floats encode to identical codes
+    // (deterministic argmin tie-break), both score the query's own
+    // ADC maximum neighborhood, and top-10 must surface both
+    "q_ivfpq_recall" -> ((s, d) => {
+      import s.implicits._
+      val embs = Similarity.withL2Normalized(
+        t(s, d, "embeddings"), "embedding", "nvec")
+      val doubled = embs.unionByName(
+        embs.withColumn("vec_id", col("vec_id") + 1000000))
+      val model = Similarity.trainPq(doubled, "nvec",
+        nSub = 8, nCodes = 64, iters = 1)
+      val encoded = Similarity.pqEncodeAll(doubled, "nvec", model)
+        .select("vec_id", "pq_codes").localCheckpoint()
+      val queries = embs.where(col("vec_id") < 8)
+        .select("vec_id", "nvec").collect()
+      val hits = queries.map { r =>
+        val qid = r.getLong(0)
+        Similarity.pqTopK(encoded, "vec_id", "pq_codes", model,
+            r.getSeq[Float](1).toArray, k = 10)
+          .where(col("vec_id") === qid || col("vec_id") === qid + 1000000)
+          .count()
+      }.sum
+      encoded.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+      Seq(hits).toDF("n_planted_found")
     }),
 
     "q_embedding_neardup" -> ((s, d) => { // rows-only
@@ -1621,6 +1731,28 @@ object SparkEntry {
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_planted_found
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
+    // IVF-PQ planted recall: identical twins quantize to identical
+    // codes, so ADC top-10 finds both per query — 2 hits each
+    "q_ivfpq_recall" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_planted_found
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // deflate determinism: every doc must reproduce its ratio on the
+    // reshuffled copy, and the input byte mass is plain SQL
+    "q_compression_meta" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_deterministic,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_text_bytes
+        |FROM documents""".stripMargin,
+
+    // fingerprint determinism + content-functionality: every doc
+    // reproduces its fingerprint on a reshuffled copy, and no group of
+    // equal texts ever splits across fingerprints (pure function of
+    // content) — the hash values themselves stay rows-only
+    "q_fingerprint_meta" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_deterministic,
+        |  CAST(0 AS BIGINT) AS n_multi_fp_texts
+        |FROM documents""".stripMargin,
+
     "q_profile_exact" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,
@@ -2190,6 +2322,51 @@ object SparkEntry {
         |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS text_extracted
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the identical block-scoring chain: script/style/comment drop,
+    // split on block-level tags, per-block (clean text, anchor-text
+    // chars) struct, length >= 80 AND link-density <= 1/3 via integer
+    // cross-multiplication, kept blocks joined with one space
+    "q_main_content" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Page</title><script>nav.init(1 < 2);'
+        |    || '</script></head><body><nav><a href="/">Home</a> '
+        |    || '<a href="/about">About</a> <a href="/contact">Contact</a> '
+        |    || '<a href="/faq">FAQ</a></nav><div class="cookie">We use '
+        |    || 'cookies to improve your experience. '
+        |    || '<a href="/accept">Accept</a></div><h1>'
+        |    || source || '</h1><p>' || text
+        |    || '</p><p>Short teaser.</p><footer>'
+        |    || '<a href="/tos">Terms of Service</a> '
+        |    || '<a href="/privacy">Privacy Policy</a> (c) Example Corp'
+        |    || '</footer></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |      '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |      '<!--.*?-->', ' ', 'gs') AS cl
+        |  FROM h),
+        |b AS (
+        |  SELECT doc_id, list_transform(
+        |    string_split_regex(cl, '(?is)</?(?:html|head|body|div|p|section|article|nav|footer|header|aside|ul|ol|li|h[1-6]|table|tr|td|th|form|main|br|blockquote|pre)\b[^>]*>'),
+        |    x -> {'txt': trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |            regexp_replace(x, '<[^>]+>', ' ', 'g'),
+        |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |            '&#39;', ''''), '&amp;', '&'), '\s+', ' ', 'g')),
+        |          'll': coalesce(list_sum(list_transform(
+        |            regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |            a -> length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(a, '<[^>]+>', ' ', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |              '&#39;', ''''), '&amp;', '&'), '\s+', ' ', 'g'))))), 0)}) AS blks
+        |  FROM c)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(list_filter(blks,
+        |    s -> length(s.txt) >= 80 AND s.ll * 3 <= length(s.txt) * 1),
+        |    s -> s.txt), ' '), '') AS main_text
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // top-gram mass: among the grams with the max count, the largest
     // count×charlen (whitespace-free char mass / total word-char mass);
