@@ -56,6 +56,56 @@ object Bench {
     n / secs
   }
 
+  /** End-to-end curate-funnel headline: docs/s and char-mass/s in → out
+    * of the COMPOSED gate sequence (extraction → length → quality →
+    * blocklist → seen-dedup → decontamination) over a materialized
+    * replicated corpus — the number that tracks the whole pipeline
+    * round-over-round, not only per-query times. Stage counts ride the
+    * one pass as CollectMetrics (zero extra scans). */
+  def curateThroughput(spark: SparkSession, sfDir: String,
+                       replicate: Int = 200): (Double, String) = {
+    import graft.operators.CurationGates
+    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp")
+    val path = s"$base/graft_bench_docs_$replicate"
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text", "n_chars")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      docs0.crossJoin(
+          spark.range(replicate.toLong).toDF("__r"))
+        .select((col("doc_id") + col("__r") * 1000000L).as("doc_id"),
+          col("source"), col("text"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    val docs = spark.read.parquet(path)
+    val seen = docs0.where(col("doc_id") < 100)
+    val bench = docs0.where(col("doc_id") % 97 === 0)
+      .select(filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= "").as("tokens"))
+    // best-of-3 wall times; each iteration rebuilds the funnel so its
+    // Observations are fresh (an Observation binds to one action)
+    val runs = (1 to 3).map { i =>
+      val f = CurationGates.funneled(docs, seen,
+        blockedHosts = Seq("h3.example.com"), bench = Some(bench))
+      val s = time(exec(f.df))
+      System.err.println(f"[bench] curate iter$i $s%.2f s")
+      (s, f.report())
+    }
+    val (secs, report) = runs.minBy(_._1)
+    val inRows = report.head._2
+    val inMass = report.head._3.getOrElse(0L)
+    val outRows = report.last._2
+    val outMass = report.last._3.getOrElse(0L)
+    val stagesJson = report.map { case (n, r, m) =>
+      s""""$n":[$r,${m.getOrElse(-1L)}]""" }.mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+    (secs,
+      s""""curate_docs_per_sec":${fmt(inRows / secs)},""" +
+      s""""curate_chars_per_sec":${fmt(inMass / secs)},""" +
+      s""""curate_kept_docs":$outRows,"curate_kept_chars":$outMass,""" +
+      s""""curate_funnel":$stagesJson""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,6 +140,7 @@ object Bench {
     // was polluting the metric, not the engine (per-query sweep
     // unchanged: each query is independently timed)
     val rowsPerSec = seqThroughput(spark, 8000000L)
+    val (_, curateJson) = curateThroughput(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = try time(exec(fn(spark, sfDir)))
@@ -115,7 +166,7 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
       s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,""" +
-      s""""seq_rows_per_sec":${fmt("%.0f", rowsPerSec)},"sf":"$sfDir","cpus":$cpus,""" +
+      s""""seq_rows_per_sec":${fmt("%.0f", rowsPerSec)},$curateJson,"sf":"$sfDir","cpus":$cpus,""" +
       s""""load_avg_1m":${fmt("%.2f", loadAvg)},"load_avg_1m_end":${fmt("%.2f", loadAvgEnd)}}"""
     // machine-readable contract (BENCH_r03.json came back "parsed":null
     // because the line drowned in sbt/log4j noise): write BENCH.json

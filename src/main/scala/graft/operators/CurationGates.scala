@@ -37,15 +37,17 @@ object CurationGates {
     *
     * Returns the curated frame (doc_id, source, url, text) where
     * `text` is the extracted main content. */
-  def apply(docs: DataFrame, seen: DataFrame,
-            blockedHosts: Seq[String] = Nil,
-            bench: Option[DataFrame] = None,
-            minChars: Int = 100,
-            expectedSeen: Long = 1000L,
-            contamN: Int = 5): DataFrame = {
+  /** The gate sequence as named (stage, transform) pairs — ONE
+    * definition consumed by both [[apply]] (plain fold; streaming-safe)
+    * and [[funneled]] (each stage observed via CollectMetrics; batch). */
+  private def gateSeq(docs: DataFrame, seen: DataFrame,
+                      blockedHosts: Seq[String], bench: Option[DataFrame],
+                      minChars: Int, expectedSeen: Long,
+                      contamN: Int): Seq[(String, DataFrame => DataFrame)] = {
     TextExpressions.register(docs.sparkSession)
     // ingest: synthesized crawl page (planted nav/footer boilerplate —
-    // the q_main_content fixture shape) → readability-class extraction
+    // the q_main_content fixture shape) → readability-class extraction.
+    // n_chars passes through so funnel mass tracks input char mass.
     def page(text: Column): Column = concat(
       lit("<html><body><nav><a href=\"/\">Home</a> " +
         "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
@@ -54,29 +56,59 @@ object CurationGates {
       lit("</p><footer><a href=\"/tos\">Terms of Service</a> " +
         "<a href=\"/privacy\">Privacy Policy</a></footer></body></html>"))
     def extract(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("source"),
+      col("doc_id"), col("source"), col("n_chars"),
       concat(lit("http://h"), col("doc_id") % 10,
         lit(".example.com/p")).as("url"),
       TextAnalysis.mainContent(page(col("text")),
         minBlockChars = minChars).as("text"))
-
-    val extracted = extract(docs)
-    // length gate rides the extraction's own minBlockChars, re-stated
-    // on the joined result (a page whose every block fell short is '')
-    val longEnough = extracted.where(length(col("text")) >= minChars)
-    val quality = TextAnalysis.applyQualityFilter(longEnough, "text",
-      TextAnalysis.QualityThresholds(minStopwordRatio = 0.0))
-    val allowed =
-      if (blockedHosts.isEmpty) quality
-      else WebFilter.filterBlockedHosts(quality, "url", blockedHosts)
-    // dedup against the SAME extraction of the seen corpus — bloom from
-    // the static side, stream-safe anti-join confirm
-    val fresh = Dedup.dropSeenDuplicates(allowed,
-      extract(seen).select("text"), "text", expectedSeen)
-    bench.flatMap(b =>
-      Decontamination.contaminationPredicate(b, "tokens", contamN)) match {
-      case Some(pred) => fresh.where(!pred(wordsOf(col("text"))))
-      case None       => fresh
-    }
+    // decontamination bloom builds ONCE (driver-side, from the static
+    // bench frame), not once per fold application
+    val contamPred = bench.flatMap(b =>
+      Decontamination.contaminationPredicate(b, "tokens", contamN))
+    Seq(
+      "extract" -> (extract(_)),
+      // length gate rides the extraction's own minBlockChars, re-stated
+      // on the joined result (a page whose every block fell short is '')
+      "len_gate" -> (_.where(length(col("text")) >= minChars)),
+      "quality_gate" -> (df => TextAnalysis.applyQualityFilter(df, "text",
+        TextAnalysis.QualityThresholds(minStopwordRatio = 0.0))),
+      "blocklist" -> (df =>
+        if (blockedHosts.isEmpty) df
+        else WebFilter.filterBlockedHosts(df, "url", blockedHosts)),
+      // dedup against the SAME extraction of the seen corpus — bloom
+      // from the static side, stream-safe anti-join confirm
+      "seen_dedup" -> (df => Dedup.dropSeenDuplicates(df,
+        extract(seen).select("text"), "text", expectedSeen)),
+      "decontam" -> (df => contamPred match {
+        case Some(pred) => df.where(!pred(wordsOf(col("text"))))
+        case None       => df
+      }))
   }
+
+  /** Apply the gate sequence to `docs` (doc_id, source, text, n_chars).
+    * Streaming-safe: no CollectMetrics, every stage stateless or
+    * stream-static. */
+  def apply(docs: DataFrame, seen: DataFrame,
+            blockedHosts: Seq[String] = Nil,
+            bench: Option[DataFrame] = None,
+            minChars: Int = 100,
+            expectedSeen: Long = 1000L,
+            contamN: Int = 5): DataFrame =
+    gateSeq(docs, seen, blockedHosts, bench, minChars, expectedSeen,
+      contamN).foldLeft(docs) { case (df, (_, gate)) => gate(df) }
+
+  /** The same sequence with per-stage [[Funnel]] observability (rows +
+    * input-char mass surviving each gate, as CollectMetrics of the ONE
+    * pass the caller runs anyway). Batch only — Observation does not
+    * support streaming frames; [[apply]] is the streaming spelling. */
+  def funneled(docs: DataFrame, seen: DataFrame,
+               blockedHosts: Seq[String] = Nil,
+               bench: Option[DataFrame] = None,
+               minChars: Int = 100,
+               expectedSeen: Long = 1000L,
+               contamN: Int = 5): Funnel =
+    gateSeq(docs, seen, blockedHosts, bench, minChars, expectedSeen,
+      contamN).foldLeft(Funnel(docs, massCol = Some("n_chars"))) {
+        case (f, (name, gate)) => f.stage(name, gate)
+      }
 }

@@ -355,6 +355,84 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ: the coarse bucketed index storing PQ CODES instead of raw
+    * floats — IVF bounds how much a probe READS (partition pruning to
+    * nProbe/nCentroids of the files), PQ compresses WHAT it reads
+    * (nSub bytes/vector instead of dim×4). At 10^12 × 64-float that is
+    * the difference between a ~256 TB and a ~8 TB index payload. */
+  final case class IvfPqIndex(
+      centroids: Array[(Int, Array[Float])],
+      model: PqModel,
+      codes: DataFrame /* idCol, pq_codes, centroid_id */)
+
+  /** Train coarse centroids + PQ codebooks and encode the corpus into
+    * the combined layout. Pass L2-NORMALIZED vectors (the
+    * [[withL2Normalized]] contract) so ADC dot ≈ cosine. Train/encode
+    * are the offline index-build budget; the corpus crosses the wire
+    * exactly once, as codes. */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int, nSub: Int, nCodes: Int,
+                 refineIters: Int = 1, pqIters: Int = 2): IvfPqIndex = {
+    val ivf = buildIvf(corpus, idCol, vecCol, nCentroids, refineIters)
+    val model = trainPq(corpus, vecCol, nSub, nCodes, pqIters)
+    val codes = pqEncodeAll(ivf.assigned, vecCol, model)
+      .select(col(idCol), col("pq_codes"), col("centroid_id"))
+    IvfPqIndex(ivf.centroids, model, codes)
+  }
+
+  /** Persist with the probing layout: codes partitioned by centroid_id
+    * (directory-per-cell, the [[writeIvf]] stand-in for an Iceberg
+    * partition spec) + the tiny centroid matrix and codebook tensor
+    * alongside. Stored bytes per vector: id + nSub code bytes — the
+    * floats never land on disk. */
+  def writeIvfPq(index: IvfPqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$path/codes")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = for {
+      (codes, s) <- index.model.codebooks.toSeq.zipWithIndex
+      (cw, c) <- codes.toSeq.zipWithIndex
+    } yield (s, c, cw.toSeq)
+    cb.toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Re-open: centroids + codebooks to the driver (k×dim and
+    * nSub×nCodes×subDim — metadata-sized), codes as a
+    * partition-prunable scan. */
+  def readIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val nSub = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(nSub) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    IvfPqIndex(cents, PqModel(codebooks(0)(0).length, codebooks),
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  /** ANN query over the combined index: prune to the nProbe nearest
+    * cells (a PARTITION filter on a [[readIvfPq]] index — the scan
+    * lists only the probed directories, pinned by test), ADC-score the
+    * byte codes inside them, TakeOrdered top-k. Per-probe work:
+    * (probed fraction of corpus) × nSub byte adds — no float I/O. */
+  def ivfPqTopK(index: IvfPqIndex, idCol: String, query: Array[Float],
+                k: Int, nProbe: Int): DataFrame = {
+    val probes = index.centroids
+      .map { case (cid, cvec) => (cid, cosLocal(query, cvec)) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    pqTopK(index.codes.where(col("centroid_id").isin(probes: _*)),
+      idCol, "pq_codes", index.model, query, k)
+  }
+
   // ---------------------------------------------------------------- SemDeDup
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

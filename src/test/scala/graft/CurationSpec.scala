@@ -264,6 +264,37 @@ class CurationSpec extends SparkSpec {
     assert(maxPool <= 50L)
   }
 
+  // ---------- composed curation gates ----------
+
+  test("CurationGates.funneled: same survivors as apply; stage counts monotone") {
+    import graft.operators.CurationGates
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text", "n_chars")
+    val seen = docs.where($"doc_id" < 100)
+    val bench = docs.where($"doc_id" % 97 === 0)
+      .select(filter(split(lower(trim($"text")), "\\s+"),
+        w => w =!= "").as("tokens"))
+    val f = CurationGates.funneled(docs, seen,
+      blockedHosts = Seq("h3.example.com"), bench = Some(bench))
+    val funnelIds = f.df.select("doc_id").as[Long].collect().sorted
+    val applyIds = CurationGates(docs, seen,
+      blockedHosts = Seq("h3.example.com"), bench = Some(bench))
+      .select("doc_id").as[Long].collect().sorted
+    assert(funnelIds === applyIds)
+    val rep = f.report() // blocks until the collect above completed
+    assert(rep.head._1 === "input" && rep.head._2 === 500L)
+    // every gate only removes rows and mass, never adds
+    rep.sliding(2).foreach { case Seq((_, n1, m1), (s2, n2, m2)) =>
+      assert(n2 <= n1, s"stage $s2 grew rows: $n1 -> $n2")
+      assert(m2.get <= m1.get, s"stage $s2 grew mass")
+    }
+    assert(rep.last._2 === funnelIds.length.toLong)
+    // the funnel costs zero extra scans: stage metrics came from the ONE
+    // action above (report() would hang otherwise), and the extract
+    // stage is lossless on rows
+    assert(rep.find(_._1 == "extract").get._2 === 500L)
+  }
+
   // ---------- main-content extraction ----------
 
   test("mainContent: hand-built page keeps the article, drops boilerplate") {

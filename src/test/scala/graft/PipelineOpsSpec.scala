@@ -683,6 +683,52 @@ class PipelineOpsSpec extends SparkSpec {
     normed.unpersist()
   }
 
+  test("IVF-PQ composed index: byte codes in the bucketed layout, pruned ADC probe") {
+    // the combined layout: PQ compresses what a probe reads, IVF bounds
+    // how much is read — planted twins survive both (identical floats →
+    // same centroid argmax AND identical codes)
+    val normed = Similarity.withL2Normalized(embs, "embedding", "nvec")
+    val doubled = normed.unionByName(
+      normed.where($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 7000L))
+    val index = Similarity.buildIvfPq(doubled, "vec_id", "nvec",
+      nCentroids = 4, nSub = 8, nCodes = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPq(index, dir)
+    val stored = Similarity.readIvfPq(spark, dir)
+    assert(stored.model.asSeq === index.model.asSeq)
+    assert(stored.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    // stored payload is id + nSub bytes — the floats never hit disk
+    assert(stored.codes.schema.fieldNames.sorted ===
+      Array("centroid_id", "pq_codes", "vec_id"))
+    // full-probe from storage == flat ADC over all codes (round-trip)
+    val q = normed.where($"vec_id" === 3L).select($"nvec")
+      .head().getSeq[Float](0).toArray
+    val flat = Similarity.pqTopK(
+      Similarity.pqEncodeAll(doubled, "nvec", index.model),
+      "vec_id", "pq_codes", index.model, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfPqTopK(stored, "vec_id", q, 10,
+      nProbe = 4).collect().map(_.getLong(0)).toSeq
+    assert(full === flat)
+    // planted twin recall through the full stack: both copies of vec 3
+    // surface in the pruned single-cell probe (same floats, same cell)
+    val probed1 = Similarity.ivfPqTopK(stored, "vec_id", q, 10, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed1.contains(3L) && probed1.contains(7003L))
+    // pruning pin: the probe lists only nProbe centroid directories
+    val probed = Similarity.ivfPqTopK(stored, "vec_id", q, 10, nProbe = 2)
+    val phys = probed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("centroid_id")))
+    val pruned = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(pruned.length === 2, s"expected 2 probed partitions, listed ${pruned.length}")
+  }
+
   test("IVF bucketed storage: probed read lists ONLY the probed partitions") {
     val index = Similarity.buildIvf(embs, "vec_id", "embedding", nCentroids = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
