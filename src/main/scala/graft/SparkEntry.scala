@@ -613,6 +613,50 @@ object SparkEntry {
           .select("doc_id", "text"), "text", delim = " ")
         .orderBy("doc_id")),
 
+    // CROSS-doc chunk dedup (Dolma/RefinedWeb paragraph scrub on a
+    // punctuation-free corpus): every duplicated 12-word chunk keeps one
+    // copy corpus-wide at its first (doc_id, pos); the oracle replays
+    // the winner selection on chunk CONTENT (hash-equality == content-
+    // equality absent 64-bit collisions, the TokenGramHashes argument)
+    "q_chunk_dedup" -> ((s, d) =>
+      LineDedup.dedupChunksAcrossDocs(t(s, d, "documents")
+          .select("doc_id", "text"), "doc_id", "text", chunkWords = 12)
+        .orderBy("doc_id")),
+
+    // BM25 top-20 docs for a fixed term set — the retrieval primitive
+    // for mining benchmark near-matches; scores round to 6dp BEFORE
+    // ranking so the selected set is bit-stable across engines
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", terms = Seq("spark", "window", "merge"), k = 20)),
+
+    // CCNet-style order-1 LM quality proxy: mean ln p(word) under the
+    // corpus's own unigram distribution
+    "q_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(t(s, d, "documents")
+          .select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Zipf fit of the corpus token-frequency curve: OLS slope/R² of
+    // ln(freq) on ln(rank) over the vocab-sized frequency frame
+    "q_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(t(s, d, "documents").select("text"), "text")),
+
+    // encoding/mojibake QC on planted defects: U+FFFD keyed doc_id%11,
+    // a BEL control char keyed %13, an accented char keyed %17 — counts
+    // and printable ratio must match the oracle exactly
+    "q_encoding_qc" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit("\uFFFD")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("é")).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.encodingQc(planted).as("qc"))
+        .select(col("doc_id"), col("qc.n_replacement"), col("qc.n_control"),
+          col("qc.n_non_ascii"), col("qc.printable_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // text → token ids with a corpus-learned vocabulary (top-20 words,
     // rank = id, deterministic tie order) — the step that PRODUCES the
     // engine's north-star input shape (doc_id, tokens); the oracle
@@ -2211,6 +2255,131 @@ object SparkEntry {
         |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
         |       string_agg(line, ' ' ORDER BY mi) AS text
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cross-doc chunk dedup: winner per chunk CONTENT at min (doc_id,
+    // pos); rebuild per doc in position order, '' when nothing survives
+    "q_chunk_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS pos,
+        |         unnest(chunks) AS chunk
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |          ELSE list_transform(range(0, (len(ws) - 1) // 12 + 1),
+        |            i -> array_to_string(ws[(i*12+1):(i*12+12)], ' '))
+        |          END AS chunks
+        |        FROM w)),
+        |win AS (
+        |  SELECT doc_id, pos, chunk FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY chunk
+        |                             ORDER BY doc_id, pos) = 1),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         array_to_string(list(chunk ORDER BY pos), ' ')
+        |           AS text_deduped
+        |  FROM win GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(CASE WHEN len(w.ws) = 0 THEN 0
+        |       ELSE (len(w.ws) - 1) // 12 + 1 END AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.text_deduped, '') AS text_deduped
+        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // BM25: per-term tf from the word list, corpus stats in one
+    // aggregate, the Lucene ln(1 + (N-df+0.5)/(df+0.5)) idf; constants
+    // spelled as the same double arithmetic Spark folds ((1.2+1.0),
+    // (1.0-0.75)) so scores are bit-identical before the 6dp round
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf_spark,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x = 'window')) AS tf_window,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x = 'merge')) AS tf_merge
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM base)
+        |SELECT doc_id, round(
+        |    CAST(tf_spark AS DOUBLE) * (1.2 + 1.0)
+        |      / (tf_spark + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      * ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+        |  + CAST(tf_window AS DOUBLE) * (1.2 + 1.0)
+        |      / (tf_window + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      * ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+        |  + CAST(tf_merge AS DOUBLE) * (1.2 + 1.0)
+        |      / (tf_merge + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      * ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5)), 6)
+        |  AS bm25
+        |FROM base, stats
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // order-1 LM quality proxy: ln p(w) under the corpus unigram
+    // distribution; 6dp absorbs distributed-vs-sequential sum order
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+        |sc AS (
+        |  SELECT tok.doc_id, count(*) AS n_words,
+        |         round(sum(ln(CAST(freq.n AS DOUBLE) / tot.total))
+        |           / count(*), 6) AS avg_logprob
+        |  FROM tok JOIN freq USING (w), tot
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(sc.n_words, 0) AS BIGINT) AS n_words,
+        |       sc.avg_logprob
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Zipf fit: OLS of ln(freq) on ln(rank) over the vocab-sized
+    // frequency frame (rank deterministic: freq desc, word asc)
+    "q_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk
+        |      FROM freq)
+        |SELECT round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+        |       round(regr_r2(ln(n), ln(rk)), 6) AS zipf_r2,
+        |       count(*) AS vocab_size
+        |FROM r""".stripMargin,
+
+    // encoding QC on the same planted defects (chr spellings); length()
+    // is character length in both engines, patterns RE2-safe
+    "q_encoding_qc" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN chr(233) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, chr(65533), '', 'g'))
+        |    AS BIGINT) AS n_replacement,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+        |    AS n_control,
+        |  CAST(length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '',
+        |    'g')) AS BIGINT) AS n_non_ascii,
+        |  round(CAST(length(regexp_replace(t, '[^\x20-\x7E\t\n\r]', '',
+        |    'g')) AS DOUBLE) / greatest(length(t), 1), 6)
+        |    AS printable_ratio
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH c AS (SELECT source, count(*)::DOUBLE AS n

@@ -96,4 +96,55 @@ object LineDedup {
     when(n === 0, lit(0.0))
       .otherwise((n - size(array_distinct(lines))).cast("double") / n)
   }
+
+  /** Fixed-width word chunks of a document ("paragraph" units for
+    * punctuation-free token streams): chunk i = words[i·w .. i·w+w−1],
+    * the last chunk short. Empty/blank text ⇒ empty chunk array. */
+  def wordChunks(textCol: Column, chunkWords: Int): Column = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val ws = Dedup.words(textCol)
+    when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(ws) - 1) / chunkWords).cast("int")),
+        i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " ")))
+  }
+
+  /** Cross-document chunk deduplication — the corpus-wide paragraph
+    * scrub (Dolma/RefinedWeb-style): every duplicated chunk keeps ONE
+    * copy globally, at its first occurrence in (id, position) order;
+    * later occurrences — in other documents OR later in the same one —
+    * drop. Returns (idCol, n_chunks, n_kept, text_deduped); a document
+    * whose every chunk was seen earlier keeps an empty string.
+    *
+    * Scale shape: the explode ships (xxhash64(chunk), id, pos) — 24-byte
+    * rows, never chunk text; the winner per hash is one min(struct)
+    * aggregate (map-side partial); winners regroup to a per-doc kept-
+    * position array (bounded by chunks/doc); the ONE text-carrying step
+    * is the final join back to the corpus, where each doc's surviving
+    * text is re-derived from its own text column by position — chunk
+    * text never enters an exchange (PlanSpec pin). Same 64-bit-collision
+    * trade as [[removeDuplicateLines]], documented at
+    * [[Dedup.exactDuplicates]]. */
+  def dedupChunksAcrossDocs(df: DataFrame, idCol: String, textCol: String,
+                            chunkWords: Int = 12): DataFrame = {
+    val chunked = df.select(col(idCol).as("__cid"),
+      posexplode(wordChunks(col(textCol), chunkWords))
+        .as(Seq("__pos", "__chunk")))
+    val triples = chunked.select(col("__cid"), col("__pos"),
+      xxhash64(col("__chunk")).as("__h"))
+    val winners = triples.groupBy(col("__h"))
+      .agg(min(struct(col("__cid"), col("__pos"))).as("__w"))
+      .select(col("__w.__cid").as("__wid"), col("__w.__pos").as("__wpos"))
+    val keptPos = winners.groupBy(col("__wid"))
+      .agg(sort_array(collect_list(col("__wpos"))).as("__keep"))
+    val chunksHere = wordChunks(col(textCol), chunkWords)
+    df.join(keptPos, col(idCol) === col("__wid"), "left")
+      .select(col(idCol),
+        size(chunksHere).cast("long").as("n_chunks"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        when(col("__keep").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("__keep"), p => element_at(chunksHere, p + 1)),
+            " ")).as("text_deduped"))
+  }
 }

@@ -440,4 +440,111 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("word"),
         round(col("__score"), 6).as("tfidf"))
   }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N−df+0.5)/(df+0.5))` idf spelling) for a FIXED small term
+    * set — the search primitive a curation pipeline uses to mine
+    * near-matches of benchmark prompts or seed documents.
+    *
+    * Scale shape, deliberately join-free on the corpus side: per-term
+    * tf is a codegen'd `size(filter(words))` projection inside the
+    * scan (the term set is a literal — no explode, no (doc, word)
+    * shuffle); corpus stats (N, avgdl, df per term) come from ONE
+    * aggregate whose result is a driver row (|terms|+2 numbers) folded
+    * back as literals; the ranked result is a TakeOrderedAndProject on
+    * (rounded score, id). Two passes over the scan, zero text motion.
+    * Scores round to 6dp BEFORE ordering so the selected top-k set is
+    * bit-stable across engines (ties then break on id). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val distinctTerms = terms.distinct
+    def tfCol(t: String): String = s"__tf_$t"
+    val ws = words(col(textCol))
+    val base = df.select(
+      col(idCol) +: size(ws).cast("long").as("__dl") +:
+        distinctTerms.map(t =>
+          size(filter(ws, w => w === lit(t))).cast("long").as(tfCol(t))): _*)
+    val statAggs: Seq[Column] = avg(col("__dl")).as("__avgdl") +:
+      distinctTerms.map(t =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+    val stats = base.agg(count(lit(1)).as("__n"), statAggs: _*).head()
+    val n = stats.getAs[Long]("__n")
+    val avgdl = stats.getAs[Double]("__avgdl")
+    val score = distinctTerms.map { t =>
+      val dfT = stats.getAs[Long](s"__df_$t")
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      val tf = col(tfCol(t)).cast("double")
+      tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl)) * idf
+    }.reduce(_ + _)
+    base.select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document mean unigram log-probability under the corpus's OWN
+    * unigram distribution — the CCNet/KenLM-style LM quality proxy at
+    * its order-1 floor (no external model; low = rare-token gibberish,
+    * high = head-vocabulary prose). Returns (idCol, n_words,
+    * avg_logprob); avg_logprob is NULL for empty docs.
+    *
+    * Scale shape: the vocab frequency table is vocab-bounded (the
+    * [[buildVocab]] caveat) and BROADCAST to the exploded (id, word)
+    * stream, so the corpus-side shuffle carries only the per-doc
+    * partial (id, n, Σln p) aggregate — document text never moves. */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+    val freq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val total = freq.agg(sum(col("__n"))).head().getLong(0)
+    val scored = tok.join(broadcast(freq), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(log(col("__n").cast("double") / total)).as("__s"))
+      .select(col(idCol), col("n_words"),
+        round(col("__s") / col("n_words"), 6).as("avg_logprob"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        col("avg_logprob"))
+  }
+
+  /** Zipf-law fit of the corpus token-frequency distribution: OLS slope
+    * and R² of ln(freq) on ln(rank) (rank by freq desc, word asc) plus
+    * vocab size — the one-line corpus-health signal (natural text sits
+    * near slope −1; template spam and dedup failures bend it). The
+    * rank window is unpartitioned but runs on the VOCAB-sized frequency
+    * frame (the [[buildVocab]] bound), not the corpus. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(words(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val ranked = freq.withColumn("__r",
+      row_number().over(Window.orderBy(col("__n").desc, col("__w"))))
+    ranked.agg(
+      round(regr_slope(log(col("__n")), log(col("__r"))), 6)
+        .as("zipf_slope"),
+      round(regr_r2(log(col("__n")), log(col("__r"))), 6).as("zipf_r2"),
+      count(lit(1)).as("vocab_size"))
+  }
+
+  /** Per-document encoding/mojibake QC — the byte-sanity gate that runs
+    * right after ingest decode: U+FFFD replacement chars (a decoder
+    * already gave up), C0 control chars (binary mixed into text; tab/
+    * newline/CR allowed), non-ASCII count, and the printable ratio.
+    * Pure codegen'd projection, zero shuffle. */
+  def encodingQc(text: Column): Column = {
+    def nMatch(pattern: String): Column =
+      (length(text) - length(regexp_replace(text, pattern, ""))).cast("long")
+    struct(
+      nMatch("\\uFFFD").as("n_replacement"),
+      nMatch("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
+      nMatch("[^\\x00-\\x7F]").as("n_non_ascii"),
+      round(length(regexp_replace(text, "[^\\x20-\\x7E\\t\\n\\r]", ""))
+        .cast("double") / greatest(length(text), lit(1)), 6)
+        .as("printable_ratio"))
+  }
 }

@@ -16,6 +16,95 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---------- dedup ----------
 
+  test("cross-doc chunk dedup: global first occurrence wins, empty docs survive") {
+    import graft.operators.LineDedup
+    // 3-word chunks; "a b c" appears in doc0 (pos0), doc1 (pos0), and
+    // AGAIN in doc0 at pos2 — only doc0/pos0 survives anywhere
+    val corpus = Seq(
+      (0L, "a b c d e f a b c"), // chunks: [a b c][d e f][a b c]
+      (1L, "a b c x y z"),       // [a b c][x y z] → keeps only [x y z]
+      (2L, "d e f"),             // seen at doc0/pos1 → drops to ''
+      (3L, ""),                  // no chunks at all
+      (4L, "g h")                // short tail chunk, unique → kept
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dedupChunksAcrossDocs(corpus, "doc_id", "text",
+        chunkWords = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (0L, 3L, 2L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 1L, 0L, ""),
+      (3L, 0L, 0L, ""),
+      (4L, 1L, 1L, "g h")))
+  }
+
+  test("bm25: hand-computed scores on a 3-doc corpus, rank and tie order") {
+    // corpus: dl = 3,2,2; term "cat": tf = 2,1,0 → df=2; avgdl = 7/3
+    val corpus = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat bird"),
+      (3L, "dog bird")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        terms = Seq("cat"), k = 3)
+      .as[(Long, Double)].collect()
+    val n = 3.0; val df = 2.0; val avgdl = 7.0 / 3.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double): Double =
+      BigDecimal(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * idf)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array(
+      (1L, s(2, 3)), (2L, s(1, 2)), (3L, 0.0)))
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > 0.0)
+  }
+
+  test("unigram log-prob: hand-computed means; empty doc gets null") {
+    // corpus tokens: a a a b → p(a)=3/4, p(b)=1/4
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnA = math.log(3.0 / 4.0); val lnB = math.log(1.0 / 4.0)
+    assert(out(0) === ((1L, 3L, Some(r6((2 * lnA + lnB) / 3.0)))))
+    assert(out(1) === ((2L, 1L, Some(r6(lnA)))))
+    assert(out(2) === ((3L, 0L, None)))
+  }
+
+  test("zipf fit: an exact power law fits slope -1 with r2 = 1") {
+    // counts 12, 6, 4, 3 = 12/rank for ranks 1..4 → ln f = ln 12 − ln r
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(Tuple1(text)).toDF("text"), "text")
+      .as[(Double, Double, Long)].head()
+    assert(out._1 === -1.0 && out._2 === 1.0 && out._3 === 4L)
+  }
+
+  test("encoding qc: replacement/control/non-ascii counts and printable ratio") {
+    val s = "ok text\u0007\u0001 caf\u00e9 \uFFFD\uFFFD\tend"
+    val out = Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.encodingQc($"t").as("qc"))
+      .select($"qc.n_replacement", $"qc.n_control", $"qc.n_non_ascii",
+        $"qc.printable_ratio")
+      .as[(Long, Long, Long, Double)].head()
+    assert(out._1 === 2L) // two U+FFFD
+    assert(out._2 === 2L) // BEL + SOH; the \t is allowed
+    assert(out._3 === 3L) // é and the two replacement chars
+    // printable = all chars minus (BEL, SOH, é, 2×FFFD) = len−5
+    val expected = BigDecimal((s.length - 5).toDouble / s.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._4 === expected)
+    // clean ASCII is fully printable, zero flags
+    val clean = Seq(Tuple1("plain words only")).toDF("t")
+      .select(TextAnalysis.encodingQc($"t").as("qc"))
+      .select($"qc.n_replacement" + $"qc.n_control" + $"qc.n_non_ascii",
+        $"qc.printable_ratio").as[(Long, Double)].head()
+    assert(clean === ((0L, 1.0)))
+  }
+
   test("exact dedup finds injected duplicate and nothing else on disjoint ids") {
     val withDup = docs.unionByName(
       docs.where($"doc_id" === 0).withColumn("doc_id", lit(9999L)))

@@ -269,6 +269,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: chunk text never enters an exchange; winner is a partial agg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.LineDedup.dedupChunksAcrossDocs(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 12)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    // the exploded chunk column must collapse to its hash BEFORE any
+    // exchange; the ONE text-carrying exchange is the final rebuild
+    // join on the corpus's own id (an enrichment join, not chunk motion)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.contains("__chunk")),
+        s"chunk text leaked into an exchange: $names")
+    }
+    assert(exchanges.count(_.output.exists(_.name == "text")) <= 1,
+      "only the rebuild join may carry document text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"winner selection must be an aggregate, not a window:\n$p")
+  }
+
+  test("bm25: zero shuffles, zero joins — tf in the scan, TakeOrdered ranking") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.bm25TopK(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text",
+      terms = Seq("spark", "window", "merge"), k = 20)
+    val phys = out.queryExecution.executedPlan.toString
+    // corpus stats folded to literals driver-side; per-term tf is a
+    // projection inside the scan; ranking is per-task top-k + merge
+    assert(!phys.contains("ShuffleExchange"), s"bm25 shuffled:\n$phys")
+    val joins = out.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"bm25 joined:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"), s"expected top-k:\n$phys")
+  }
+
   test("duplicated-span shuffles carry only (id, hash) — text never moves") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.Dedup.duplicatedSpanFraction(docs, "doc_id", "text", 5)
