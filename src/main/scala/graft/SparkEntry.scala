@@ -642,6 +642,22 @@ object SparkEntry {
     "q_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(t(s, d, "documents").select("text"), "text")),
 
+    // distributed inverted-index build: df + total tf + capped posting
+    // sample (10 smallest doc_ids) per word, via the O(k)-state
+    // CollectMinK aggregate — map-side partials ship ≤ k ids per word
+    "q_postings" -> ((s, d) =>
+      TextAnalysis.invertedIndex(t(s, d, "documents")
+          .select("doc_id", "text"), "doc_id", "text", k = 10)
+        .orderBy("word")),
+
+    // order-2 LM quality proxy: mean ln p(w|prev) under the corpus's
+    // own MLE bigram model — scores word ORDER, one rung above
+    // q_unigram_logprob's bag-of-words floor
+    "q_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(t(s, d, "documents")
+          .select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // encoding/mojibake QC on planted defects: U+FFFD keyed doc_id%11,
     // a BEL control char keyed %13, an accented char keyed %17 — counts
     // and printable ratio must match the oracle exactly
@@ -2358,6 +2374,50 @@ object SparkEntry {
         |       round(regr_r2(ln(n), ln(rk)), 6) AS zipf_r2,
         |       count(*) AS vocab_size
         |FROM r""".stripMargin,
+
+    // inverted index: df / total tf / the 10 smallest doc_ids per word
+    // (the oracle materializes full posting lists — tiny at sf; the
+    // engine's CollectMinK never does)
+    "q_postings" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT w AS word, count(*) AS df,
+        |       CAST(sum(tf) AS BIGINT) AS tf_total,
+        |       array_to_string(list_sort(list(doc_id))[1:10], ' ')
+        |         AS postings
+        |FROM tf GROUP BY w ORDER BY word""".stripMargin,
+
+    // bigram conditional logprob: lead() forms the bigrams, MLE
+    // p(next|prev) from the corpus's own counts; 6dp absorbs
+    // distributed-vs-sequential sum order (the unigram convention)
+    "q_bigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+        |         unnest(ws) AS w
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(
+        |          lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |bp AS (
+        |  SELECT doc_id, w AS p,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS x
+        |  FROM tok QUALIFY x IS NOT NULL),
+        |cnt AS (SELECT p, x, count(*) AS n FROM bp GROUP BY 1, 2),
+        |ctx AS (SELECT p, CAST(sum(n) AS BIGINT) AS tot FROM cnt
+        |        GROUP BY 1),
+        |sc AS (
+        |  SELECT bp.doc_id, count(*) AS n_bigrams,
+        |         round(sum(ln(CAST(cnt.n AS DOUBLE) / ctx.tot))
+        |           / count(*), 6) AS avg_logprob
+        |  FROM bp JOIN cnt USING (p, x) JOIN ctx USING (p)
+        |  GROUP BY bp.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       sc.avg_logprob
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // encoding QC on the same planted defects (chr spellings); length()
     // is character length in both engines, patterns RE2-safe

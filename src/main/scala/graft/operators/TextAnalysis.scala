@@ -547,4 +547,79 @@ object TextAnalysis {
         .cast("double") / greatest(length(text), lit(1)), 6)
         .as("printable_ratio"))
   }
+
+  /** Distributed inverted-index build: per word, the document frequency,
+    * total term frequency, and a CAPPED posting sample — the k smallest
+    * doc_ids, space-joined ("word → where does it live") — the retrieval-
+    * index primitive behind BM25-at-scale, contamination lookups, and
+    * "show me documents containing X" debugging.
+    *
+    * Scale shape: the only expansion is the word explode; the first
+    * groupBy (word, doc_id) map-side-combines tf before its exchange,
+    * and the second carries ONE O(k)-state [[graft.functions.CollectMinK]]
+    * buffer per (partition, word) into the word exchange — a stopword
+    * whose true posting list holds 10^9 ids still ships ≤ k ids per
+    * partial. `collect_set`-then-`slice` would hold the full set in one
+    * aggregation buffer; `row_number` over the word would sort the full
+    * pair stream. Both die on exactly the head words an index is for. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 10): DataFrame = {
+    val tf = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(words(col(textCol))).as("word"))
+      .groupBy(col("word"), col("__id"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("tf_total"),
+        graft.functions.CollectMinK.minK(col("__id"), k).as("__top"))
+      .select(col("word"), col("df"), col("tf_total"),
+        array_join(transform(col("__top"), _.cast("string")), " ")
+          .as("postings"))
+  }
+
+  /** Per-document mean bigram conditional log-probability
+    * ln p(wᵢ | wᵢ₋₁) under the corpus's own MLE bigram model — one order
+    * up from [[unigramLogProb]]: it scores word ORDER, so shuffled-word
+    * salad that fools the unigram proxy (all head-vocab words) floors
+    * here. Returns (idCol, n_bigrams, avg_logprob); NULL for docs with
+    * fewer than two words.
+    *
+    * Scale shape: bigrams form INSIDE the scan by zipping the word array
+    * against its own tail (no self-join, no window over token position);
+    * the count tables shuffle (prev, next) pairs with map-side combine;
+    * context totals n(prev,·) derive from the bigram table — corpus-
+    * bounded, not corpus-sized; scoring re-joins per-doc bigram GROUPS
+    * (already aggregated, so each doc ships its distinct bigrams once). */
+  def bigramLogProb(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val pairs = df
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(ws, lit(1), greatest(size(ws) - 1, lit(0))).as("prev"),
+          slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("next")))
+          .as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("__p"),
+        col("__bg.next").as("__x"))
+    // per-doc distinct-bigram groups: each doc ships each bigram once
+    val docBg = pairs.groupBy(col(idCol), col("__p"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val bgCount = docBg.groupBy(col("__p"), col("__x"))
+      .agg(sum(col("__c")).as("__n"))
+    val ctxCount = bgCount.groupBy(col("__p"))
+      .agg(sum(col("__n")).as("__tot"))
+    val scored = docBg
+      .join(bgCount, Seq("__p", "__x"))
+      .join(ctxCount, Seq("__p"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") * log(col("__n").cast("double") / col("__tot")))
+          .as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("avg_logprob"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+  }
 }

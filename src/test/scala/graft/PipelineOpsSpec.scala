@@ -1235,4 +1235,58 @@ class PipelineOpsSpec extends SparkSpec {
       media.toDF(), maxSide = 32)
     assert(resized.where($"target_width" > 32 || $"target_height" > 32).count() === 0)
   }
+
+  test("min-k buffer: cap, distinctness, merge == union's k smallest") {
+    import graft.functions.MinKBuffer
+    val a = new MinKBuffer(3)
+    Seq(9L, 2L, 7L, 2L, 11L, 1L).foreach(a.add) // dup 2 ignored
+    assert(a.toArray === Array(1L, 2L, 7L))
+    val b = new MinKBuffer(3)
+    Seq(0L, 7L, 8L).foreach(b.add)
+    a.merge(b) // union {0,1,2,7,8,9,11} → 3 smallest
+    assert(a.toArray === Array(0L, 1L, 2L))
+    val full = new MinKBuffer(2)
+    Seq(5L, 5L, 5L).foreach(full.add) // all-dup input keeps one
+    assert(full.toArray === Array(5L))
+  }
+
+  test("inverted index: df/tf/capped postings, hand-computed") {
+    val corpus = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat bird"),
+      (3L, "dog bird bird")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(corpus, "doc_id", "text", k = 2)
+      .orderBy("word").as[(String, Long, Long, String)].collect()
+    assert(out === Array(
+      ("bird", 2L, 3L, "2 3"),
+      ("cat", 2L, 3L, "1 2"),
+      ("dog", 2L, 2L, "1 3")))
+    // k caps the posting sample at the SMALLEST ids
+    val capped = TextAnalysis.invertedIndex(corpus, "doc_id", "text", k = 1)
+      .where($"word" === "bird").as[(String, Long, Long, String)].head()
+    assert(capped === (("bird", 2L, 3L, "2")))
+  }
+
+  test("bigram log-prob: hand-computed conditionals; short docs get null") {
+    // bigrams: (a,b)×2 from docs 1,2; (a,c)×1 from doc 1
+    // p(b|a) = 2/3, p(c|a) = 1/3
+    val corpus = Seq(
+      (1L, "a b a c"), // bigrams (a,b) (b,a) (a,c)
+      (2L, "a b"),     // bigram  (a,b)
+      (3L, "x"),       // single word → null
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts: (a,b)=2 (b,a)=1 (a,c)=1; ctx a=3, b=1
+    val pAB = math.log(2.0 / 3.0); val pBA = math.log(1.0)
+    val pAC = math.log(1.0 / 3.0)
+    assert(out(0) === ((1L, 3L, Some(r6((pAB + pBA + pAC) / 3.0)))))
+    assert(out(1) === ((2L, 1L, Some(r6(pAB)))))
+    assert(out(2) === ((3L, 0L, None)))
+    assert(out(3) === ((4L, 0L, None)))
+  }
 }

@@ -490,4 +490,40 @@ class PlanSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("scalaudf"), s"UDF found for $r:\n$p")
     }
   }
+
+  test("inverted index: postings cap is an O(k) map-side aggregate, never a sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.invertedIndex(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 10)
+    val p = out.queryExecution.executedPlan.toString
+    // the posting cap must come from the bounded CollectMinK buffer with
+    // map-side partials — a window row_number would SORT the full
+    // (word, doc_id) stream, and collect_set would buffer a stopword's
+    // entire posting list in one aggregation state
+    assert(p.contains("partial_graft_min_k"),
+      s"postings must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"no window sort over postings:\n$p")
+    assert(!p.contains("collect_set"), s"unbounded collect state:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF found:\n$p")
+  }
+
+  test("bigram lm: corpus text never enters an exchange; counts combine map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.bigramLogProb(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(_.toLowerCase.contains("text")),
+        s"bigram exchange must carry word pairs/ids, not text: $names")
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bigram counts must combine map-side:\n$p")
+  }
 }
