@@ -658,6 +658,63 @@ object SparkEntry {
           .select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // web-graph tier, extraction half: pages synthesized with internal
+    // doc:// links from doc_id arithmetic (doc_id%17==0 pages are
+    // link-free → the isolated/dangling path), hrefs pulled back out by
+    // LinkGraph.extractDocLinks and rolled to per-doc degrees. The
+    // oracle replays the SAME regex in DuckDB's independent regex
+    // engine — extraction is verified, not just the arithmetic
+    "q_outlinks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val pages = docs.select(id.as("doc_id"), concat(
+        lit("<html><body><nav><a href=\"/home\">Home</a></nav>" +
+          "<p>filler</p>"),
+        when(id % 17 =!= 0, concat(
+          lit("<a href=\"doc://"), ((id * 7 + 1) % n).cast("string"),
+          lit("\">a</a> <a href=\"doc://"), ((id * 13 + 3) % n).cast("string"),
+          lit("\">b</a> <a href=\"doc://"), ((id + 1) % n).cast("string"),
+          lit("\">c</a>"))).otherwise(lit("")),
+        lit("</body></html>")).as("__html"))
+      val edges = LinkGraph.extractDocLinks(pages, "doc_id", "__html")
+      LinkGraph.degrees(edges, Some(docs.select(id.as("id"))))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // web-graph tier, iteration half: PageRank (4 iterations, d=0.85,
+    // dangling mass redistributed) over the same arithmetic edge set —
+    // centrality as a curation quality signal; the oracle replays all
+    // four iterations as chained CTEs
+    "q_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val edges = docs.where(id % 17 =!= 0)
+        .select(id.as("src"), explode(array(
+          (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
+      // result frame is localCheckpoint-backed (Packing.releaseOffsets
+      // ownership convention); at N=|docs| rows the pin is result-sized
+      LinkGraph.pageRank(edges, iterations = 4, damping = 0.85,
+          vertices = Some(docs.select(id.as("id"))))
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
+    // ingest-volume anomaly detection: hourly counts per event_type
+    // z-scored against the trailing 6 buckets of the same type (cold
+    // start / flat history → NULL z, never flagged)
+    "q_volume_anomaly" -> ((s, d) =>
+      Drift.volumeAnomalies(t(s, d, "events"), "ts", "event_type",
+          trailing = 6, zThreshold = 2.0)
+        .orderBy("event_type", "hour")),
+
+    // key-skew diagnostics on the orders join key: hot-key share, HHI
+    // concentration, entropy — the "measure before you shuffle" op
+    "q_key_skew" -> ((s, d) =>
+      Profile.keySkew(t(s, d, "orders"), "o_custkey")),
+
     // encoding/mojibake QC on planted defects: U+FFFD keyed doc_id%11,
     // a BEL control char keyed %13, an accented char keyed %17 — counts
     // and printable ratio must match the oracle exactly
@@ -2418,6 +2475,123 @@ object SparkEntry {
         |       sc.avg_logprob
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // outlink extraction replayed by DuckDB's own regex engine over the
+    // identically-synthesized pages, rolled to per-doc degrees
+    "q_outlinks" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |pg AS (
+        |  SELECT doc_id,
+        |    '<html><body><nav><a href="/home">Home</a></nav><p>filler</p>'
+        |    || CASE WHEN doc_id % 17 <> 0 THEN
+        |         '<a href="doc://' || CAST((doc_id*7+1) % nn.n AS VARCHAR)
+        |         || '">a</a> <a href="doc://'
+        |         || CAST((doc_id*13+3) % nn.n AS VARCHAR)
+        |         || '">b</a> <a href="doc://'
+        |         || CAST((doc_id+1) % nn.n AS VARCHAR) || '">c</a>'
+        |       ELSE '' END || '</body></html>' AS html
+        |  FROM documents, nn),
+        |e AS (SELECT DISTINCT doc_id AS src, CAST(dst AS BIGINT) AS dst
+        |      FROM (SELECT doc_id, unnest(regexp_extract_all(
+        |              html, 'href="doc://(\d+)"', 1)) AS dst FROM pg)),
+        |outd AS (SELECT src, count(*) AS c FROM e GROUP BY 1),
+        |ind AS (SELECT dst, count(*) AS c FROM e GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(outd.c, 0) AS BIGINT) AS out_degree,
+        |       CAST(coalesce(ind.c, 0) AS BIGINT) AS in_degree
+        |FROM documents d
+        |LEFT JOIN outd ON d.doc_id = outd.src
+        |LEFT JOIN ind ON d.doc_id = ind.dst
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // PageRank: the four iterations replayed as chained CTEs — same
+    // init 1/N, same (1-d)/N + d*(contrib + dangling/N) update, same
+    // 6dp terminal round (FP sum-order differences are ~1e-15)
+    "q_pagerank" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, unnest([(doc_id*7+1) % nn.n,
+        |    (doc_id*13+3) % nn.n, (doc_id+1) % nn.n]) AS dst
+        |  FROM documents, nn WHERE doc_id % 17 <> 0)),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+        |v AS (SELECT d.doc_id AS id, od.od FROM documents d
+        |      LEFT JOIN od ON d.doc_id = od.src),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+        |r0 AS (SELECT id, od, 1.0/nd.n AS r FROM v, nd),
+        |m1 AS (SELECT coalesce(sum(r), 0) AS m FROM r0 WHERE od IS NULL),
+        |c1 AS (SELECT e.dst AS id, sum(r0.r/r0.od) AS c FROM e
+        |       JOIN r0 ON e.src = r0.id GROUP BY 1),
+        |r1 AS (SELECT v.id, v.od,
+        |         0.15/nd.n + 0.85*(coalesce(c1.c, 0) + m1.m/nd.n) AS r
+        |       FROM v CROSS JOIN nd CROSS JOIN m1
+        |       LEFT JOIN c1 ON v.id = c1.id),
+        |m2 AS (SELECT coalesce(sum(r), 0) AS m FROM r1 WHERE od IS NULL),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r/r1.od) AS c FROM e
+        |       JOIN r1 ON e.src = r1.id GROUP BY 1),
+        |r2 AS (SELECT v.id, v.od,
+        |         0.15/nd.n + 0.85*(coalesce(c2.c, 0) + m2.m/nd.n) AS r
+        |       FROM v CROSS JOIN nd CROSS JOIN m2
+        |       LEFT JOIN c2 ON v.id = c2.id),
+        |m3 AS (SELECT coalesce(sum(r), 0) AS m FROM r2 WHERE od IS NULL),
+        |c3 AS (SELECT e.dst AS id, sum(r2.r/r2.od) AS c FROM e
+        |       JOIN r2 ON e.src = r2.id GROUP BY 1),
+        |r3 AS (SELECT v.id, v.od,
+        |         0.15/nd.n + 0.85*(coalesce(c3.c, 0) + m3.m/nd.n) AS r
+        |       FROM v CROSS JOIN nd CROSS JOIN m3
+        |       LEFT JOIN c3 ON v.id = c3.id),
+        |m4 AS (SELECT coalesce(sum(r), 0) AS m FROM r3 WHERE od IS NULL),
+        |c4 AS (SELECT e.dst AS id, sum(r3.r/r3.od) AS c FROM e
+        |       JOIN r3 ON e.src = r3.id GROUP BY 1),
+        |r4 AS (SELECT v.id, v.od,
+        |         0.15/nd.n + 0.85*(coalesce(c4.c, 0) + m4.m/nd.n) AS r
+        |       FROM v CROSS JOIN nd CROSS JOIN m4
+        |       LEFT JOIN c4 ON v.id = c4.id)
+        |SELECT id AS doc_id, round(r, 6) AS rank FROM r4
+        |ORDER BY doc_id""".stripMargin,
+
+    // hourly volume z-scores: same trailing ROWS frame, same
+    // sd>0-guarded z, anomaly from the ROUNDED z on both sides
+    "q_volume_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, h, n,
+        |         avg(CAST(n AS DOUBLE)) OVER win AS mu,
+        |         stddev_samp(CAST(n AS DOUBLE)) OVER win AS sd
+        |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, h, n,
+        |         CASE WHEN sd > 0
+        |           THEN round((CAST(n AS DOUBLE) - mu)/sd, 6) END AS z
+        |  FROM w)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n, z,
+        |       coalesce(abs(z) >= 2.0, false) AS anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin,
+
+    // key-skew diagnostics: per-key counts then one global fold; the
+    // hot-key tie (uniform keys!) breaks on (count, key-string) in both
+    // engines
+    "q_key_skew" ->
+      """WITH pk AS (
+        |  SELECT coalesce(CAST(o_custkey AS VARCHAR), '<null>') AS k,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |       count(*) AS n_keys,
+        |       (SELECT k FROM pk ORDER BY n DESC, k DESC LIMIT 1)
+        |         AS max_key,
+        |       CAST(max(n) AS BIGINT) AS max_count,
+        |       round(CAST(max(n) AS DOUBLE)/sum(n), 6) AS max_share,
+        |       round(sum(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))
+        |         / (CAST(sum(n) AS DOUBLE)*CAST(sum(n) AS DOUBLE)), 6)
+        |         AS hhi,
+        |       round(ln(CAST(sum(n) AS DOUBLE))
+        |         - sum(CAST(n AS DOUBLE)*ln(CAST(n AS DOUBLE)))
+        |           / CAST(sum(n) AS DOUBLE), 6) AS entropy
+        |FROM pk""".stripMargin,
 
     // encoding QC on the same planted defects (chr spellings); length()
     // is character length in both engines, patterns RE2-safe

@@ -256,4 +256,44 @@ object Drift {
   def loadFreq(spark: SparkSession, path: String): CategoricalProfile =
     CategoricalProfile(spark.read.parquet(s"$path/freq")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** Ingest-volume anomaly detection — the time-axis complement of the
+    * distribution drift checks above: a crawler stall, a duplicated
+    * delivery, or an upstream schema break shows up FIRST as an hourly
+    * volume spike/crater per source, before any content statistic
+    * moves. Buckets events per (`groupCol`, hour), scores each bucket
+    * against the trailing `trailing` buckets of the SAME group
+    * (current excluded — a spike must not inflate its own baseline):
+    * z = (n − μ_trailing) / σ_trailing, flagged when |z| ≥ `zThreshold`.
+    * z is NULL (never flagged) until the trailing window has ≥ 2
+    * buckets and σ > 0 — cold starts and perfectly flat history are
+    * "no evidence", not anomalies.
+    *
+    * Scale shape: one map-side-combined count aggregate down to
+    * O(groups × hours) rows, then a window partitioned BY GROUP with a
+    * bounded ROWS frame — state per task is `trailing` longs, and no
+    * SinglePartition sort ever appears (each source's hourly series
+    * sorts within its own partition). */
+  def volumeAnomalies(df: DataFrame, tsCol: String, groupCol: String,
+                      trailing: Int = 6, zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trailing >= 2, "volumeAnomalies: trailing window needs >= 2 buckets")
+    val counts = df
+      .where(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("__mu", avg(col("n").cast("double")).over(w))
+      .withColumn("__sd", stddev_samp(col("n").cast("double")).over(w))
+      .select(col(groupCol),
+        date_format(col("__h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"),
+        when(col("__sd") > 0,
+          round((col("n").cast("double") - col("__mu")) / col("__sd"), 6))
+          .as("z"))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+  }
 }

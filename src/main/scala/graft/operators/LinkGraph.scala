@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-graph operators for corpus curation: outlink extraction from
+  * crawled HTML, degree statistics, and PageRank centrality — the
+  * graph-quality signal behind crawl-frontier prioritization and
+  * domain-level quality weighting (CommonCrawl publishes exactly this
+  * ranking; RefinedWeb/Gopher-class pipelines consume it as a filter
+  * feature). Reference analogue: none (engine extension per the
+  * builder's brief — the reference validates tabular metadata only).
+  *
+  * Scale shape, in order of the pipeline:
+  *
+  *   1. Extraction is a pure projection (codegen'd `regexp_extract_all`
+  *      chain) — pages never shuffle; only the extracted (src, dst)
+  *      long pairs enter an exchange.
+  *   2. Degrees are two narrow hash aggregates over the 16-byte edge
+  *      frame with map-side combine.
+  *   3. PageRank iterations join the (id, rank) frame against a
+  *      checkpoint-pinned edge frame pre-partitioned by `src`: the
+  *      edge side (the big one — edges ≫ vertices on the web) is
+  *      shuffled ONCE before the loop and reused every iteration; each
+  *      round moves only the rank table plus the per-destination
+  *      contribution partials. Dangling mass is a one-row aggregate
+  *      broadcast into the update — never a driver collect. Lineage is
+  *      truncated per round via `localCheckpoint` (the [[Dedup]]
+  *      label-propagation convention) and — unlike a naive loop — each
+  *      round RELEASES the previous round's checkpoint blocks once the
+  *      new frame is materialized, so executor storage holds exactly
+  *      one rank snapshot regardless of iteration count.
+  */
+object LinkGraph {
+
+  /** Doc-to-doc edges from internal links in an HTML column: every
+    * `href="doc://<id>"` becomes a (src, dst) pair; duplicates within
+    * and across anchors collapse (an index page linking an article
+    * five times is one edge). Pure scan→explode: the page bytes stay
+    * in their input partition. */
+  def extractDocLinks(df: DataFrame, idCol: String,
+                      htmlCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("src"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("href=\"doc://(\\d+)\""), lit(1))).as("__m"))
+      .select(col("src"), col("__m").cast("long").as("dst"))
+      .distinct()
+
+  /** Per-vertex (id, out_degree, in_degree) over an edge frame, with
+    * an optional vertex universe so isolated documents appear with
+    * (0, 0) instead of vanishing — corpus accounting must not silently
+    * drop the unlinked tail. Two map-side-combined aggregates plus
+    * outer joins on 8-byte keys. */
+  def degrees(edges: DataFrame, vertices: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    val verts = vertices
+      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
+      .getOrElse(e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    verts.join(out, Seq("id"), "left").join(in, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** PageRank with uniform teleport and dangling-mass redistribution:
+    * r(v) = (1-d)/N + d·(Σ_{u→v} r(u)/od(u) + m/N), m = Σ_{dangling} r.
+    * Fixed `iterations` (declarative replay — the oracle spelling);
+    * production convergence is |Δr|∞ < ε, which callers can layer on
+    * top by comparing successive frames.
+    *
+    * Returns (id, rank). The result is localCheckpoint-backed; call
+    * [[Packing.releaseOffsets]] on it once consumed (the
+    * [[Packing.globalOffsets]] ownership convention). Every
+    * INTERMEDIATE checkpoint — edge shares, vertex flags, prior rank
+    * rounds — is released before return.
+    *
+    * `vertices` (single-column frame) fixes the vertex universe;
+    * otherwise it is derived from the edges. Self-loops are legal and
+    * duplicate edges collapse. */
+  def pageRank(edges: DataFrame, iterations: Int = 4,
+               damping: Double = 0.85,
+               vertices: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    // edge frame pinned for the loop: pre-partitioned by src so every
+    // iteration's contribution join reuses ONE edge shuffle; carries
+    // (src, dst, od) — 24 bytes/edge, never page payloads
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val shares = e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), col("__od").cast("double").as("__od"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    // vertex frame with the dangling flag (no out-edges)
+    val vertIds = vertices
+      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
+      .getOrElse(e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val verts = vertIds
+      .join(outDeg.select(col("src").as("id"), col("__od")), Seq("id"), "left")
+      .select(col("id"), col("__od").isNull.as("__dangling"))
+      .localCheckpoint()
+    val n = verts.count().toDouble
+    require(n > 0, "pageRank: empty vertex set")
+
+    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iterations) {
+      // one action per round: dangling mass and contributions both
+      // derive from `ranks` inside the SAME plan — the 1-row mass
+      // aggregate broadcasts into the update, no driver collect
+      val mass = ranks
+        .join(verts.where(col("__dangling")), Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__m"))
+      val contribs = shares
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("__od")).as("__c"))
+      val next = verts.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("id"),
+          (lit((1.0 - damping)) / lit(n) + lit(damping) *
+            (coalesce(col("__c"), lit(0.0)) + col("__m") / lit(n)))
+            .as("rank"))
+        .localCheckpoint()
+      Packing.releaseOffsets(ranks) // next is materialized; drop prior round
+      ranks = next
+      iter += 1
+    }
+    Packing.releaseOffsets(shares)
+    Packing.releaseOffsets(verts)
+    ranks
+  }
+}

@@ -195,4 +195,42 @@ object Profile {
           .otherwise((x - mean) / sqrt(variance)))
       .drop("__g", "__n", "__s", "__ss")
   }
+
+  /** Key-skew diagnostics for a join/aggregation key — the measurement
+    * half of the repo's salting story: BEFORE shuffling 100 TB on a
+    * key, ask how concentrated it is. One row out:
+    * (n_rows, n_keys, max_key, max_count, max_share, hhi, entropy) —
+    * max_share is the hot key's row fraction (≈ the fraction of the
+    * shuffle landing on ONE reducer without salting), hhi the
+    * Herfindahl concentration Σ pᵢ² (1/n_keys when uniform → 1.0 when
+    * degenerate), entropy the Shannon −Σ pᵢ·ln pᵢ in nats. NULL keys
+    * count as a key of their own (skew from null-heavy columns is the
+    * most common real case) with max_key reported as the string
+    * "<null>".
+    *
+    * Scale shape: two-level aggregate — per-key counts with map-side
+    * combine (O(distinct keys) shuffle rows), then a single global
+    * fold of count/share arithmetic; max_key rides the same fold as a
+    * max_by. No window, no sort, no driver-side per-key loop. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("<null>")).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    perKey
+      .agg(sum(col("__n")).as("__total"),
+        count(lit(1)).as("n_keys"),
+        max_by(col("__k"), struct(col("__n"), col("__k"))).as("max_key"),
+        max(col("__n")).as("max_count"),
+        // double BEFORE the square: n² overflows long exactly on the
+        // hot keys this diagnostic exists to find (6dp output anyway)
+        sum(col("__n").cast("double") * col("__n").cast("double")).as("__sq"),
+        sum(col("__n").cast("double") * log(col("__n").cast("double"))).as("__nlogn"))
+      .select(col("__total").as("n_rows"), col("n_keys"),
+        col("max_key"), col("max_count"),
+        round(col("max_count").cast("double") / col("__total"), 6).as("max_share"),
+        round(col("__sq") /
+          (col("__total").cast("double") * col("__total").cast("double")), 6).as("hhi"),
+        round(log(col("__total").cast("double")) -
+          col("__nlogn") / col("__total").cast("double"), 6).as("entropy"))
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, LinkGraph, Packing, Profile}
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractDocLinks: parses doc:// hrefs, collapses duplicate edges") {
+    val pages = Seq(
+      (1L, """<a href="doc://2">x</a> <a href="doc://3">y</a>""" +
+        """<a href="doc://2">again</a> <a href="/home">nav</a>"""),
+      (2L, """no links here"""),
+      (3L, """<a href="doc://1">back</a>""")).toDF("id", "html")
+    val edges = LinkGraph.extractDocLinks(pages, "id", "html")
+      .orderBy("src", "dst").as[(Long, Long)].collect()
+    assert(edges === Array((1L, 2L), (1L, 3L), (3L, 1L)))
+  }
+
+  test("degrees: isolated vertices appear with (0, 0)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val d = LinkGraph.degrees(edges, Some(verts))
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(d === Array((1L, 2L, 1L), (2L, 0L, 1L), (3L, 1L, 1L), (4L, 0L, 0L)))
+  }
+
+  test("pageRank: hand-computed two iterations with a dangling vertex") {
+    // 0 → 1, 1 → 0, vertex 2 dangling; N = 3, d = 0.85
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L).toDF("id")
+    val pr = LinkGraph.pageRank(edges, iterations = 2, damping = 0.85,
+      vertices = Some(verts))
+    val got = pr.orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Packing.releaseOffsets(pr)
+    // replay the same arithmetic sequentially
+    val n = 3.0; val d = 0.85; val base = (1.0 - d) / n
+    var r = Map(0L -> 1 / n, 1L -> 1 / n, 2L -> 1 / n)
+    (1 to 2).foreach { _ =>
+      val m = r(2L)
+      r = Map(
+        0L -> (base + d * (r(1L) / 1.0 + m / n)),
+        1L -> (base + d * (r(0L) / 1.0 + m / n)),
+        2L -> (base + d * (m / n)))
+    }
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"vertex $v: ${got(v)} vs ${r(v)}")
+    }
+    // probability mass is conserved by the dangling redistribution
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: releases every intermediate checkpoint (one pinned frame out)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val pr = LinkGraph.pageRank(edges, iterations = 5)
+    assert(pr.count() === 3)
+    // 5 iterations ran; only the RETURNED frame's blocks may remain —
+    // shares, vertex flags, and all prior rank rounds must be gone
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked checkpoints: $before -> $after")
+    Packing.releaseOffsets(pr)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
+  test("volumeAnomalies: hand-computed trailing z; cold start unflagged") {
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hourly counts for src "a": 10, 12, 8, 11, 30 — the last hour is
+    // the planted spike; one null-ts and one null-type row must drop
+    val rows = Seq.tabulate(10)(i => (ts(0, i), "a")) ++
+      Seq.tabulate(12)(i => (ts(1, i), "a")) ++
+      Seq.tabulate(8)(i => (ts(2, i), "a")) ++
+      Seq.tabulate(11)(i => (ts(3, i), "a")) ++
+      Seq.tabulate(30)(i => (ts(4, i), "a")) ++
+      Seq((null.asInstanceOf[java.sql.Timestamp], "a"), (ts(0, 0), null))
+    val df = rows.toDF("ts", "event_type")
+    val out = Drift.volumeAnomalies(df, "ts", "event_type",
+        trailing = 6, zThreshold = 2.0)
+      .orderBy("hour").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 12L, 8L, 11L, 30L))
+    // first bucket: empty window → null z; second: single bucket → null
+    assert(out(0).isNullAt(3) && !out(0).getBoolean(4))
+    assert(out(1).isNullAt(3) && !out(1).getBoolean(4))
+    // last bucket: window [10,12,8,11], mu=10.25, sd=sqrt(8.75/3)
+    val sd = math.sqrt(8.75 / 3)
+    val z = BigDecimal((30 - 10.25) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(4).getDouble(3) === z)
+    assert(out(4).getBoolean(4))
+    // hour 2 (n=8) against window [10,12]: z = (8-11)/sqrt(2) ≈ -2.12 —
+    // a genuine (if early) flag; hour 3 (n=11) vs [10,12,8]: z = 0.5
+    val z2 = BigDecimal((8 - 11.0) / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2).getDouble(3) === z2 && out(2).getBoolean(4))
+    assert(out(3).getDouble(3) === 0.5 && !out(3).getBoolean(4))
+  }
+
+  test("keySkew: hand-computed concentration stats with a null key") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("c"),
+      None).toDF("k")
+    val r = Profile.keySkew(df, "k").head()
+    assert(r.getLong(0) === 6L)   // n_rows
+    assert(r.getLong(1) === 4L)   // n_keys (null counts as its own)
+    assert(r.getString(2) === "a")
+    assert(r.getLong(3) === 3L)
+    assert(r.getDouble(4) === 0.5)
+    assert(r.getDouble(5) === BigDecimal(12.0 / 36.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // hhi
+    val entropy = math.log(6.0) - 3 * math.log(3.0) / 6.0
+    assert(r.getDouble(6) === BigDecimal(entropy)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("keySkew: hot-key tie breaks on key string (both engines' rule)") {
+    val df = Seq("x", "x", "y", "y").toDF("k")
+    assert(Profile.keySkew(df, "k").head().getString(2) === "y")
+  }
+}

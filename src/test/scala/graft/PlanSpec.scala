@@ -526,4 +526,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"bigram counts must combine map-side:\n$p")
   }
+
+  test("outlink degrees: page bytes never enter an exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pages = docs.select(col("doc_id").cast("long").as("doc_id"),
+      concat(lit("<a href=\"doc://"),
+        (col("doc_id") % 100).cast("string"), lit("\">x</a> "),
+        col("text")).as("__html"))
+    val out = graft.operators.LinkGraph.degrees(
+      graft.operators.LinkGraph.extractDocLinks(pages, "doc_id", "__html"))
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n.contains("html") || n.contains("text")),
+        s"degree exchange must carry (src, dst, id, counts) only: $names")
+    }
+  }
+
+  test("volume anomalies: window partitions by group — never SinglePartition") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val out = graft.operators.Drift.volumeAnomalies(ev, "ts", "event_type")
+    val p = plan(out)
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"trailing window must partition by group, not globally sort:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF found:\n$p")
+  }
+
+  test("key skew: two-level aggregate, no window, no sort of the key stream") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val out = Profile.keySkew(orders, "o_custkey")
+    val p = plan(out)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-key counts must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window in keySkew:\n$p")
+    // the only sort allowed is none: global stats are a fold, and the
+    // hot key comes from max_by, not an ordered limit
+    assert(!p.contains("TakeOrdered") && !p.contains("Sort "),
+      s"keySkew must not sort the key stream:\n$p")
+  }
 }
