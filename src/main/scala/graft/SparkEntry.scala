@@ -1209,7 +1209,6 @@ object SparkEntry {
     // (deterministic argmin tie-break), both score the query's own
     // ADC maximum neighborhood, and top-10 must surface both
     "q_ivfpq_recall" -> ((s, d) => {
-      import s.implicits._
       val embs = Similarity.withL2Normalized(
         t(s, d, "embeddings"), "embedding", "nvec")
       val doubled = embs.unionByName(
@@ -1217,22 +1216,18 @@ object SparkEntry {
       val model = Similarity.trainPq(doubled, "nvec",
         nSub = 8, nCodes = 64, iters = 1)
       val encoded = Similarity.pqEncodeAll(doubled, "nvec", model)
-        .select("vec_id", "pq_codes").localCheckpoint()
+        .select("vec_id", "pq_codes")
+      // bounded query collect (the ivfTopKBatch contract), then ONE
+      // batched ADC job for all queries — the per-query loop this
+      // replaces scanned the code table |Q| times (17.4 s at sf0.1)
       val queries = embs.where(col("vec_id") < 8)
         .select("vec_id", "nvec").collect()
-      val hits = queries.map { r =>
-        val qid = r.getLong(0)
-        Similarity.pqTopK(encoded, "vec_id", "pq_codes", model,
-            r.getSeq[Float](1).toArray, k = 10)
-          .where(col("vec_id") === qid || col("vec_id") === qid + 1000000)
-          .count()
-      }.sum
-      encoded.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ =>
-      }
-      Seq(hits).toDF("n_planted_found")
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      Similarity.pqTopKBatch(encoded, "vec_id", "pq_codes", model,
+          queries, k = 10)
+        .where(col("vec_id") === col("query_id") ||
+          col("vec_id") === col("query_id") + 1000000)
+        .agg(count(lit(1)).as("n_planted_found"))
     }),
 
     "q_embedding_neardup" -> ((s, d) => { // rows-only

@@ -271,9 +271,14 @@ object Similarity {
 
   /** Train PQ codebooks: per subspace, deterministic hash-sampled seeds
     * over DISTINCT subvectors (the [[buildIvf]] TakeOrdered pattern —
-    * no count() pre-pass, no global sort) refined by `iters` Lloyd
-    * steps with L2 assignment. nSub × (1 + iters) small jobs — offline
-    * index-build budget, amortized over every probe. Requires dim %
+    * no count() pre-pass) refined by `iters` Lloyd steps with L2
+    * assignment. ALL subspaces train in each job: the corpus explodes
+    * once into (subspace, subvector) pairs, seed selection is one
+    * WindowGroupLimit-pruned rank per subspace, and every Lloyd step
+    * is one scan with a per-subspace assignment dispatch — (1 + iters)
+    * corpus scans total, not nSub × (1 + iters). (At 8 subspaces the
+    * unfused spelling read the corpus 16× per build; measured 17.4 s →
+    * one-scan-per-step on the sf0.1 recall query.) Requires dim %
     * nSub == 0 and nCodes ≤ 256 (codes must fit one byte). */
   def trainPq(corpus: DataFrame, vecCol: String, nSub: Int, nCodes: Int,
               iters: Int = 2): PqModel = {
@@ -285,33 +290,57 @@ object Similarity {
     val dim = head(0).getInt(0)
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val subDim = dim / nSub
-    val codebooks = (0 until nSub).map { s =>
-      val sub = corpus
-        .select(slice(col(vecCol), s * subDim + 1, subDim).as("__sv"))
-      var cents: Array[(Int, Array[Float])] = sub.distinct()
-        .orderBy(xxhash64(col("__sv"), lit(s)))
-        .limit(nCodes).collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
-      (0 until iters).foreach { _ =>
-        val means = sub
-          .select(nearestSubCode(col("__sv"), cents).as("k"),
-            posexplode(col("__sv")).as(Seq("pos", "x")))
-          .groupBy(col("k"), col("pos")).agg(avg(col("x")).as("m"))
-          .collect()
-        val byK = means.groupBy(_.getInt(0))
-        cents = cents.map { case (k, old) =>
-          byK.get(k) match {
+    val subbed = corpus.select(posexplode(
+        transform(sequence(lit(0), lit(nSub - 1)),
+          s => slice(col(vecCol), s * subDim + 1, lit(subDim))))
+        .as(Seq("__sub", "__sv")))
+    // seeds for every subspace in ONE job; xxhash64(sv, sub) gives the
+    // same per-subspace hash order as hashing each slice with its
+    // subspace index, and row_number ≤ nCodes keeps the per-subspace
+    // sort partial (WindowGroupLimit)
+    val seedW = Window.partitionBy(col("__sub"))
+      .orderBy(xxhash64(col("__sv"), col("__sub")))
+    val seedRows = subbed.distinct()
+      .withColumn("__rn", row_number().over(seedW))
+      .where(col("__rn") <= nCodes)
+      .collect()
+    var cents: Array[Array[(Int, Array[Float])]] = {
+      val bySub = seedRows.groupBy(_.getInt(0))
+      Array.tabulate(nSub) { s =>
+        bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getInt(2))
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      }
+    }
+    (0 until iters).foreach { _ =>
+      // one scan: the assignment dispatches on the subspace index, so
+      // every subspace's cell means come back from the same aggregate
+      val assignExpr = (1 until nSub).foldLeft(
+          when(col("__sub") === 0, nearestSubCode(col("__sv"), cents(0)))) {
+        (acc, s) => acc.when(col("__sub") === s,
+          nearestSubCode(col("__sv"), cents(s)))
+      }
+      val means = subbed
+        .select(col("__sub"), assignExpr.as("k"),
+          posexplode(col("__sv")).as(Seq("pos", "x")))
+        .groupBy(col("__sub"), col("k"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val bySubK = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = Array.tabulate(nSub) { s =>
+        cents(s).map { case (k, old) =>
+          bySubK.get((s, k)) match {
             case Some(rows) =>
               val v = new Array[Float](old.length)
-              rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+              rows.foreach(r => v(r.getInt(2)) = r.getDouble(3).toFloat)
               (k, v)
             case None => (k, old) // empty cell keeps its seed
           }
         }
       }
-      cents.map(_._2)
-    }.toArray
-    PqModel(subDim, codebooks)
+    }
+    PqModel(subDim, cents.map(_.map(_._2)))
   }
 
   /** Append an L2-normalized copy of `vecCol` (float) — normalize
@@ -353,6 +382,41 @@ object Similarity {
           .pqAdcScore(col(codeCol), model.adcLut(query)).as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batched ADC top-k: ONE job for the whole query set (the
+    * [[ivfTopKBatch]] contract applied to PQ — a per-query driver loop
+    * launches |Q| scans of the code table; q_ivfpq_recall measured
+    * 17.4 s that way at sf0.1). Each query's lookup table rides the
+    * plan as a foldable literal; every code row evaluates all |Q| ADC
+    * scores in one pass, and the per-query top-k is a
+    * WindowGroupLimit-pruned row_number — each input partition ships
+    * at most |Q|×k (query_id, id, score) rows into the exchange.
+    * `maxQueries` bounds the LUT literals exactly like the
+    * [[ivfTopKBatch]] driver-collect bound. */
+  def pqTopKBatch(encoded: DataFrame, idCol: String, codeCol: String,
+                  model: PqModel, queries: Seq[(Long, Array[Float])],
+                  k: Int, maxQueries: Int = 1024): DataFrame = {
+    require(queries.nonEmpty, "pqTopKBatch: empty query set")
+    require(queries.size <= maxQueries,
+      s"pqTopKBatch embeds one ADC LUT literal per query: got " +
+      s"${queries.size} > maxQueries=$maxQueries — window the batch " +
+      "(or raise maxQueries deliberately)")
+    VectorExpressions.register(encoded.sparkSession)
+    val scoreStructs = queries.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"),
+        graft.functions.VectorExpressions
+          .pqAdcScore(col(codeCol), model.adcLut(qv)).as("adc_score"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col(idCol))
+    encoded
+      .select(col(idCol), explode(array(scoreStructs: _*)).as("__s"))
+      .select(col("__s.query_id").as("query_id"), col(idCol),
+        col("__s.adc_score").as("adc_score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
   }
 
   // ------------------------------------------------------------- IVF-PQ

@@ -772,6 +772,38 @@ class PipelineOpsSpec extends SparkSpec {
     normed.unpersist()
   }
 
+  test("pqTopKBatch: one job reproduces the per-query pqTopK loop exactly") {
+    val normed = Similarity.withL2Normalized(embs, "embedding", "nvec")
+    val model = Similarity.trainPq(normed, "nvec", nSub = 8, nCodes = 32,
+      iters = 1)
+    val enc = Similarity.pqEncodeAll(normed, "nvec", model)
+      .select($"vec_id", $"pq_codes")
+    val qs = normed.where($"vec_id" < 4)
+      .select($"vec_id", $"nvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val batched = Similarity
+      .pqTopKBatch(enc, "vec_id", "pq_codes", model, qs, k = 5)
+      .select($"query_id", $"vec_id", $"adc_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val looped = qs.flatMap { case (qid, qv) =>
+      Similarity.pqTopK(enc, "vec_id", "pq_codes", model, qv, 5)
+        .collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    assert(batched === looped)
+    // per-query top-k must prune BEFORE the exchange (WindowGroupLimit
+    // partial), and the whole batch is one window — never |Q| scans
+    val plan = Similarity
+      .pqTopKBatch(enc, "vec_id", "pq_codes", model, qs, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"batched probe must map-side-prune to k per query:\n$plan")
+    val guard = intercept[IllegalArgumentException] {
+      Similarity.pqTopKBatch(enc, "vec_id", "pq_codes", model, qs,
+        k = 5, maxQueries = 2)
+    }
+    assert(guard.getMessage.contains("maxQueries"))
+  }
+
   test("IVF-PQ composed index: byte codes in the bucketed layout, pruned ADC probe") {
     // the combined layout: PQ compresses what a probe reads, IVF bounds
     // how much is read — planted twins survive both (identical floats →
