@@ -66,7 +66,12 @@ object Bench {
                        replicate: Int = 200): (Double, String) = {
     import graft.operators.CurationGates
     val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp")
-    val path = s"$base/graft_bench_docs_$replicate"
+    // cache key carries the SOURCE dir, not just the replicate count:
+    // switching SPARK_GRAFT_SF_DIR must not silently reuse a corpus
+    // materialized from a different scale factor
+    val srcTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val path = s"$base/graft_bench_docs_${replicate}_$srcTag"
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source", "text", "n_chars")
     if (!new java.io.File(s"$path/_SUCCESS").exists())

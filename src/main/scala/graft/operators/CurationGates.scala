@@ -20,9 +20,11 @@ import graft.functions.TextExpressions
   * confirm join, which moves only bloom-suspected rows). */
 object CurationGates {
 
-  /** Word tokens in the repo's oracle-mirror spelling. */
-  private def wordsOf(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+  /** Word tokens in the repo's oracle-mirror spelling —
+    * [[Dedup.words]], the ONE canonical tokenization (the
+    * decontamination gate's doc-side tokens must match the bench-side
+    * tokens produced elsewhere with the same helper). */
+  private def wordsOf(text: Column): Column = Dedup.words(text)
 
   /** Apply the gate sequence to `docs` (doc_id, source, text, n_chars).
     *

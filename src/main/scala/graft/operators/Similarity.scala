@@ -523,9 +523,12 @@ object Similarity {
     * q_semdedup's full-survivor oracle keys on. */
   def semDedupDrops(index: IvfIndex, idCol: String, vecCol: String,
                     threshold: Double, maxCellSize: Int = 8192): DataFrame = {
-    val (pool, exactDrops, pivotDrops) =
+    val (pool, exactDrops, pivotDrops, witnesses) =
       boundedPool(index, idCol, vecCol, threshold, maxCellSize)
-    val a = pool.select(col(idCol).as("__ia"),
+    // witnesses (pivot-dropped rows) join the LEFT side only: already
+    // dropped themselves, but still valid smaller-id witnesses for
+    // residual rows of their stuck sub-cell
+    val a = pool.unionByName(witnesses).select(col(idCol).as("__ia"),
       col(vecCol).as("__va"), col("__cell").as("__ca"))
     val b = pool.select(col(idCol).as("__ib"),
       col(vecCol).as("__vb"), col("__cell").as("__cb"))
@@ -546,10 +549,13 @@ object Similarity {
     *
     *  1. EXACT COLLAPSE (oversized cells only): identical vectors
     *     collapse to their min-id representative in one window pass —
-    *     every non-min copy drops with the rep as witness (cos = 1 ≥ τ
-    *     for any τ ≤ 1), and the rep is a valid witness for anything
-    *     the copies would have witnessed (identical vector, smaller
-    *     id), so the drop set is EXACTLY the original semantics. This
+    *     every non-min copy whose SELF-cosine clears τ drops with the
+    *     rep as witness (cos(v,v) = 1 ≥ τ for any nonzero v and τ ≤ 1;
+    *     zero/null vectors have self-cos 0/null and are KEPT, exactly
+    *     as the pairwise join would keep them), and the rep is a valid
+    *     witness for anything the copies would have witnessed
+    *     (identical vector, smaller id), so the drop set is EXACTLY
+    *     the original semantics. This
     *     alone bounds the classic degenerate case (massive exact-dup
     *     groups), and it makes every surviving row's vector distinct.
     *  2. HYPERPLANE SUB-CELLS: still-oversized cells append
@@ -564,9 +570,13 @@ object Similarity {
     *     bits all agree. For each such cell, every row with
     *     cos(row, pivot) ≥ τ against the min-id pivot drops DIRECTLY
     *     (the pivot is a smaller-id witness — sound, no approximation),
-    *     which in a genuine clump is everyone but the pivot; only the
+    *     which in a genuine clump is everyone but the pivot; the
     *     residual (cos < τ to the pivot — geometrically scarce in a
-    *     clump dense enough to get stuck) rejoins the pairwise pool.
+    *     clump dense enough to get stuck) rejoins the pairwise pool,
+    *     and the pivot-dropped rows ride along as WITNESS-ONLY rows
+    *     (left side of the self-join) so a residual row whose only
+    *     smaller-id witness was pivot-dropped still drops — full
+    *     within-sub-cell pairwise semantics.
     *
     * Passes 2–3 refine SemDeDup's own approximation (the paper already
     * compares within-cluster only; sub-celling is a finer clustering),
@@ -575,10 +585,10 @@ object Similarity {
     * level. Residual cells can in principle still exceed the cap;
     * [[semDedupCellStats]] surfaces the realized pool histogram — no
     * silent caps. Returns (pairwise pool with `__cell`, exact drops,
-    * pivot drops). */
+    * pivot drops, witness-only rows for the self-join's left side). */
   private def boundedPool(index: IvfIndex, idCol: String, vecCol: String,
                           threshold: Double, maxCellSize: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(maxCellSize > 0, "maxCellSize must be positive")
     val spark = index.assigned.sparkSession
     VectorExpressions.register(spark)
@@ -608,7 +618,9 @@ object Similarity {
       return (index.assigned
           .select(col(idCol), col(vecCol),
             struct(col("centroid_id").as("c"), lit(-1L).as("s")).as("__cell")),
-        emptyIds, emptyIds)
+        emptyIds, emptyIds,
+        index.assigned.limit(0).select(col(idCol), col(vecCol),
+          struct(col("centroid_id").as("c"), lit(-1L).as("s")).as("__cell")))
     val tagged = index.assigned.join(broadcast(sizes), Seq("centroid_id"))
     def cellOf(sub: Column): Column =
       struct(col("centroid_id").as("c"), sub.as("s")).as("__cell")
@@ -617,12 +629,26 @@ object Similarity {
     val oversized = tagged.where(col("__n") > maxCellSize)
 
     // 1. exact collapse (window over the vector itself: identical
-    //    floats, same cell by construction)
+    //    floats, same cell by construction). Guarded on the SELF-cosine
+    //    so the collapse is exactly the pairwise semantics: for a
+    //    nonzero vector cos(v, v) = 1 ≥ τ and the copy drops with the
+    //    min-id rep as witness, but identical ZERO (or null) vectors
+    //    have cos = 0 (null) < τ — the pairwise join would have kept
+    //    them, so the collapse must too. Kept zero copies flow on to
+    //    banding/pivot where their mutual cosines are still 0 — no
+    //    drops, correct; an all-zero mega-cell is then a residual-pool
+    //    hazard surfaced by [[semDedupCellStats]], never a wrong answer.
     val w = Window.partitionBy(col("centroid_id"), col(vecCol))
+    val selfCos = VectorExpressions.cosine(col(vecCol), col(vecCol))
     val withRep = oversized.withColumn("__rep", min(col(idCol)).over(w))
-    val exactDrops = withRep.where(col(idCol) =!= col("__rep"))
+      .withColumn("__selfdup", selfCos >= threshold)
+    val exactDrops = withRep
+      .where(col(idCol) =!= col("__rep") && col("__selfdup"))
       .select(col(idCol))
-    val reps = withRep.where(col(idCol) === col("__rep")).drop("__rep")
+    val reps = withRep
+      .where(col(idCol) === col("__rep") ||
+        !coalesce(col("__selfdup"), lit(false)))
+      .drop("__rep", "__selfdup")
 
     // 2. per-cell band width from the occupancy, masked from one full
     //    16-bit signature evaluation per row
@@ -641,40 +667,62 @@ object Similarity {
     val settled = banded2.where(col("__n2") <= maxCellSize)
       .select(col(idCol), col(vecCol), col("__cell"))
     val stuck = banded2.where(col("__n2") > maxCellSize)
-    val (pivotDrops, residual) =
-      if (dim == 0) (emptyIds, stuck.select(col(idCol), col(vecCol), col("__cell")))
+    val (pivotDrops, residual, witnesses) =
+      if (dim == 0) (emptyIds,
+        stuck.select(col(idCol), col(vecCol), col("__cell")),
+        stuck.limit(0).select(col(idCol), col(vecCol), col("__cell")))
       else {
         val pivots = stuck.groupBy(col("__cell")).agg(
           min(col(idCol)).as("__pid"),
           min_by(col(vecCol), col(idCol)).as("__pvec"))
         val joined = stuck.join(pivots, Seq("__cell"))
         val cosPiv = VectorExpressions.cosine(col(vecCol), col("__pvec"))
-        (joined.where(col(idCol) > col("__pid") && cosPiv >= threshold)
-           .select(col(idCol)),
+        val dropped = joined.where(col(idCol) > col("__pid") &&
+          cosPiv >= threshold)
+        (dropped.select(col(idCol)),
          // the pivot survives its cell (min id — no in-cell witness);
          // residuals keep pairing among themselves
          joined.where(col(idCol) > col("__pid") &&
              (cosPiv < threshold || cosPiv.isNull))
-           .select(col(idCol), col(vecCol), col("__cell")))
+           .select(col(idCol), col(vecCol), col("__cell")),
+         // pivot-dropped rows stay in the pairwise pool as WITNESS-ONLY
+         // rows (left side of the self-join): a residual row c whose
+         // only smaller-id witness b was pivot-dropped must still drop
+         // (cos(c, pivot) < τ but cos(c, b) ≥ τ is an ordinary
+         // geometric configuration) — full within-sub-cell semantics,
+         // at |dropped|×|residual| extra pairs per stuck cell
+         dropped.select(col(idCol), col(vecCol), col("__cell")))
       }
     (boundedRows.unionByName(settled).unionByName(residual),
-      exactDrops, pivotDrops)
+      exactDrops, pivotDrops, witnesses)
   }
 
   /** Realized pairwise-pool histogram of [[semDedupDrops]] — the cells
     * the self-join will actually quadratic over, AFTER the oversized-
     * cell defense (exact collapse → hyperplane sub-cells → pivot pass).
-    * The observability companion to [[clusterSizes]]: a cell still above
-    * `maxCellSize` here is a residual clump the defense could not bound
-    * (pathological input) — surfaced, never silently capped. */
+    * The observability companion to [[clusterSizes]]: a cell whose
+    * `n_vectors` is still above `maxCellSize` here is a residual clump
+    * the defense could not bound (pathological input) — surfaced, never
+    * silently capped. Returns (centroid_id, sub_cell, n_vectors,
+    * n_witnesses). */
   def semDedupCellStats(index: IvfIndex, idCol: String, vecCol: String,
                         threshold: Double,
                         maxCellSize: Int = 8192): DataFrame = {
-    val (pool, _, _) =
+    val (pool, _, _, witnesses) =
       boundedPool(index, idCol, vecCol, threshold, maxCellSize)
-    pool.groupBy(col("__cell")).agg(count(lit(1)).as("n_vectors"))
+    // n_vectors is the two-sided pool count (its square bounds the
+    // per-cell pair work); n_witnesses are the left-side-only
+    // pivot-dropped rows, whose pair contribution is LINEAR per pool
+    // row (n_witnesses × n_vectors) — reported separately so a bounded
+    // cell with many collapsed witnesses reads as healthy, not blown
+    val poolN = pool.groupBy(col("__cell")).agg(count(lit(1)).as("n_vectors"))
+    val witN = witnesses.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n_witnesses"))
+    poolN.join(witN, Seq("__cell"), "full_outer")
       .select(col("__cell.c").as("centroid_id"),
-        col("__cell.s").as("sub_cell"), col("n_vectors"))
+        col("__cell.s").as("sub_cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("n_witnesses"), lit(0L)).as("n_witnesses"))
       .orderBy(desc("n_vectors"), col("centroid_id"), col("sub_cell"))
   }
 

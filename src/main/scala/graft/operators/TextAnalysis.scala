@@ -309,20 +309,17 @@ object TextAnalysis {
     * scan. Patterns are RE2-compatible (no backtracking hazards: the
     * non-greedy subtree matches are linear), so the SQL oracle runs the
     * IDENTICAL chain. */
-  def htmlToText(html: Column): Column = {
+  def htmlToText(html: Column): Column = fragmentText(stripSubtrees(html))
+
+  /** Drop `<script>`/`<style>` subtrees and comments — the shared
+    * [[htmlToText]] / [[mainContent]] prefix (ONE copy, so a pattern
+    * fix cannot silently de-sync the two extraction tiers). */
+  private def stripSubtrees(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val entities = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
-      replace(c, lit(k), lit(v))
-    }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
   }
 
   /** Block-level tags that delimit layout units for [[mainContent]].
@@ -333,8 +330,9 @@ object TextAnalysis {
     "aside|ul|ol|li|h[1-6]|table|tr|td|th|form|main|br|blockquote|pre)\\b[^>]*>"
 
   /** Tag-strip + entity-decode + whitespace-collapse of one fragment —
-    * the [[htmlToText]] tail, factored so [[mainContent]] can apply it
-    * per BLOCK (scripts/styles/comments must already be gone). */
+    * the [[htmlToText]] tail (htmlToText IS `fragmentText(stripSubtrees)`),
+    * factored so [[mainContent]] can apply it per BLOCK
+    * (scripts/styles/comments must already be gone). */
   private def fragmentText(frag: Column): Column = {
     val noTags = regexp_replace(frag, "<[^>]+>", " ")
     val entities = Seq(
@@ -375,10 +373,7 @@ object TextAnalysis {
                   maxLinkNumer: Int = 1, maxLinkDenom: Int = 3): Column = {
     require(minBlockChars >= 0, "minBlockChars must be >= 0")
     require(maxLinkNumer >= 0 && maxLinkDenom > 0, "density bound invalid")
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val cleaned = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val blocks = split(cleaned, BlockTagSplit)
+    val blocks = split(stripSubtrees(html), BlockTagSplit)
     def linkLen(b: Column): Column = aggregate(
       regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
       lit(0), (acc, a) => acc + length(fragmentText(a)))
@@ -461,22 +456,25 @@ object TextAnalysis {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, "k must be positive")
     val distinctTerms = terms.distinct
-    def tfCol(t: String): String = s"__tf_$t"
+    // tf columns are keyed by term INDEX, not the raw term string: a
+    // term containing '.' or '`' embedded in a column name would parse
+    // as a nested-field reference and fail to resolve
+    def tfCol(i: Int): String = s"__tf_$i"
     val ws = words(col(textCol))
     val base = df.select(
       col(idCol) +: size(ws).cast("long").as("__dl") +:
-        distinctTerms.map(t =>
-          size(filter(ws, w => w === lit(t))).cast("long").as(tfCol(t))): _*)
+        distinctTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).cast("long").as(tfCol(i)) }: _*)
     val statAggs: Seq[Column] = avg(col("__dl")).as("__avgdl") +:
-      distinctTerms.map(t =>
-        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+      distinctTerms.indices.map(i =>
+        sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(s"__df_$i"))
     val stats = base.agg(count(lit(1)).as("__n"), statAggs: _*).head()
     val n = stats.getAs[Long]("__n")
     val avgdl = stats.getAs[Double]("__avgdl")
-    val score = distinctTerms.map { t =>
-      val dfT = stats.getAs[Long](s"__df_$t")
+    val score = distinctTerms.indices.map { i =>
+      val dfT = stats.getAs[Long](s"__df_$i")
       val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
-      val tf = col(tfCol(t)).cast("double")
+      val tf = col(tfCol(i)).cast("double")
       tf * (k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl)) * idf
     }.reduce(_ + _)
@@ -564,7 +562,24 @@ object TextAnalysis {
     * pair stream. Both die on exactly the head words an index is for. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 10): DataFrame = {
+    // analysis-time contract: postings order by NUMERIC doc id, so the
+    // id column must already be integral — under the session's ANSI
+    // default a string id would otherwise crash mid-job with an opaque
+    // cast error (same convention as Mixing's fractional-key guard).
+    // Null ids carry no identity for postings (CollectMinK would skip
+    // them while df/tf_total counted them, leaving the three output
+    // columns mutually inconsistent) — dropped up front, documented.
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"invertedIndex: id column '$idCol' must be integral " +
+          s"(postings order by numeric id), got $other")
+    }
     val tf = df
+      .where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         explode(words(col(textCol))).as("word"))
       .groupBy(col("word"), col("__id"))

@@ -264,6 +264,43 @@ class CurationSpec extends SparkSpec {
     assert(maxPool <= 50L)
   }
 
+  test("semDedup oversized cell: identical ZERO vectors are kept (cos=0<τ)") {
+    // cos(0⃗, 0⃗) = 0, so the pairwise semantics KEEP identical zero
+    // vectors — the exact-collapse pass must not treat them as dups
+    val zeros = (0L until 5L).map(i => i -> Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    val others = Seq(100L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      101L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      102L -> Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val corpus = vecDf(zeros ++ others: _*)
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nCentroids = 1, threshold = 0.999, maxCellSize = 3)
+      .select("vec_id").orderBy("vec_id").as[Long].collect()
+    assert(out === Array(0L, 1L, 2L, 3L, 4L, 100L, 101L, 102L))
+  }
+
+  test("semDedup pivot pass: pivot-dropped row still witnesses a residual row") {
+    // chain p—b—c at 0°/2.5°/5°: cos(p,b)=cos(b,c)=cos2.5°≈0.99905 ≥ τ
+    // but cos(p,c)=cos5°≈0.99619 < τ. In a stuck sub-cell the pivot p
+    // drops b directly; c's ONLY smaller-id witness is b — c must still
+    // drop (b rides the pairwise pool as a witness-only row)
+    def at(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = vecDf(1L -> at(0.0), 2L -> at(2.5), 3L -> at(5.0))
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nCentroids = 1, threshold = 0.999, maxCellSize = 2)
+      .select("vec_id").orderBy("vec_id").as[Long].collect()
+    assert(out === Array(1L))
+    // and the witness rows are visible in the cell stats, not hidden
+    val index = Similarity.buildIvf(corpus, "vec_id", "embedding",
+      nCentroids = 1, refineIters = 1)
+    val stats = Similarity.semDedupCellStats(index, "vec_id", "embedding",
+        threshold = 0.999, maxCellSize = 2)
+      .agg(max(col("n_vectors")), sum(col("n_witnesses"))).head()
+    assert(stats.getLong(0) <= 2L)
+    assert(stats.getLong(1) >= 1L)
+  }
+
   // ---------- composed curation gates ----------
 
   test("CurationGates.funneled: same survivors as apply; stage counts monotone") {

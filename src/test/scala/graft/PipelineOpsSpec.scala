@@ -58,6 +58,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(0)._2 > out(1)._2 && out(1)._2 > 0.0)
   }
 
+  test("bm25: terms containing '.' or '`' resolve (index-keyed tf columns)") {
+    // a term embedded verbatim in a column name would parse as a
+    // nested-field reference ("__tf_u.s") and fail analysis
+    val corpus = Seq(
+      (1L, "u.s economy grows"),
+      (2L, "the `fix` works"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        terms = Seq("u.s", "`fix`"), k = 3)
+      .as[(Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out(0)._2 > 0.0 && out(1)._2 > 0.0) // both dotted terms scored
+    assert(out(2) === ((3L, 0.0)))
+  }
+
   test("unigram log-prob: hand-computed means; empty doc gets null") {
     // corpus tokens: a a a b → p(a)=3/4, p(b)=1/4
     val corpus = Seq(
@@ -1297,6 +1312,21 @@ class PipelineOpsSpec extends SparkSpec {
     val capped = TextAnalysis.invertedIndex(corpus, "doc_id", "text", k = 1)
       .where($"word" === "bird").as[(String, Long, Long, String)].head()
     assert(capped === (("bird", 2L, 3L, "2")))
+  }
+
+  test("inverted index: string id rejected at analysis time; null ids dropped") {
+    val strIds = Seq(("doc-1", "cat")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.invertedIndex(strIds, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("must be integral"))
+    // null ids carry no identity for postings — excluded from df AND
+    // tf_total (not just silently absent from the posting sample)
+    val withNull = Seq((Some(1L), "cat"), (None, "cat cat"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.invertedIndex(withNull, "doc_id", "text")
+      .as[(String, Long, Long, String)].head()
+    assert(row === (("cat", 1L, 1L, "1")))
   }
 
   test("bigram log-prob: hand-computed conditionals; short docs get null") {
