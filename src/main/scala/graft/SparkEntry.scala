@@ -715,6 +715,122 @@ object SparkEntry {
     "q_key_skew" -> ((s, d) =>
       Profile.keySkew(t(s, d, "orders"), "o_custkey")),
 
+    // HITS hubs/authorities over the same arithmetic edge set as
+    // q_pagerank (2 iterations, L1 sum-normalized) — the oracle replays
+    // both iterations as chained CTEs; with hub₀=1 the first authority
+    // pass is exactly in-degree, so every score is a ratio of sums
+    "q_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val edges = docs.where(id % 17 =!= 0)
+        .select(id.as("src"), explode(array(
+          (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
+      LinkGraph.hits(edges, iterations = 2,
+          vertices = Some(docs.select(id.as("id"))))
+        .select(col("id").as("doc_id"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("doc_id")
+    }),
+
+    // power-of-two in-degree histogram of the same link graph — the
+    // one-glance web-graph shape check (bucket -1 = isolated docs)
+    "q_degree_dist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val edges = docs.where(id % 17 =!= 0)
+        .select(id.as("src"), explode(array(
+          (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
+        .distinct()
+      LinkGraph.degreeDistribution(
+        LinkGraph.degrees(edges, Some(docs.select(id.as("id")))),
+        "in_degree")
+    }),
+
+    // top-k word pairs by document-level PMI over the head vocabulary —
+    // collocation strength / template-spam tell; every ln input is an
+    // exact integer ratio, ranked on the ROUNDED score
+    "q_pmi" -> ((s, d) =>
+      TextAnalysis.pmiPairs(t(s, d, "documents"), "doc_id", "text",
+        vocabSize = 30, minPairCount = 2, k = 25)),
+
+    // asymmetric word-set containment: each doc's first-half prefix as
+    // the query against (a) its own full text — containment exactly 1 —
+    // and (b) its successor doc — the realistic partial-overlap case
+    "q_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 200)
+      val ws = TextAnalysis.words(col("text"))
+      val qs = docs.select((col("doc_id") + 1000000L).as("q_id"),
+        array_join(slice(ws, lit(1),
+          floor((size(ws) + 1) / lit(2)).cast("int")), " ").as("q_text"))
+      val pairs = docs.select((col("doc_id") + 1000000L).as("q_id"),
+          col("doc_id").as("d_id"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("q_id"),
+          ((col("doc_id") + 1) % 200).as("d_id")))
+      TextAnalysis.wordContainment(qs, "q_id", "q_text",
+          docs.select(col("doc_id").as("d_id"), col("text")), "d_id", "text",
+          pairs)
+        .orderBy("q_id", "d_id")
+    }),
+
+    // within-source quantile normalization of doc length — the step
+    // that makes one global "keep the top X%" threshold mean the same
+    // thing in every source
+    "q_quantile_norm" -> ((s, d) =>
+      Mixing.quantileNormalize(t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // day-grain retention cohorts over the event stream: users bucketed
+    // by first-seen day, counted at each day offset they return
+    "q_retention" -> ((s, d) =>
+      Sessionize.retentionCohorts(t(s, d, "events"), "user_id", "ts")),
+
+    // structural URL features (scheme/host/path depth/params/fragment)
+    // on URLs synthesized from doc arithmetic — crawl-frontier scoring
+    "q_url_features" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val url = concat(
+        when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        lit("www."), lower(col("source")), lit(".example.com"),
+        when(id % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/a/b"), when(id % 4 === 0, lit("/c/d")).otherwise(lit("")),
+        when(id % 3 === 0, lit("?x=1&y=2&")).otherwise(lit("")),
+        when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(id.as("doc_id"), WebFilter.urlFeatures(url).as("f"))
+        .select(col("doc_id"), col("f.scheme"), col("f.host"),
+          col("f.path_depth"), col("f.n_params"), col("f.has_fragment"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source data card: the composition rollup a corpus release
+    // publishes, in one grouped aggregate
+    "q_data_card" -> ((s, d) =>
+      Profile.dataCard(t(s, d, "documents"), "source", "text", "lang")),
+
+    // ordered conversion funnel view→click→purchase: stage k counts
+    // only events strictly after the user's first stage-(k-1) hit
+    "q_conversion" -> ((s, d) =>
+      Sessionize.conversionFunnel(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // salted skew join vs the plain-join oracle: the hot-key mitigation
+    // must be RESULT-INVISIBLE — same rows, same aggregates
+    "q_skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedEquiJoin(li, ord, "okey", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // encoding/mojibake QC on planted defects: U+FFFD keyed doc_id%11,
     // a BEL control char keyed %13, an accented char keyed %17 — counts
     // and printable ratio must match the oracle exactly
@@ -2587,6 +2703,221 @@ object SparkEntry {
         |         - sum(CAST(n AS DOUBLE)*ln(CAST(n AS DOUBLE)))
         |           / CAST(sum(n) AS DOUBLE), 6) AS entropy
         |FROM pk""".stripMargin,
+
+    // HITS: both iterations replayed as chained CTEs — same hub₀=1,
+    // same L1 sum normalization, same 6dp terminal round (the pagerank
+    // FP argument: sum-order differences are ~1e-15, far under 6dp)
+    "q_hits" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, unnest([(doc_id*7+1) % nn.n,
+        |    (doc_id*13+3) % nn.n, (doc_id+1) % nn.n]) AS dst
+        |  FROM documents, nn WHERE doc_id % 17 <> 0)),
+        |v AS (SELECT doc_id AS id FROM documents),
+        |h0 AS (SELECT id, 1.0 AS h FROM v),
+        |a1r AS (SELECT e.dst AS id, sum(h0.h) AS a FROM e
+        |        JOIN h0 ON e.src = h0.id GROUP BY 1),
+        |a1f AS (SELECT v.id, coalesce(a1r.a, 0) AS a
+        |        FROM v LEFT JOIN a1r ON v.id = a1r.id),
+        |a1s AS (SELECT sum(a) AS s FROM a1f),
+        |a1 AS (SELECT id, CASE WHEN a1s.s > 0 THEN a / a1s.s
+        |                       ELSE 0.0 END AS a FROM a1f, a1s),
+        |h1r AS (SELECT e.src AS id, sum(a1.a) AS h FROM e
+        |        JOIN a1 ON e.dst = a1.id GROUP BY 1),
+        |h1f AS (SELECT v.id, coalesce(h1r.h, 0) AS h
+        |        FROM v LEFT JOIN h1r ON v.id = h1r.id),
+        |h1s AS (SELECT sum(h) AS s FROM h1f),
+        |h1 AS (SELECT id, CASE WHEN h1s.s > 0 THEN h / h1s.s
+        |                       ELSE 0.0 END AS h FROM h1f, h1s),
+        |a2r AS (SELECT e.dst AS id, sum(h1.h) AS a FROM e
+        |        JOIN h1 ON e.src = h1.id GROUP BY 1),
+        |a2f AS (SELECT v.id, coalesce(a2r.a, 0) AS a
+        |        FROM v LEFT JOIN a2r ON v.id = a2r.id),
+        |a2s AS (SELECT sum(a) AS s FROM a2f),
+        |a2 AS (SELECT id, CASE WHEN a2s.s > 0 THEN a / a2s.s
+        |                       ELSE 0.0 END AS a FROM a2f, a2s),
+        |h2r AS (SELECT e.src AS id, sum(a2.a) AS h FROM e
+        |        JOIN a2 ON e.dst = a2.id GROUP BY 1),
+        |h2f AS (SELECT v.id, coalesce(h2r.h, 0) AS h
+        |        FROM v LEFT JOIN h2r ON v.id = h2r.id),
+        |h2s AS (SELECT sum(h) AS s FROM h2f),
+        |h2 AS (SELECT id, CASE WHEN h2s.s > 0 THEN h / h2s.s
+        |                       ELSE 0.0 END AS h FROM h2f, h2s)
+        |SELECT h2.id AS doc_id, round(h2.h, 6) AS hub,
+        |       round(a2.a, 6) AS authority
+        |FROM h2 JOIN a2 ON h2.id = a2.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // power-of-two in-degree histogram: same ln-ratio bucket with the
+    // same +1e-9 exact-power guard on both sides
+    "q_degree_dist" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, unnest([(doc_id*7+1) % nn.n,
+        |    (doc_id*13+3) % nn.n, (doc_id+1) % nn.n]) AS dst
+        |  FROM documents, nn WHERE doc_id % 17 <> 0)),
+        |ind AS (SELECT dst, count(*) AS c FROM e GROUP BY 1),
+        |deg AS (SELECT d.doc_id, coalesce(ind.c, 0) AS dg
+        |        FROM documents d LEFT JOIN ind ON d.doc_id = ind.dst)
+        |SELECT CASE WHEN dg <= 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(floor(ln(CAST(dg AS DOUBLE))/ln(2.0) + 1e-9)
+        |                      AS BIGINT) END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PMI over the head vocab: same top-30 vocab (count desc, word asc
+    // — the q_tokenize spelling), document-level pair counts a < b,
+    // ln of the exact integer ratio, ranked on the ROUNDED score
+    "q_pmi" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '') AS l FROM documents),
+        |allw AS (SELECT doc_id, unnest(l) AS word FROM wl),
+        |vocab AS (SELECT word FROM (
+        |  SELECT word, count(*) AS n FROM allw GROUP BY 1
+        |  ORDER BY n DESC, word LIMIT 30)),
+        |tok AS (SELECT DISTINCT doc_id, word FROM allw
+        |        WHERE word IN (SELECT word FROM vocab)),
+        |cw AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |pr AS (SELECT a.word AS word_a, b.word AS word_b,
+        |              count(*) AS pair_n
+        |       FROM tok a JOIN tok b
+        |         ON a.doc_id = b.doc_id AND a.word < b.word
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT word_a, word_b, pair_n,
+        |       round(ln(pair_n * 1.0 * nn.n / (ca.c * cb.c)), 6) AS pmi
+        |FROM pr, nn
+        |JOIN cw ca ON pr.word_a = ca.word
+        |JOIN cw cb ON pr.word_b = cb.word
+        |ORDER BY pmi DESC, word_a, word_b LIMIT 25""".stripMargin,
+
+    // word-set containment: same first-half prefix construction (floor
+    // of the same float division), same NULL-for-empty-query contract
+    "q_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |wl AS (SELECT doc_id, list_filter(string_split_regex(
+        |         lower(trim(text)), '\s+'), x -> x <> '') AS l FROM d),
+        |q AS (SELECT doc_id + 1000000 AS q_id,
+        |             l[1:CAST(floor((len(l)+1)/2) AS BIGINT)] AS ql FROM wl),
+        |qtok AS (SELECT q_id, unnest(list_distinct(ql)) AS w FROM q),
+        |dtok AS (SELECT doc_id AS d_id, unnest(list_distinct(l)) AS w FROM wl),
+        |pairs AS (SELECT doc_id + 1000000 AS q_id, doc_id AS d_id FROM d
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, (doc_id + 1) % 200 FROM d),
+        |inter AS (SELECT p.q_id, p.d_id, count(*) AS ni
+        |          FROM pairs p
+        |          JOIN qtok ON p.q_id = qtok.q_id
+        |          JOIN dtok ON p.d_id = dtok.d_id AND qtok.w = dtok.w
+        |          GROUP BY 1, 2),
+        |den AS (SELECT q_id, count(*) AS nd FROM qtok GROUP BY 1)
+        |SELECT p.q_id, p.d_id,
+        |       CASE WHEN den.nd IS NOT NULL
+        |            THEN round(coalesce(inter.ni, 0) * 1.0 / den.nd, 6)
+        |       END AS containment
+        |FROM pairs p
+        |LEFT JOIN inter ON p.q_id = inter.q_id AND p.d_id = inter.d_id
+        |LEFT JOIN den ON p.q_id = den.q_id
+        |ORDER BY p.q_id, p.d_id""".stripMargin,
+
+    // percent_rank is rank-based — ties share a value, deterministic
+    // in both engines without an id tie-break
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |       round(percent_rank() OVER (
+        |         PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // retention cohorts: distinct (user, day) activity, min-day cohort,
+    // integer day offsets — exact on both sides
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT coh.cohort_day,
+        |       CAST(date_diff('day', coh.cohort_day, act.day) AS BIGINT)
+        |         AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN coh ON act.u = coh.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // URL features: same synthesized URL, same RE2-safe extraction
+    // chain (anchored single-occurrence patterns — no 'g' flag needed)
+    "q_url_features" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || 'www.' || lower(source) || '.example.com'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        |    || '/a/b' || (CASE WHEN doc_id % 4 = 0 THEN '/c/d' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?x=1&y=2&' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |f AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS s0,
+        |  regexp_replace(regexp_replace(
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+        |    '^[^@]*@', ''), ':[0-9]*$', '') AS h1,
+        |  regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q FROM u)
+        |SELECT doc_id,
+        |  CASE WHEN s0 <> '' THEN lower(s0) END AS scheme,
+        |  CASE WHEN h1 <> '' THEN lower(h1) END AS host,
+        |  CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+        |       AS BIGINT) AS path_depth,
+        |  CASE WHEN q = '' THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(len(list_filter(string_split(q, '&'),
+        |                                 x -> x <> '')) AS BIGINT)
+        |  END AS n_params,
+        |  contains(url, '#') AS has_fragment
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // data card: same canonical word split, fractions from integer
+    // counts in the same expression order
+    "q_data_card" ->
+      """WITH d AS (SELECT source, lang,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS nt
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  round(CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS short_frac,
+        |  CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // conversion funnel: chained min-after-previous-stage CTEs; a
+    // zero-user stage still reports its row
+    "q_conversion" ->
+      """WITH e AS (SELECT user_id AS u, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT u, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.u = s1.u AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.u, min(e.ts) AS t FROM e
+        |       JOIN s2 ON e.u = s2.u AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY stage_idx""".stripMargin,
+
+    // the salted join must be invisible in the result: plain join oracle
+    "q_skew_join" ->
+      """SELECT o.o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // encoding QC on the same planted defects (chr spellings); length()
     // is character length in both engines, patterns RE2-safe

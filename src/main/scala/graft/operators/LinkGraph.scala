@@ -135,4 +135,83 @@ object LinkGraph {
     Packing.releaseOffsets(verts)
     ranks
   }
+
+  /** HITS hubs and authorities (Kleinberg) with L1 normalization after
+    * each half-step: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    * each rescaled to sum 1 — the sum norm (not the classic L2) keeps
+    * every number a ratio of sums that both engines compute identically
+    * from the integer first step, so the oracle can replay all
+    * iterations as chained CTEs (the [[pageRank]] convention; with
+    * hub₀ = 1 the first authority pass is exactly the in-degree).
+    *
+    * Scale shape: the deduped edge frame is shuffled TWICE up front —
+    * once by src (the authority join side) and once by dst (the hub
+    * join side) — then checkpoint-pinned, so each iteration moves only
+    * the (id, score) frames plus per-key partials; the normalizer is a
+    * 1-row aggregate broadcast into the rescale, never a driver
+    * collect. Returns (id, hub, authority), localCheckpoint-backed —
+    * release via [[Packing.releaseOffsets]] once consumed. */
+  def hits(edges: DataFrame, iterations: Int = 2,
+           vertices: Option[DataFrame] = None): DataFrame = {
+    require(iterations > 0, "hits: iterations must be positive")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val eBySrc = e.repartition(col("src")).localCheckpoint()
+    val eByDst = e.repartition(col("dst")).localCheckpoint()
+    val vertIds = vertices
+      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
+      .getOrElse(e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+      .localCheckpoint()
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c)).as("__s"))
+      df.crossJoin(broadcast(s))
+        .select(col("id"), when(col("__s") > 0, col(c) / col("__s"))
+          .otherwise(lit(0.0)).as(c))
+    }
+    var hubs = vertIds.select(col("id"), lit(1.0).as("hub"))
+      .localCheckpoint()
+    var auths = vertIds.select(col("id"), lit(0.0).as("authority"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iterations) {
+      val rawAuth = eBySrc
+        .join(hubs.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__a"))
+      val nextAuth = l1(vertIds.join(rawAuth, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__a"), lit(0.0)).as("authority")),
+        "authority").localCheckpoint()
+      Packing.releaseOffsets(auths)
+      auths = nextAuth
+      val rawHub = eByDst
+        .join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("authority")).as("__h"))
+      val nextHub = l1(vertIds.join(rawHub, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__h"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint()
+      Packing.releaseOffsets(hubs)
+      hubs = nextHub
+      iter += 1
+    }
+    val outF = hubs.join(auths, Seq("id")).localCheckpoint()
+    Seq(eBySrc, eByDst, vertIds, hubs, auths)
+      .foreach(Packing.releaseOffsets)
+    outF
+  }
+
+  /** Power-of-two histogram of a degree column: bucket = ⌊log₂ d⌋ for
+    * d > 0 (bucket b holds 2^b ≤ d < 2^(b+1)), −1 for isolated
+    * vertices — the one-glance shape check for web-graph health (a
+    * crawl whose in-degree tail is missing, or whose bucket-0 mass
+    * exploded, drifted). The `+1e-9` guard makes exact powers of two
+    * floor identically in any engine whose ln is within 1e-9 of
+    * correctly rounded (both here are ≪). One narrow aggregate. */
+  def degreeDistribution(degrees: DataFrame, degCol: String): DataFrame =
+    degrees.select(
+        when(col(degCol) <= 0, lit(-1L))
+          .otherwise(floor(
+            log(col(degCol).cast("double")) / log(lit(2.0)) + 1e-9))
+          .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("bucket")
 }

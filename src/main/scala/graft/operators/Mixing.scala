@@ -387,4 +387,26 @@ object Mixing {
       .select(col(sourceCol), col("n"),
         round(col("n") / col("__t"), 6).as("fraction"))
   }
+
+  /** Within-group quantile normalization: percent_rank of `valueCol`
+    * inside each `groupCol` — the step that makes a quality score
+    * COMPARABLE across sources before a global threshold (every
+    * curation pipeline hits this: raw lengths/scores have per-source
+    * distributions, so one absolute cutoff over- or under-prunes each
+    * source; rank-normalizing first makes "keep the top 30%" mean the
+    * same thing everywhere). Ties share a rank (SQL percent_rank), so
+    * the output is deterministic without an id tie-break; a
+    * single-row group gets 0. Appends `pct_rank` (6dp).
+    *
+    * Scale shape: one hash-partitioned sort per group — the exchange
+    * carries only the projected (id, group, value) rows the caller
+    * passes, and groups parallelize across partitions. For skewed
+    * groups at extreme scale the sketch path ([[quantileBuckets]] per
+    * group) is the approximation; this is the exact tier. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
 }

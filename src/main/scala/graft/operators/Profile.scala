@@ -233,4 +233,32 @@ object Profile {
         round(log(col("__total").cast("double")) -
           col("__nlogn") / col("__total").cast("double"), 6).as("entropy"))
   }
+
+  /** Per-source data-card rollup — the composition table every corpus
+    * release publishes (n docs, token mass, mean length, short-doc and
+    * empty-doc fractions, language spread) in ONE grouped aggregate
+    * with map-side combine: the scan tokenizes each document once
+    * (size of the canonical word split — [[Dedup.words]]) and only
+    * per-source partials shuffle. Fractions derive from integer counts
+    * in a fixed expression order, so the 6dp rounding is engine-stable.
+    * `shortTokens` is the "too short to train on" threshold. */
+  def dataCard(df: DataFrame, sourceCol: String, textCol: String,
+               langCol: String, shortTokens: Int = 20): DataFrame = {
+    val nTok = size(Dedup.words(col(textCol))).cast("long")
+    df.select(col(sourceCol).as("source"), col(langCol).as("__lang"),
+        nTok.as("__nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(when(col("__nt") < shortTokens, 1L).otherwise(0L)).as("__short"),
+        sum(when(col("__nt") === 0, 1L).otherwise(0L)).as("n_empty"),
+        countDistinct(col("__lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens"),
+        round(col("__short").cast("double") / col("n_docs"), 6)
+          .as("short_frac"),
+        col("n_empty"), col("n_langs"))
+      .orderBy("source")
+  }
 }

@@ -60,4 +60,68 @@ object Sessionize {
   def sessionizeStream(df: DataFrame, keys: Seq[String], tsCol: String,
                        gap: String, delay: String, aggs: Seq[Column]): DataFrame =
     sessionize(df.withWatermark(tsCol, delay), keys, tsCol, gap, aggs)
+
+  /** Classic day-grain retention cohorts: users grouped by FIRST-seen
+    * day, counted at each day offset they return — the triangle every
+    * activity dashboard draws, and the ingest-health signal for event
+    * streams (a cohort whose offset-1 count collapses means day-2 data
+    * went missing). Returns (cohort_day: date, day_offset, n_users),
+    * offset 0 = the cohort size itself.
+    *
+    * Scale shape: distinct (user, day) first (map-side combine crushes
+    * the per-user event fan-in), then a min-aggregate per user for the
+    * cohort day — every exchange carries (user, day) pairs, never
+    * event payloads; the final rollup is counts over 12-byte rows.
+    * Null users/timestamps are dropped (no identity → no cohort). */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val activity = df
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("__u"))
+      .agg(min(col("__day")).as("cohort_day"))
+    activity.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Ordered conversion funnel: how many users reach each stage of
+    * `stages` IN ORDER (a later stage counts only strictly after the
+    * user's first hit of the previous one) — the product-analytics
+    * staple, and the event-stream health check (a broken stage-2
+    * emitter shows as a cliff). Returns (stage_idx, stage, n_users).
+    *
+    * Scale shape: stage k is a min-timestamp aggregate of the stage's
+    * events semi-joined to the (user, t_{k-1}) frame — every exchange
+    * carries (user, ts) pairs with map-side combine, event payloads
+    * stay in the scan; the per-stage chains share their prefix, so
+    * Spark reuses the stage-1 exchange across the final union's
+    * branches rather than rescanning. Null users/timestamps are
+    * dropped (no identity → no funnel). */
+  def conversionFunnel(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "conversionFunnel needs at least one stage")
+    val base = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(typeCol).as("__k"))
+    val first = base.where(col("__k") === stages.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      base.where(col("__k") === stage)
+        .join(prev.select(col("__u"), col("__t").as("__tp")), Seq("__u"))
+        .where(col("__ts") > col("__tp"))
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+      // a global aggregate, not a groupBy: a stage nobody reached must
+      // still report (stage, 0) — funnels exist to show the cliff
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+      .orderBy("stage_idx")
+  }
 }

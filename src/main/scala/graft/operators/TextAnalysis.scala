@@ -637,4 +637,84 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logprob"))
   }
+
+  /** Top-k word pairs by document-level pointwise mutual information:
+    * pmi(a,b) = ln(N·c(a,b) / (c(a)·c(b))) where c counts DOCUMENTS
+    * containing the word (pair), a < b lexically — the collocation /
+    * topic-coherence signal corpus reports lead with, and the
+    * template-spam tell (boilerplate phrase pairs pin PMI at its
+    * ceiling). `minPairCount` suppresses the unstable low-count tail
+    * (classic PMI pathology: a 1-in-N coincidence scores highest).
+    *
+    * Scale shape: the corpus side reduces to distinct (id, word) pairs
+    * RESTRICTED to a `vocabSize`-bounded head vocabulary (broadcast
+    * in-set filter) before anything shuffles — text never moves; the
+    * pair join is keyed on doc id with per-doc fan-out ≤ C(v,2) where
+    * v ≤ min(vocab ∩ doc), and pair counts combine map-side. All
+    * inputs to the ln are exact integers, so the 6dp-rounded score is
+    * engine-stable; ranking happens on the ROUNDED score with an
+    * (a, b) tie-break. */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int = 200, minPairCount: Long = 2,
+               k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val vocab = buildVocab(df, textCol, vocabSize)
+    val n = df.count()
+    val tok = df.select(col(idCol).as("__id"),
+        explode(array_distinct(words(col(textCol)))).as("__w"))
+      .where(col("__w").isInCollection(vocab))
+    val wordN = tok.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val pairN = tok.as("a")
+      .join(tok.as("b"), col("a.__id") === col("b.__id") &&
+        col("a.__w") < col("b.__w"))
+      .groupBy(col("a.__w").as("word_a"), col("b.__w").as("word_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .where(col("pair_n") >= minPairCount)
+    pairN
+      .join(wordN.select(col("__w").as("word_a"), col("__cw").as("__ca")),
+        Seq("word_a"))
+      .join(wordN.select(col("__w").as("word_b"), col("__cw").as("__cb")),
+        Seq("word_b"))
+      .select(col("word_a"), col("word_b"), col("pair_n"),
+        round(log(col("pair_n").cast("double") * n /
+          (col("__ca") * col("__cb"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("word_a"), col("word_b"))
+      .limit(k)
+  }
+
+  /** Asymmetric word-set containment |W(q) ∩ W(d)| / |W(q)| for given
+    * (query, doc) candidate pairs — the near-dup metric Jaccard
+    * misses: a document QUOTING another wholesale scores ~1 here while
+    * symmetric Jaccard dilutes with the host document's length
+    * (subset-duplicate detection, quote/aggregator filtering).
+    * `pairs` carries (qIdCol, dIdCol); returns it back with
+    * `containment` (NULL for an empty query word set — surfaced, not
+    * defaulted to 0).
+    *
+    * Scale shape: both sides reduce to distinct (id, word) — text
+    * stays in its scan; the intersection join is keyed (doc id, word)
+    * after the narrow pair fan-in, so payload never shuffles and each
+    * candidate pair costs |W(q)| probe rows, not |q|×|d|. */
+  def wordContainment(queries: DataFrame, qIdCol: String, qTextCol: String,
+                      corpus: DataFrame, dIdCol: String, dTextCol: String,
+                      pairs: DataFrame): DataFrame = {
+    require(qIdCol != dIdCol,
+      s"wordContainment: pairs needs DISTINCT id column names, got '$qIdCol' twice")
+    val qTok = queries.select(col(qIdCol).as("__qid"),
+      explode(array_distinct(words(col(qTextCol)))).as("__w"))
+    val dTok = corpus.select(col(dIdCol).as("__did"),
+      explode(array_distinct(words(col(dTextCol)))).as("__w"))
+    val p = pairs.select(col(qIdCol).as("__qid"), col(dIdCol).as("__did"))
+    val inter = p.join(qTok, Seq("__qid"))
+      .join(dTok, Seq("__did", "__w"))
+      .groupBy(col("__qid"), col("__did"))
+      .agg(count(lit(1)).as("__inter"))
+    val denom = qTok.groupBy(col("__qid")).agg(count(lit(1)).as("__den"))
+    p.join(inter, Seq("__qid", "__did"), "left")
+      .join(denom, Seq("__qid"), "left")
+      .select(col("__qid").as(qIdCol), col("__did").as(dIdCol),
+        when(col("__den").isNotNull,
+          round(coalesce(col("__inter"), lit(0L)).cast("double") /
+            col("__den"), 6)).as("containment"))
+  }
 }

@@ -85,4 +85,32 @@ object WebFilter {
       .select(col(idCol)).distinct()
     df.join(blockedIds, Seq(idCol), "left_anti")
   }
+
+  /** Structural URL features for crawl-frontier scoring and quality
+    * filtering — scheme, host, path depth, query-parameter count,
+    * fragment flag: deep paths and parameter-heavy URLs correlate with
+    * faceted-navigation/session junk; `https` share is a standard
+    * crawl-health metric. Pure codegen'd regex/split projection (all
+    * patterns RE2-safe, so a SQL oracle replays the identical chain);
+    * a malformed URL yields null scheme/host rather than an error —
+    * classification, not validation. Returns a struct
+    * (scheme, host, path_depth, n_params, has_fragment). */
+  def urlFeatures(url: Column): Column = {
+    val scheme0 = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val host0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    // strip userinfo and port — classification keys on the host alone
+    val host1 = regexp_replace(regexp_replace(host0, "^[^@]*@", ""),
+      ":[0-9]*$", "")
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    struct(
+      when(scheme0 =!= "", lower(scheme0)).as("scheme"),
+      when(host1 =!= "", lower(host1)).as("host"),
+      size(filter(split(path, "/"), s => s =!= "")).cast("long")
+        .as("path_depth"),
+      when(query === "", lit(0L))
+        .otherwise(size(filter(split(query, "&"), s => s =!= "")).cast("long"))
+        .as("n_params"),
+      url.contains("#").as("has_fragment"))
+  }
 }

@@ -119,4 +119,43 @@ class LinkGraphSpec extends SparkSpec {
     val df = Seq("x", "x", "y", "y").toDF("k")
     assert(Profile.keySkew(df, "k").head().getString(2) === "y")
   }
+
+  test("hits: hand-computed two iterations, L1-normalized, isolated vertex 0") {
+    // 0→1, 0→2, 1→2; vertex 3 isolated
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val out = LinkGraph.hits(edges, iterations = 2, vertices = Some(verts))
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    Packing.releaseOffsets(out)
+    // iter 1: auth raw = in-degree (0,1,2,0) → a1 = (0, 1/3, 2/3, 0)
+    // hub raw: h(0)=a1(1)+a1(2)=1, h(1)=a1(2)=2/3 → h1 = (3/5, 2/5, 0, 0)
+    // iter 2: auth raw: a(1)=h1(0)=3/5, a(2)=h1(0)+h1(1)=1
+    //   → a2 = (0, 3/8, 5/8, 0)
+    // hub raw: h(0)=a2(1)+a2(2)=1, h(1)=a2(2)=5/8 → h2 = (8/13, 5/13, 0, 0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(g => (g._1, r6(g._2), r6(g._3))) === Array(
+      (0L, r6(8.0 / 13), 0.0), (1L, r6(5.0 / 13), 0.375),
+      (2L, 0.0, 0.625), (3L, 0.0, 0.0)))
+  }
+
+  test("hits: empty edge set normalizes to all-zero scores, not NaN") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val verts = Seq(1L, 2L).toDF("id")
+    val out = LinkGraph.hits(edges, iterations = 1, vertices = Some(verts))
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    Packing.releaseOffsets(out)
+    assert(got === Array((1L, 0.0, 0.0), (2L, 0.0, 0.0)))
+  }
+
+  test("degreeDistribution: power-of-two buckets, isolated bucket -1") {
+    // degrees 0, 1, 2, 3, 4, 8 → buckets -1, 0, 1, 1, 2, 3
+    val deg = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
+      (6L, 8L)).toDF("id", "in_degree")
+    val out = LinkGraph.degreeDistribution(deg, "in_degree")
+      .as[(Long, Long)].collect()
+    assert(out === Array((-1L, 1L), (0L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+  }
 }

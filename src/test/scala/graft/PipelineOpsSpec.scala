@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextExpressions, VectorExpressions}
-import graft.operators.{Dedup, Mixing, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Mixing, Multimodal, Profile, Sessionize, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the driver-generated documents /
   * embeddings tables (TESTDATA.md). */
@@ -1327,6 +1327,129 @@ class PipelineOpsSpec extends SparkSpec {
     val row = TextAnalysis.invertedIndex(withNull, "doc_id", "text")
       .as[(String, Long, Long, String)].head()
     assert(row === (("cat", 1L, 1L, "1")))
+  }
+
+  test("pmiPairs: hand-computed scores, min-count floor, rounded-rank order") {
+    // docs: {a,b} {a,b} {a,c} {b,c} {a} → N=5
+    // doc counts: c(a)=4, c(b)=3, c(c)=2
+    // pairs: (a,b)=2, (a,c)=1, (b,c)=1 → only (a,b) clears min 2
+    val corpus = Seq((1L, "a b"), (2L, "b a"), (3L, "a c"),
+      (4L, "c b"), (5L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(corpus, "doc_id", "text",
+        vocabSize = 10, minPairCount = 2, k = 5)
+      .as[(String, String, Long, Double)].collect()
+    val expected = BigDecimal(math.log(2.0 * 5 / (4 * 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array(("a", "b", 2L, expected)))
+  }
+
+  test("pmiPairs: vocab bound excludes tail words from pairing") {
+    // "z" appears once — with vocabSize=2 only {a,b} are eligible
+    val corpus = Seq((1L, "a b z"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(corpus, "doc_id", "text",
+        vocabSize = 2, minPairCount = 1, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)) === Array(("a", "b")))
+  }
+
+  test("wordContainment: subset scores 1, partial overlap exact, empty query null") {
+    val queries = Seq((10L, "a b"), (11L, "x y z"), (12L, ""))
+      .toDF("q_id", "q_text")
+    val corpus = Seq((1L, "a b c d"), (2L, "x q r"))
+      .toDF("d_id", "text")
+    val pairs = Seq((10L, 1L), (11L, 2L), (12L, 1L)).toDF("q_id", "d_id")
+    val out = TextAnalysis.wordContainment(
+        queries, "q_id", "q_text", corpus, "d_id", "text", pairs)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out === Array(
+      (10L, 1L, Some(1.0)),          // {a,b} ⊆ {a,b,c,d}
+      (11L, 2L, Some(0.333333)),     // {x} of {x,y,z}
+      (12L, 1L, None)))              // empty query set → null
+  }
+
+  test("quantileNormalize: percent_rank per group, ties share a value") {
+    val df = Seq(("s1", 10L), ("s1", 20L), ("s1", 20L), ("s1", 30L),
+      ("s2", 5L)).toDF("source", "v")
+    val out = Mixing.quantileNormalize(df, "source", "v")
+      .orderBy("source", "v").as[(String, Long, Double)].collect()
+    assert(out === Array(
+      ("s1", 10L, 0.0), ("s1", 20L, 0.333333), ("s1", 20L, 0.333333),
+      ("s1", 30L, 1.0), ("s2", 5L, 0.0)))
+  }
+
+  test("retentionCohorts: hand-computed triangle; nulls dropped") {
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d $h%02d:00:00")
+    val events = Seq(
+      (Some(1L), ts(1, 9)), (Some(1L), ts(1, 17)), (Some(1L), ts(2, 9)),
+      (Some(2L), ts(1, 9)), (Some(2L), ts(3, 9)),
+      (Some(3L), ts(2, 9)),
+      (None, ts(1, 9))).toDF("user_id", "ts")
+    val out = Sessionize.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      ("2024-01-01", 0L, 2L),  // users 1, 2 first seen day 1
+      ("2024-01-01", 1L, 1L),  // user 1 returns day 2
+      ("2024-01-01", 2L, 1L),  // user 2 returns day 3
+      ("2024-01-02", 0L, 1L))) // user 3 cohort of day 2
+  }
+
+  test("conversionFunnel: order matters; empty stage still reports 0") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(5), "click"), (2L, ts(6), "view"),   // click BEFORE view
+      (3L, ts(1), "view")).toDF("user_id", "ts", "event_type")
+    val out = Sessionize.conversionFunnel(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect()
+    // user 2's click precedes their first view → not converted
+    assert(out === Array(
+      (1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+    // a funnel nobody finishes still reports the cliff
+    val none = Sessionize.conversionFunnel(events, "user_id", "ts",
+        "event_type", Seq("purchase", "view"))
+      .as[(Long, String, Long)].collect()
+    assert(none === Array((1L, "purchase", 1L), (2L, "view", 0L)))
+  }
+
+  test("urlFeatures: full URL, userinfo+port strip, malformed → nulls") {
+    val df = Seq(
+      "https://user:pw@WWW.Example.COM:8080/a/b/c?x=1&y=2#frag",
+      "http://host.org",
+      "not a url").toDF("url")
+    val out = df.select(graft.operators.WebFilter.urlFeatures(col("url")).as("f"))
+      .select("f.scheme", "f.host", "f.path_depth", "f.n_params",
+        "f.has_fragment")
+      .collect()
+    assert(out(0).getString(0) === "https")
+    assert(out(0).getString(1) === "www.example.com")
+    assert(out(0).getLong(2) === 3L && out(0).getLong(3) === 2L)
+    assert(out(0).getBoolean(4))
+    assert(out(1).getString(0) === "http" && out(1).getString(1) === "host.org")
+    assert(out(1).getLong(2) === 0L && out(1).getLong(3) === 0L)
+    assert(!out(1).getBoolean(4))
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+    assert(out(2).getLong(2) === 0L && out(2).getLong(3) === 0L)
+  }
+
+  test("dataCard: hand-computed per-source rollup, empty docs counted") {
+    val docs = Seq(
+      ("s1", "en", "one two three"),
+      ("s1", "fr", ""),
+      ("s2", "en", "a b c d e")).toDF("source", "lang", "text")
+    val out = Profile.dataCard(docs, "source", "text", "lang",
+        shortTokens = 4).collect()
+    val s1 = out(0)
+    assert(s1.getString(0) === "s1" && s1.getLong(1) === 2L)
+    assert(s1.getLong(2) === 3L)                 // total tokens
+    assert(s1.getDouble(3) === 1.5)              // avg
+    assert(s1.getDouble(4) === 1.0)              // both < 4 tokens
+    assert(s1.getLong(5) === 1L && s1.getLong(6) === 2L) // empty, langs
+    val s2 = out(1)
+    assert(s2.getLong(2) === 5L && s2.getDouble(4) === 0.0)
   }
 
   test("bigram log-prob: hand-computed conditionals; short docs get null") {

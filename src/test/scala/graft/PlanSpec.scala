@@ -570,4 +570,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("TakeOrdered") && !p.contains("Sort "),
       s"keySkew must not sort the key stream:\n$p")
   }
+
+  test("urlFeatures: pure projection — zero shuffles, zero UDFs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      graft.operators.WebFilter.urlFeatures(
+        concat(lit("https://h.example.com/a/"), col("doc_id"))).as("f"))
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"urlFeatures shuffled:\n$p")
+    assert(!p.contains("ScalaUDF"), s"urlFeatures used a UDF:\n$p")
+  }
+
+  test("dataCard: one aggregate pass, text never enters an exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Profile.dataCard(docs, "source", "text", "lang")
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"dataCard exchange must carry per-source partials, not text: $names")
+    }
+    val p = plan(out)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"dataCard must combine map-side:\n$p")
+  }
+
+  test("pmiPairs: exchanges carry (id, word) tokens, never document text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.pmiPairs(
+      docs, "doc_id", "text", vocabSize = 10, minPairCount = 1, k = 5)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"pmi exchange must carry tokens, not documents: $names")
+    }
+  }
 }
