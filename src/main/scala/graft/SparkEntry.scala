@@ -817,6 +817,42 @@ object SparkEntry {
       Sessionize.conversionFunnel(t(s, d, "events"), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
 
+    // language-ID confusion matrix against the table's lang label —
+    // the evaluation half of q_langid_dist (same deterministic scoring)
+    "q_lang_confusion" -> ((s, d) => {
+      TextExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // exact per-source length percentiles at dyadic probabilities —
+    // interpolation is exactly representable in both engines
+    "q_len_percentiles" -> ((s, d) =>
+      Profile.groupPercentiles(t(s, d, "documents"), "source", "n_chars")),
+
+    // exact-dup cluster-size histogram: the dedup planning number
+    // (docs planted: every doc_id%10==0 text appears twice, %20==0
+    // three times — the histogram must see sizes 1, 2 AND 3)
+    "q_dup_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val planted = docs
+        .unionByName(docs.where(col("doc_id") % 10 === 0))
+        .unionByName(docs.where(col("doc_id") % 20 === 0))
+      Dedup.duplicateClusterHistogram(planted, "text")
+    }),
+
+    // Gini concentration of per-source token mass — corpus balance
+    "q_token_gini" -> ((s, d) =>
+      Profile.giniConcentration(t(s, d, "documents"), "source",
+        size(TextAnalysis.words(col("text"))).cast("long"))),
+
+    // day-over-day event-volume trend ratios per type (first day NULL)
+    "q_daily_trend" -> ((s, d) =>
+      Drift.dailyTrend(t(s, d, "events"), "ts", "event_type")
+        .orderBy("event_type", "day")),
+
     // salted skew join vs the plain-join oracle: the hot-key mitigation
     // must be RESULT-INVISIBLE — same rows, same aggregates
     "q_skew_join" -> ((s, d) => {
@@ -2910,6 +2946,98 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
         |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
         |ORDER BY stage_idx""".stripMargin,
+
+    // confusion matrix: the q_langid_dist scoring CTEs with the lang
+    // label joined back for the (label, prediction) rollup
+    "q_lang_confusion" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN word IN ('der','die','und','das','ist','von','den','mit','für','auf') THEN 1 ELSE 0 END) AS s_de,
+        |    sum(CASE WHEN word IN ('the','and','of','to','in','is','that','it','was','for') THEN 1 ELSE 0 END) AS s_en,
+        |    sum(CASE WHEN word IN ('el','la','de','que','y','en','los','se','del','las') THEN 1 ELSE 0 END) AS s_es,
+        |    sum(CASE WHEN word IN ('le','la','les','de','des','et','est','dans','que','une') THEN 1 ELSE 0 END) AS s_fr
+        |  FROM dw GROUP BY doc_id),
+        |zh AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN strpos(text,'的')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'了')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'是')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'在')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'我')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'有')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'他')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'这')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'中')>0 THEN 1 ELSE 0 END
+        |   + CASE WHEN strpos(text,'大')>0 THEN 1 ELSE 0 END)::BIGINT AS s_zh
+        |  FROM documents),
+        |pick AS (
+        |  SELECT d.doc_id, d.lang,
+        |    list_max([
+        |      {'s': coalesce(sc.s_de, 0)::BIGINT, 'l': 'de'},
+        |      {'s': coalesce(sc.s_en, 0)::BIGINT, 'l': 'en'},
+        |      {'s': coalesce(sc.s_es, 0)::BIGINT, 'l': 'es'},
+        |      {'s': coalesce(sc.s_fr, 0)::BIGINT, 'l': 'fr'},
+        |      {'s': zh.s_zh, 'l': 'zh'}]) AS best
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |  JOIN zh ON d.doc_id = zh.doc_id)
+        |SELECT lang, lang_pred, count(*) AS n FROM (
+        |  SELECT lang, CASE WHEN best.s > 0 THEN best.l ELSE 'und' END
+        |    AS lang_pred FROM pick)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // dyadic-probability exact percentiles: idx = p·(n−1) linear
+    // interpolation on integer inputs — bit-identical in both engines
+    "q_len_percentiles" ->
+      """SELECT source,
+        |       quantile_cont(n_chars, 0.25) AS p25,
+        |       quantile_cont(n_chars, 0.5)  AS p50,
+        |       quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // md5 matches across engines (the oracle-parity convention)
+    "q_dup_hist" ->
+      """WITH planted AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+        |      FROM planted GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gini over ascending (mass, source)-ranked sums — same rank order,
+    // same integer sums, same expression order into the 6dp round
+    "q_token_gini" ->
+      """WITH m AS (
+        |  SELECT source AS g,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> ''))) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY m, g) AS BIGINT) AS i,
+        |             m FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(m) AS BIGINT) AS total_weight,
+        |       round(2.0 * CAST(sum(i * m) AS DOUBLE)
+        |               / (count(*) * CAST(sum(m) AS BIGINT))
+        |             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+
+    // day-grain trend: same lag-over-present-days window, ratio of
+    // exact integer counts, NULL on each group's first day
+    "q_daily_trend" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |       round(n * 1.0 / lag(n) OVER (
+        |         PARTITION BY event_type ORDER BY day), 6) AS ratio
+        |FROM c ORDER BY event_type, day""".stripMargin,
 
     // the salted join must be invisible in the result: plain join oracle
     "q_skew_join" ->

@@ -76,6 +76,21 @@ object Dedup {
     dropExactDuplicatesBy(df, idCol, textCol, xxhash64(col(textCol)), exact,
       keepBy)
 
+  /** Exact-duplicate cluster-size histogram: (cluster_size,
+    * n_clusters) — the dedup PLANNING number (how much a pass will
+    * remove, and whether one mega-cluster dominates) read BEFORE
+    * running the pass. `hash` defaults to md5 so a SQL oracle can
+    * replay it; production uses xxhash64 (8-byte keys) via the
+    * parameter. Two narrow aggregates: the shuffle carries (hash)
+    * then (size) — text never moves. */
+  def duplicateClusterHistogram(df: DataFrame, textCol: String,
+      hash: Column => Column = md5(_)): DataFrame =
+    df.groupBy(hash(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** [[dropExactDuplicates]] with an injectable hash column (tests force
     * collisions with a constant hash — crafting real xxhash64 collisions
     * is not practical). `exact = true` adds the CONTENT column to the

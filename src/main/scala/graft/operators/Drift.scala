@@ -296,4 +296,25 @@ object Drift {
       .withColumn("anomaly",
         coalesce(abs(col("z")) >= zThreshold, lit(false)))
   }
+
+  /** Day-over-day volume trend per group: daily counts with the ratio
+    * to the previous PRESENT day (lag over the group's day sequence;
+    * the first day's ratio is NULL — cold start, never flagged as
+    * movement). The [[volumeAnomalies]] companion at day grain: z
+    * scores catch spikes against local history, the ratio is the
+    * human-readable movement number dashboards plot. Exchanges carry
+    * (group, day, count) rows only; the lag window partitions by group
+    * over the day-count-bounded daily frame, never the event stream. */
+  def dailyTrend(df: DataFrame, tsCol: String,
+                 groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .where(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+    daily.select(col(groupCol), col("day"), col("n"),
+      round(col("n").cast("double") / lag(col("n"), 1).over(w), 6)
+        .as("ratio"))
+  }
 }

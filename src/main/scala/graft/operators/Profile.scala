@@ -234,6 +234,48 @@ object Profile {
           col("__nlogn") / col("__total").cast("double"), 6).as("entropy"))
   }
 
+  /** Exact per-group percentiles of a numeric column at dyadic
+    * probabilities — p ∈ {.25, .5, .75} on integer inputs interpolates
+    * to exactly representable doubles in any engine (idx = p·(n−1),
+    * linear), so the oracle needs no rounding. The EXACT tier (one
+    * sort-based aggregate per group, map-side partials); the sketch
+    * path at scale is `approx_percentile` via [[columnStats]]. */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(ps.nonEmpty, "groupPercentiles needs at least one probability")
+    val arr = ps.mkString("array(", ", ", ")")
+    val base = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $arr)").as("__q"))
+    val cols = col(groupCol) +: ps.zipWithIndex.map { case (p, i) =>
+      base.col("__q").getItem(i)
+        .as(s"p${(p * 100).round}")
+    }
+    base.select(cols: _*).orderBy(groupCol)
+  }
+
+  /** Gini coefficient of a weight column across groups — the one-number
+    * corpus-balance signal (0 = every source contributes equal token
+    * mass, →1 = one source dominates): G = 2·Σᵢ i·mᵢ / (k·Σm) − (k+1)/k
+    * over ascending-sorted group masses (ties broken by group name so
+    * both engines rank identically). Returns one row
+    * (n_groups, total_weight, gini 6dp). The rank window runs on the
+    * GROUP-count-sized frame (k rows), never the corpus. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(weightCol).as("__m"))
+    val w = Window.orderBy(col("__m"), col("__g"))
+    mass.select(row_number().over(w).cast("long").as("__i"), col("__m"))
+      .agg(sum(col("__i") * col("__m")).as("__sim"),
+        sum(col("__m")).as("__sm"), count(lit(1)).as("n_groups"))
+      .select(col("n_groups"), col("__sm").as("total_weight"),
+        round(lit(2.0) * col("__sim") /
+            (col("n_groups") * col("__sm")) -
+          (col("n_groups") + 1).cast("double") / col("n_groups"), 6)
+          .as("gini"))
+  }
+
   /** Per-source data-card rollup — the composition table every corpus
     * release publishes (n docs, token mass, mean length, short-doc and
     * empty-doc fractions, language spread) in ONE grouped aggregate

@@ -1396,6 +1396,51 @@ class PipelineOpsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L))) // user 3 cohort of day 2
   }
 
+  test("groupPercentiles: hand-computed linear interpolation") {
+    // group a: values 1..5 → p25 = 2, p50 = 3, p75 = 4
+    // group b: values 10, 20 → p25 = 12.5, p50 = 15, p75 = 17.5
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("b", 10L), ("b", 20L))).toDF("g", "v")
+    val out = Profile.groupPercentiles(df, "g", "v")
+      .as[(String, Double, Double, Double)].collect()
+    assert(out === Array(("a", 2.0, 3.0, 4.0), ("b", 12.5, 15.0, 17.5)))
+  }
+
+  test("giniConcentration: equal masses → 0; dominance → near 1") {
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "m")
+    val r = Profile.giniConcentration(eq, "g", col("m")).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 15L)
+    assert(r.getDouble(2) === 0.0)
+    // masses 1, 1, 98: G = 2*(1*1+2*1+3*98)/(3*100) - 4/3 = 0.646667
+    val skew = Seq(("a", 98L), ("b", 1L), ("c", 1L)).toDF("g", "m")
+    val g = Profile.giniConcentration(skew, "g", col("m")).head().getDouble(2)
+    assert(g === BigDecimal(2.0 * (1 + 2 + 3 * 98) / 300 - 4.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("duplicateClusterHistogram: sizes from planted copies") {
+    val df = Seq("x", "x", "x", "y", "y", "z").toDF("text")
+    val out = Dedup.duplicateClusterHistogram(df, "text")
+      .as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("dailyTrend: ratio to previous present day, first day null") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d%d 10:00:00")
+    val events = (Seq.fill(2)(("a", ts(1))) ++ Seq.fill(6)(("a", ts(2))) ++
+      Seq.fill(3)(("a", ts(4))) ++ Seq(("b", ts(1))))
+      .toDF("event_type", "ts")
+    val out = graft.operators.Drift.dailyTrend(events, "ts", "event_type")
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out === Array(
+      ("a", "2024-01-01", 2L, None),
+      ("a", "2024-01-02", 6L, Some(3.0)),
+      ("a", "2024-01-04", 3L, Some(0.5)), // vs last PRESENT day (the 2nd)
+      ("b", "2024-01-01", 1L, None)))
+  }
+
   test("conversionFunnel: order matters; empty stage still reports 0") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     val events = Seq(
