@@ -853,6 +853,14 @@ object SparkEntry {
       Drift.dailyTrend(t(s, d, "events"), "ts", "event_type")
         .orderBy("event_type", "day")),
 
+    // BPE tokenizer-vocabulary training, first 4 merges: corpus touched
+    // once (word-frequency agg); each merge runs on the vocab-bounded
+    // frame. The oracle replays all 4 rounds as chained CTEs — both
+    // engines' literal replace is leftmost-first non-overlapping,
+    // which IS the BPE within-iteration rule
+    "q_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(t(s, d, "documents"), "text", nMerges = 4)),
+
     // salted skew join vs the plain-join oracle: the hot-key mitigation
     // must be RESULT-INVISIBLE — same rows, same aggregates
     "q_skew_join" -> ((s, d) => {
@@ -3038,6 +3046,62 @@ object SparkEntry {
         |       round(n * 1.0 / lag(n) OVER (
         |         PARTITION BY event_type ORDER BY day), 6) AS ratio
         |FROM c ORDER BY event_type, day""".stripMargin,
+
+    // BPE: four merge rounds as chained CTEs; pair ties break
+    // (count desc, left, right) in both engines' binary string order
+    "q_bpe_merges" ->
+      """WITH ws AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS w FROM documents),
+        |wf0 AS (
+        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+        |           AS s,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM ws GROUP BY w),
+        |p1 AS (SELECT l[i] AS a, l[i+1] AS b,
+        |              CAST(sum(freq) AS BIGINT) AS n
+        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
+        |                     x -> x <> '') AS l FROM wf0))
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        |wf1 AS (SELECT replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
+        |                       ' ' || m1.a || m1.b || ' ') AS s, freq
+        |        FROM wf0, m1),
+        |p2 AS (SELECT l[i] AS a, l[i+1] AS b,
+        |              CAST(sum(freq) AS BIGINT) AS n
+        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
+        |                     x -> x <> '') AS l FROM wf1))
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        |wf2 AS (SELECT replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
+        |                       ' ' || m2.a || m2.b || ' ') AS s, freq
+        |        FROM wf1, m2),
+        |p3 AS (SELECT l[i] AS a, l[i+1] AS b,
+        |              CAST(sum(freq) AS BIGINT) AS n
+        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
+        |                     x -> x <> '') AS l FROM wf2))
+        |       GROUP BY 1, 2),
+        |m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+        |wf3 AS (SELECT replace(s, ' ' || m3.a || ' ' || m3.b || ' ',
+        |                       ' ' || m3.a || m3.b || ' ') AS s, freq
+        |        FROM wf2, m3),
+        |p4 AS (SELECT l[i] AS a, l[i+1] AS b,
+        |              CAST(sum(freq) AS BIGINT) AS n
+        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
+        |                     x -> x <> '') AS l FROM wf3))
+        |       GROUP BY 1, 2),
+        |m4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS merge_idx, a AS "left", b AS "right",
+        |         n AS pair_count FROM m1
+        |  UNION ALL SELECT 2, a, b, n FROM m2
+        |  UNION ALL SELECT 3, a, b, n FROM m3
+        |  UNION ALL SELECT 4, a, b, n FROM m4)
+        |ORDER BY merge_idx""".stripMargin,
 
     // the salted join must be invisible in the result: plain join oracle
     "q_skew_join" ->

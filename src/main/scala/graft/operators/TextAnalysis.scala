@@ -682,6 +682,74 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    * tokenizer-vocabulary job every LLM pipeline runs over its corpus:
+    * start from characters, repeatedly merge the most frequent adjacent
+    * symbol pair. Returns the learned merge table
+    * (merge_idx, left, right, pair_count), ties broken (count desc,
+    * left, right) so the sequence is deterministic and SQL-replayable.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus is
+    * touched ONCE (word-frequency aggregate, map-side combine); every
+    * merge iteration then runs on the VOCAB-bounded (symbols, freq)
+    * frame — pair counts are a narrow aggregate weighted by word
+    * frequency, the winning pair is a 1-row driver fetch (inherently
+    * sequential — each merge depends on the last), and the merge
+    * itself is one literal `replace` projection over the vocab frame,
+    * checkpoint-rotated per round (the [[LinkGraph.pageRank]]
+    * convention) so lineage and pinned blocks stay constant in
+    * `nMerges`. Symbols ride a space-delimited string because both
+    * engines' literal `replace` is leftmost-first non-overlapping —
+    * exactly BPE's within-iteration semantics (" a a a " merges once).
+    * Caveat: characters are Java code units, so astral-plane symbols
+    * (emoji) differ from a codepoint tokenizer — the documented bound
+    * of the char tier. */
+  def bpeTrain(df: DataFrame, textCol: String,
+               nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wf0 = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")),
+        lit(" ")).as("s"), col("freq"))
+    var wf = wf0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var i = 1
+    var exhausted = false
+    while (i <= nMerges && !exhausted) {
+      val l = filter(split(col("s"), " "), x => x =!= "")
+      val pairs = wf.select(col("freq"), explode(arrays_zip(
+          slice(l, lit(1), greatest(size(l) - 1, lit(0))).as("a"),
+          slice(l, lit(2), greatest(size(l) - 1, lit(0))).as("b")))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val top = pairs.orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Row(i.toLong, a, b, n)
+        val next = wf.select(
+            replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")).as("s"),
+            col("freq"))
+          .localCheckpoint()
+        Packing.releaseOffsets(wf)
+        wf = next
+        i += 1
+      }
+    }
+    Packing.releaseOffsets(wf)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      StructType(Seq(StructField("merge_idx", LongType, nullable = false),
+        StructField("left", StringType), StructField("right", StringType),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
   /** Asymmetric word-set containment |W(q) ∩ W(d)| / |W(q)| for given
     * (query, doc) candidate pairs — the near-dup metric Jaccard
     * misses: a document QUOTING another wholesale scores ~1 here while

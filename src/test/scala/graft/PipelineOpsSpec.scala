@@ -1396,6 +1396,27 @@ class PipelineOpsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L))) // user 3 cohort of day 2
   }
 
+  test("bpeTrain: hand-computed merge sequence on a tiny corpus") {
+    // words: "low" ×3, "lower" ×1 → chars l o w (4), e r tail (1)
+    // merge 1: pairs (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1
+    //   → tie (l,o) vs (o,w) breaks on left asc: (l,o), count 4
+    // merge 2: (lo,w)=4, (w,e)=1, (e,r)=1 → (lo,w), count 4
+    // merge 3: (low,e)=1, (e,r)=1 → (e,r) ties (low,e)? counts 1,1 →
+    //   left asc: "e" < "low" → (e,r), count 1
+    // merge 4: (low,er)=1 → (low,er), count 1
+    val corpus = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(corpus, "text", nMerges = 4)
+      .as[(Long, String, String, Long)].collect()
+    assert(out === Array(
+      (1L, "l", "o", 4L), (2L, "lo", "w", 4L),
+      (3L, "e", "r", 1L), (4L, "low", "er", 1L)))
+    // exhaustion: every word collapses to one symbol → stops early
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = TextAnalysis.bpeTrain(tiny, "text", nMerges = 5)
+      .as[(Long, String, String, Long)].collect()
+    assert(ex === Array((1L, "a", "b", 1L)))
+  }
+
   test("groupPercentiles: hand-computed linear interpolation") {
     // group a: values 1..5 → p25 = 2, p50 = 3, p75 = 4
     // group b: values 10, 20 → p25 = 12.5, p50 = 15, p75 = 17.5
