@@ -688,16 +688,11 @@ object SparkEntry {
     // centrality as a curation quality signal; the oracle replays all
     // four iterations as chained CTEs
     "q_pagerank" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val n = docs.count()
-      val id = col("doc_id").cast("long")
-      val edges = docs.where(id % 17 =!= 0)
-        .select(id.as("src"), explode(array(
-          (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
+      val (edges, verts) = syntheticEdges(t(s, d, "documents"))
       // result frame is localCheckpoint-backed (Packing.releaseOffsets
       // ownership convention); at N=|docs| rows the pin is result-sized
       LinkGraph.pageRank(edges, iterations = 4, damping = 0.85,
-          vertices = Some(docs.select(id.as("id"))))
+          vertices = Some(verts))
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
     }),
@@ -720,14 +715,8 @@ object SparkEntry {
     // both iterations as chained CTEs; with hub₀=1 the first authority
     // pass is exactly in-degree, so every score is a ratio of sums
     "q_hits" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val n = docs.count()
-      val id = col("doc_id").cast("long")
-      val edges = docs.where(id % 17 =!= 0)
-        .select(id.as("src"), explode(array(
-          (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
-      LinkGraph.hits(edges, iterations = 2,
-          vertices = Some(docs.select(id.as("id"))))
+      val (edges, verts) = syntheticEdges(t(s, d, "documents"))
+      LinkGraph.hits(edges, iterations = 2, vertices = Some(verts))
         .select(col("id").as("doc_id"), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))
         .orderBy("doc_id")
@@ -736,16 +725,9 @@ object SparkEntry {
     // power-of-two in-degree histogram of the same link graph — the
     // one-glance web-graph shape check (bucket -1 = isolated docs)
     "q_degree_dist" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val n = docs.count()
-      val id = col("doc_id").cast("long")
-      val edges = docs.where(id % 17 =!= 0)
-        .select(id.as("src"), explode(array(
-          (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
-        .distinct()
+      val (edges, verts) = syntheticEdges(t(s, d, "documents"))
       LinkGraph.degreeDistribution(
-        LinkGraph.degrees(edges, Some(docs.select(id.as("id")))),
-        "in_degree")
+        LinkGraph.degrees(edges.distinct(), Some(verts)), "in_degree")
     }),
 
     // top-k word pairs by document-level PMI over the head vocabulary —
@@ -1622,6 +1604,60 @@ object SparkEntry {
     * Spark plans above. Hash-seed-specific / sketch-approximate /
     * heuristic queries are intentionally omitted (driver records a
     * rows-only check for those). */
+  /** Synthetic doc-to-doc edge set shared by q_pagerank / q_hits /
+    * q_degree_dist (their oracle CTEs replay the same arithmetic):
+    * three outlinks per page, doc_id%17 pages link-free. Returns
+    * (edges src/dst, vertex ids). ONE spelling so the three graph
+    * queries cannot silently diverge from each other's oracles. */
+  private def syntheticEdges(docs: DataFrame): (DataFrame, DataFrame) = {
+    val n = docs.count()
+    val id = col("doc_id").cast("long")
+    val edges = docs.where(id % 17 =!= 0)
+      .select(id.as("src"), explode(array(
+        (id * 7 + 1) % n, (id * 13 + 3) % n, (id + 1) % n)).as("dst"))
+    (edges, docs.select(id.as("id")))
+  }
+
+  /** q_bpe_merges oracle, generated: 4 merge levels, each stacking the
+    * SAME [[TextAnalysis.BpePasses]] literal replaces as the engine
+    * (one replace under-merges delimiter-blocked disjoint repeats). */
+  private def bpeOracle: String = {
+    def pairs(k: Int) =
+      s"""p$k AS (SELECT l[i] AS a, l[i+1] AS b,
+         |              CAST(sum(freq) AS BIGINT) AS n
+         |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+         |             FROM (SELECT freq, list_filter(string_split(s, ' '),
+         |                     x -> x <> '') AS l FROM wf${k - 1}))
+         |       GROUP BY 1, 2),
+         |m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1)"""
+        .stripMargin
+    def merged(k: Int) = (1 to TextAnalysis.BpePasses)
+      .foldLeft("s") { (c, _) =>
+        s"replace($c, ' ' || m$k.a || ' ' || m$k.b || ' ', " +
+          s"' ' || m$k.a || m$k.b || ' ')"
+      }
+    def wf(k: Int) =
+      s"wf$k AS (SELECT ${merged(k)} AS s, freq FROM wf${k - 1}, m$k)"
+    val levels = (1 to 4).map(k =>
+      if (k < 4) s"${pairs(k)},\n${wf(k)}" else pairs(k)).mkString(",\n")
+    s"""WITH ws AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+       |    '\\s+'), x -> x <> '')) AS w FROM documents),
+       |wf0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+       |           AS s,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM ws GROUP BY w),
+       |$levels
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS merge_idx, a AS "left", b AS "right",
+       |         n AS pair_count FROM m1
+       |  UNION ALL SELECT 2, a, b, n FROM m2
+       |  UNION ALL SELECT 3, a, b, n FROM m3
+       |  UNION ALL SELECT 4, a, b, n FROM m4)
+       |ORDER BY merge_idx""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_colstats_lineitem" ->
@@ -2793,7 +2829,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // power-of-two in-degree histogram: same ln-ratio bucket with the
-    // same +1e-9 exact-power guard on both sides
+    // same +1e-12 exact-power guard on both sides
     "q_degree_dist" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |e AS (SELECT DISTINCT src, dst FROM (
@@ -2804,7 +2840,7 @@ object SparkEntry {
         |deg AS (SELECT d.doc_id, coalesce(ind.c, 0) AS dg
         |        FROM documents d LEFT JOIN ind ON d.doc_id = ind.dst)
         |SELECT CASE WHEN dg <= 0 THEN CAST(-1 AS BIGINT)
-        |            ELSE CAST(floor(ln(CAST(dg AS DOUBLE))/ln(2.0) + 1e-9)
+        |            ELSE CAST(floor(ln(CAST(dg AS DOUBLE))/ln(2.0) + 1e-12)
         |                      AS BIGINT) END AS bucket,
         |       CAST(count(*) AS BIGINT) AS n_vertices
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -3018,13 +3054,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Gini over ascending (mass, source)-ranked sums — same rank order,
-    // same integer sums, same expression order into the 6dp round
+    // same integer sums, same expression order into the 6dp round;
+    // all-NULL-mass groups dropped on both sides (NULL rank order
+    // differs between engines)
     "q_token_gini" ->
       """WITH m AS (
         |  SELECT source AS g,
         |    CAST(sum(len(list_filter(string_split_regex(lower(trim(text)),
         |      '\s+'), x -> x <> ''))) AS BIGINT) AS m
-        |  FROM documents GROUP BY 1),
+        |  FROM documents GROUP BY 1
+        |  HAVING m IS NOT NULL),
         |r AS (SELECT CAST(row_number() OVER (ORDER BY m, g) AS BIGINT) AS i,
         |             m FROM m)
         |SELECT CAST(count(*) AS BIGINT) AS n_groups,
@@ -3047,61 +3086,8 @@ object SparkEntry {
         |         PARTITION BY event_type ORDER BY day), 6) AS ratio
         |FROM c ORDER BY event_type, day""".stripMargin,
 
-    // BPE: four merge rounds as chained CTEs; pair ties break
-    // (count desc, left, right) in both engines' binary string order
-    "q_bpe_merges" ->
-      """WITH ws AS (
-        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
-        |    '\s+'), x -> x <> '')) AS w FROM documents),
-        |wf0 AS (
-        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
-        |           AS s,
-        |         CAST(count(*) AS BIGINT) AS freq
-        |  FROM ws GROUP BY w),
-        |p1 AS (SELECT l[i] AS a, l[i+1] AS b,
-        |              CAST(sum(freq) AS BIGINT) AS n
-        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
-        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
-        |                     x -> x <> '') AS l FROM wf0))
-        |       GROUP BY 1, 2),
-        |m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
-        |wf1 AS (SELECT replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
-        |                       ' ' || m1.a || m1.b || ' ') AS s, freq
-        |        FROM wf0, m1),
-        |p2 AS (SELECT l[i] AS a, l[i+1] AS b,
-        |              CAST(sum(freq) AS BIGINT) AS n
-        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
-        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
-        |                     x -> x <> '') AS l FROM wf1))
-        |       GROUP BY 1, 2),
-        |m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
-        |wf2 AS (SELECT replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
-        |                       ' ' || m2.a || m2.b || ' ') AS s, freq
-        |        FROM wf1, m2),
-        |p3 AS (SELECT l[i] AS a, l[i+1] AS b,
-        |              CAST(sum(freq) AS BIGINT) AS n
-        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
-        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
-        |                     x -> x <> '') AS l FROM wf2))
-        |       GROUP BY 1, 2),
-        |m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
-        |wf3 AS (SELECT replace(s, ' ' || m3.a || ' ' || m3.b || ' ',
-        |                       ' ' || m3.a || m3.b || ' ') AS s, freq
-        |        FROM wf2, m3),
-        |p4 AS (SELECT l[i] AS a, l[i+1] AS b,
-        |              CAST(sum(freq) AS BIGINT) AS n
-        |       FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
-        |             FROM (SELECT freq, list_filter(string_split(s, ' '),
-        |                     x -> x <> '') AS l FROM wf3))
-        |       GROUP BY 1, 2),
-        |m4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a, b LIMIT 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS merge_idx, a AS "left", b AS "right",
-        |         n AS pair_count FROM m1
-        |  UNION ALL SELECT 2, a, b, n FROM m2
-        |  UNION ALL SELECT 3, a, b, n FROM m3
-        |  UNION ALL SELECT 4, a, b, n FROM m4)
-        |ORDER BY merge_idx""".stripMargin,
+    // BPE: generated chained-CTE oracle (see bpeOracle above)
+    "q_bpe_merges" -> bpeOracle,
 
     // the salted join must be invisible in the result: plain join oracle
     "q_skew_join" ->

@@ -46,6 +46,17 @@ object LinkGraph {
       .select(col("src"), col("__m").cast("long").as("dst"))
       .distinct()
 
+  /** The vertex universe as a long `id` column: the caller-supplied
+    * frame's first column, or (by default) every src/dst in the edge
+    * frame — ONE spelling shared by [[degrees]]/[[pageRank]]/[[hits]]
+    * so id coercion cannot silently diverge between the three. */
+  private def vertexUniverse(vertices: Option[DataFrame],
+                             e: DataFrame): DataFrame =
+    vertices
+      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
+      .getOrElse(e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+
   /** Per-vertex (id, out_degree, in_degree) over an edge frame, with
     * an optional vertex universe so isolated documents appear with
     * (0, 0) instead of vanishing — corpus accounting must not silently
@@ -55,10 +66,7 @@ object LinkGraph {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
     val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
-    val verts = vertices
-      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
-      .getOrElse(e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val verts = vertexUniverse(vertices, e)
     verts.join(out, Seq("id"), "left").join(in, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
@@ -94,10 +102,7 @@ object LinkGraph {
       .repartition(col("src"))
       .localCheckpoint()
     // vertex frame with the dangling flag (no out-edges)
-    val vertIds = vertices
-      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
-      .getOrElse(e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val vertIds = vertexUniverse(vertices, e)
     val verts = vertIds
       .join(outDeg.select(col("src").as("id"), col("__od")), Seq("id"), "left")
       .select(col("id"), col("__od").isNull.as("__dangling"))
@@ -158,11 +163,7 @@ object LinkGraph {
       .distinct()
     val eBySrc = e.repartition(col("src")).localCheckpoint()
     val eByDst = e.repartition(col("dst")).localCheckpoint()
-    val vertIds = vertices
-      .map(v => v.select(col(v.columns.head).cast("long").as("id")))
-      .getOrElse(e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct())
-      .localCheckpoint()
+    val vertIds = vertexUniverse(vertices, e).localCheckpoint()
     def l1(df: DataFrame, c: String): DataFrame = {
       val s = df.agg(sum(col(c)).as("__s"))
       df.crossJoin(broadcast(s))
@@ -203,14 +204,18 @@ object LinkGraph {
     * d > 0 (bucket b holds 2^b ≤ d < 2^(b+1)), −1 for isolated
     * vertices — the one-glance shape check for web-graph health (a
     * crawl whose in-degree tail is missing, or whose bucket-0 mass
-    * exploded, drifted). The `+1e-9` guard makes exact powers of two
-    * floor identically in any engine whose ln is within 1e-9 of
-    * correctly rounded (both here are ≪). One narrow aggregate. */
+    * exploded, drifted). The `+1e-12` guard makes exact powers of two
+    * floor identically in any engine whose ln is within ~1e-13 of
+    * correctly rounded, while staying below the gap to the next
+    * integer for any degree under ~1.4×10¹² (1/(d·ln2) > 1e-12), so
+    * the bucket contract 2^b ≤ d < 2^(b+1) holds for every realizable
+    * degree — a larger guard misbuckets 2^b − 1 hubs above ~1.5e9.
+    * One narrow aggregate. */
   def degreeDistribution(degrees: DataFrame, degCol: String): DataFrame =
     degrees.select(
         when(col(degCol) <= 0, lit(-1L))
           .otherwise(floor(
-            log(col(degCol).cast("double")) / log(lit(2.0)) + 1e-9))
+            log(col(degCol).cast("double")) / log(lit(2.0)) + 1e-12))
           .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vertices"))
       .orderBy("bucket")

@@ -243,9 +243,10 @@ object Profile {
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(ps.nonEmpty, "groupPercentiles needs at least one probability")
-    val arr = ps.mkString("array(", ", ", ")")
+    // typed percentile, not a SQL-string splice: a column name needing
+    // backticks would break expr() parsing
     val base = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, $arr)").as("__q"))
+      .agg(percentile(col(valueCol), array(ps.map(lit): _*)).as("__q"))
     val cols = col(groupCol) +: ps.zipWithIndex.map { case (p, i) =>
       base.col("__q").getItem(i)
         .as(s"p${(p * 100).round}")
@@ -263,8 +264,12 @@ object Profile {
   def giniConcentration(df: DataFrame, groupCol: String,
                         weightCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a group whose weights are all NULL has no mass to rank — dropped
+    // on BOTH sides (Spark orders NULLS FIRST, DuckDB LAST: keeping
+    // them would silently shift every rank and break oracle parity)
     val mass = df.groupBy(col(groupCol).as("__g"))
       .agg(sum(weightCol).as("__m"))
+      .where(col("__m").isNotNull)
     val w = Window.orderBy(col("__m"), col("__g"))
     mass.select(row_number().over(w).cast("long").as("__i"), col("__m"))
       .agg(sum(col("__i") * col("__m")).as("__sim"),

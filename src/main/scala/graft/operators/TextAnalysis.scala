@@ -659,6 +659,9 @@ object TextAnalysis {
                k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")
     val vocab = buildVocab(df, textCol, vocabSize)
+    // second driver action over df, but count() on a parquet source is
+    // a footer-only count-star pushdown, not a data scan; callers with
+    // a computed df should persist it across the two actions
     val n = df.count()
     val tok = df.select(col(idCol).as("__id"),
         explode(array_distinct(words(col(textCol)))).as("__w"))
@@ -698,12 +701,22 @@ object TextAnalysis {
     * itself is one literal `replace` projection over the vocab frame,
     * checkpoint-rotated per round (the [[LinkGraph.pageRank]]
     * convention) so lineage and pinned blocks stay constant in
-    * `nMerges`. Symbols ride a space-delimited string because both
-    * engines' literal `replace` is leftmost-first non-overlapping —
-    * exactly BPE's within-iteration semantics (" a a a " merges once).
-    * Caveat: characters are Java code units, so astral-plane symbols
-    * (emoji) differ from a codepoint tokenizer — the documented bound
-    * of the char tier. */
+    * `nMerges`. Symbols ride a space-delimited string; one literal
+    * `replace` is leftmost-first non-overlapping (BPE's rule for a
+    * repeat run like " a a a ") BUT the consumed shared delimiter
+    * blocks the immediately following DISJOINT occurrence
+    * (" b a n a n a " would merge only the first (a,n)), so the merge
+    * applies [[BpePasses]] stacked replaces — each pass merges at
+    * least every other blocked occurrence, so runs up to 2^BpePasses
+    * adjacent repeats resolve exactly as reference BPE; the oracle
+    * stacks the same count. Caveats, documented bounds of the char
+    * tier: longer pathological runs keep residual unmerged pairs, and
+    * characters are Java code units, so astral-plane symbols (emoji)
+    * differ from a codepoint tokenizer. */
+  /** Stacked replace passes per BPE merge: resolves delimiter-blocked
+    * disjoint occurrences in repeat runs up to 2^BpePasses symbols. */
+  val BpePasses: Int = 6
+
   def bpeTrain(df: DataFrame, textCol: String,
                nMerges: Int): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
@@ -733,9 +746,10 @@ object TextAnalysis {
         val (a, b, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Row(i.toLong, a, b, n)
-        val next = wf.select(
-            replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")).as("s"),
-            col("freq"))
+        val merged = (1 to BpePasses).foldLeft(col("s")) { (c, _) =>
+          replace(c, lit(s" $a $b "), lit(s" $a$b "))
+        }
+        val next = wf.select(merged.as("s"), col("freq"))
           .localCheckpoint()
         Packing.releaseOffsets(wf)
         wf = next

@@ -1417,6 +1417,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ex === Array((1L, "a", "b", 1L)))
   }
 
+  test("bpeTrain: disjoint adjacent occurrences all merge (banana case)") {
+    // 'banana': (a,n) appears twice DISJOINTLY — one literal replace
+    // would consume the shared delimiter and merge only the first;
+    // reference BPE merges both, then (an,a) twice, etc.
+    // banana×2: merge1 (a,n)=4 → b an an a; merge2 pairs:
+    // (b,an)=2, (an,an)=2, (an,a)=2 → tie on count, left asc:
+    // "an" < "b" → (an,a)? "an" vs "an": (an,a) vs (an,an): right asc
+    // "a" < "an" → (an,a), count 2
+    val corpus = Seq((1L, "banana"), (2L, "banana")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(corpus, "text", nMerges = 2)
+      .as[(Long, String, String, Long)].collect()
+    assert(out === Array((1L, "a", "n", 4L), (2L, "an", "a", 2L)))
+  }
+
   test("groupPercentiles: hand-computed linear interpolation") {
     // group a: values 1..5 → p25 = 2, p50 = 3, p75 = 4
     // group b: values 10, 20 → p25 = 12.5, p50 = 15, p75 = 17.5
