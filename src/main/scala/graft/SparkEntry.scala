@@ -843,6 +843,100 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(t(s, d, "documents"), "text", nMerges = 4)),
 
+    // BPE APPLY (train → freeze → encode): the 4 trained merges encode
+    // every document via the native rank-order merge expression; the
+    // oracle re-derives the same merges and replays the stacked-replace
+    // chain per word — the two spellings agree on any corpus whose
+    // repeat runs stay under 2^BpePasses (differential-pinned)
+    "q_bpe_encode" -> ((s, d) => {
+      val merges = TextAnalysis.bpeTrain(t(s, d, "documents"), "text",
+          nMerges = 4)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenCounts(t(s, d, "documents"), "doc_id", "text",
+          merges)
+        .orderBy("doc_id")
+    }),
+
+    // content-defined chunking (md5 oracle mode, window 8, hex-'0'
+    // boundary ≈ 16-char chunks): per-doc chunk counts — CDC boundaries
+    // are local functions of content, so chunk hashes survive prefix
+    // insertions (the shift q_cdc_shift_recall plants)
+    "q_cdc_chunks" -> ((s, d) =>
+      CdcChunking.chunks(t(s, d, "documents"), "doc_id", "text",
+          CdcChunking.boundariesMd5(_, 8))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+          max(col("chunk_len")).cast("long").as("max_chunk_len"))
+        .orderBy("doc_id")),
+
+    // CDC shift-robustness, FULLY oracled (md5 boundaries are
+    // deterministic — unlike the seed-dependent MinHash/SimHash planted
+    // rows, DuckDB replays chunking + capped overlap pairs exactly):
+    // plant prefix-shifted copies, count recovered (id, id+1e6) pairs
+    // at overlap ≥ 0.5
+    "q_cdc_shift_recall" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val planted = base
+        .where(col("doc_id") % 29 === 0 && length(col("text")) >= 64)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("BOILERPLATE HEADER INSERTED. "), col("text"))
+            .as("text"))
+      val corpus = base.unionByName(planted)
+      val chunked = CdcChunking.chunks(corpus, "doc_id", "text",
+        CdcChunking.boundariesMd5(_, 8))
+      val pairs = CdcChunking.overlapPairs(chunked, "doc_id",
+        minOverlap = 0.5, maxBucket = 200)
+      val nPlanted = planted.count()
+      pairs.where(col("id_b") === col("id_a") + 1000000L)
+        .agg(lit(nPlanted).as("n_planted"),
+          count(lit(1)).as("n_recovered"))
+    }),
+
+    // JSONL-column ingest QC: deterministic JSON records built from the
+    // documents row (doc_id%13 prefixed-corrupt), field extraction +
+    // parse-probe validity as ONE projection — malformed rows flagged,
+    // never dropped
+    "q_json_extract" -> ((s, d) => {
+      val j0 = concat(lit("{\"doc_id\":"), col("doc_id"),
+        lit(",\"lang\":\""), coalesce(col("lang"), lit("und")),
+        lit("\",\"source\":\""), coalesce(col("source"), lit("unknown")),
+        lit("\",\"n_chars\":"), coalesce(col("n_chars"), lit(-1L)),
+        lit("}"))
+      val withJson = t(s, d, "documents").withColumn("js",
+        when(col("doc_id") % 13 === 0, concat(lit("X"), j0)).otherwise(j0))
+      graft.sources.JsonIngest.extractFields(withJson, "js",
+          Seq(("ex_lang", "$.lang", "string"),
+            ("ex_source", "$.source", "string"),
+            ("ex_n", "$.n_chars", "bigint")),
+          probePath = "$.doc_id")
+        .select(col("doc_id"), col("json_ok"), col("ex_lang"),
+          col("ex_source"), col("ex_n"))
+        .orderBy("doc_id")
+    }),
+
+    // the one-pass QC rollup over the same parsed frame: malformed
+    // count + per-field null counts among well-formed records
+    "q_json_qc" -> ((s, d) => {
+      val j0 = concat(lit("{\"doc_id\":"), col("doc_id"),
+        lit(",\"lang\":\""), coalesce(col("lang"), lit("und")),
+        lit("\",\"source\":\""), coalesce(col("source"), lit("unknown")),
+        lit("\",\"n_chars\":"), coalesce(col("n_chars"), lit(-1L)),
+        lit("}"))
+      val withJson = t(s, d, "documents").withColumn("js",
+        when(col("doc_id") % 13 === 0, concat(lit("X"), j0)).otherwise(j0))
+      val parsed = graft.sources.JsonIngest.extractFields(withJson, "js",
+        Seq(("ex_lang", "$.lang", "string"),
+          ("ex_source", "$.source", "string"),
+          ("ex_n", "$.n_chars", "bigint")),
+        probePath = "$.doc_id")
+      graft.sources.JsonIngest.qcStats(parsed,
+        Seq("ex_lang", "ex_source", "ex_n"))
+    }),
+
     // salted skew join vs the plain-join oracle: the hot-key mitigation
     // must be RESULT-INVISIBLE — same rows, same aggregates
     "q_skew_join" -> ((s, d) => {
@@ -1618,10 +1712,18 @@ object SparkEntry {
     (edges, docs.select(id.as("id")))
   }
 
-  /** q_bpe_merges oracle, generated: 4 merge levels, each stacking the
-    * SAME [[TextAnalysis.BpePasses]] literal replaces as the engine
+  /** The stacked-replace chain both BPE oracles apply per merge level —
+    * the SAME [[TextAnalysis.BpePasses]] literal replaces as the engine
     * (one replace under-merges delimiter-blocked disjoint repeats). */
-  private def bpeOracle: String = {
+  private def bpeMergedChain(k: Int, start: String = "s") =
+    (1 to TextAnalysis.BpePasses).foldLeft(start) { (c, _) =>
+      s"replace($c, ' ' || m$k.a || ' ' || m$k.b || ' ', " +
+        s"' ' || m$k.a || m$k.b || ' ')"
+    }
+
+  /** Shared training-CTE body for the BPE oracles: word frequencies +
+    * 4 merge levels (m1..m4), each selected by (pair_count desc, a, b). */
+  private def bpeTrainingCtes: String = {
     def pairs(k: Int) =
       s"""p$k AS (SELECT l[i] AS a, l[i+1] AS b,
          |              CAST(sum(freq) AS BIGINT) AS n
@@ -1631,16 +1733,11 @@ object SparkEntry {
          |       GROUP BY 1, 2),
          |m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1)"""
         .stripMargin
-    def merged(k: Int) = (1 to TextAnalysis.BpePasses)
-      .foldLeft("s") { (c, _) =>
-        s"replace($c, ' ' || m$k.a || ' ' || m$k.b || ' ', " +
-          s"' ' || m$k.a || m$k.b || ' ')"
-      }
     def wf(k: Int) =
-      s"wf$k AS (SELECT ${merged(k)} AS s, freq FROM wf${k - 1}, m$k)"
+      s"wf$k AS (SELECT ${bpeMergedChain(k)} AS s, freq FROM wf${k - 1}, m$k)"
     val levels = (1 to 4).map(k =>
       if (k < 4) s"${pairs(k)},\n${wf(k)}" else pairs(k)).mkString(",\n")
-    s"""WITH ws AS (
+    s"""ws AS (
        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
        |    '\\s+'), x -> x <> '')) AS w FROM documents),
        |wf0 AS (
@@ -1648,7 +1745,13 @@ object SparkEntry {
        |           AS s,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM ws GROUP BY w),
-       |$levels
+       |$levels""".stripMargin
+  }
+
+  /** q_bpe_merges oracle, generated: 4 merge levels over the shared
+    * training CTEs. */
+  private def bpeOracle: String =
+    s"""WITH $bpeTrainingCtes
        |SELECT * FROM (
        |  SELECT CAST(1 AS BIGINT) AS merge_idx, a AS "left", b AS "right",
        |         n AS pair_count FROM m1
@@ -1656,6 +1759,31 @@ object SparkEntry {
        |  UNION ALL SELECT 3, a, b, n FROM m3
        |  UNION ALL SELECT 4, a, b, n FROM m4)
        |ORDER BY merge_idx""".stripMargin
+
+  /** q_bpe_encode oracle, generated: re-derive the 4 merges with the
+    * shared training CTEs, then APPLY the same stacked-replace chain to
+    * every document's words and count the resulting subword tokens
+    * (zero-word documents keep a 0 row via the LEFT JOIN, matching
+    * [[TextAnalysis.bpeTokenCounts]]). */
+  private def bpeEncodeOracle: String = {
+    val chain = (1 to 4).foldLeft("s") { (c, k) => bpeMergedChain(k, c) }
+    s"""WITH $bpeTrainingCtes,
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(
+       |    lower(trim(text)), '\\s+'), x -> x <> '')) AS w FROM documents),
+       |ds AS (
+       |  SELECT doc_id,
+       |         ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+       |           AS s
+       |  FROM dw),
+       |enc AS (SELECT doc_id, $chain AS s FROM ds, m1, m2, m3, m4),
+       |cnt AS (
+       |  SELECT doc_id, CAST(sum(len(list_filter(string_split(s, ' '),
+       |    x -> x <> ''))) AS BIGINT) AS n_bpe_tok
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(cnt.n_bpe_tok, 0) AS n_bpe_tok
+       |FROM documents d LEFT JOIN cnt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3088,6 +3216,153 @@ object SparkEntry {
 
     // BPE: generated chained-CTE oracle (see bpeOracle above)
     "q_bpe_merges" -> bpeOracle,
+
+    // BPE apply: re-derive the merges, replay the stacked-replace chain
+    // per document word, count subword tokens (see bpeEncodeOracle)
+    "q_bpe_encode" -> bpeEncodeOracle,
+
+    // CDC md5 mode replayed exactly: boundary at i ⇔ md5 of the 8-char
+    // window ending at i starts with hex '0'; cuts = 0 ++ boundaries<len
+    // ++ len (the array_distinct spelling: only len can repeat)
+    "q_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |b AS (
+         |  SELECT doc_id, text,
+         |    [0] || list_filter(list_filter(
+         |        generate_series(8, length(text)),
+         |        i -> substr(md5(substr(text, i - 7, 8)), 1, 1) = '0'),
+         |      i -> i < length(text))
+         |      || [length(text)] AS cuts
+         |  FROM d),
+         |e AS (
+         |  SELECT doc_id, text, cuts,
+         |         unnest(generate_series(1, len(cuts) - 1)) AS j
+         |  FROM b),
+         |c AS (
+         |  SELECT doc_id,
+         |         md5(substr(text, cuts[j] + 1, cuts[j + 1] - cuts[j]))
+         |           AS h,
+         |         cuts[j + 1] - cuts[j] AS l
+         |  FROM e)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+         |       CAST(max(l) AS BIGINT) AS max_chunk_len
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CDC shift recall, FULLY oracled (md5 boundaries are seed-free):
+    // same chunking over base+planted, pair discovery restricted to
+    // hashes shared by 2..200 docs (the maxBucket cap), overlap vs the
+    // smaller doc, recovered = planted (id, id+1e6) pairs at >= 0.5
+    "q_cdc_shift_recall" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |planted AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         'BOILERPLATE HEADER INSERTED. ' || text AS text
+         |  FROM base WHERE doc_id % 29 = 0 AND length(text) >= 64),
+         |corpus AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |b AS (
+         |  SELECT doc_id, text,
+         |    [0] || list_filter(list_filter(
+         |        generate_series(8, length(text)),
+         |        i -> substr(md5(substr(text, i - 7, 8)), 1, 1) = '0'),
+         |      i -> i < length(text))
+         |      || [length(text)] AS cuts
+         |  FROM corpus),
+         |e AS (
+         |  SELECT doc_id, text, cuts,
+         |         unnest(generate_series(1, len(cuts) - 1)) AS j
+         |  FROM b),
+         |pd AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(substr(text, cuts[j] + 1, cuts[j + 1] - cuts[j])) AS h
+         |  FROM e),
+         |sz AS (SELECT doc_id, count(*) AS n FROM pd GROUP BY 1),
+         |hh AS (SELECT h FROM pd GROUP BY h
+         |       HAVING count(*) > 1 AND count(*) <= 200),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |         count(*) AS n_shared
+         |  FROM pd a JOIN hh USING (h) JOIN pd b2 USING (h)
+         |  WHERE a.doc_id < b2.doc_id GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT id_a, id_b,
+         |         round(n_shared * 1.0 / least(sa.n, sb.n), 6) AS overlap
+         |  FROM pr
+         |  JOIN sz sa ON sa.doc_id = pr.id_a
+         |  JOIN sz sb ON sb.doc_id = pr.id_b)
+         |SELECT CAST((SELECT count(*) FROM planted) AS BIGINT)
+         |         AS n_planted,
+         |       CAST(count(*) AS BIGINT) AS n_recovered
+         |FROM ov
+         |WHERE overlap >= 0.5 AND id_b = id_a + 1000000""".stripMargin,
+
+    // JSONL-column ingest: identical record synthesis, json_valid +
+    // path extraction mirror get_json_object's null-on-malformed
+    "q_json_extract" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'X' || j ELSE j END AS js
+         |  FROM (
+         |    SELECT doc_id,
+         |      '{"doc_id":' || doc_id
+         |        || ',"lang":"' || coalesce(lang, 'und')
+         |        || '","source":"' || coalesce(source, 'unknown')
+         |        || '","n_chars":' || coalesce(n_chars, -1) || '}' AS j
+         |    FROM documents))
+         |SELECT doc_id,
+         |  (CASE WHEN json_valid(js)
+         |        THEN json_extract_string(js, '$$.doc_id') END)
+         |    IS NOT NULL AS json_ok,
+         |  CASE WHEN json_valid(js)
+         |       THEN json_extract_string(js, '$$.lang') END AS ex_lang,
+         |  CASE WHEN json_valid(js)
+         |       THEN json_extract_string(js, '$$.source') END AS ex_source,
+         |  CAST(CASE WHEN json_valid(js)
+         |       THEN json_extract_string(js, '$$.n_chars') END AS BIGINT)
+         |    AS ex_n
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the one-pass QC rollup over the same parsed frame
+    "q_json_qc" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'X' || j ELSE j END AS js
+         |  FROM (
+         |    SELECT doc_id,
+         |      '{"doc_id":' || doc_id
+         |        || ',"lang":"' || coalesce(lang, 'und')
+         |        || '","source":"' || coalesce(source, 'unknown')
+         |        || '","n_chars":' || coalesce(n_chars, -1) || '}' AS j
+         |    FROM documents)),
+         |e AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN json_valid(js)
+         |          THEN json_extract_string(js, '$$.doc_id') END)
+         |      IS NOT NULL AS json_ok,
+         |    CASE WHEN json_valid(js)
+         |         THEN json_extract_string(js, '$$.lang') END AS ex_lang,
+         |    CASE WHEN json_valid(js)
+         |         THEN json_extract_string(js, '$$.source') END
+         |      AS ex_source,
+         |    CAST(CASE WHEN json_valid(js)
+         |         THEN json_extract_string(js, '$$.n_chars') END AS BIGINT)
+         |      AS ex_n
+         |  FROM p)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN json_ok THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_malformed,
+         |  CAST(sum(CASE WHEN json_ok AND ex_lang IS NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_null_ex_lang,
+         |  CAST(sum(CASE WHEN json_ok AND ex_source IS NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_null_ex_source,
+         |  CAST(sum(CASE WHEN json_ok AND ex_n IS NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_null_ex_n
+         |FROM e""".stripMargin,
 
     // the salted join must be invisible in the result: plain join oracle
     "q_skew_join" ->

@@ -94,6 +94,105 @@ case class RollingFingerprint(child: Expression, window: Int)
   override def prettyName: String = "graft_fingerprint"
 }
 
+/** Content-defined-chunking cut positions (the LBFS/rsync boundary
+  * rule, Muthitacharoen et al. SOSP 2001): ONE O(len) Karp–Rabin pass;
+  * position i (1-based, i ≥ window) is a boundary when the rolling hash
+  * of chars (i-window, i] matches the seed's low `maskBits` bits —
+  * expected chunk length ≈ 2^maskBits chars. The hash state is a pure
+  * function of the window's CONTENT (the seed shifts only the target
+  * pattern): a seed folded into the polynomial would scale as B^i with
+  * absolute position and break shift-resynchronization. Returns the ascending
+  * array<int> of boundaries in (0, len] for
+  * [[graft.operators.CdcChunking]]'s scale mode (the md5 oracle mode
+  * re-hashes every window from scratch: O(len×window)). Per-row
+  * compute-bound loop ⇒ interpreted Expression in a projection, same
+  * rationale as [[RollingFingerprint]]. */
+case class CdcBoundaries(child: Expression, window: Int, maskBits: Int,
+                         seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0, "window must be positive")
+  require(maskBits > 0 && maskBits < 63, "maskBits must be in [1, 62]")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val mask = (1L << maskBits) - 1
+    // the seed enters the boundary PREDICATE, never the rolling state: a
+    // seed term inside h would ride along as seed*B^i — a function of
+    // ABSOLUTE position that breaks the shift-resynchronization contract
+    // (boundaries of a prefix-shifted copy would never realign)
+    val target = seed & mask
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (s.length >= window) {
+      val B = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < window - 1) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < window) { h = h * B + s.charAt(i); i += 1 }
+      // i is now the count of chars consumed = the 1-based position of
+      // the window's last char
+      if ((h & mask) == target) out += i
+      while (i < s.length) {
+        h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+        i += 1
+        if ((h & mask) == target) out += i
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcBoundaries =
+    copy(child = c)
+  override def prettyName: String = "graft_cdc_boundaries"
+}
+
+/** Apply trained BPE merges to ONE word: split to chars, then for each
+  * merge in rank order run one leftmost-first non-overlapping merge-all
+  * pass over the token list — the reference BPE apply step (Sennrich et
+  * al. 2016), and the SCALE mode for [[graft.operators.TextAnalysis
+  * .bpeTrain]]'s vocabulary: list-based merging has no delimiter-block
+  * artifact, so arbitrary-length repeat runs resolve exactly (the
+  * string-replace tier needs its stacked [[graft.operators.TextAnalysis
+  * .BpePasses]] and still caps at 2^passes — the two modes agree
+  * whenever runs stay under that cap, the differential PipelineOps
+  * test). Merges ride the plan as broadcast-literal arrays: per-row
+  * work is O(len × nMerges), no shuffle, no UDF. Returns the subword
+  * token array. */
+case class BpeApply(child: Expression, lefts: Seq[String],
+                    rights: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(lefts.length == rights.length,
+    "lefts/rights must be parallel merge arrays")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    var toks = w.map(_.toString).toBuffer
+    var m = 0
+    while (m < lefts.length && toks.length > 1) {
+      val (a, b) = (lefts(m), rights(m))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      toks = out
+      m += 1
+    }
+    ArrayData.toArrayData(toks.toArray.map(UTF8String.fromString))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeApply =
+    copy(child = c)
+  override def prettyName: String = "graft_bpe_apply"
+}
+
 /** One-pass text profile for language ID + quality scoring: word stats,
   * per-character ratios, BPE-ish token count, stopword hits, and the
   * argmax language — everything the curation heuristics need, computed in
@@ -498,6 +597,20 @@ object TextExpressions {
       (es: Seq[Expression]) => RepetitionSignals(es.head,
         es(1).eval(InternalRow.empty).toString.toInt,
         es(2).eval(InternalRow.empty).toString.toInt))
+    reg.registerFunction(FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApply].getName, "graft_bpe_apply"),
+      (es: Seq[Expression]) => {
+        def strs(e: Expression): Seq[String] = e.eval(InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType).map(_.toString).toSeq
+        BpeApply(es.head, strs(es(1)), strs(es(2)))
+      })
+    reg.registerFunction(FunctionIdentifier("graft_cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
+      (es: Seq[Expression]) => CdcBoundaries(es.head,
+        es(1).eval(InternalRow.empty).toString.toInt,
+        es(2).eval(InternalRow.empty).toString.toInt,
+        es(3).eval(InternalRow.empty).toString.toLong))
     reg.registerFunction(FunctionIdentifier("graft_word_ids"),
       new ExpressionInfo(classOf[WordIds].getName, "graft_word_ids"),
       (es: Seq[Expression]) => WordIds(
@@ -534,6 +647,20 @@ object TextExpressions {
   def repetitionSignals(text: Column, topN: Int, dupN: Int): Column = {
     import org.apache.spark.sql.functions.lit
     ensure(); call_function("graft_repetition_signals", text, lit(topN), lit(dupN))
+  }
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    ensure()
+    call_function("graft_bpe_apply", word,
+      array(merges.map(m => lit(m._1)): _*),
+      array(merges.map(m => lit(m._2)): _*))
+  }
+  def cdcBoundaries(text: Column, window: Int, maskBits: Int,
+                    seed: Long = 37L): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensure()
+    call_function("graft_cdc_boundaries", text, lit(window), lit(maskBits),
+      lit(seed))
   }
   def wordIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
     import org.apache.spark.sql.functions.{array, lit}

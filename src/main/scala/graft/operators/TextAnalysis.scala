@@ -764,6 +764,60 @@ object TextAnalysis {
         StructField("pair_count", LongType, nullable = false))))
   }
 
+  /** Apply a trained BPE vocabulary ([[bpeTrain]]'s merge rows, rank
+    * order) to the corpus and return the per-document subword token
+    * count — the train→APPLY half of the tokenizer story (what a
+    * pipeline runs over 100 TB once the vocabulary is frozen; count is
+    * the budgeting/packing input). Per word, the native
+    * [[graft.functions.BpeApply]] expression merges in rank order
+    * (leftmost-first non-overlapping per rank — reference BPE-apply
+    * semantics, exact on arbitrary repeat runs); merges ride as
+    * broadcast literals, so the whole encode is a stateless projection
+    * + one count aggregate keyed by id — text never enters an exchange.
+    * Documents with zero words keep a 0 row (left join — no silent
+    * drops). Bounded-vocab contract: merges are PLAN LITERALS, sized
+    * for the trained-demo tier (≤ ~1k merges); a production 32k-merge
+    * vocab goes through the same expression with the merge arrays
+    * passed once per executor (constructor args, not per-row data) —
+    * the expression cost is O(len × nMerges) either way. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .select(col(idCol), size(
+        graft.functions.TextExpressions.bpeApply(col("__w"), merges))
+        .as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bpe_tok"))
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tok"), lit(0L)).as("n_bpe_tok"))
+  }
+
+  /** The string-replace spelling of [[bpeTokenCounts]] — per merge, the
+    * same [[BpePasses]] stacked literal replaces as [[bpeTrain]] (and
+    * as the SQL oracle). Exists as the differential companion: the two
+    * spellings agree exactly when no repeat run exceeds 2^BpePasses
+    * symbols (PipelineOps test pins equality on the corpus). */
+  def bpeTokenCountsReplace(df: DataFrame, idCol: String, textCol: String,
+                            merges: Seq[(String, String)]): DataFrame = {
+    val spaced = concat(lit(" "), concat_ws(" ", split(col("__w"), "")),
+      lit(" "))
+    val enc = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      (1 to BpePasses).foldLeft(c)((cc, _) =>
+        replace(cc, lit(s" $a $b "), lit(s" $a$b ")))
+    }
+    val counts = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .select(col(idCol),
+        size(filter(split(enc, " "), x => x =!= "")).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bpe_tok"))
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tok"), lit(0L)).as("n_bpe_tok"))
+  }
+
   /** Asymmetric word-set containment |W(q) ∩ W(d)| / |W(q)| for given
     * (query, doc) candidate pairs — the near-dup metric Jaccard
     * misses: a document QUOTING another wholesale scores ~1 here while

@@ -1554,4 +1554,134 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, None)))
     assert(out(3) === ((4L, 0L, None)))
   }
+
+  // ---------- content-defined chunking ----------
+
+  test("cdc: chunks partition the text exactly, in both boundary modes") {
+    import graft.operators.CdcChunking
+    TextExpressions.register(spark)
+    val withLen = docs.where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", length($"text").as("n"))
+    for (mode <- Seq(
+        CdcChunking.boundariesMd5(_: org.apache.spark.sql.Column, 8),
+        CdcChunking.boundariesRolling(_: org.apache.spark.sql.Column, 8, 4))) {
+      val sums = CdcChunking.chunks(docs, "doc_id", "text", mode)
+        .groupBy($"doc_id")
+        .agg(sum($"chunk_len").as("s"), count(lit(1)).as("k"))
+      val joined = sums.join(withLen, "doc_id")
+      assert(joined.where($"s" =!= $"n").count() === 0,
+        "chunk lengths must sum to the text length (exact partition)")
+      assert(joined.count() === withLen.count(),
+        "every non-empty doc must chunk")
+      assert(sums.where($"k" < 1).count() === 0)
+    }
+  }
+
+  test("cdc rolling mode: prefix insertion preserves downstream chunk hashes") {
+    import graft.operators.CdcChunking
+    TextExpressions.register(spark)
+    // the shift-robustness contract on the SCALE mode (the md5 mode has
+    // the full SQL oracle q_cdc_shift_recall): prepend a header to every
+    // 29th doc, chunk both, and the shifted copy must share >= 50% of the
+    // original's distinct hashes (boundaries re-synchronize ~window chars
+    // after the insertion point)
+    val base = docs.where($"text".isNotNull && length($"text") >= 200)
+      .select($"doc_id", $"text")
+    val planted = base.where($"doc_id" % 29 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat(lit("BOILERPLATE HEADER INSERTED. "), $"text").as("text"))
+    val nPlanted = planted.count()
+    assert(nPlanted > 0, "fixture must plant at least one shifted copy")
+    val chunked = CdcChunking.chunks(base.unionByName(planted), "doc_id",
+      "text", CdcChunking.boundariesRolling(_, 8, 4))
+    val recovered = CdcChunking.overlapPairs(chunked, "doc_id",
+        minOverlap = 0.5, maxBucket = 200)
+      .where($"id_b" === $"id_a" + 1000000L)
+      .count()
+    assert(recovered === nPlanted,
+      s"expected all $nPlanted shifted copies recovered, got $recovered")
+  }
+
+  test("cdc: hot boilerplate chunk is capped out of pairs and surfaced") {
+    import graft.operators.CdcChunking
+    // 4 docs share one chunk; maxBucket=3 must SKIP that hash for pair
+    // fan-out and report it in hotChunks (no silent caps)
+    val chunked = Seq(
+      (1L, 0, "h_shared", 16), (2L, 0, "h_shared", 16),
+      (3L, 0, "h_shared", 16), (4L, 0, "h_shared", 16),
+      (1L, 1, "h_pair", 16), (2L, 1, "h_pair", 16))
+      .toDF("doc_id", "chunk_idx", "chunk_hash", "chunk_len")
+    val pairs = CdcChunking.overlapPairs(chunked, "doc_id",
+      minOverlap = 0.0, maxBucket = 3)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)), "only the uncapped hash may produce pairs")
+    val hot = CdcChunking.hotChunks(chunked, "doc_id", maxBucket = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hot === Array(("h_shared", 4L)))
+  }
+
+  // ---------- BPE apply ----------
+
+  test("bpeApply: rank order, leftmost-first non-overlap, exact on runs") {
+    TextExpressions.register(spark)
+    val words = Seq("abcabc", "aaa", "aaaa", "b", "").toDF("w")
+    val out = words.select(TextExpressions.bpeApply($"w",
+        Seq(("a", "b"), ("ab", "c"), ("a", "a"))).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("abc", "abc"))  // both merges cascade
+    assert(out(1) === Seq("aa", "a"))     // leftmost-first, no overlap
+    assert(out(2) === Seq("aa", "aa"))    // disjoint run pairs both merge
+    assert(out(3) === Seq("b"))
+    assert(out(4) === Seq())
+  }
+
+  test("bpe encode: list-merge and stacked-replace spellings agree on the corpus") {
+    TextExpressions.register(spark)
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length === 4)
+    val a = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+    val b = TextAnalysis.bpeTokenCountsReplace(docs, "doc_id", "text", merges)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "the two encode spellings must agree (runs under 2^BpePasses)")
+    // encoding strictly compresses vs character count for merged words
+    val chars = docs.select($"doc_id",
+      size(filter(split(regexp_replace(lower(trim($"text")), "\\s+", ""),
+        ""), x => x =!= "")).as("n_c"))
+    val j = a.join(chars, "doc_id")
+    assert(j.where($"n_bpe_tok" > $"n_c").count() === 0,
+      "subword count can never exceed character count")
+  }
+
+  // ---------- JSONL-column ingest ----------
+
+  test("jsonIngest: malformed flagged not dropped, fields typed, probe semantics") {
+    import graft.sources.JsonIngest
+    val rows = Seq(
+      (1L, """{"id":7,"lang":"en","n":42}"""),   // well-formed
+      (2L, """X{"id":8,"lang":"de","n":1}"""),   // malformed prefix
+      (3L, """{"lang":"fr","n":3}"""),           // valid JSON, probe absent
+      (4L, """{"id":9,"n":"notanint"}""")        // lang missing, n uncastable
+    ).toDF("row_id", "js")
+    val out = JsonIngest.extractFields(rows, "js",
+        Seq(("lang", "$.lang", "string"), ("n", "$.n", "bigint")),
+        probePath = "$.id")
+      .orderBy("row_id")
+      .select($"row_id", $"json_ok", $"lang", $"n")
+      .collect()
+    assert(out.length === 4, "no silent drops")
+    assert(out(0) === org.apache.spark.sql.Row(1L, true, "en", 42L))
+    assert(out(1) === org.apache.spark.sql.Row(2L, false, null, null))
+    // probe-absent record is as unusable as malformed: json_ok false,
+    // but its parseable fields still extract (flag, don't null out)
+    assert(out(2).getBoolean(1) === false && out(2).getString(2) === "fr")
+    assert(out(3) === org.apache.spark.sql.Row(4L, true, null, null))
+    val qc = JsonIngest.qcStats(
+      JsonIngest.extractFields(rows, "js",
+        Seq(("lang", "$.lang", "string"), ("n", "$.n", "bigint")),
+        probePath = "$.id"),
+      Seq("lang", "n")).collect()(0)
+    assert(qc === org.apache.spark.sql.Row(4L, 2L, 1L, 1L))
+  }
 }

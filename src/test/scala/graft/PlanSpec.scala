@@ -615,4 +615,47 @@ class PlanSpec extends SparkSpec {
         s"pmi exchange must carry tokens, not documents: $names")
     }
   }
+
+  test("cdc chunking stays a projection in both boundary modes: zero exchanges") {
+    import graft.operators.CdcChunking
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (mode <- Seq(
+        CdcChunking.boundariesMd5(_: org.apache.spark.sql.Column, 8),
+        CdcChunking.boundariesRolling(_: org.apache.spark.sql.Column, 8, 4))) {
+      val out = CdcChunking.chunks(docs, "doc_id", "text", mode)
+      val phys = out.queryExecution.executedPlan.toString
+      assert(!phys.contains("Exchange"), s"cdc chunking shuffled:\n$phys")
+    }
+  }
+
+  test("json extraction stays a projection: zero exchanges, no UDF") {
+    import graft.sources.JsonIngest
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val withJson = docs.select(col("doc_id"),
+      concat(lit("{\"a\":"), col("doc_id"), lit("}")).as("js"))
+    val out = JsonIngest.extractFields(withJson, "js",
+      Seq(("a", "$.a", "bigint")), probePath = "$.a")
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"json extraction shuffled:\n$phys")
+    assert(!phys.contains("ScalaUDF"), s"json extraction used a UDF:\n$phys")
+  }
+
+  test("bpe encode: words and text never enter an exchange — counts do") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+      Seq(("t", "h"), ("e", "r")))
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty, "the count aggregate shuffles on id")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n.contains("text") || n.contains("__w")),
+        s"bpe encode must shuffle (id, count) only, got $names")
+    }
+  }
 }
