@@ -858,6 +858,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tokenizer fertility per source (subword tokens per word under the
+    // same 4 trained merges) — the number multilingual vocab decisions
+    // are made on; text never enters an exchange (one (source, word)
+    // explode, sizes aggregate map-side)
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeFertility(docs, "text", "source", merges)
+        .orderBy("source")
+    }),
+
+    // OOV coverage vs a frozen top-100 corpus vocabulary: the
+    // tokenizer-health metric per doc — vocab is a plan literal through
+    // the native WordIds expression, scoring is a pure projection
+    "q_oov_rate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", 100)
+      TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
+    // rank-ensemble quality: mean within-source percent_rank of two
+    // scale-incomparable signals (chars, words) — nulls rank worst;
+    // one group-keyed exchange shared by both signal windows
+    "q_rank_ensemble" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+      Mixing.rankEnsemble(sig, "source", Seq("n_chars", "n_words"))
+        .select(col("doc_id"), col("source"), col("ensemble_score"))
+        .orderBy("doc_id")
+    }),
+
     // content-defined chunking (md5 oracle mode, window 8, hex-'0'
     // boundary ≈ 16-char chunks): per-doc chunk counts — CDC boundaries
     // are local functions of content, so chunk hashes survive prefix
@@ -1784,6 +1819,30 @@ object SparkEntry {
        |SELECT d.doc_id, coalesce(cnt.n_bpe_tok, 0) AS n_bpe_tok
        |FROM documents d LEFT JOIN cnt USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_bpe_fertility oracle, generated: re-derive the merges, encode
+    * every (source, word), then per source subword-tokens / words. */
+  private def bpeFertilityOracle: String = {
+    val chain = (1 to 4).foldLeft("s") { (c, k) => bpeMergedChain(k, c) }
+    s"""WITH $bpeTrainingCtes,
+       |dw AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(
+       |    lower(trim(text)), '\\s+'), x -> x <> '')) AS w FROM documents),
+       |ds AS (
+       |  SELECT source,
+       |         ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+       |           AS s
+       |  FROM dw),
+       |enc AS (SELECT source, $chain AS s FROM ds, m1, m2, m3, m4),
+       |c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(len(list_filter(string_split(s, ' '),
+       |           x -> x <> ''))) AS BIGINT) AS n_bpe_tok
+       |  FROM enc GROUP BY source)
+       |SELECT source, n_words, n_bpe_tok,
+       |       round(CAST(n_bpe_tok AS DOUBLE) / n_words, 6) AS fertility
+       |FROM c ORDER BY source""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3220,6 +3279,50 @@ object SparkEntry {
     // BPE apply: re-derive the merges, replay the stacked-replace chain
     // per document word, count subword tokens (see bpeEncodeOracle)
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    // fertility: same derivation grouped by source (see bpeFertilityOracle)
+    "q_bpe_fertility" -> bpeFertilityOracle,
+
+    // OOV vs the top-100 (count desc, word asc) corpus vocabulary;
+    // zero-word docs keep a row with NULL rate via the LEFT JOIN
+    "q_oov_rate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM ws GROUP BY w ORDER BY count(*) DESC, w LIMIT 100),
+        |per AS (
+        |  SELECT d.doc_id,
+        |         CAST(count(ws.w) AS BIGINT) AS n_words,
+        |         CAST(coalesce(sum(CASE WHEN ws.w IS NOT NULL
+        |           AND v.w IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |           AS n_oov
+        |  FROM documents d
+        |  LEFT JOIN ws ON ws.doc_id = d.doc_id
+        |  LEFT JOIN vocab v ON ws.w = v.w
+        |  GROUP BY 1)
+        |SELECT doc_id, n_words, n_oov,
+        |       CASE WHEN n_words > 0
+        |            THEN round(n_oov * 1.0 / n_words, 6) END AS oov_rate
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // rank ensemble: ties share percent_rank, NULL signals rank first
+    // (worst) — deterministic without an id tie-break
+    "q_rank_ensemble" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(list_filter(string_split_regex(
+        |           lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT)
+        |           AS n_words
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  round((percent_rank() OVER (PARTITION BY source
+        |           ORDER BY n_chars ASC NULLS FIRST)
+        |       + percent_rank() OVER (PARTITION BY source
+        |           ORDER BY n_words ASC NULLS FIRST)) / 2, 6)
+        |    AS ensemble_score
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // CDC md5 mode replayed exactly: boundary at i ⇔ md5 of the 8-char
     // window ending at i starts with hex '0'; cuts = 0 ++ boundaries<len

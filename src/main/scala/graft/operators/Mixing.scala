@@ -409,4 +409,33 @@ object Mixing {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     df.withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
+
+  /** Rank-ensemble quality score: the mean within-group percent_rank
+    * over several signal columns, appended as `ensemble_score` (6dp) —
+    * the robust way to COMBINE heterogeneous quality signals (length,
+    * lexical diversity, model scores) into one curation ranking: raw
+    * signals have incomparable scales and tails, but their ranks
+    * average cleanly, and a document must rank well on several axes to
+    * score high (the FineWeb-style ensemble filter). A NULL signal
+    * ranks lowest within its group (SQL NULLS FIRST) rather than
+    * poisoning the mean — missing evidence is worst evidence, the
+    * null-scores-pinned-worst convention from token-budget selection.
+    *
+    * Scale shape: one hash exchange on the group key reused by every
+    * signal's window (same partitioning, per-signal sorts only); groups
+    * parallelize across partitions — never a SinglePartition window.
+    * Exact tier like [[quantileNormalize]]; sketch-bucket per signal is
+    * the approximation at extreme group skew. */
+  def rankEnsemble(df: DataFrame, groupCol: String,
+                   signalCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(signalCols.nonEmpty, "rankEnsemble needs at least one signal")
+    val ranks = signalCols.map { s =>
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(s).asc_nulls_first)
+      percent_rank().over(w)
+    }
+    df.withColumn("ensemble_score",
+      round(ranks.reduce(_ + _) / lit(signalCols.length), 6))
+  }
 }

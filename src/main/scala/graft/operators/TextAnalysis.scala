@@ -818,6 +818,53 @@ object TextAnalysis {
         coalesce(col("n_bpe_tok"), lit(0L)).as("n_bpe_tok"))
   }
 
+  /** Per-document vocabulary coverage against a frozen vocabulary:
+    * (id, n_words, n_oov, oov_rate) — the tokenizer-health metric a
+    * pipeline tracks per ingest batch (a rising OOV rate means the
+    * vocabulary no longer fits the incoming distribution: new language,
+    * new domain, or an encoding regression upstream). Rate is NULL for
+    * zero-word documents (surfaced, not defaulted).
+    *
+    * Scale shape: the vocabulary is a plan literal through the same
+    * native [[graft.functions.WordIds]] expression [[tokenize]] uses
+    * (one eval per row, CSE-pinned via a projected attribute), so
+    * scoring is a stateless projection — zero exchanges, text never
+    * moves; only [[buildVocab]]'s own (word, count) aggregate shuffles,
+    * once, at train time. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocab: Seq[String]): DataFrame = {
+    val ids = tokenize(col(textCol), vocab, unkId = -1)
+    df.select(col(idCol), ids.as("__ids"))
+      .select(col(idCol),
+        coalesce(size(col("__ids")), lit(0)).cast("long").as("n_words"),
+        coalesce(size(filter(col("__ids"), x => x === -1)), lit(0))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate", when(col("n_words") > 0,
+        round(col("n_oov").cast("double") / col("n_words"), 6)))
+  }
+
+  /** Tokenizer fertility per group: subword tokens emitted per word
+    * under a trained BPE vocabulary — (group, n_words, n_bpe_tok,
+    * fertility). The per-source/per-language fertility table is how a
+    * tokenizer's fit is audited (a source whose fertility is 2× the
+    * corpus mean pays 2× the compute per word downstream; multilingual
+    * vocab decisions are made on exactly this number). Same
+    * [[graft.functions.BpeApply]] literal-merge projection as
+    * [[bpeTokenCounts]]: one explode to (group, word), sizes aggregate
+    * map-side — text never enters an exchange, and the shuffle carries
+    * one row per distinct group. */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
+    df.select(col(groupCol), explode(words(col(textCol))).as("__w"))
+      .select(col(groupCol), size(
+        graft.functions.TextExpressions.bpeApply(col("__w"), merges))
+        .as("__n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe_tok"))
+      .select(col(groupCol), col("n_words"), col("n_bpe_tok"),
+        round(col("n_bpe_tok").cast("double") / col("n_words"), 6)
+          .as("fertility"))
+
   /** Asymmetric word-set containment |W(q) ∩ W(d)| / |W(q)| for given
     * (query, doc) candidate pairs — the near-dup metric Jaccard
     * misses: a document QUOTING another wholesale scores ~1 here while

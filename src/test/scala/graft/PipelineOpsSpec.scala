@@ -1654,6 +1654,64 @@ class PipelineOpsSpec extends SparkSpec {
       "subword count can never exceed character count")
   }
 
+  // ---------- tokenizer health: OOV, fertility, ensemble ----------
+
+  test("oovStats: hand-computed coverage, zero-word doc keeps null rate") {
+    TextExpressions.register(spark)
+    val corpus = Seq(
+      (1L, "the cat sat"),   // vocab {the, cat}: 1 OOV of 3
+      (2L, "THE the"),       // case-folded: 0 OOV of 2
+      (3L, "dog dog dog"),   // all OOV
+      (4L, ""),              // zero words
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovStats(corpus, "doc_id", "text",
+        vocab = Seq("the", "cat"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out(0) === ((1L, 3L, 1L, Some(0.333333))))
+    assert(out(1) === ((2L, 2L, 0L, Some(0.0))))
+    assert(out(2) === ((3L, 3L, 3L, Some(1.0))))
+    assert(out(3) === ((4L, 0L, 0L, None)))
+    assert(out(4) === ((5L, 0L, 0L, None)))
+  }
+
+  test("bpeFertility: hand-computed tokens-per-word by group") {
+    TextExpressions.register(spark)
+    // merge (a,b): "ab ab" → 2 words → 2 tokens; "abc" → ab+c → 2 tokens
+    val corpus = Seq(
+      ("s1", "ab ab"),  // 2 words, 2 subwords → fertility 1.0
+      ("s1", "abc"),    // 1 word, 2 subwords
+      ("s2", "xyz")     // 1 word, 3 subwords → 3.0
+    ).toDF("source", "text")
+    val out = TextAnalysis.bpeFertility(corpus, "text", "source",
+        merges = Seq(("a", "b")))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out(0) === (("s1", 3L, 4L, 1.333333)))
+    assert(out(1) === (("s2", 1L, 3L, 3.0)))
+  }
+
+  test("rankEnsemble: mean of within-group percent ranks, null ranks worst") {
+    import graft.operators.Mixing
+    val df = Seq(
+      (1L, "g", Some(10L), Some(1L)),
+      (2L, "g", Some(20L), Some(2L)),
+      (3L, "g", Some(30L), None),      // null second signal → rank 0
+      (4L, "h", Some(5L), Some(9L))    // singleton group → 0
+    ).toDF("id", "grp", "s1", "s2")
+    val out = Mixing.rankEnsemble(df, "grp", Seq("s1", "s2"))
+      .orderBy("id").select("id", "ensemble_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // g: s1 ranks 0, .5, 1; s2 ranks (null first) 3→0, 1→.5, 2→1
+    assert(out(0) === ((1L, 0.25)))  // (0 + .5)/2
+    assert(out(1) === ((2L, 0.75)))  // (.5 + 1)/2
+    assert(out(2) === ((3L, 0.5)))   // (1 + 0)/2
+    assert(out(3) === ((4L, 0.0)))
+  }
+
   // ---------- JSONL-column ingest ----------
 
   test("jsonIngest: malformed flagged not dropped, fields typed, probe semantics") {

@@ -640,6 +640,35 @@ class PlanSpec extends SparkSpec {
     assert(!phys.contains("ScalaUDF"), s"json extraction used a UDF:\n$phys")
   }
 
+  test("oov scoring is a pure projection: zero exchanges, one WordIds eval") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.oovStats(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", vocab = Seq("the", "and", "of"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"oov scoring shuffled:\n$phys")
+    val optimized = out.queryExecution.optimizedPlan.toString
+    val hits = "graft_word_ids".r.findAllIn(optimized).size
+    assert(hits === 1, s"WordIds duplicated $hits times:\n$optimized")
+  }
+
+  test("rank ensemble: signal windows share one group exchange, never SinglePartition") {
+    import graft.operators.Mixing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("n2"))
+    val out = Mixing.rankEnsemble(docs, "source", Seq("n_chars", "n2"))
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.length === 1,
+      s"both windows must reuse ONE source-keyed exchange, got ${exchanges.length}")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"global window leaked in:\n$p")
+  }
+
   test("bpe encode: words and text never enter an exchange — counts do") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$sf/documents.parquet")
