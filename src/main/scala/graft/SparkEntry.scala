@@ -893,6 +893,98 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- token-structure health tier (round-5 continuation 5) -------
+
+    // BOS/EOS framing validation per source: sequences framed as
+    // [BOS] body [EOS] with planted defects (id%23==5 missing BOS,
+    // ==7 missing EOS, ==11 an interior EOS — the packed-corpus
+    // cross-document bleed signal); one flags projection + one
+    // map-side-combined aggregate, token arrays never shuffle
+    "q_token_boundaries" -> ((s, d) => {
+      val bos = 50001; val eos = 50002
+      val idNum = substring(col("doc_id"), 5, 12).cast("long")
+      val framed = decontamCorpus(s, d)
+        .withColumn("__id", idNum)
+        .withColumn("framed",
+          when(col("__id") % 23 === 5,
+            concat(col("tokens"), array(lit(eos))))
+          .when(col("__id") % 23 === 7,
+            concat(array(lit(bos)), col("tokens")))
+          .when(col("__id") % 23 === 11,
+            concat(array(lit(bos)), slice(col("tokens"), 1, 2),
+              array(lit(eos)), slice(col("tokens"), 3, 1000000),
+              array(lit(eos))))
+          .otherwise(concat(array(lit(bos)), col("tokens"),
+            array(lit(eos)))))
+      TokenHealth.framingSummary(framed, "framed", "source", bos, eos)
+        .orderBy("source")
+    }),
+
+    // per-position token-ID distribution over the first 4 positions:
+    // exact distinct counts plus bucketed entropy / top-share — the
+    // packing-corruption detector (a position whose entropy collapses
+    // is receiving a constant token)
+    "q_position_entropy" -> ((s, d) =>
+      TokenHealth.positionStats(seqFromDocs(s, d), "tokens",
+          k = 4, nBuckets = 64)
+        .select(col("pos"), col("n_seqs"), col("n_distinct_tokens"),
+          col("bucket_entropy"), col("top_bucket_share"))),
+
+    // vocabulary coverage per source: distinct token IDs vs the 50k
+    // vocab plus the type/token ratio — the tokenizer-audit number
+    // (two-level aggregate, exchange ≤ sources × vocab int pairs)
+    "q_vocab_coverage" -> ((s, d) =>
+      TokenHealth.vocabCoverage(seqFromDocs(s, d), "tokens", "source",
+          vocabSize = 50000)
+        .orderBy("source")),
+
+    // duplicated token-3-gram mass: the token-space dedup-regression
+    // number (fraction of gram occurrences whose gram repeats)
+    "q_token_dup_mass" -> ((s, d) =>
+      TokenHealth.dupGramMass(seqFromDocs(s, d), "tokens", n = 3)),
+
+    // token-ID histogram drift between snapshots: even-id docs are the
+    // baseline, odd-id docs get a planted tokenizer swap (IDs halved →
+    // mass compressed into the low vocab) — KS over 64-bin sketches,
+    // exactly the stored-baseline drift path of the north star
+    "q_token_drift" -> ((s, d) => {
+      val seqs = decontamCorpus(s, d)
+        .withColumn("__id", substring(col("doc_id"), 5, 12).cast("long"))
+      val base = seqs.where(col("__id") % 2 === 0).select(col("tokens"))
+      val cur = seqs.where(col("__id") % 2 === 1)
+        .select(transform(col("tokens"),
+          t => floor(t / 2.0).cast("int")).as("tokens"))
+      TokenHealth.tokenIdDrift(base, cur, "tokens",
+        lo = 0.0, hi = 50000.0, nBins = 64)
+    }),
+
+    // inbound anchor-text aggregation per link target: volume, text
+    // diversity, distinct linking docs, top anchor (the free target
+    // description web search indexes); pages synthesized like
+    // q_outlinks but with varied anchor words
+    "q_anchor_text" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val words = array(lit("home"), lit("read more"), lit("reference"),
+        lit("details"), lit("source"))
+      def w(e: Column) = element_at(words, (e % 5).cast("int") + 1)
+      val pages = docs.select(id.as("doc_id"), concat(
+        lit("<html><body><nav><a href=\"/home\">Home</a></nav><p>filler</p>"),
+        when(id % 17 =!= 0, concat(
+          lit("<a href=\"doc://"), ((id * 7 + 1) % n).cast("string"),
+          lit("\">"), w(id), lit("</a> <a href=\"doc://"),
+          ((id * 13 + 3) % n).cast("string"),
+          lit("\">"), w(id * 3 + 1), lit("</a> <a href=\"doc://"),
+          ((id + 1) % n).cast("string"),
+          lit("\">"), w(id * 11 + 2), lit("</a>"))).otherwise(lit("")),
+        lit("</body></html>")).as("__html"))
+      LinkGraph.anchorSummary(
+          LinkGraph.extractAnchors(pages, "doc_id", "__html"))
+        .withColumnRenamed("dst", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // content-defined chunking (md5 oracle mode, window 8, hex-'0'
     // boundary ≈ 16-char chunks): per-doc chunk counts — CDC boundaries
     // are local functions of content, so chunk hashes survive prefix
@@ -3323,6 +3415,188 @@ object SparkEntry {
         |           ORDER BY n_words ASC NULLS FIRST)) / 2, 6)
         |    AS ensemble_score
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // --- token-structure health tier ---------------------------------
+
+    // BOS/EOS framing: rebuild the framed sequences (same planted
+    // defects), then the three flag predicates verbatim — DuckDB
+    // list_position returns NULL when absent (Spark array_position
+    // returns 0), both coalesced to false
+    "q_token_boundaries" ->
+      s"""WITH $SeqTableCte,
+        |sq AS (SELECT toks, source, CAST(substr(did, 5) AS BIGINT) AS id
+        |       FROM s2 WHERE starts_with(did, 'doc_')),
+        |fr AS (
+        |  SELECT source,
+        |    CASE WHEN id % 23 = 5 THEN list_concat(toks, [50002])
+        |         WHEN id % 23 = 7 THEN list_concat([50001], toks)
+        |         WHEN id % 23 = 11 THEN
+        |           list_concat(list_concat(list_concat([50001],
+        |             list_slice(toks, 1, 2)), [50002]),
+        |             list_concat(list_slice(toks, 3, len(toks)), [50002]))
+        |         ELSE list_concat(list_concat([50001], toks), [50002])
+        |    END AS f
+        |  FROM sq)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN len(f) = 0 OR f[1] <> 50001
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_miss_bos,
+        |  CAST(sum(CASE WHEN len(f) = 0 OR f[-1] <> 50002
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_miss_eos,
+        |  CAST(sum(CASE WHEN coalesce(list_position(
+        |             list_slice(f, 2, len(f) - 1), 50002), 0) > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_interior_eos
+        |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // positional stats: (pos, token) counts for the first 4 positions,
+    // entropy/top-share over 64 ID buckets — all ratios of exact
+    // integer counts, entropy 6dp-rounded
+    "q_position_entropy" ->
+      s"""WITH $SeqTableCte,
+        |pt AS (
+        |  SELECT CAST(i - 1 AS INT) AS pos, toks[i] AS t,
+        |         count(*) AS n
+        |  FROM (SELECT toks,
+        |          unnest(range(1, least(len(toks), 4) + 1)) AS i
+        |        FROM s2)
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT pos, CAST(sum(n) AS BIGINT) AS n_seqs,
+        |              CAST(count(*) AS BIGINT) AS n_distinct_tokens
+        |       FROM pt GROUP BY 1),
+        |pb AS (SELECT pos, t % 64 AS b, CAST(sum(n) AS BIGINT) AS nb
+        |       FROM pt GROUP BY 1, 2),
+        |pe AS (SELECT pos,
+        |         round(ln(CAST(sum(nb) AS DOUBLE))
+        |               - sum(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)))
+        |                 / CAST(sum(nb) AS DOUBLE), 6) AS bucket_entropy,
+        |         round(CAST(max(nb) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 6)
+        |           AS top_bucket_share
+        |       FROM pb GROUP BY 1)
+        |SELECT pp.pos, n_seqs, n_distinct_tokens, bucket_entropy,
+        |       top_bucket_share
+        |FROM pp JOIN pe ON pp.pos = pe.pos ORDER BY 1""".stripMargin,
+
+    // vocab coverage: exact distinct IDs and integer-ratio outputs per
+    // source over the (source, token) pair counts
+    "q_vocab_coverage" ->
+      s"""WITH $SeqTableCte,
+        |pt AS (SELECT source, t, count(*) AS n
+        |       FROM (SELECT source, unnest(toks) AS t FROM s2)
+        |       GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(CAST(count(*) AS DOUBLE) / 50000.0, 6)
+        |         AS vocab_coverage,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |         AS type_token_ratio
+        |FROM pt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // duplicated 3-gram mass: every gram start replayed via
+    // generate-series, ratios of exact integer sums
+    "q_token_dup_mass" ->
+      s"""WITH $SeqTableCte,
+        |g AS (
+        |  SELECT toks[i] AS g0, toks[i + 1] AS g1, toks[i + 2] AS g2
+        |  FROM (SELECT toks,
+        |          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+        |        FROM s2)),
+        |c AS (SELECT g0, g1, g2, count(*) AS n FROM g GROUP BY 1, 2, 3)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_grams,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |       CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+        |            AS BIGINT) AS n_dup_occurrences,
+        |       round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(n) AS DOUBLE), 6) AS dup_mass
+        |FROM c""".stripMargin,
+
+    // token-ID KS drift: both snapshots bucketed with the HistogramAgg
+    // binning (underflow 0 / 1+min(63, floor(x/50000*64)) / overflow
+    // 65), ecdf over the filled 66-bin frame, asymptotic critical value
+    // at alpha 0.01 — the q_seq_drift spelling over unnested tokens
+    "q_token_drift" ->
+      s"""WITH $SeqTableCte,
+        |sq AS (SELECT toks, CAST(substr(did, 5) AS BIGINT) AS id
+        |       FROM s2 WHERE starts_with(did, 'doc_')),
+        |bt AS (SELECT unnest(toks) AS t FROM sq WHERE id % 2 = 0),
+        |ct AS (SELECT CAST(floor(t / 2.0) AS BIGINT) AS t
+        |       FROM (SELECT unnest(toks) AS t FROM sq WHERE id % 2 = 1)),
+        |bb AS (SELECT CASE WHEN t < 0 THEN 0 WHEN t >= 50000 THEN 65
+        |         ELSE 1 + least(63, CAST(floor((t / 50000.0) * 64) AS INT))
+        |       END AS b FROM bt),
+        |cb AS (SELECT CASE WHEN t < 0 THEN 0 WHEN t >= 50000 THEN 65
+        |         ELSE 1 + least(63, CAST(floor((t / 50000.0) * 64) AS INT))
+        |       END AS b FROM ct),
+        |bins AS (SELECT unnest(range(0, 66)) AS b),
+        |filled AS (
+        |  SELECT bins.b AS b,
+        |    coalesce(nb.n, 0) AS nb, coalesce(nc.n, 0) AS nc
+        |  FROM bins
+        |  LEFT JOIN (SELECT b, count(*) AS n FROM bb GROUP BY 1) nb
+        |    ON bins.b = nb.b
+        |  LEFT JOIN (SELECT b, count(*) AS n FROM cb GROUP BY 1) nc
+        |    ON bins.b = nc.b),
+        |ec AS (
+        |  SELECT b,
+        |    sum(nb) OVER (ORDER BY b)
+        |      / (SELECT CAST(sum(nb) AS DOUBLE) FROM filled) AS fb,
+        |    sum(nc) OVER (ORDER BY b)
+        |      / (SELECT CAST(sum(nc) AS DOUBLE) FROM filled) AS fc
+        |  FROM filled),
+        |ks AS (SELECT max(abs(fc - fb)) AS stat FROM ec),
+        |nn AS (SELECT CAST((SELECT sum(nb) FROM filled) AS DOUBLE) AS n1,
+        |              CAST((SELECT sum(nc) FROM filled) AS DOUBLE) AS n2),
+        |crit AS (SELECT sqrt(-0.5 * ln(0.005))
+        |                * sqrt((n2 + n1) / (n2 * n1)) AS v FROM nn)
+        |SELECT CAST((SELECT sum(nb) FROM filled) AS BIGINT) AS n_base,
+        |       CAST((SELECT sum(nc) FROM filled) AS BIGINT) AS n_cur,
+        |       round((SELECT stat FROM ks), 6) AS ks_stat,
+        |       round((SELECT v FROM crit), 6) AS ks_critical,
+        |       (SELECT stat FROM ks) > (SELECT v FROM crit) AS ks_drifted""".stripMargin,
+
+    // anchor aggregation: pages rebuilt like q_outlinks (plus the
+    // anchor-word arithmetic), DuckDB's regex engine replays the
+    // two-group extraction, the top anchor via the same deterministic
+    // (count desc, text) window
+    "q_anchor_text" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |w AS (SELECT ['home', 'read more', 'reference', 'details',
+        |              'source'] AS ws),
+        |pg AS (
+        |  SELECT doc_id,
+        |    '<html><body><nav><a href="/home">Home</a></nav><p>filler</p>'
+        |    || CASE WHEN doc_id % 17 <> 0 THEN
+        |         '<a href="doc://' || CAST((doc_id*7+1) % nn.n AS VARCHAR)
+        |         || '">' || list_extract(w.ws, CAST(doc_id % 5 AS INT) + 1)
+        |         || '</a> <a href="doc://'
+        |         || CAST((doc_id*13+3) % nn.n AS VARCHAR)
+        |         || '">' || list_extract(w.ws, CAST((doc_id*3+1) % 5 AS INT) + 1)
+        |         || '</a> <a href="doc://'
+        |         || CAST((doc_id+1) % nn.n AS VARCHAR)
+        |         || '">' || list_extract(w.ws, CAST((doc_id*11+2) % 5 AS INT) + 1)
+        |         || '</a>'
+        |       ELSE '' END || '</body></html>' AS html
+        |  FROM documents, nn, w),
+        |a AS (
+        |  SELECT doc_id AS src,
+        |    CAST(regexp_extract(tag,
+        |      '<a href="doc://(\d+)">([^<]*)</a>', 1) AS BIGINT) AS dst,
+        |    regexp_extract(tag,
+        |      '<a href="doc://(\d+)">([^<]*)</a>', 2) AS anchor
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(html,
+        |          '<a href="doc://(\d+)">([^<]*)</a>')) AS tag FROM pg)),
+        |pt AS (SELECT dst, anchor, count(*) AS n FROM a GROUP BY 1, 2),
+        |tp AS (SELECT dst, anchor, n,
+        |         row_number() OVER (PARTITION BY dst
+        |           ORDER BY n DESC, anchor) AS rn,
+        |         sum(n) OVER (PARTITION BY dst) AS na,
+        |         count(*) OVER (PARTITION BY dst) AS nt
+        |       FROM pt),
+        |ps AS (SELECT dst, count(*) AS ns
+        |       FROM (SELECT DISTINCT dst, src FROM a) GROUP BY 1)
+        |SELECT tp.dst AS doc_id, CAST(na AS BIGINT) AS n_anchors,
+        |       CAST(nt AS BIGINT) AS n_texts, CAST(ns AS BIGINT) AS n_srcs,
+        |       anchor AS top_anchor
+        |FROM tp JOIN ps ON tp.dst = ps.dst
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
 
     // CDC md5 mode replayed exactly: boundary at i ⇔ md5 of the 8-char
     // window ending at i starts with hex '0'; cuts = 0 ++ boundaries<len

@@ -46,6 +46,56 @@ object LinkGraph {
       .select(col("src"), col("__m").cast("long").as("dst"))
       .distinct()
 
+  /** (src, dst, anchor) triples from internal links: every
+    * `<a href="doc://<id>">text</a>` yields its target and the visible
+    * anchor text. Anchor text is the strongest free description of a
+    * target page the web gives away (search engines index it; WebText
+    * -class corpora filter on it), and aggregating it per target is the
+    * classic reduce-side step. The extraction is scan-side: the full
+    * tags explode FIRST (codegen'd `regexp_extract_all`), then the two
+    * groups are re-extracted from each ≤tag-sized string — page bytes
+    * never reach an exchange, and no higher-order-function lambdas run
+    * per element. */
+  def extractAnchors(df: DataFrame, idCol: String,
+                     htmlCol: String): DataFrame = {
+    val patt = "<a href=\"doc://(\\d+)\">([^<]*)</a>"
+    df.select(col(idCol).cast("long").as("src"),
+        explode(regexp_extract_all(col(htmlCol), lit(patt), lit(0)))
+          .as("__tag"))
+      .select(col("src"),
+        regexp_extract(col("__tag"), patt, 1).cast("long").as("dst"),
+        regexp_extract(col("__tag"), patt, 2).as("anchor"))
+  }
+
+  /** Per-target anchor profile over [[extractAnchors]] output:
+    * `(dst, n_anchors, n_texts, n_srcs, top_anchor)` — inbound anchor
+    * volume, text diversity, distinct linking documents, and the most
+    * frequent anchor text (ties break lexicographically, so the result
+    * is deterministic and SQL-replayable). Narrow shuffles only: the
+    * (dst, anchor) counts and the distinct (dst, src) pairs both
+    * combine map-side before their exchanges; the top-anchor window
+    * runs over the already-aggregated per-text frame (bounded by
+    * distinct texts per target, never raw anchor volume). */
+  def anchorSummary(anchors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perText = anchors.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("dst"))
+    val summary = perText
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__n").desc, col("anchor"))))
+      .withColumn("n_anchors", sum(col("__n")).over(w))
+      .withColumn("n_texts", count(lit(1)).over(w))
+      .where(col("__rn") === 1)
+      .select(col("dst"), col("n_anchors"), col("n_texts"),
+        col("anchor").as("top_anchor"))
+    val perSrc = anchors.select(col("dst"), col("src")).distinct()
+      .groupBy(col("dst")).agg(count(lit(1)).as("n_srcs"))
+    summary.join(perSrc, Seq("dst"))
+      .select(col("dst"), col("n_anchors"), col("n_texts"),
+        col("n_srcs"), col("top_anchor"))
+  }
+
   /** The vertex universe as a long `id` column: the caller-supplied
     * frame's first column, or (by default) every src/dst in the edge
     * frame — ONE spelling shared by [[degrees]]/[[pageRank]]/[[hits]]

@@ -18,6 +18,29 @@ class LinkGraphSpec extends SparkSpec {
     assert(edges === Array((1L, 2L), (1L, 3L), (3L, 1L)))
   }
 
+  test("extractAnchors: target and anchor text, nav links ignored") {
+    val pages = Seq(
+      (1L, """<a href="doc://2">read me</a> <a href="/home">Home</a>""" +
+        """<a href="doc://3"></a>"""),
+      (2L, """<a href="doc://2">read me</a>""")).toDF("id", "html")
+    val got = LinkGraph.extractAnchors(pages, "id", "html")
+      .orderBy("src", "dst").as[(Long, Long, String)].collect()
+    assert(got === Array((1L, 2L, "read me"), (1L, 3L, ""),
+      (2L, 2L, "read me")))
+  }
+
+  test("anchorSummary: counts, diversity, deterministic top anchor") {
+    val anchors = Seq(
+      (1L, 9L, "beta"), (2L, 9L, "beta"), (3L, 9L, "alpha"),
+      (3L, 9L, "alpha"), // duplicate text from the same src counts twice
+      (1L, 8L, "x")).toDF("src", "dst", "anchor")
+    val got = LinkGraph.anchorSummary(anchors)
+      .orderBy("dst").as[(Long, Long, Long, Long, String)].collect()
+    // dst 9: 4 anchors, texts {beta, alpha}, srcs {1,2,3};
+    // top anchor ties 2-2 → lexicographic "alpha"
+    assert(got === Array((8L, 1L, 1L, 1L, "x"), (9L, 4L, 2L, 3L, "alpha")))
+  }
+
   test("degrees: isolated vertices appear with (0, 0)") {
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 3L, 4L).toDF("id")

@@ -687,4 +687,56 @@ class PlanSpec extends SparkSpec {
         s"bpe encode must shuffle (id, count) only, got $names")
     }
   }
+
+  test("token-health aggregates: token arrays never enter an exchange") {
+    import graft.operators.TokenHealth
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val seqs = docs.select(
+      col("doc_id"),
+      transform(sequence(lit(0), (col("doc_id") % 7 + 4).cast("int")),
+        i => ((col("doc_id") * 31 + i * 17) % 1000).cast("int")).as("tokens"),
+      col("source"))
+    val frames = Seq(
+      "framing" -> TokenHealth.framingSummary(seqs, "tokens", "source", 1, 2),
+      "vocab" -> TokenHealth.vocabCoverage(seqs, "tokens", "source", 1000),
+      "dupGram" -> TokenHealth.dupGramMass(seqs, "tokens", n = 3),
+      "positions" -> TokenHealth.positionStats(seqs, "tokens", k = 4))
+    frames.foreach { case (name, out) =>
+      out.collect()
+      val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+        .collectWithSubqueries(out.queryExecution.executedPlan) {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(exchanges.nonEmpty, s"$name: expected a narrow aggregate shuffle")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"$name exchange must carry scalar (key, count) rows only: " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}"))
+      }
+      assert(!plan(out).toLowerCase.contains("scalaudf"),
+        s"$name: UDF found in plan")
+    }
+  }
+
+  test("anchor aggregation: page bytes never enter an exchange") {
+    import graft.operators.LinkGraph
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pages = docs.select(col("doc_id").cast("long").as("doc_id"),
+      concat(lit("<a href=\"doc://"),
+        (col("doc_id") % 100).cast("string"), lit("\">ref</a> "),
+        col("text")).as("__html"))
+    val out = LinkGraph.anchorSummary(
+      LinkGraph.extractAnchors(pages, "doc_id", "__html"))
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n.contains("html") || n.contains("text")),
+        s"anchor exchanges must carry (src, dst, anchor, counts) only: $names")
+    }
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TokenHealth
+
+class TokenHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 1 // bos
+  private val E = 2 // eos
+
+  test("framingFlags: clean, missing-BOS, missing-EOS, interior-EOS, empty, null") {
+    val df = Seq(
+      (0L, Seq(B, 10, 11, E)),          // clean
+      (1L, Seq(10, 11, E)),             // missing BOS
+      (2L, Seq(B, 10, 11)),             // missing EOS
+      (3L, Seq(B, 10, E, 11, E)),       // interior EOS (and framed fine)
+      (4L, Seq.empty[Int]),             // empty → both missing
+      (5L, Seq(B, E))                   // minimal clean, no interior
+    ).toDF("id", "toks")
+      .union(Seq((6L, null.asInstanceOf[Seq[Int]])).toDF("id", "toks"))
+    val got = TokenHealth.framingFlags(df, "toks", B, E)
+      .orderBy("id")
+      .select("id", "miss_bos", "miss_eos", "interior_eos")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    assert(got === Array(
+      (0L, false, false, false),
+      (1L, true, false, false),
+      (2L, false, true, false),
+      (3L, false, false, true),
+      (4L, true, true, false),
+      (5L, false, false, false),
+      (6L, true, true, false)))
+  }
+
+  test("framingSummary: per-group counters add up") {
+    val df = Seq(
+      ("a", Seq(B, 10, E)), ("a", Seq(10, E)), ("a", Seq(B, E, 5, E)),
+      ("b", Seq(B, 10, E))).toDF("g", "toks")
+    val got = TokenHealth.framingSummary(df, "toks", "g", B, E)
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(("a", 3L, 1L, 0L, 1L), ("b", 1L, 0L, 0L, 0L)))
+  }
+
+  test("positionStats: hand-computed entropy and top share") {
+    // pos 0: tokens 0,0,64 → buckets (mod 4): 0,0,0 → entropy 0, top 1
+    // pos 1: tokens 1,2,3 → buckets 1,2,3 → entropy ln 3, top 1/3
+    val df = Seq(Seq(0, 1), Seq(0, 2), Seq(64, 3)).toDF("toks")
+    val got = TokenHealth.positionStats(df, "toks", k = 2, nBuckets = 4)
+      .orderBy("pos").collect()
+    assert(got.length === 2)
+    val p0 = got(0); val p1 = got(1)
+    assert(p0.getAs[Long]("n_seqs") === 3L)
+    assert(p0.getAs[Long]("n_distinct_tokens") === 2L) // {0, 64}
+    assert(p0.getAs[Double]("bucket_entropy") === 0.0)
+    assert(p0.getAs[Double]("top_bucket_share") === 1.0)
+    assert(p1.getAs[Long]("n_distinct_tokens") === 3L)
+    assert(math.abs(p1.getAs[Double]("bucket_entropy") - math.log(3.0)) < 1e-6)
+    assert(p1.getAs[Double]("top_bucket_share") === 0.333333)
+  }
+
+  test("positionStats: k bounds the explode on short sequences") {
+    val df = Seq(Seq(7), Seq(7, 8, 9)).toDF("toks")
+    val got = TokenHealth.positionStats(df, "toks", k = 4, nBuckets = 16)
+      .orderBy("pos").collect()
+    // positions 0 (both rows), 1 and 2 (second row only)
+    assert(got.map(_.getAs[Int]("pos")).toSeq === Seq(0, 1, 2))
+    assert(got.map(_.getAs[Long]("n_seqs")).toSeq === Seq(2L, 1L, 1L))
+  }
+
+  test("vocabCoverage: exact distincts and integer ratios") {
+    val df = Seq(
+      ("a", Seq(1, 1, 2)), ("a", Seq(2, 3)),
+      ("b", Seq(4))).toDF("g", "toks")
+    val got = TokenHealth.vocabCoverage(df, "toks", "g", vocabSize = 10)
+      .orderBy("g").as[(String, Long, Long, Double, Double)].collect()
+    assert(got === Array(
+      ("a", 5L, 3L, 0.3, 0.6),   // ids {1,2,3} of 10; 3 types / 5 tokens
+      ("b", 1L, 1L, 0.1, 1.0)))
+  }
+
+  test("dupGramMass: hand-computed duplicated 3-gram fraction") {
+    // doc1 grams: (1,2,3) (2,3,4); doc2 grams: (1,2,3)
+    // gram (1,2,3) occurs 2x (dup), (2,3,4) once → dup mass 2/3
+    val df = Seq(Seq(1, 2, 3, 4), Seq(1, 2, 3)).toDF("toks")
+    val got = TokenHealth.dupGramMass(df, "toks", n = 3).head()
+    assert(got.getAs[Long]("n_grams") === 3L)
+    assert(got.getAs[Long]("n_distinct_grams") === 2L)
+    assert(got.getAs[Long]("n_dup_occurrences") === 2L)
+    assert(got.getAs[Double]("dup_mass") === 0.666667)
+    // too-short rows contribute nothing
+    val short = Seq(Seq(1, 2), Seq.empty[Int]).toDF("toks")
+    assert(TokenHealth.dupGramMass(short, "toks", n = 3)
+      .head().getAs[Long]("n_grams") === 0L)
+  }
+
+  test("tokenIdDrift: identical snapshots do not drift, a shift does") {
+    val base = Seq(Seq(100, 200), Seq(300, 400, 25000)).toDF("toks")
+    val same = TokenHealth.tokenIdDrift(base, base, "toks",
+      lo = 0.0, hi = 50000.0, nBins = 64).head()
+    assert(same.getAs[Double]("ks_stat") === 0.0)
+    assert(!same.getAs[Boolean]("ks_drifted"))
+    assert(same.getAs[Long]("n_base") === 5L)
+    // everything pushed to the top of the range → ecdf gap of 1 bin set
+    val shifted = Seq(Seq(49999, 49999), Seq(49999, 49999, 49999)).toDF("toks")
+    val drift = TokenHealth.tokenIdDrift(base, shifted, "toks",
+      lo = 0.0, hi = 50000.0, nBins = 64).head()
+    assert(drift.getAs[Double]("ks_stat") === 1.0)
+  }
+}
