@@ -985,6 +985,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // train/test contamination: exact copies planted ACROSS the split
+    // boundary (mod-31 docs re-keyed +999983 → different mod-100 split
+    // bucket), then the per-split leaked-document audit — the check a
+    // release gate runs after splitting
+    "q_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 999983L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+        .withColumn("split",
+          when(col("doc_id") % 100 < 80, "train")
+            .when(col("doc_id") % 100 < 90, "val")
+            .otherwise("test"))
+      Dedup.splitLeakage(corpus, "text", "split").orderBy("split")
+    }),
+
+    // packing-efficiency audit over the greedy doc-boundary packer:
+    // fill rate and under/oversize pack counts per source — the padding
+    // bill a trainer pays (all integer ratios)
+    "q_pack_efficiency" -> ((s, d) =>
+      Packing.packEfficiency(
+          Packing.greedyPack(t(s, d, "documents"), "source", "doc_id",
+            "n_chars", budget = 1000),
+          "source", "n_chars", budget = 1000)
+        .orderBy("source")),
+
+    // token-budget epoch table: 1M-token budget against the LLaMA-style
+    // normalized mixture — per-source epochs (memorization flag) from
+    // one count aggregate + a broadcast weight literal; the planted
+    // 'scraped' source shows up with weight 0 (unweighted-corpus loud
+    // path)
+    "q_epoch_budget" -> ((s, d) =>
+      Mixing.epochBudget(seqFromDocs(s, d), "source", "n_tok",
+          budgetTokens = 1000000L,
+          weights = Seq("web" -> 0.5, "books" -> 0.25, "code" -> 0.15,
+            "wiki" -> 0.1))
+        .orderBy("source")),
+
+    // signal-redundancy audit: per-source Pearson r between n_chars and
+    // the canonical word count, from exact decimal sufficient stats
+    // (deterministic across engines, unlike streaming corr)
+    "q_signal_corr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = docs.select(col("source"), col("n_chars"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+      Profile.correlationByGroup(sig, "source", "n_chars", "n_words")
+        .orderBy("source")
+    }),
+
     // content-defined chunking (md5 oracle mode, window 8, hex-'0'
     // boundary ≈ 16-char chunks): per-doc chunk counts — CDC boundaries
     // are local functions of content, so chunk hashes survive prefix
@@ -3597,6 +3646,113 @@ object SparkEntry {
         |       anchor AS top_anchor
         |FROM tp JOIN ps ON tp.dst = ps.dst
         |WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    // split leakage: same planted cross-split copies, same md5 grouping
+    // (NULL texts excluded on both sides), spanning count over the
+    // already-distinct (split, hash) pairs
+    "q_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 999983, text FROM documents
+        |  WHERE doc_id % 31 = 0),
+        |sp AS (
+        |  SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |              WHEN doc_id % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         md5(text) AS h
+        |  FROM corpus WHERE text IS NOT NULL),
+        |ph AS (SELECT split, h, count(*) AS n FROM sp GROUP BY 1, 2),
+        |sn AS (SELECT h, count(*) AS ns FROM ph GROUP BY 1)
+        |SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        |       CAST(sum(CASE WHEN ns > 1 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_leaked_docs,
+        |       CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_leaked_texts,
+        |       round(CAST(sum(CASE WHEN ns > 1 THEN n ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(n) AS DOUBLE), 6) AS leak_rate
+        |FROM ph JOIN sn USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // packing efficiency: the q_pack_documents recursive walk plus the
+    // per-pack and per-source rollups — every output an integer or a
+    // ratio of integers
+    "q_pack_efficiency" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_chars, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, 0 AS pack_pos, n_chars AS acc
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+        |         CASE WHEN p.acc + o.n_chars <= 1000
+        |              THEN p.pack_id ELSE p.pack_id + 1 END,
+        |         CASE WHEN p.acc + o.n_chars <= 1000
+        |              THEN p.pack_pos + 1 ELSE 0 END,
+        |         CASE WHEN p.acc + o.n_chars <= 1000
+        |              THEN p.acc + o.n_chars ELSE o.n_chars END
+        |  FROM packed p JOIN ordered o
+        |    ON o.source = p.source AND o.rn = p.rn + 1),
+        |per AS (
+        |  SELECT source, pack_id, sum(n_chars) AS used, count(*) AS docs
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_packs,
+        |       CAST(sum(docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(used) AS BIGINT) AS used_total,
+        |       CAST(count(*) * 1000 AS BIGINT) AS capacity,
+        |       round(CAST(sum(used) AS DOUBLE)
+        |             / CAST(count(*) * 1000 AS DOUBLE), 6) AS fill_rate,
+        |       CAST(sum(CASE WHEN used < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_underfull,
+        |       CAST(sum(CASE WHEN used > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oversize
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // epoch budget: the same literal normalized weights (no
+    // renormalization arithmetic on either engine), floor targets,
+    // integer-ratio epochs; full join keeps weight-0 'scraped' loud
+    "q_epoch_budget" ->
+      s"""WITH $SeqTableCte,
+        |av AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS available_tokens
+        |       FROM s2 GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('web', 0.5), ('books', 0.25),
+        |        ('code', 0.15), ('wiki', 0.1)) AS t(source, w))
+        |SELECT coalesce(av.source, w.source) AS source,
+        |  CAST(coalesce(available_tokens, 0) AS BIGINT) AS available_tokens,
+        |  round(coalesce(w.w, 0), 6) AS weight,
+        |  CAST(floor(1000000 * coalesce(w.w, 0)) AS BIGINT) AS target_tokens,
+        |  CASE WHEN coalesce(available_tokens, 0) > 0 THEN
+        |    round(CAST(floor(1000000 * coalesce(w.w, 0)) AS DOUBLE)
+        |          / CAST(available_tokens AS DOUBLE), 6) END AS epochs
+        |FROM av FULL JOIN w ON av.source = w.source
+        |ORDER BY 1""".stripMargin,
+
+    // signal correlation: HUGEINT sufficient stats (exactly Spark's
+    // decimal(38,0) path), identical double conversion and r formula
+    "q_signal_corr" ->
+      """WITH s AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(list_filter(string_split_regex(
+        |      lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n, sum(n_chars) AS sx,
+        |         sum(n_words) AS sy, sum(n_chars * n_words) AS sxy,
+        |         sum(n_chars * n_chars) AS sxx,
+        |         sum(n_words * n_words) AS syy
+        |  FROM s WHERE n_chars IS NOT NULL AND n_words IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS pearson_r
+        |FROM a ORDER BY source""".stripMargin,
 
     // CDC md5 mode replayed exactly: boundary at i ⇔ md5 of the 8-char
     // window ending at i starts with hex '0'; cuts = 0 ++ boundaries<len

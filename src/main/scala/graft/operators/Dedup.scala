@@ -710,4 +710,44 @@ object Dedup {
         VectorExpressions.cosine(col("a.v"), col("b.v")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Train/test contamination audit: per split, how many documents
+    * share exact content with ANOTHER split — the leakage that inflates
+    * every eval number (the reason dedup must run BEFORE the split, and
+    * the check a release gate runs after it). Returns per split:
+    * `(split, n_docs, n_distinct_texts, n_leaked_docs, n_leaked_texts,
+    * leak_rate)`, where a document leaks iff its content hash appears
+    * in more than one distinct split.
+    *
+    * Content is keyed by `md5` (SQL-replayable everywhere, 16 bytes
+    * through the shuffle — the [[CdcChunking]] oracle-mode convention);
+    * rows with NULL content are excluded up front (a NULL hash would
+    * silently fall out of the group joins in any engine — excluding
+    * them is explicit instead). Scale shape: (split, hash) pairs
+    * combine map-side, the spanning count aggregates the already-
+    * distinct pairs, and the re-join keys on the 16-byte hash — text
+    * never enters an exchange. */
+  def splitLeakage(df: DataFrame, contentCol: String,
+                   splitCol: String): DataFrame = {
+    val perSplitHash = df
+      .where(col(contentCol).isNotNull)
+      .select(col(splitCol).as("split"),
+        md5(col(contentCol).cast("string")).as("__h"))
+      .groupBy(col("split"), col("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val spanning = perSplitHash.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__ns")) // rows are distinct (split, hash)
+    perSplitHash.join(spanning, Seq("__h"))
+      .groupBy(col("split"))
+      .agg(
+        sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("__ns") > 1, col("__n")).otherwise(lit(0L)))
+          .as("n_leaked_docs"),
+        sum(when(col("__ns") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_leaked_texts"),
+        round(sum(when(col("__ns") > 1, col("__n")).otherwise(lit(0L)))
+            .cast("double") / sum(col("__n")).cast("double"), 6)
+          .as("leak_rate"))
+  }
 }

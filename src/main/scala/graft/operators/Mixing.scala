@@ -438,4 +438,47 @@ object Mixing {
     df.withColumn("ensemble_score",
       round(ranks.reduce(_ + _) / lit(signalCols.length), 6))
   }
+
+  /** Token-budget epoch table: given a total training budget and a
+    * target mixture weight per source, how many EPOCHS of each source
+    * the budget implies (the LLaMA-style data-mix accounting — epochs
+    * well above ~4 flag a source the mixture will memorize, epochs
+    * near 0 flag wasted corpus). One map-side-combined count aggregate
+    * over the corpus joined (full-outer, broadcast) against the
+    * metadata-sized weight table, so misconfiguration is loud in BOTH
+    * directions: a weighted source absent from the corpus appears with
+    * zero tokens and NULL epochs; an unweighted corpus source appears
+    * with weight 0.
+    *
+    * `weights` must already be normalized (sum within 1e-6 of 1): the
+    * weights enter the plan as LITERALS on both engines, so no
+    * renormalization arithmetic exists to drift between them. Targets
+    * are `floor(budget · w)`; epochs are a 6dp-rounded ratio of two
+    * exact integers. */
+  def epochBudget(df: DataFrame, sourceCol: String, costCol: String,
+                  budgetTokens: Long,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(budgetTokens > 0, "epochBudget: budget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "epochBudget: weights must be non-negative")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-6,
+      "epochBudget: weights must be normalized (sum to 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toDF(sourceCol, "__w"))
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(col(costCol).cast("long")).as("available_tokens"))
+    avail.join(wdf, Seq(sourceCol), "full_outer")
+      .select(
+        col(sourceCol),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        round(coalesce(col("__w"), lit(0.0)), 6).as("weight"),
+        floor(lit(budgetTokens) * coalesce(col("__w"), lit(0.0)))
+          .cast("long").as("target_tokens"),
+        when(coalesce(col("available_tokens"), lit(0L)) > 0,
+          round(floor(lit(budgetTokens) * coalesce(col("__w"), lit(0.0)))
+              .cast("double") /
+            col("available_tokens").cast("double"), 6))
+          .as("epochs"))
+  }
 }

@@ -71,6 +71,36 @@ object Packing {
       .toDF(groupCol, "shard", idCol, costCol, "pack_id", "pack_pos")
   }
 
+  /** Packing-efficiency audit over [[greedyPack]] output: per group,
+    * the pack count, document count, used vs budgeted token mass, the
+    * fill rate, and the under-/over-full pack counts (a pack exceeds
+    * `budget` only when a single oversize document packed alone — the
+    * rows a truncation policy must decide on). The wasted capacity
+    * `(1 - fill_rate) * budget * n_packs` is the padding a trainer
+    * pays for, which makes this THE number packing changes are judged
+    * by. Two narrow map-side-combined aggregates over the already-
+    * packed (group, shard, pack_id, cost) rows; every output is an
+    * integer or a ratio of integers (bit-exact across engines). */
+  def packEfficiency(packed: DataFrame, groupCol: String, costCol: String,
+                     budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val shardCol: Column =
+      if (packed.columns.contains("shard")) col("shard") else lit(0L)
+    val perPack = packed
+      .groupBy(col(groupCol), shardCol.as("__shard"), col("pack_id"))
+      .agg(sum(coalesce(col(costCol).cast("long"), lit(0L))).as("__used"),
+        count(lit(1)).as("__docs"))
+    perPack.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_packs"),
+      sum(col("__docs")).as("n_docs"),
+      sum(col("__used")).as("used_total"),
+      (count(lit(1)) * budget).as("capacity"),
+      round(sum(col("__used")).cast("double") /
+        (count(lit(1)) * budget).cast("double"), 6).as("fill_rate"),
+      sum(when(col("__used") < budget, 1L).otherwise(0L)).as("n_underfull"),
+      sum(when(col("__used") > budget, 1L).otherwise(0L)).as("n_oversize"))
+  }
+
   /** Global token offset of every document in id order — the prefix sum
     * that positions each doc in the virtual concatenation of the whole
     * corpus (the GPT-style "concat then cut fixed windows" pack regime,

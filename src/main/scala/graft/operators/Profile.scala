@@ -308,4 +308,35 @@ object Profile {
         col("n_empty"), col("n_langs"))
       .orderBy("source")
   }
+
+  /** Per-group Pearson correlation between two numeric signals from
+    * EXACT integer sufficient statistics — the signal-redundancy audit
+    * for quality-score ensembles (two signals correlating ≈1 add rank
+    * noise, not information; a sign flip across groups flags a scale
+    * bug). One map-side-combined aggregate; the five sums accumulate
+    * as decimal(38,0) (exact at any corpus size where the moments fit
+    * 38 digits — Spark's decimal matches DuckDB's HUGEINT exactly, so
+    * the final double conversion and the r arithmetic are deterministic
+    * across engines, unlike a streaming `corr` whose FP merge order is
+    * partition-dependent). Rows with a NULL in either signal are
+    * excluded; zero variance on either side yields NULL r. */
+  def correlationByGroup(df: DataFrame, groupCol: String,
+                         xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    val agg = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+    val n = col("n").cast("decimal(38,0)")
+    val cov = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(vx > 0 && vy > 0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("pearson_r"))
+  }
 }

@@ -1742,4 +1742,79 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("lang", "n")).collect()(0)
     assert(qc === org.apache.spark.sql.Row(4L, 2L, 1L, 1L))
   }
+
+  // ---------- release-gate audits (round-5 continuation 6) ----------
+
+  test("splitLeakage: cross-split copies flagged, within-split dups are not") {
+    val df = Seq(
+      ("train", "alpha"), ("train", "alpha"), // within-split dup: no leak
+      ("train", "beta"), ("test", "beta"),    // cross-split: leaks both
+      ("test", "gamma"),                       // unique
+      ("val", null.asInstanceOf[String])       // null text: excluded
+    ).toDF("split", "text")
+    val got = Dedup.splitLeakage(df, "text", "split")
+      .orderBy("split")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      ("test", 2L, 2L, 1L, 1L, 0.5),
+      ("train", 3L, 2L, 1L, 1L, 0.333333)))
+  }
+
+  test("packEfficiency: fill, underfull and oversize-singleton accounting") {
+    import graft.operators.Packing
+    // budget 10: [7,3] fills pack 0 exactly; [12] oversize alone;
+    // [5] underfull tail
+    val df = Seq(
+      ("a", 1L, 7L), ("a", 2L, 3L), ("a", 3L, 12L), ("a", 4L, 5L),
+      ("b", 5L, 4L)).toDF("g", "id", "cost")
+    val out = Packing.packEfficiency(
+      Packing.greedyPack(df, "g", "id", "cost", budget = 10L),
+      "g", "cost", budget = 10L)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Double, Long, Long)].collect()
+    assert(out === Array(
+      ("a", 3L, 4L, 27L, 30L, 0.9, 1L, 1L),
+      ("b", 1L, 1L, 4L, 10L, 0.4, 1L, 0L)))
+  }
+
+  test("epochBudget: epochs, weight-0 source, weighted-but-absent source") {
+    val df = Seq(("web", 100L), ("web", 100L), ("scraped", 50L))
+      .toDF("source", "n_tok")
+    val got = Mixing.epochBudget(df, "source", "n_tok",
+        budgetTokens = 1000L,
+        weights = Seq("web" -> 0.8, "books" -> 0.2))
+      .orderBy("source")
+      .as[(String, Long, Double, Long, Option[Double])].collect()
+    assert(got === Array(
+      ("books", 0L, 0.2, 200L, None),          // weighted, absent: loud
+      ("scraped", 50L, 0.0, 0L, Some(0.0)),    // unweighted corpus source
+      ("web", 200L, 0.8, 800L, Some(4.0))))
+    intercept[IllegalArgumentException] {
+      Mixing.epochBudget(df, "source", "n_tok", 1000L,
+        Seq("web" -> 0.5, "books" -> 0.2)) // not normalized
+    }
+  }
+
+  test("correlationByGroup: exact r on perfect, inverse and degenerate groups") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),   // r = 1
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L), // r = -1
+      ("flat", 5L, 1L), ("flat", 5L, 9L),                  // zero var x
+      ("mix", 1L, 1L), ("mix", 2L, 4L), ("mix", 3L, 2L)
+    ).toDF("g", "x", "y")
+    val got = Profile.correlationByGroup(df, "g", "x", "y")
+      .orderBy("g").as[(String, Long, Option[Double])].collect().toMap2
+    assert(got("up") === (3L, Some(1.0)))
+    assert(got("down") === (3L, Some(-1.0)))
+    assert(got("flat") === (2L, None))
+    // mix: Σx=6 Σy=7 Σxy=15 Σx²=14 Σy²=21 →
+    // r = (3·15−6·7)/(√(3·14−36)·√(3·21−49))
+    val r = (3.0 * 15 - 6 * 7) / (math.sqrt(3.0 * 14 - 36) * math.sqrt(3.0 * 21 - 49))
+    assert(math.abs(got("mix")._2.get - r) < 1e-6)
+  }
+
+  private implicit class Tup3Map(rows: Array[(String, Long, Option[Double])]) {
+    def toMap2: Map[String, (Long, Option[Double])] =
+      rows.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
 }

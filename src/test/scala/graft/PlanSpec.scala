@@ -718,6 +718,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage: document text never enters an exchange — hashes do") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("split",
+        when(col("doc_id") % 2 === 0, "train").otherwise("test"))
+    val out = Dedup.splitLeakage(docs, "text", "split")
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"leakage exchanges must carry (split, hash, counts) only: $names")
+    }
+  }
+
   test("anchor aggregation: page bytes never enter an exchange") {
     import graft.operators.LinkGraph
     val docs = spark.read.parquet(s"$sf/documents.parquet")
