@@ -1040,7 +1040,7 @@ object SparkEntry {
     // insertions (the shift q_cdc_shift_recall plants)
     "q_cdc_chunks" -> ((s, d) =>
       CdcChunking.chunks(t(s, d, "documents"), "doc_id", "text",
-          CdcChunking.boundariesMd5(_, 8))
+          window = 8, maskBits = 0)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
@@ -1063,7 +1063,7 @@ object SparkEntry {
             .as("text"))
       val corpus = base.unionByName(planted)
       val chunked = CdcChunking.chunks(corpus, "doc_id", "text",
-        CdcChunking.boundariesMd5(_, 8))
+        window = 8, maskBits = 0)
       val pairs = CdcChunking.overlapPairs(chunked, "doc_id",
         minOverlap = 0.5, maxBucket = 200)
       val nPlanted = planted.count()

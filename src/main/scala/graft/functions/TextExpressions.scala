@@ -149,6 +149,95 @@ case class CdcBoundaries(child: Expression, window: Int, maskBits: Int,
   override def prettyName: String = "graft_cdc_boundaries"
 }
 
+/** One-pass CDC chunker: boundaries AND per-chunk (md5-hex hash, char
+  * length) in a single native eval — the whole chunking step as one
+  * expression. `maskBits == 0` selects the md5-boundary ORACLE mode
+  * (boundary at i ⇔ md5 of the `window` chars ending at i starts with
+  * hex '0' — byte-identical to DuckDB's md5, so the q_cdc oracles
+  * replay it); `maskBits > 0` selects the Karp–Rabin rolling SCALE
+  * mode with [[CdcBoundaries]]'s exact loop (seed in the predicate,
+  * never the polynomial). Chunk hashes are md5 of the chunk's UTF-8
+  * bytes, lowercase hex — exactly Spark's `md5()`.
+  *
+  * Why one expression instead of boundaries + a `transform` split: the
+  * interpreted-HOF spelling re-inlines the whole cuts tree into every
+  * `element_at` reference of the split lambda (no CSE in interpreted
+  * lambdas — the BENCH.md root cause), which made the md5 mode
+  * O(chunks × len × window) PER ROW: measured 172 s for the sf0.1
+  * 5k-doc corpus vs well under a second here. One MessageDigest
+  * instance serves all windows and chunk hashes of a row. */
+case class CdcChunkHashes(child: Expression, window: Int, maskBits: Int,
+                          seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0, "window must be positive")
+  require(maskBits >= 0 && maskBits < 63,
+    "maskBits must be 0 (md5 oracle mode) or in [1, 62] (rolling mode)")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_hash", StringType, nullable = false),
+    StructField("chunk_len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(java.lang.Character.forDigit((b(i) >> 4) & 0xF, 16))
+      sb.append(java.lang.Character.forDigit(b(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    if (maskBits == 0) {
+      var i = window
+      while (i <= len) {
+        val d = md.digest(s.substring(i - window, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 0xF0) == 0) cuts += i
+        i += 1
+      }
+    } else if (len >= window) {
+      val mask = (1L << maskBits) - 1
+      val target = seed & mask
+      val B = 1000003L
+      var pow = 1L
+      var i = 0
+      while (i < window - 1) { pow *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < window) { h = h * B + s.charAt(i); i += 1 }
+      if ((h & mask) == target) cuts += i
+      while (i < len) {
+        h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+        i += 1
+        if ((h & mask) == target) cuts += i
+      }
+    }
+    if (cuts.last != len) cuts += len
+    val out = new Array[Any](math.max(cuts.length - 1, 0))
+    var j = 0
+    while (j < out.length) {
+      val chunk = s.substring(cuts(j), cuts(j + 1))
+      out(j) = InternalRow(
+        UTF8String.fromString(hex(md.digest(
+          chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)))),
+        chunk.length)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunkHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_cdc_chunk_hashes"
+}
+
 /** Apply trained BPE merges to ONE word: split to chars, then for each
   * merge in rank order run one leftmost-first non-overlapping merge-all
   * pass over the token list — the reference BPE apply step (Sennrich et
@@ -611,6 +700,13 @@ object TextExpressions {
         es(1).eval(InternalRow.empty).toString.toInt,
         es(2).eval(InternalRow.empty).toString.toInt,
         es(3).eval(InternalRow.empty).toString.toLong))
+    reg.registerFunction(FunctionIdentifier("graft_cdc_chunk_hashes"),
+      new ExpressionInfo(classOf[CdcChunkHashes].getName,
+        "graft_cdc_chunk_hashes"),
+      (es: Seq[Expression]) => CdcChunkHashes(es.head,
+        es(1).eval(InternalRow.empty).toString.toInt,
+        es(2).eval(InternalRow.empty).toString.toInt,
+        es(3).eval(InternalRow.empty).toString.toLong))
     reg.registerFunction(FunctionIdentifier("graft_word_ids"),
       new ExpressionInfo(classOf[WordIds].getName, "graft_word_ids"),
       (es: Seq[Expression]) => WordIds(
@@ -661,6 +757,13 @@ object TextExpressions {
     ensure()
     call_function("graft_cdc_boundaries", text, lit(window), lit(maskBits),
       lit(seed))
+  }
+  def cdcChunkHashes(text: Column, window: Int, maskBits: Int,
+                     seed: Long = 37L): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensure()
+    call_function("graft_cdc_chunk_hashes", text, lit(window),
+      lit(maskBits), lit(seed))
   }
   def wordIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
     import org.apache.spark.sql.functions.{array, lit}

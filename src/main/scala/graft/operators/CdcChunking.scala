@@ -61,16 +61,40 @@ object CdcChunking {
                         seed: Long = 37L): Column =
     graft.functions.TextExpressions.cdcBoundaries(text, window, maskBits, seed)
 
-  /** Split `textCol` at the given boundary positions. Cut list =
-    * [0] ++ boundaries ++ [len] (dedup'd: a boundary at len merges with
-    * the terminal cut); chunk j = substr(cut(j)+1, cut(j+1)−cut(j)).
-    * Empty/null text yields zero chunks. Returns
-    * (idCol, chunk_idx, chunk_hash, chunk_len) — the hash (md5 of the
-    * chunk text) is what downstream dedup keys on; chunk TEXT is
+  /** Chunk `textCol` with the native one-pass
+    * [[graft.functions.CdcChunkHashes]] expression: boundaries AND
+    * per-chunk md5/length in ONE eval per row. `maskBits == 0` is the
+    * md5-boundary oracle mode, `maskBits > 0` the Karp–Rabin rolling
+    * scale mode. Empty/null text yields zero chunks. Returns
+    * (idCol, chunk_idx, chunk_hash, chunk_len) — chunk TEXT is
     * deliberately not returned (narrow output, payload stays in the
     * scan). One stateless projection: zero exchanges. */
   def chunks(df: DataFrame, idCol: String, textCol: String,
-             boundaries: Column => Column): DataFrame = {
+             window: Int, maskBits: Int, seed: Long = 37L): DataFrame = {
+    val text = col(textCol)
+    df.where(text.isNotNull && length(text) > 0)
+      .select(col(idCol), posexplode(
+          graft.functions.TextExpressions.cdcChunkHashes(
+            text, window, maskBits, seed))
+        .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.chunk_hash").as("chunk_hash"),
+        col("__c.chunk_len").as("chunk_len"))
+  }
+
+  /** The interpreted boundary-lambda + `transform`-split spelling the
+    * [[chunks]] native expression replaces — kept as the 1:1 SQL
+    * mirror (it is literally the oracle CTE as Columns) for the
+    * differential test that pins native == HOF. NOT a production path:
+    * interpreted lambdas re-inline the cuts tree into every
+    * `element_at` reference (no CSE), making the md5 mode
+    * O(chunks × len × window) per row — measured 172 s vs sub-second
+    * native on the sf0.1 corpus. Requires text length ≥ window (below
+    * that, Spark's `sequence(window, len)` DESCENDS and the cut walk
+    * is undefined — the native mode and the DuckDB oracle both treat
+    * short texts as one chunk). */
+  def chunksHof(df: DataFrame, idCol: String, textCol: String,
+                boundaries: Column => Column): DataFrame = {
     val text = col(textCol)
     val cuts = array_distinct(concat(
       array(lit(0)), boundaries(text), array(length(text))))

@@ -1562,10 +1562,9 @@ class PipelineOpsSpec extends SparkSpec {
     TextExpressions.register(spark)
     val withLen = docs.where($"text".isNotNull && length($"text") > 0)
       .select($"doc_id", length($"text").as("n"))
-    for (mode <- Seq(
-        CdcChunking.boundariesMd5(_: org.apache.spark.sql.Column, 8),
-        CdcChunking.boundariesRolling(_: org.apache.spark.sql.Column, 8, 4))) {
-      val sums = CdcChunking.chunks(docs, "doc_id", "text", mode)
+    for (maskBits <- Seq(0, 4)) { // md5 oracle mode / rolling scale mode
+      val sums = CdcChunking.chunks(docs, "doc_id", "text",
+          window = 8, maskBits = maskBits)
         .groupBy($"doc_id")
         .agg(sum($"chunk_len").as("s"), count(lit(1)).as("k"))
       val joined = sums.join(withLen, "doc_id")
@@ -1574,6 +1573,26 @@ class PipelineOpsSpec extends SparkSpec {
       assert(joined.count() === withLen.count(),
         "every non-empty doc must chunk")
       assert(sums.where($"k" < 1).count() === 0)
+    }
+  }
+
+  test("cdc native chunker equals the HOF/SQL-mirror spelling, both modes") {
+    import graft.operators.CdcChunking
+    TextExpressions.register(spark)
+    // texts >= window chars only: below that the HOF spelling's
+    // sequence(window, len) descends (undefined walk) while native and
+    // the DuckDB oracle agree on one whole-text chunk
+    val base = docs.where($"text".isNotNull && length($"text") >= 8)
+      .select($"doc_id", $"text")
+    val modes: Seq[(Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      Seq((0, CdcChunking.boundariesMd5(_, 8)),
+        (4, CdcChunking.boundariesRolling(_, 8, 4)))
+    for ((maskBits, hof) <- modes) {
+      val native = CdcChunking.chunks(base, "doc_id", "text",
+        window = 8, maskBits = maskBits)
+      val mirror = CdcChunking.chunksHof(base, "doc_id", "text", hof)
+      assert(native.exceptAll(mirror).isEmpty && mirror.exceptAll(native).isEmpty,
+        s"native chunker diverged from the HOF mirror at maskBits=$maskBits")
     }
   }
 
@@ -1593,7 +1612,7 @@ class PipelineOpsSpec extends SparkSpec {
     val nPlanted = planted.count()
     assert(nPlanted > 0, "fixture must plant at least one shifted copy")
     val chunked = CdcChunking.chunks(base.unionByName(planted), "doc_id",
-      "text", CdcChunking.boundariesRolling(_, 8, 4))
+      "text", window = 8, maskBits = 4)
     val recovered = CdcChunking.overlapPairs(chunked, "doc_id",
         minOverlap = 0.5, maxBucket = 200)
       .where($"id_b" === $"id_a" + 1000000L)

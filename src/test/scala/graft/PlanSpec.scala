@@ -619,10 +619,9 @@ class PlanSpec extends SparkSpec {
   test("cdc chunking stays a projection in both boundary modes: zero exchanges") {
     import graft.operators.CdcChunking
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    for (mode <- Seq(
-        CdcChunking.boundariesMd5(_: org.apache.spark.sql.Column, 8),
-        CdcChunking.boundariesRolling(_: org.apache.spark.sql.Column, 8, 4))) {
-      val out = CdcChunking.chunks(docs, "doc_id", "text", mode)
+    for (maskBits <- Seq(0, 4)) { // md5 oracle mode / rolling scale mode
+      val out = CdcChunking.chunks(docs, "doc_id", "text",
+        window = 8, maskBits = maskBits)
       val phys = out.queryExecution.executedPlan.toString
       assert(!phys.contains("Exchange"), s"cdc chunking shuffled:\n$phys")
     }
