@@ -1034,6 +1034,42 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // conditional mix-shift: source × lang independence chi-square —
+    // both marginals can be stable while the joint drifts (a source
+    // switching language); fully in-plan, one (a,b) count exchange
+    "q_chi_contingency" -> ((s, d) =>
+      Drift.contingencyChiSquare(t(s, d, "documents"), "source", "lang")),
+
+    // classifier calibration: sigmoid of the ROUNDED log-odds (the
+    // q_logistic_quality anchor) binned against a deterministic
+    // integer label (n_chars >= 500) — reliability diagram + gap per
+    // bin; ECE is the n-weighted gap sum over these rows
+    "q_calibration" -> ((s, d) => {
+      TextExpressions.register(s)
+      val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+        "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+      val scored = t(s, d, "documents")
+        .select(col("n_chars"),
+          TextAnalysis.textProfile(col("text")).as("__tp"))
+        .select(col("n_chars"),
+          round(TextAnalysis.logOddsFrom(col("__tp"), bias = -2.0, w), 6)
+            .as("__lo"))
+        .select(
+          (lit(1.0) / (lit(1.0) + exp(-col("__lo")))).as("score"),
+          when(coalesce(col("n_chars"), lit(0L)) >= 500, 1L).otherwise(0L)
+            .as("label"))
+      Profile.calibrationBins(scored, "score", "label", nBins = 10)
+    }),
+
+    // crawl novelty trend: deterministic ingest day (doc_id % 30),
+    // first-seen content fraction per day — the stuck-crawler detector
+    "q_novelty_curve" -> ((s, d) =>
+      Dedup.noveltyCurve(
+          t(s, d, "documents")
+            .withColumn("day", (col("doc_id") % 30).cast("int")),
+          "text", "day")
+        .orderBy("day")),
+
     // content-defined chunking (md5 oracle mode, window 8, hex-'0'
     // boundary ≈ 16-char chunks): per-doc chunk counts — CDC boundaries
     // are local functions of content, so chunk hashes survive prefix
@@ -3753,6 +3789,83 @@ object SparkEntry {
         |             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |  END AS pearson_r
         |FROM a ORDER BY source""".stripMargin,
+
+    // contingency chi-square over the FULL margin grid (empty cells
+    // contribute their expectation), '<null>' category for NULLs
+    "q_chi_contingency" ->
+      """WITH cnt AS (
+        |  SELECT coalesce(source, '<null>') AS a,
+        |         coalesce(lang, '<null>') AS b, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS na FROM cnt GROUP BY 1),
+        |cb AS (SELECT b, sum(n) AS nb FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+        |               count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+        |        FROM cnt),
+        |grid AS (
+        |  SELECT ra.a, cb.b, ra.na, cb.nb, coalesce(cnt.n, 0) AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cnt ON cnt.a = ra.a AND cnt.b = cb.b)
+        |SELECT CAST(sum(o) AS BIGINT) AS n,
+        |       CAST((max(tot.ka) - 1) * (max(tot.kb) - 1) AS BIGINT) AS dof,
+        |       round(sum((CAST(o AS DOUBLE)
+        |                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / tot.t)
+        |                 * (CAST(o AS DOUBLE)
+        |                    - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / tot.t)
+        |                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / tot.t)),
+        |             6) AS chi_square
+        |FROM grid CROSS JOIN tot""".stripMargin,
+
+    // calibration: the q_logistic_quality feature CTE, sigmoid of the
+    // 6dp-rounded log-odds, floor bins, integer label n_chars >= 500
+    "q_calibration" ->
+      """WITH feat AS (
+        |  SELECT doc_id, n_chars,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, n_chars, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |sc AS (
+        |  SELECT 1.0 / (1.0 + exp(-round(mwl * 0.5 + n_words * 0.02
+        |           + punct_ratio * -8.0 + stop_ratio * 4.0 + -2.0, 6))) AS score,
+        |         CASE WHEN coalesce(n_chars, 0) >= 500 THEN 1 ELSE 0 END AS y
+        |  FROM feat
+        |  WHERE round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
+        |              + stop_ratio * 4.0 + -2.0, 6) IS NOT NULL)
+        |SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       round(avg(score), 6) AS mean_score,
+        |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS pos_rate,
+        |       round(abs(avg(score) - CAST(sum(y) AS DOUBLE)
+        |                               / CAST(count(*) AS DOUBLE)), 6) AS gap
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // novelty curve: md5 first-day reduce over (day, hash) pairs,
+    // NULL text excluded on both sides
+    "q_novelty_curve" ->
+      """WITH ph AS (
+        |  SELECT CAST(doc_id % 30 AS INT) AS day, md5(text) AS h,
+        |         count(*) AS n
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |fd AS (SELECT h, min(day) AS d0 FROM ph GROUP BY 1)
+        |SELECT day, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       round(CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(n) AS DOUBLE), 6) AS novelty_rate
+        |FROM ph JOIN fd USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CDC md5 mode replayed exactly: boundary at i ⇔ md5 of the 8-char
     // window ending at i starts with hex '0'; cuts = 0 ++ boundaries<len

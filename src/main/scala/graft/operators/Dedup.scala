@@ -711,6 +711,41 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Corpus novelty curve: per ingest day, how much arriving content is
+    * NEW — the crawl-health trend that separates a healthy frontier
+    * (high novelty) from a crawler stuck re-fetching mirrors (novelty
+    * decaying to the duplicate floor). A hash is novel on its first
+    * day; `novelty_rate` = first-seen distinct hashes / all documents
+    * that day. Returns (day, n_docs, n_distinct, n_novel,
+    * novelty_rate), one row per present day.
+    *
+    * Same scale shape as [[splitLeakage]]: (day, md5) pairs combine
+    * map-side, the first-day reduce runs over the already-distinct
+    * pairs, the re-join keys on the 16-byte hash — content never enters
+    * an exchange. NULL content is excluded (explicitly, not silently
+    * via NULL-key join drop). */
+  def noveltyCurve(df: DataFrame, contentCol: String,
+                   dayCol: String): DataFrame = {
+    val perDayHash = df
+      .where(col(contentCol).isNotNull)
+      .select(col(dayCol).as("day"),
+        md5(col(contentCol).cast("string")).as("__h"))
+      .groupBy(col("day"), col("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val firstDay = perDayHash.groupBy(col("__h"))
+      .agg(min(col("day")).as("__d0"))
+    perDayHash.join(firstDay, Seq("__h"))
+      .groupBy(col("day"))
+      .agg(
+        sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("day") === col("__d0"), 1L).otherwise(lit(0L)))
+          .as("n_novel"),
+        round(sum(when(col("day") === col("__d0"), 1L).otherwise(lit(0L)))
+            .cast("double") / sum(col("__n")).cast("double"), 6)
+          .as("novelty_rate"))
+  }
+
   /** Train/test contamination audit: per split, how many documents
     * share exact content with ANOTHER split — the leakage that inflates
     * every eval number (the reason dedup must run BEFORE the split, and

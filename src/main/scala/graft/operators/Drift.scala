@@ -317,4 +317,46 @@ object Drift {
       round(col("n").cast("double") / lag(col("n"), 1).over(w), 6)
         .as("ratio"))
   }
+
+  /** Two-way contingency chi-square of independence between two
+    * categorical columns — the CONDITIONAL mix-shift detector: the
+    * marginal source and language frequencies can both be stable while
+    * their joint distribution drifts (a source silently switching
+    * language), which is exactly what per-column drift checks miss.
+    * NULLs group as the '<null>' category (a column going null-heavy
+    * in one source is drift, not noise to drop).
+    *
+    * Fully in-plan (no driver-side stats): one (a, b) count aggregate
+    * (map-side combined, exchange ≤ |A|×|B| rows), margins re-
+    * aggregated from those counts, expected = rowTotal·colTotal/N in
+    * DOUBLE (overflow-safe at any scale), one final 1-row reduce.
+    * Returns (n, dof, chi_square) — compare against
+    * [[chiSquareCritical]](dof) for the verdict. */
+  def contingencyChiSquare(df: DataFrame, colA: String,
+                           colB: String): DataFrame = {
+    val cnt = df
+      .select(coalesce(col(colA).cast("string"), lit("<null>")).as("__a"),
+        coalesce(col(colB).cast("string"), lit("<null>")).as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val ra = cnt.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val cb = cnt.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    val tot = cnt.agg(sum(col("__n")).as("__t"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb"))
+    // full margin grid, not just observed cells: an EMPTY cell (o = 0)
+    // contributes its whole expectation e to the statistic — dropping
+    // zero cells biases chi-square toward independence exactly when
+    // the dependence is strongest
+    val o = coalesce(col("__n"), lit(0L)).cast("double")
+    val e = col("__na").cast("double") * col("__nb").cast("double") /
+      col("__t").cast("double")
+    ra.crossJoin(cb)
+      .join(cnt, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(coalesce(col("__n"), lit(0L))).as("n"),
+        ((max(col("__ka")) - 1) * (max(col("__kb")) - 1)).as("dof"),
+        round(sum((o - e) * (o - e) / e), 6).as("chi_square"))
+  }
 }

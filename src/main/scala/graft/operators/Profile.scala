@@ -309,6 +309,37 @@ object Profile {
       .orderBy("source")
   }
 
+  /** Quality-classifier calibration table: equal-width score bins with
+    * volume, observed positive rate, mean predicted score, and the
+    * |accuracy − confidence| gap per bin — the reliability diagram a
+    * score-threshold decision needs before anyone trusts the scores
+    * (ECE is the n-weighted sum of `gap`, computable from the returned
+    * rows). Scores are clamped into bin nBins−1 at exactly 1.0; NULL
+    * scores are excluded (unscorable rows belong in a coverage metric,
+    * not a calibration bin). One map-side-combined aggregate over the
+    * (bin, score, label) projection. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "calibrationBins: nBins must be positive")
+    df.where(col(scoreCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol) * nBins), lit(nBins - 1)).cast("int")
+          .as("bin"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("pos_rate"),
+        round(abs(avg(col("__s")) -
+          sum(col("__y")).cast("double") / count(lit(1)).cast("double")), 6)
+          .as("gap"))
+      .orderBy("bin")
+  }
+
   /** Per-group Pearson correlation between two numeric signals from
     * EXACT integer sufficient statistics — the signal-redundancy audit
     * for quality-score ensembles (two signals correlating ≈1 add rank

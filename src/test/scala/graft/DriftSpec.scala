@@ -139,4 +139,30 @@ class DriftSpec extends AnyFunSuite {
     assert(!v2.ksDrifted && !v2.chiDrifted)
   }
 
+  test("contingencyChiSquare: zero under independence, 20 on the diagonal 2x2") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // perfectly independent 2x2: every observed cell equals expectation
+    val indep =
+      (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+        Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("s", "l")
+    val r1 = Drift.contingencyChiSquare(indep, "s", "l").head()
+    assert(r1.getAs[Long]("n") === 30L)
+    assert(r1.getAs[Long]("dof") === 1L)
+    assert(r1.getAs[Double]("chi_square") === 0.0)
+    // diagonal-only 2x2 with EMPTY off-diagonal cells: e = 5 per cell,
+    // chi = 4 * (5-0..10 dev)^2/5 = 20 — the empty cells MUST
+    // contribute (the dropped-cell bug reported 10)
+    val diag = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("s", "l")
+    val r2 = Drift.contingencyChiSquare(diag, "s", "l").head()
+    assert(r2.getAs[Double]("chi_square") === 20.0)
+    assert(r2.getAs[Long]("dof") === 1L)
+    // NULLs form their own category
+    val withNull = (Seq(("a", "x"), ("a", null), ("b", "x")))
+      .toDF("s", "l")
+    val r3 = Drift.contingencyChiSquare(withNull, "s", "l").head()
+    assert(r3.getAs[Long]("n") === 3L)
+    assert(r3.getAs[Long]("dof") === 1L)
+  }
 }

@@ -1836,4 +1836,31 @@ class PipelineOpsSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Option[Double])] =
       rows.map(t => t._1 -> ((t._2, t._3))).toMap
   }
+
+  test("calibrationBins: bins, rates, gap; score 1.0 clamps; nulls drop") {
+    val df = Seq(
+      (Some(0.05), 0L), (Some(0.95), 1L), (Some(0.95), 0L),
+      (Some(1.0), 1L),                       // exactly 1.0 → bin 9
+      (None: Option[Double], 1L)             // unscorable: excluded
+    ).toDF("score", "y")
+    val got = Profile.calibrationBins(df, "score", "y", nBins = 10)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got === Array(
+      (0, 1L, 0L, 0.05, 0.0, 0.05),
+      (9, 3L, 2L, 0.966667, 0.666667, 0.3)))
+  }
+
+  test("noveltyCurve: first-seen content per day, repeats not novel") {
+    val df = Seq(
+      (1, "A"), (1, "A"), (1, "B"),  // day 1: A,B novel; 3 docs
+      (2, "A"), (2, "C")             // day 2: only C novel
+    ).toDF("day", "text")
+    val got = Dedup.noveltyCurve(df, "text", "day")
+      .orderBy("day")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1, 3L, 2L, 2L, 0.666667),
+      (2, 2L, 2L, 1L, 0.5)))
+  }
 }
