@@ -144,10 +144,23 @@ object Bench {
     // times were healthy — end-of-session heap/GC and page-cache state
     // was polluting the metric, not the engine (per-query sweep
     // unchanged: each query is independently timed)
-    val rowsPerSec = seqThroughput(spark, 8000000L)
-    val (_, curateJson) = curateThroughput(spark, sfDir)
+    // headline metrics skipped in the BENCH_ONLY A/B loop (dev mode —
+    // the driver never sets it; zeros mark the line as a partial run)
+    val abMode = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val rowsPerSec = if (abMode) 0.0 else seqThroughput(spark, 8000000L)
+    val (_, curateJson) =
+      if (abMode) (0.0, "\"curate_docs_per_sec\":0")
+      else curateThroughput(spark, sfDir)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep — the A/B
+    // loop for optimizing one query without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = try time(exec(fn(spark, sfDir)))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] QUERY FAILED ($name): $e"); -1.0
@@ -177,8 +190,10 @@ object Bench {
     // because the line drowned in sbt/log4j noise): write BENCH.json
     // next to the run, THEN stop Spark, THEN print the line as the very
     // last stdout output — nothing can interleave after the stop
+    // an A/B partial run must never clobber the pinned full-suite line
     val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+        if (abMode) "BENCH_AB.json" else "BENCH.json"))
     java.nio.file.Files.write(outFile,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -52,6 +52,44 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "graft_shingles"
 }
 
+/** Fixed-width word chunks in ONE native pass: lowercase → whitespace
+  * split → join each group of `chunkWords` words (last chunk short),
+  * the "paragraph" unit for chunk-level dedup. Same split semantics as
+  * [[WordShingles]]/`Dedup.words`. The HOF spelling (`transform` over
+  * a chunk-index sequence with `slice(ws, …)` inside the lambda)
+  * re-evaluates the whole word-split subtree once per CHUNK per
+  * reference — the no-CSE-in-interpreted-lambdas cost this file's
+  * header documents. Empty/blank text ⇒ empty array. */
+case class WordChunks(child: Expression, chunkWords: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(chunkWords >= 1, "chunkWords must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val nChunks = (words.length + chunkWords - 1) / chunkWords
+    val out = new Array[UTF8String](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * chunkWords
+      val end = math.min(start + chunkWords, words.length)
+      val sb = new java.lang.StringBuilder(words(start))
+      var j = start + 1
+      while (j < end) { sb.append(' ').append(words(j)); j += 1 }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordChunks = copy(child = c)
+  override def prettyName: String = "graft_word_chunks"
+}
+
 /** MinHash-LSH band keys straight from the token array: signature minima
   * and banded hashes in one evaluation — nothing for CollapseProject to
   * duplicate downstream. Output: array of `bands` longs. */
@@ -207,7 +245,9 @@ object ShingleExpression {
   /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.functionExists(FunctionIdentifier("graft_shingles"))) return
+    // keyed on the NEWEST function: an older partial registration must
+    // not short-circuit the additions that came after it
+    if (reg.functionExists(FunctionIdentifier("graft_word_chunks"))) return
     def intArg(es: Seq[Expression], i: Int): Int =
       es(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt
     reg.registerFunction(FunctionIdentifier("graft_shingles"),
@@ -222,6 +262,9 @@ object ShingleExpression {
     reg.registerFunction(FunctionIdentifier("graft_token_grams_seq"),
       new ExpressionInfo(classOf[TokenGramHashes].getName, "graft_token_grams_seq"),
       (es: Seq[Expression]) => TokenGramHashes(es.head, intArg(es, 1), distinct = false))
+    reg.registerFunction(FunctionIdentifier("graft_word_chunks"),
+      new ExpressionInfo(classOf[WordChunks].getName, "graft_word_chunks"),
+      (es: Seq[Expression]) => WordChunks(es.head, intArg(es, 1)))
   }
 
   private def ensure(): Unit =
@@ -239,5 +282,8 @@ object ShingleExpression {
   /** Window-ordered (non-distinct) gram hashes: index i = window start. */
   def tokenGramsSeq(tokens: Column, n: Int): Column = {
     ensure(); call_function("graft_token_grams_seq", tokens, lit(n))
+  }
+  def wordChunks(text: Column, chunkWords: Int): Column = {
+    ensure(); call_function("graft_word_chunks", text, lit(chunkWords))
   }
 }

@@ -99,8 +99,18 @@ object LineDedup {
 
   /** Fixed-width word chunks of a document ("paragraph" units for
     * punctuation-free token streams): chunk i = words[i·w .. i·w+w−1],
-    * the last chunk short. Empty/blank text ⇒ empty chunk array. */
+    * the last chunk short. Empty/blank text ⇒ empty chunk array. One
+    * native [[graft.functions.WordChunks]] eval per reference. */
   def wordChunks(textCol: Column, chunkWords: Int): Column = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    graft.functions.ShingleExpression.wordChunks(textCol, chunkWords)
+  }
+
+  /** The interpreted transform-over-slice spelling [[wordChunks]]
+    * replaces — kept only as the SQL-mirror reference for the
+    * differential test (the lambda re-evaluates the word split once
+    * per chunk per reference; see the WordChunks Scaladoc). */
+  private[graft] def wordChunksHof(textCol: Column, chunkWords: Int): Column = {
     require(chunkWords >= 1, "chunkWords must be >= 1")
     val ws = Dedup.words(textCol)
     when(size(ws) === 0, array().cast("array<string>"))
@@ -142,9 +152,15 @@ object LineDedup {
       .select(col(idCol),
         size(chunksHere).cast("long").as("n_chunks"),
         coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        // filter-with-index over the chunk array: the chunk expression
+        // is the lambda INPUT, evaluated once per row — the previous
+        // transform-over-positions spelling re-inlined the whole
+        // wordChunks tree into its element_at reference, re-splitting
+        // the document once per KEPT chunk (interpreted HOFs have no
+        // CSE — the CdcChunkHashes/BENCH.md root cause)
         when(col("__keep").isNull, lit(""))
           .otherwise(array_join(
-            transform(col("__keep"), p => element_at(chunksHere, p + 1)),
+            filter(chunksHere, (c, i) => array_contains(col("__keep"), i)),
             " ")).as("text_deduped"))
   }
 }

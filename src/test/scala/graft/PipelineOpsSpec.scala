@@ -1576,6 +1576,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("wordChunks native equals the HOF/SQL-mirror spelling on the corpus") {
+    import graft.operators.LineDedup
+    val native = docs.select($"doc_id",
+      LineDedup.wordChunks($"text", 12).as("c"))
+    val mirror = docs.select($"doc_id",
+      LineDedup.wordChunksHof($"text", 12).as("c"))
+    assert(native.exceptAll(mirror).isEmpty && mirror.exceptAll(native).isEmpty,
+      "native WordChunks diverged from the HOF mirror")
+    // adversarial edges: empty, blank, multi-space, short tail chunk
+    val edge = Seq("", "   ", "a", "a  b   c d e", "x\ty\nz")
+      .toDF("text")
+    val n2 = edge.select(LineDedup.wordChunks($"text", 2).as("c"))
+    val m2 = edge.select(LineDedup.wordChunksHof($"text", 2).as("c"))
+    assert(n2.exceptAll(m2).isEmpty && m2.exceptAll(n2).isEmpty)
+  }
+
   test("cdc native chunker equals the HOF/SQL-mirror spelling, both modes") {
     import graft.operators.CdcChunking
     TextExpressions.register(spark)
