@@ -1847,6 +1847,98 @@ object SparkEntry {
           TextAnalysis.tokenGramDiversity(col("tokens"), 3).as("gram_diversity"))
         .orderBy("doc_id")),
 
+    // k-anonymity release gate over quasi-identifiers (source, lang,
+    // kilochar length bucket): cells shared by < 5 rows are
+    // re-identification risks — the privacy audit before any corpus
+    // release; one map-side-combined aggregate, no payload moves
+    "q_k_anonymity" -> ((s, d) =>
+      Governance.kAnonymity(
+        t(s, d, "documents")
+          .withColumn("len_bucket",
+            floor(col("n_chars") / lit(1000L)).cast("long")),
+        Seq("source", "lang", "len_bucket"), k = 5L)
+        .orderBy("source", "lang", "len_bucket")),
+
+    // l-diversity companion: within each (source, len-bucket) cell the
+    // sensitive column (lang) must take >= 2 distinct values or cell
+    // membership itself discloses it; exact distinct via the two-level
+    // (QI, sensitive) pre-aggregate
+    "q_l_diversity" -> ((s, d) =>
+      Governance.lDiversity(
+        t(s, d, "documents")
+          .withColumn("len_bucket",
+            floor(col("n_chars") / lit(1000L)).cast("long")),
+        Seq("source", "len_bucket"), "lang", l = 2L)
+        .orderBy("source", "len_bucket")),
+
+    // one DoReMi multiplicative-weights mixture update: proxy loss =
+    // mean(n_chars mod 97) per source (exact integer sufficient stats,
+    // so both engines divide the same exact sums), reference loss = the
+    // global mean of the same signal, base = raw counts (renormalized
+    // by the update); eta = 0.1 — sources with above-reference loss
+    // gain mixture mass
+    "q_doremi_step" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lb = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("n_chars") % 97).cast("double") /
+            count(col("n_chars")).cast("double")).as("loss"))
+        .crossJoin(docs.agg(
+          (sum(col("n_chars") % 97).cast("double") /
+            count(col("n_chars")).cast("double")).as("ref_loss")))
+      Mixing.domainReweight(lb, "source", "n", "loss", "ref_loss", eta = 0.1)
+        .orderBy("source")
+    }),
+
+    // robots-style longest-prefix path rules (RFC 9309 semantics:
+    // longest match decides, ties go to allow, no match = allowed)
+    // over the synthesized host/path grid — the crawl-compliance gate;
+    // rules broadcast, winner via max-of-struct aggregate, no window
+    "q_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val host0 = when(col("doc_id") % 3 === 0,
+          concat(lower(col("source")), lit(".example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("www."), lower(col("source")), lit(".example.com")))
+        .otherwise(concat(lower(col("source")), lit(".net")))
+      val withUrl = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://"), host0, lit("/p/"), col("doc_id")).as("url"))
+      val rules = Seq(
+        ("src1.example.com", "/", false),
+        ("src1.example.com", "/p/1", true),
+        ("www.src2.example.com", "/p", false),
+        ("src4.net", "/p/4", false),
+        ("src4.net", "/p/44", true),
+        ("src7.net", "/", false),
+        ("src7.net", "/p/7", false)).toDF("host", "prefix", "allow")
+      graft.operators.WebFilter.robotsVerdict(withUrl, "doc_id", "url", rules)
+        .select(col("doc_id"),
+          graft.operators.WebFilter.hostOf(col("url")).as("host"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
+
+    // pairwise head-vocabulary (top-30 words) Jaccard between sources —
+    // the mixture-design redundancy/diversity matrix; exchanges carry
+    // (source, word) pairs, text never moves, and everything past the
+    // per-source top-k is bounded at k x |sources| rows
+    "q_vocab_overlap" -> ((s, d) =>
+      TextAnalysis.vocabOverlap(t(s, d, "documents"), "source", "text",
+          k = 30)
+        .orderBy("source_a", "source_b")),
+
+    // embedding centroid drift per label between interleaved snapshot
+    // halves (vec_id parity): cosine of the two snapshot mean vectors —
+    // the embedding-space drift check; one exploded (label, dim)
+    // aggregate, shuffle bounded by |labels| x dim
+    "q_centroid_drift" -> ((s, d) =>
+      graft.operators.EmbeddingQC.centroidDrift(
+        t(s, d, "embeddings")
+          .withColumn("snap", (col("vec_id") % 2).cast("int")),
+        "embedding", "label", "snap")
+        .orderBy("label")),
+
     // row-level quarantine split over the same constraint suite: clean
     // rows pass through byte-identical (checksummed below), dirty rows
     // grouped by their violated-rule combination
@@ -4076,6 +4168,121 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN st ON d.source IS NOT DISTINCT FROM st.source
         |ORDER BY doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT source, lang,
+        |  CAST(floor(n_chars / 1000.0) AS BIGINT) AS len_bucket,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH p AS (
+        |  SELECT DISTINCT source,
+        |    CAST(floor(n_chars / 1000.0) AS BIGINT) AS len_bucket, lang
+        |  FROM documents)
+        |SELECT source, len_bucket, count(*) AS l_div,
+        |       count(*) < 2 AS at_risk
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_doremi_step" ->
+      """WITH l AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(n_chars % 97) AS DOUBLE)
+        |      / CAST(count(n_chars) AS DOUBLE) AS loss
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(n_chars % 97) AS DOUBLE)
+        |           / CAST(count(n_chars) AS DOUBLE) AS ref_loss
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source,
+        |    greatest(coalesce(loss - ref_loss, 0.0), 0.0) AS excess,
+        |    CAST(n AS DOUBLE)
+        |      * exp(0.1 * greatest(coalesce(loss - ref_loss, 0.0), 0.0))
+        |      AS raw
+        |  FROM l, g),
+        |z AS (SELECT sum(raw) AS z FROM sc)
+        |SELECT source, round(excess, 6) AS excess,
+        |       round(raw / z, 6) AS weight
+        |FROM sc, z ORDER BY source""".stripMargin,
+
+    "q_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.example.com'
+        |         WHEN doc_id % 3 = 1
+        |           THEN 'www.' || lower(source) || '.example.com'
+        |         ELSE lower(source) || '.net' END AS host,
+        |    '/p/' || doc_id AS path
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES
+        |    ('src1.example.com', '/', false),
+        |    ('src1.example.com', '/p/1', true),
+        |    ('www.src2.example.com', '/p', false),
+        |    ('src4.net', '/p/4', false),
+        |    ('src4.net', '/p/44', true),
+        |    ('src7.net', '/', false),
+        |    ('src7.net', '/p/7', false)) t(host, prefix, allow)),
+        |m AS (
+        |  SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY length(prefix) DESC, allow DESC) AS rn
+        |  FROM u JOIN r ON u.host = r.host
+        |              AND starts_with(u.path, r.prefix))
+        |SELECT u.doc_id, u.host,
+        |       coalesce(m.allow, true) AS allowed
+        |FROM u LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m
+        |  ON u.doc_id = m.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "q_vocab_overlap" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS word
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |t AS (SELECT source, word FROM (
+        |    SELECT source, word, row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, word ASC) AS r FROM c)
+        |  WHERE r <= 30),
+        |s AS (SELECT source, count(*) AS sz FROM t GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_common,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (sa.sz + sb.sz - count(*)), 6) AS jaccard
+        |FROM t a JOIN t b ON a.word = b.word AND a.source < b.source
+        |JOIN s sa ON sa.source = a.source
+        |JOIN s sb ON sb.source = b.source
+        |GROUP BY a.source, b.source, sa.sz, sb.sz
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_centroid_drift" ->
+      """WITH cnt AS (
+        |  SELECT label,
+        |    count(*) FILTER (vec_id % 2 = 0) AS n_base,
+        |    count(*) FILTER (vec_id % 2 = 1) AS n_cur
+        |  FROM embeddings GROUP BY 1),
+        |e AS (
+        |  SELECT label, vec_id % 2 AS snap,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, dim,
+        |    avg(CASE WHEN snap = 0 THEN v END) AS a,
+        |    avg(CASE WHEN snap = 1 THEN v END) AS b
+        |  FROM e GROUP BY 1, 2),
+        |g AS (
+        |  SELECT label, sum(a * b) AS ab, sum(a * a) AS aa,
+        |         sum(b * b) AS bb
+        |  FROM m GROUP BY 1)
+        |SELECT cnt.label, cnt.n_base, cnt.n_cur,
+        |  CASE WHEN g.aa > 0 AND g.bb > 0
+        |       THEN round(g.ab / sqrt(g.aa * g.bb), 6) END AS centroid_cos
+        |FROM cnt LEFT JOIN g ON cnt.label = g.label
+        |ORDER BY cnt.label""".stripMargin,
 
     "q_funnel" ->
       """WITH base AS (

@@ -100,4 +100,53 @@ object EmbeddingQC {
         round(min(col("__vs.l2_norm")), 4).as("norm_min"),
         round(max(col("__vs.l2_norm")), 4).as("norm_max"),
         round(avg(col("__vs.l2_norm")), 4).as("norm_avg"))
+
+  /** Embedding centroid drift between two snapshots, per group — the
+    * embedding-space companion of the histogram drift pass
+    * ([[Drift]]): when the encoder, preprocessing, or upstream corpus
+    * shifts, each group's MEAN vector rotates away from its previous
+    * position long before per-row QC notices anything. Reports, per
+    * `groupCol`: row counts in both snapshots and the cosine between
+    * the two snapshot centroids (1 ≈ stable, small/negative = the
+    * group moved; NULL when either side is empty or a zero vector).
+    *
+    * Scale shape: ONE aggregate over the exploded (group, dim) grid —
+    * both snapshot means per dimension come from conditional `avg`s in
+    * the same grouped pass (map-side partial combine; the exchange
+    * carries (group, dim, partial sums), bounded by |groups|·dim, never
+    * by rows) — then a second |groups|·dim → |groups| aggregate folds
+    * the dot/norm sums. No driver collect, no window, no join between
+    * snapshot halves. Doubles accumulate in merge order, so the cosine
+    * is rounded (6dp) for cross-engine comparison.
+    *
+    * `snapCol` must be an integer 0 (baseline) / 1 (current); rows with
+    * other values are ignored (callers derive it from a snapshot id or
+    * partition date). */
+  def centroidDrift(df: DataFrame, vecCol: String, groupCol: String,
+                    snapCol: String): DataFrame = {
+    val snap = col(snapCol).cast("int")
+    val counts = df
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(snap === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(snap === 1, 1L).otherwise(0L)).as("n_cur"))
+    val means = df
+      .where(snap.isin(0, 1))
+      .select(col(groupCol), snap.as("__snap"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .groupBy(col(groupCol), col("__dim"))
+      .agg(
+        avg(when(col("__snap") === 0, col("__v").cast("double"))).as("__a"),
+        avg(when(col("__snap") === 1, col("__v").cast("double"))).as("__b"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__a") * col("__b")).as("__ab"),
+        sum(col("__a") * col("__a")).as("__aa"),
+        sum(col("__b") * col("__b")).as("__bb"))
+    counts.join(means, Seq(groupCol), "left_outer")
+      .select(col(groupCol), col("n_base"), col("n_cur"),
+        when(col("__aa") > 0 && col("__bb") > 0,
+          round(col("__ab") / sqrt(col("__aa") * col("__bb")), 6))
+          .as("centroid_cos"))
+  }
 }

@@ -481,4 +481,46 @@ object Mixing {
             col("available_tokens").cast("double"), 6))
           .as("epochs"))
   }
+
+  /** One DoReMi-style multiplicative-weights update of the domain
+    * mixture (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures"):
+    * each domain's weight moves up by how much its proxy-model loss
+    * EXCEEDS its reference-model loss — domains the proxy finds
+    * unexpectedly hard (= learnable, not yet learned) get more mixture
+    * mass; domains at or below reference loss get none of the boost.
+    *
+    *   w'_i ∝ base_i · exp(η · max(loss_i − ref_loss_i, 0)),
+    *   normalized to sum 1 over the domains present.
+    *
+    * `lossBySource` is the metadata-sized per-domain frame the training
+    * loop produces: (sourceCol, baseCol, lossCol, refLossCol), one row
+    * per domain — base is the current/prior mixture weight (need not be
+    * normalized; the update renormalizes). A NULL loss or ref-loss
+    * contributes zero excess (no evidence ⇒ no boost, never a silent
+    * drop: the domain keeps its base-proportional share). A NULL source
+    * is a domain like any other.
+    *
+    * Scale shape: the frame is O(domains) — the normalizer is a 1-row
+    * aggregate cross-joined in-plan (the realizedMix/HITS broadcast
+    * shape), so the update composes into a larger plan without a
+    * driver collect. Fixed-order IEEE arithmetic (sub → max → exp →
+    * mul → div → round) so a SQL oracle replays it bit-comparably at
+    * 6dp. Output: (sourceCol, excess 6dp, weight 6dp). */
+  def domainReweight(lossBySource: DataFrame, sourceCol: String,
+                     baseCol: String, lossCol: String, refLossCol: String,
+                     eta: Double): DataFrame = {
+    require(eta >= 0, "domainReweight: eta must be non-negative")
+    val excess = greatest(
+      coalesce(col(lossCol).cast("double") - col(refLossCol).cast("double"),
+        lit(0.0)),
+      lit(0.0))
+    val raw = col(baseCol).cast("double") * exp(lit(eta) * excess)
+    val scored = lossBySource.select(
+      col(sourceCol), excess.as("__excess"), raw.as("__raw"))
+    scored
+      .crossJoin(scored.agg(sum(col("__raw")).as("__z")))
+      .select(col(sourceCol),
+        round(col("__excess"), 6).as("excess"),
+        round(col("__raw") / col("__z"), 6).as("weight"))
+  }
 }

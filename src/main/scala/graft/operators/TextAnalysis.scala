@@ -900,4 +900,56 @@ object TextAnalysis {
           round(coalesce(col("__inter"), lit(0L)).cast("double") /
             col("__den"), 6)).as("containment"))
   }
+
+  /** Pairwise head-vocabulary overlap between sources — the mixture-
+    * design diagnostic: two "different" sources whose top-k vocabularies
+    * nearly coincide add redundancy, not diversity, and a near-zero
+    * overlap flags a domain the tokenizer/quality thresholds haven't
+    * seen. For each source the k most frequent words (count desc, word
+    * asc — a total order, so the selected sets are deterministic and
+    * engine-replayable), then Jaccard over each unordered source pair.
+    *
+    * Scale shape: (source, word) counts combine map-side (the exchange
+    * carries narrow pairs, never text); the top-k window partitions BY
+    * SOURCE (never SinglePartition); everything after is bounded at
+    * k·|sources| rows, so the pair self-join is metadata-sized however
+    * large the corpus. NULL sources carry no vocabulary attribution and
+    * are excluded (documented, not silent: they simply have no pair
+    * row — a null "source" is an ingest bug [[q_data_card]] surfaces,
+    * not a domain to mix).
+    *
+    * Output: (source_a, source_b, n_common, jaccard 6dp), a < b. */
+  def vocabOverlap(df: DataFrame, sourceCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "vocabOverlap: k must be >= 1")
+    val counts = df
+      .where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("__src"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy(col("__src"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(col("__n").desc, col("__w").asc)
+    val top = counts
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("__src"), col("__w"))
+    // realized set sizes (a short-vocab source keeps < k words)
+    val sizes = top.groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
+    val a = top.select(col("__src").as("source_a"), col("__w"))
+    val b = top.select(col("__src").as("source_b"), col("__w"))
+    a.join(b, Seq("__w"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("__src", "source_a")
+        .withColumnRenamed("__sz", "__sza"), Seq("source_a"))
+      .join(sizes.withColumnRenamed("__src", "source_b")
+        .withColumnRenamed("__sz", "__szb"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__sza") + col("__szb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -86,6 +86,49 @@ object WebFilter {
     df.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** URL path with robots semantics: the part after the host up to
+    * `?`/`#`, defaulting to "/" when absent — rule matching needs the
+    * normalized form ("http://h" and "http://h/" are the same resource
+    * root). Same RE2-safe regex family as [[hostOf]]/[[urlFeatures]]. */
+  def pathOf(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Robots-style path-rule verdict per URL — the crawl-compliance gate
+    * (REP, RFC 9309): for each document, among the host's rules whose
+    * `prefix` is a prefix of the URL path, the LONGEST prefix decides;
+    * a length tie goes to allow (the RFC's least-restrictive tie-break);
+    * no matching rule (or an unparsable URL) means allowed. Appends
+    * `allowed`; the caller filters or audits.
+    *
+    * `rules` is the metadata-sized frame (host, prefix, allow) a robots
+    * fetch/parse stage produced — it is force-broadcast, so the corpus
+    * never shuffles for the match. The winner is a max-of-struct
+    * AGGREGATE (lexicographic (prefix_len, allow) max), not a ranking
+    * window: map-side partials crush the per-doc candidate set before
+    * any exchange, and only (id, winner) rows move. The prefix test is
+    * codegen'd `startswith` — no per-rule regex compilation. */
+  def robotsVerdict(df: DataFrame, idCol: String, urlCol: String,
+                    rules: DataFrame): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val path = pathOf(col(urlCol))
+    val r = rules.select(lower(col("host")).as("__rhost"),
+      col("prefix").as("__rprefix"), col("allow").cast("boolean").as("__rallow"))
+    val winners = df
+      .select(col(idCol), host.as("__host"), path.as("__path"))
+      .join(broadcast(r),
+        col("__host") === col("__rhost") &&
+          col("__path").startsWith(col("__rprefix")))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("__rprefix")).as("len"),
+        col("__rallow").as("allow"))).as("__win"))
+      .select(col(idCol), col("__win.allow").as("__rule_allow"))
+    df.join(winners, Seq(idCol), "left_outer")
+      .withColumn("allowed", coalesce(col("__rule_allow"), lit(true)))
+      .drop("__rule_allow")
+  }
+
   /** Structural URL features for crawl-frontier scoring and quality
     * filtering — scheme, host, path depth, query-parameter count,
     * fragment flag: deep paths and parameter-heavy URLs correlate with

@@ -1879,4 +1879,127 @@ class PipelineOpsSpec extends SparkSpec {
       (1, 3L, 2L, 2L, 0.666667),
       (2, 2L, 2L, 1L, 0.5)))
   }
+
+  // ---------- governance / mixture-design (round-5 continuation 8) ----------
+
+  test("kAnonymity: small cells flagged, null QI forms its own cell") {
+    import graft.operators.Governance
+    val df = Seq(
+      (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
+      (Some("b"), "x"),                       // cell of 1 → at risk
+      (None: Option[String], "x"), (None, "x") // null QI cell of 2
+    ).toDF("src", "lang")
+    val got = Governance.kAnonymity(df, Seq("src", "lang"), k = 3L)
+      .orderBy(asc_nulls_first("src"))
+      .as[(Option[String], String, Long, Boolean)].collect()
+    assert(got === Array(
+      (None, "x", 2L, true),
+      (Some("a"), "x", 3L, false),
+      (Some("b"), "x", 1L, true)))
+    val sum = Governance.kAnonymitySummary(df, Seq("src", "lang"), 3L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(sum === ((3L, 2L, 3L, 1L)))
+  }
+
+  test("lDiversity: null sensitive counts as a distinct value") {
+    import graft.operators.Governance
+    val df = Seq(
+      ("a", Some("en")), ("a", Some("de")),          // diverse
+      ("b", Some("en")), ("b", Some("en")),          // 1 value → risk
+      ("c", Some("en")), ("c", None: Option[String]) // en + withheld = 2
+    ).toDF("src", "lang")
+    val got = Governance.lDiversity(df, Seq("src"), "lang", l = 2L)
+      .orderBy("src").as[(String, Long, Boolean)].collect()
+    assert(got === Array(("a", 2L, false), ("b", 1L, true),
+      ("c", 2L, false)))
+  }
+
+  test("domainReweight: excess-loss domains gain, eta=0 keeps base mix") {
+    import graft.operators.Mixing
+    val lb = Seq(
+      ("a", 1L, Some(2.0), 1.0),  // excess 1.0
+      ("b", 1L, Some(0.5), 1.0),  // below reference → excess 0
+      ("c", 2L, None: Option[Double], 1.0) // no loss evidence → excess 0
+    ).toDF("src", "n", "loss", "ref")
+    val got = Mixing.domainReweight(lb, "src", "n", "loss", "ref", eta = 1.0)
+      .orderBy("src").as[(String, Double, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    // raw: a = e^1 ≈ 2.718282, b = 1, c = 2; z ≈ 5.718282
+    val z = math.exp(1.0) + 3.0
+    assert(math.abs(got("a") - math.exp(1.0) / z) < 1e-6)
+    assert(math.abs(got("b") - 1.0 / z) < 1e-6)
+    assert(math.abs(got("c") - 2.0 / z) < 1e-6)
+    val flat = Mixing.domainReweight(lb, "src", "n", "loss", "ref", eta = 0.0)
+      .orderBy("src").as[(String, Double, Double)].collect()
+    assert(flat.map(_._3) === Array(0.25, 0.25, 0.5)) // base-proportional
+    assert(flat.map(_._2) === Array(1.0, 0.0, 0.0))   // excess still reported
+  }
+
+  test("robotsVerdict: longest prefix wins, tie goes to allow, no rule allows") {
+    import graft.operators.WebFilter
+    val rules = Seq(
+      ("h.com", "/", false),
+      ("h.com", "/pub", true),
+      ("h.com", "/pub/x", false),
+      ("t.com", "/a", false), ("t.com", "/b", true)
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "http://h.com/pub/y"),   // /pub (allow) beats / (disallow)
+      (2L, "http://h.com/pub/xx"),  // /pub/x longest → disallow
+      (3L, "http://h.com/other"),   // only / matches → disallow
+      (4L, "http://h.com"),         // path defaults '/' → disallow
+      (5L, "http://unruled.com/z"), // no rules for host → allowed
+      (6L, "not a url"),            // unparsable → allowed
+      (7L, "http://t.com/a")        // same-length tie impossible here;
+                                    // exact-prefix disallow
+    ).toDF("doc_id", "url")
+    val got = WebFilter.robotsVerdict(urls, "doc_id", "url", rules)
+      .orderBy("doc_id").select("doc_id", "allowed")
+      .as[(Long, Boolean)].collect()
+    assert(got === Array((1L, true), (2L, false), (3L, false), (4L, false),
+      (5L, true), (6L, true), (7L, false)))
+    // length tie, opposite verdicts → allow wins (RFC 9309 tie-break)
+    val tie = Seq(("x.com", "/aa", false), ("x.com", "/ab", true),
+      ("x.com", "/a", false)).toDF("host", "prefix", "allow")
+    val t2 = WebFilter.robotsVerdict(
+      Seq((1L, "http://x.com/ab9")).toDF("doc_id", "url"),
+      "doc_id", "url", tie).select("allowed").as[Boolean].head()
+    assert(t2 === true)
+  }
+
+  test("vocabOverlap: hand-checked jaccard, rank ties break on word asc") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("a", "w1 w1 w2 w3"),     // top-2 of a: w1(2), w2(1, tie w2<w3)
+      ("b", "w1 w4 w4 w9"),     // top-2 of b: w4(2), w1(1, tie w1<w9)
+      (null.asInstanceOf[String], "w1 w2") // null source excluded
+    ).toDF("source", "text")
+    val got = TextAnalysis.vocabOverlap(df, "source", "text", k = 2)
+      .as[(String, String, Long, Double)].collect()
+    // common = {w1}; union = 2 + 2 - 1 = 3
+    assert(got === Array(("b", "a", 1L, 0.333333)) ||
+      got === Array(("a", "b", 1L, 0.333333)))
+    assert(got.head._1 == "a" || got.head._2 == "a")
+  }
+
+  test("centroidDrift: stable group cos 1, inverted group cos -1, empty side null") {
+    import graft.operators.EmbeddingQC
+    val df = Seq(
+      // label 0: identical centroids across snapshots
+      (0L, 0, Seq(1.0f, 2.0f)), (1L, 1, Seq(1.0f, 2.0f)),
+      // label 1: new snapshot flips sign
+      (2L, 0, Seq(1.0f, 0.0f)), (3L, 1, Seq(-1.0f, 0.0f)),
+      // label 2: baseline only → no cosine
+      (4L, 0, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "snap", "embedding")
+      .withColumn("label", col("vec_id")) // unused; group below
+      .withColumn("grp", when(col("vec_id") <= 1, 0)
+        .when(col("vec_id") <= 3, 1).otherwise(2))
+    val got = EmbeddingQC.centroidDrift(df, "embedding", "grp", "snap")
+      .orderBy("grp").as[(Int, Long, Long, Option[Double])].collect()
+    assert(got === Array(
+      (0, 1L, 1L, Some(1.0)),
+      (1, 1L, 1L, Some(-1.0)),
+      (2, 1L, 0L, None)))
+  }
 }

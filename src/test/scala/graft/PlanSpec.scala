@@ -599,6 +599,45 @@ class PlanSpec extends SparkSpec {
       s"dataCard must combine map-side:\n$p")
   }
 
+  test("vocabOverlap: exchanges carry (source, word) pairs, never text; " +
+      "top-k window partitions by source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.vocabOverlap(
+      docs, "source", "text", k = 10)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"vocabOverlap exchange must carry (source, word), not text: $names")
+    }
+    val p = plan(out)
+    assert(!p.contains("SinglePartition"),
+      s"vocabOverlap top-k must partition by source, never globally:\n$p")
+  }
+
+  test("robotsVerdict: rules broadcast, winner is an aggregate — no window, " +
+      "corpus never shuffles for the match") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("http://h.example.com/p/"), col("doc_id")).as("url"))
+    val rules = Seq(("h.example.com", "/p/1", false))
+      .toDF("host", "prefix", "allow")
+    val out = graft.operators.WebFilter.robotsVerdict(
+      docs, "doc_id", "url", rules)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"robots rules must broadcast:\n$p")
+    assert(!p.contains("Window"), s"robots winner must be an aggregate:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"winner must combine map-side:\n$p")
+  }
+
   test("pmiPairs: exchanges carry (id, word) tokens, never document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.TextAnalysis.pmiPairs(
