@@ -1939,6 +1939,54 @@ object SparkEntry {
         "embedding", "label", "snap")
         .orderBy("label")),
 
+    // C4-style bad-word gate: word-level blocklist occurrence count,
+    // ratio, and keep verdict — pure zero-shuffle projection, list
+    // rides the plan as a literal
+    "q_badword_filter" -> ((s, d) =>
+      TextAnalysis.badWordStats(t(s, d, "documents"), "doc_id", "text",
+          Seq("merge", "shuffle", "spill"), maxRatio = 0.05)
+        .orderBy("doc_id")),
+
+    // exact-count stratified sampling: EXACTLY ceil(0.1 * n_s) docs per
+    // source in deterministic seeded-hash order — the eval-set builder;
+    // per-stratum rank window over narrow rows, payload via semi-join
+    "q_stratified_sample" -> ((s, d) =>
+      Mixing.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
+          fraction = 0.1, seed = 11L, hashKey = false)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // stupid-backoff trigram LM (Brants 2007): model trained on even
+    // docs, odd docs scored — unseen trigrams back off to bigram then
+    // Laplace-floored unigram, all exact integer count ratios
+    "q_trigram_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.trigramBackoff(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet head/middle/tail LM-quality terciles per language —
+    // rank-based cuts (exact integer arithmetic), unscorable docs get
+    // a loud NULL bucket
+    "q_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.lmQualityBuckets(t(s, d, "documents"), "doc_id",
+          "text", "lang")
+        .orderBy("doc_id")),
+
+    // dedup ROI accounting: rows/chars a dedup pass would reclaim per
+    // source (copies planted at doc_id%10==0 via the self-union
+    // pattern); winners by min id, text never enters an exchange
+    "q_dedup_savings" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.dedupSavings(docs.unionByName(planted), "doc_id", "text",
+          "source", "n_chars")
+        .orderBy("source")
+    }),
+
     // row-level quarantine split over the same constraint suite: clean
     // rows pass through byte-identical (checksummed below), dirty rows
     // grouped by their violated-rule combination
@@ -4168,6 +4216,136 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN st ON d.source IS NOT DISTINCT FROM st.source
         |ORDER BY doc_id""".stripMargin,
+
+    "q_badword_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(ws, x ->
+        |      list_contains(['merge', 'shuffle', 'spill'], x))) AS BIGINT)
+        |      AS n_bad
+        |  FROM w)
+        |SELECT doc_id, n_words, n_bad,
+        |  round(CAST(n_bad AS DOUBLE)
+        |    / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS bad_ratio,
+        |  round(CAST(n_bad AS DOUBLE)
+        |    / CAST(greatest(n_words, 1) AS DOUBLE), 6) <= 0.05 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761 + 11) % 4294967296, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CAST(ceil(n * 0.1) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_trigram_backoff" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(
+        |          lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |tg AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tok QUALIFY w3 IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok QUALIFY w2 IS NOT NULL),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok WHERE doc_id % 2 = 0
+        |        GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+        |               count(*) AS v FROM uni),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0
+        |       GROUP BY 1, 2),
+        |ctx2 AS (SELECT w1 AS w, CAST(sum(c2) AS BIGINT) AS cw FROM bi
+        |         GROUP BY 1),
+        |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg
+        |        WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12 FROM tri
+        |         GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT sg.doc_id, count(*) AS n_trigrams,
+        |    round(sum(CASE
+        |      WHEN tri.c3 IS NOT NULL THEN
+        |        ln(CAST(tri.c3 AS DOUBLE) / CAST(ctx3.c12 AS DOUBLE))
+        |      WHEN b23.c2 IS NOT NULL THEN
+        |        ln(0.4 * CAST(b23.c2 AS DOUBLE) / CAST(c2w.cw AS DOUBLE))
+        |      ELSE ln(0.4 * 0.4
+        |        * (CAST(coalesce(u3.c1, 0) AS DOUBLE) + 1.0)
+        |        / CAST(tot.n + tot.v AS DOUBLE))
+        |    END) / count(*), 6) AS avg_logprob
+        |  FROM tg sg
+        |  LEFT JOIN tri ON sg.w1 = tri.w1 AND sg.w2 = tri.w2
+        |                AND sg.w3 = tri.w3
+        |  LEFT JOIN ctx3 ON sg.w1 = ctx3.w1 AND sg.w2 = ctx3.w2
+        |  LEFT JOIN bi b23 ON sg.w2 = b23.w1 AND sg.w3 = b23.w2
+        |  LEFT JOIN ctx2 c2w ON sg.w2 = c2w.w
+        |  LEFT JOIN uni u3 ON sg.w3 = u3.w
+        |  CROSS JOIN tot
+        |  WHERE sg.doc_id % 2 = 1
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  sc.avg_logprob
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |         round(sum(ln(CAST(freq.n AS DOUBLE) / tot.total))
+        |           / count(*), 6) AS avg_logprob
+        |  FROM tok JOIN freq USING (w), tot
+        |  GROUP BY tok.doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, sc.avg_logprob
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |b AS (
+        |  SELECT doc_id, lang, avg_logprob,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_logprob, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored WHERE avg_logprob IS NOT NULL)
+        |SELECT doc_id, lang, avg_logprob,
+        |  CASE WHEN rnk <= n // 3 THEN 'tail'
+        |       WHEN rnk <= (n * 2) // 3 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id, lang, avg_logprob, NULL AS bucket
+        |FROM scored WHERE avg_logprob IS NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_savings" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, source, n_chars, md5(text) AS hh FROM u),
+        |w AS (SELECT hh, min(doc_id) AS win FROM h GROUP BY 1)
+        |SELECT source, count(*) AS n_dropped,
+        |       CAST(sum(n_chars) AS BIGINT) AS size_saved
+        |FROM h JOIN w USING (hh) WHERE doc_id <> win
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT source, lang,

@@ -91,6 +91,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Dedup-savings accounting per group — the dedup ROI number a
+    * 100 TB pipeline reads before paying for the pass ("which sources
+    * fund the dedup bill?"): for every exact-duplicate cluster the
+    * first copy (min id) is free, every later copy is waste; report,
+    * per `groupCol` of the WASTED copies, how many rows and how much
+    * payload a dedup pass would reclaim. `sizeCol` is the per-row cost
+    * metric (chars, bytes, tokens).
+    *
+    * Scale shape: the corpus crushes to narrow (hash, id, group, size)
+    * rows; winners are a min aggregate on the 16-byte hash key
+    * (map-side combine), the join keys on the hash, and the final
+    * aggregate is |groups|-bounded — text never enters an exchange.
+    * `hash` defaults to md5 so the SQL oracle replays it; production
+    * passes xxhash64. */
+  def dedupSavings(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, sizeCol: String,
+                   hash: Column => Column = md5(_)): DataFrame = {
+    val narrow = df.select(hash(col(textCol)).as("__h"), col(idCol),
+      col(groupCol), col(sizeCol))
+    val winners = narrow.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__win"))
+    narrow.join(winners, Seq("__h"))
+      .where(col(idCol) =!= col("__win"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_dropped"),
+        sum(col(sizeCol).cast("long")).as("size_saved"))
+  }
+
   /** [[dropExactDuplicates]] with an injectable hash column (tests force
     * collisions with a constant hash — crafting real xxhash64 collisions
     * is not practical). `exact = true` adds the CONTENT column to the

@@ -523,4 +523,50 @@ object Mixing {
         round(col("__excess"), 6).as("excess"),
         round(col("__raw") / col("__z"), 6).as("weight"))
   }
+
+  /** Exact-count stratified sampling: keep EXACTLY ⌈fraction · n_s⌉
+    * rows from every stratum — the eval-set/ablation-set builder
+    * ("exactly 1k docs per language", proportional but guaranteed
+    * per-stratum counts). [[sampleByWeights]]'s stateless predicate
+    * realizes a fraction only in expectation per stratum; this
+    * guarantees the count, at the cost of a per-stratum ranking.
+    * Selection is deterministic (seeded hash order, id tie-break) —
+    * retry/append-stable like every sampler in this file.
+    *
+    * Scale shape: the rank window partitions BY STRATUM over narrow
+    * (id, stratum, hashkey) rows — strata parallelize across the
+    * cluster and the payload arrives by semi-join afterwards; never a
+    * SinglePartition sort. A pathologically hot stratum makes one big
+    * sort partition; at that scale the two-phase threshold refinement
+    * ([[capPerKey]]'s salted shape) is the escape hatch. NULL strata
+    * sample like any other stratum. `hashKey = false` is the
+    * SQL-replicable oracle mode, as everywhere in [[Mixing]]. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fraction: Double, seed: Long = 0L,
+                       hashKey: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fraction > 0 && fraction <= 1,
+      "stratifiedSample: fraction in (0, 1]")
+    val m = 4294967296L
+    val key: Column =
+      if (hashKey) pmod(xxhash64(col(idCol), lit(seed)), lit(m))
+      else moduloLong(df, idCol, "stratifiedSample") { k =>
+        val aHi = 40503L; val aLo = 31153L
+        val u = pmod(k, lit(m))
+        pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo +
+          lit(((seed % m) + m) % m), lit(m))
+      }
+    val targets = df.groupBy(col(strataCol).as("__st"))
+      .agg(ceil(count(lit(1)) * fraction).cast("long").as("__tgt"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(key.asc, col(idCol).asc)
+    val picked = df
+      .select(col(idCol), col(strataCol))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets),
+        col(strataCol) <=> col("__st"), "inner")
+      .where(col("__rn") <= col("__tgt"))
+      .select(col(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
 }

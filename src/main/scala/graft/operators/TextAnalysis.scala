@@ -901,6 +901,165 @@ object TextAnalysis {
             col("__den"), 6)).as("containment"))
   }
 
+  /** C4-style bad-word gate: occurrence count and ratio of blocklisted
+    * words per document, plus the keep verdict — the lexical-safety
+    * filter every public web corpus runs (C4 dropped any page with one
+    * list hit; Gopher/FineWeb use ratio thresholds; both spellings fall
+    * out of the returned columns). Matching is WORD-level against the
+    * same lowercase whitespace tokenization as every other text op
+    * (substring matching would flag "class" for "ass" — the classic
+    * scunthorpe bug), and the list rides the plan as a literal array:
+    * the corpus scan stays a pure zero-shuffle projection.
+    *
+    * Returns (idCol, n_words, n_bad, bad_ratio 6dp, keep) where keep =
+    * bad_ratio <= maxRatio; an empty doc has ratio 0 and keeps. */
+  def badWordStats(df: DataFrame, idCol: String, textCol: String,
+                   badWords: Seq[String], maxRatio: Double): DataFrame = {
+    require(badWords.nonEmpty, "badWordStats: empty word list")
+    val list = lit(badWords.map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct.toArray)
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val nBad = size(filter(ws, w => array_contains(list, w))).cast("long")
+    val ratio = round(nBad.cast("double") /
+      greatest(nWords, lit(1L)).cast("double"), 6)
+    df.select(col(idCol), nWords.as("n_words"), nBad.as("n_bad"),
+      ratio.as("bad_ratio"), (ratio <= maxRatio).as("keep"))
+  }
+
+  /** Per-document stupid-backoff trigram score (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — THE web-scale
+    * n-gram smoothing: no normalization pass, just count ratios with a
+    * fixed backoff penalty, which is why it is the one LM that trains
+    * comfortably as three grouped aggregates):
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)          when the trigram is known
+    *              = α · c(w₂w₃)/c(w₂)           else, when the bigram is
+    *              = α² · (c(w₃)+1)/(N+V)        else (Laplace unigram
+    *                                             floor so OOV words score
+    *                                             finite, never ln 0)
+    *
+    * with α = 0.4 (the paper's constant). The model trains on `train`
+    * and scores `score` — the CCNet shape (score crawl text under a
+    * clean-reference LM); scoring a corpus under ITSELF never backs
+    * off (every observed n-gram has count ≥ 1), so callers wanting the
+    * quality-filter behavior pass disjoint frames. Returns (idCol,
+    * n_trigrams, avg_logprob 6dp — NULL for docs under 3 words).
+    *
+    * Scale shape: n-grams zip INSIDE the scan (no position window, no
+    * self-join — the [[bigramLogProb]] argument); all three count
+    * tables combine map-side and are corpus-bounded; scoring joins
+    * per-doc DISTINCT trigram groups (each doc ships each trigram
+    * once), and every join key is a word tuple — text never enters an
+    * exchange. All ratios are exact integer quotients through a fixed
+    * CASE ladder, so the SQL oracle replays them bit-comparably. */
+  def trigramBackoff(train: DataFrame, score: DataFrame, idCol: String,
+                     textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "trigramBackoff: alpha in (0, 1]")
+    val ws = words(col(textCol))
+    def grams(d: DataFrame, n: Int, keep: Seq[Column]): DataFrame = {
+      val cnt = greatest(size(ws) - (n - 1), lit(0))
+      val zipped = n match {
+        case 1 => explode(ws).as("__g")
+        case 2 => explode(arrays_zip(
+          slice(ws, lit(1), cnt).as("w1"), slice(ws, lit(2), cnt).as("w2")))
+          .as("__g")
+        case 3 => explode(arrays_zip(
+          slice(ws, lit(1), cnt).as("w1"), slice(ws, lit(2), cnt).as("w2"),
+          slice(ws, lit(3), cnt).as("w3"))).as("__g")
+      }
+      d.select(keep :+ zipped: _*)
+    }
+    val uni = grams(train, 1, Nil).groupBy(col("__g").as("w"))
+      .agg(count(lit(1)).as("c1"))
+    val uniTotals = uni.agg(sum(col("c1")).as("n"),
+      count(lit(1)).as("v")).head()
+    val (bigN, vocabV) = (uniTotals.getLong(0), uniTotals.getLong(1))
+    val bi = grams(train, 2, Nil)
+      .groupBy(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx2 = bi.groupBy(col("w1").as("w")).agg(sum(col("c2")).as("cw"))
+    val tri = grams(train, 3, Nil)
+      .groupBy(col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx3 = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+
+    val docTg = grams(score, 3, Seq(col(idCol)))
+      .select(col(idCol), col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c"))
+    val s = docTg
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c23")), Seq("w2", "w3"), "left")
+      .join(ctx2.select(col("w").as("w2"), col("cw").as("cw2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("cw3")),
+        Seq("w3"), "left")
+      .select(col(idCol), col("__c"),
+        when(col("c3").isNotNull,
+          log(col("c3").cast("double") / col("c12").cast("double")))
+          .when(col("c23").isNotNull,
+            log(lit(alpha) * col("c23").cast("double") /
+              col("cw2").cast("double")))
+          .otherwise(log(lit(alpha * alpha) *
+            (coalesce(col("cw3"), lit(0L)).cast("double") + 1.0) /
+            lit(bigN + vocabV).cast("double")))
+          .as("__lp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        sum(col("__c") * col("__lp")).as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("__s") / col("n_trigrams"), 6).as("avg_logprob"))
+    score.select(col(idCol)).join(s, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logprob"))
+  }
+
+  /** CCNet-style LM-quality terciles per language (Wenzek et al. 2020):
+    * bucket each document head/middle/tail by its [[unigramLogProb]]
+    * score WITHIN its language — per-language cuts are the whole point
+    * (a global threshold just ranks languages by their LM fit and guts
+    * the low-resource tail). Terciles are RANK-based (lowest ⌊n/3⌋
+    * scores → tail, next up to ⌊2n/3⌋ → middle, rest → head, ties
+    * broken by id): exact integer arithmetic on a total order, so any
+    * engine replays the same assignment — interpolated-quantile
+    * thresholds would hang the boundary on last-ulp FP agreement. Docs
+    * with no score (empty after tokenization) get a NULL bucket —
+    * unscorable is loud, not silently tail. Returns (idCol, langCol,
+    * avg_logprob, bucket).
+    *
+    * Scale shape: scoring is [[unigramLogProb]]'s broadcast-join shape;
+    * ranking is one per-language window over narrow (id, lang, score)
+    * rows (the count window reuses the same exchange) — languages
+    * parallelize, never a SinglePartition sort; at extreme per-language
+    * cardinality the sketch path is approx-percentile thresholds
+    * ([[Mixing.quantileBuckets]]'s trade). */
+  def lmQualityBuckets(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(langCol))
+      .join(unigramLogProb(df, idCol, textCol), Seq(idCol))
+    val have = scored.where(col("avg_logprob").isNotNull)
+    val byLang = Window.partitionBy(col(langCol))
+    val bucketed = have
+      .withColumn("__rnk", row_number().over(
+        byLang.orderBy(col("avg_logprob").asc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(byLang))
+      .select(col(idCol), col(langCol), col("avg_logprob"),
+        when(col("__rnk") <= floor(col("__n") / 3), lit("tail"))
+          .when(col("__rnk") <= floor(col("__n") * 2 / 3), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+    scored.where(col("avg_logprob").isNull)
+      .select(col(idCol), col(langCol), col("avg_logprob"),
+        lit(null).cast("string").as("bucket"))
+      .unionByName(bucketed)
+  }
+
   /** Pairwise head-vocabulary overlap between sources — the mixture-
     * design diagnostic: two "different" sources whose top-k vocabularies
     * nearly coincide add redundancy, not diversity, and a near-zero

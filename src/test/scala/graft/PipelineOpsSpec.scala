@@ -1982,6 +1982,100 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.head._1 == "a" || got.head._2 == "a")
   }
 
+  test("badWordStats: word-level matching, no scunthorpe substring hits") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "bad bad word"),        // 2/3 bad
+      (3L, "badge badger"),        // substring of 'bad' must NOT hit
+      (4L, "")                     // empty → ratio 0, keeps
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.badWordStats(df, "doc_id", "text",
+        Seq("bad", "word"), maxRatio = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got === Array(
+      (1L, 3L, 0L, 0.0, true),
+      (2L, 3L, 3L, 1.0, false),   // 'word' is also listed: 3/3
+      (3L, 2L, 0L, 0.0, true),
+      (4L, 0L, 0L, 0.0, true)))
+  }
+
+  test("stratifiedSample: exactly ceil(f*n) per stratum, deterministic") {
+    import graft.operators.Mixing
+    val df = (0L until 100L).map(i => (i, if (i < 90) "big" else "small"))
+      .toDF("id", "st")
+    val got = Mixing.stratifiedSample(df, "id", "st", fraction = 0.25,
+      seed = 3L, hashKey = false)
+    val counts = got.groupBy("st").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("big" -> 23L, "small" -> 3L)) // ceil(22.5), ceil(2.5)
+    val again = Mixing.stratifiedSample(df, "id", "st", fraction = 0.25,
+      seed = 3L, hashKey = false).select("id").as[Long].collect().sorted
+    assert(again === got.select("id").as[Long].collect().sorted)
+    // null stratum samples like any other
+    val withNull = df.withColumn("st",
+      when(col("id") < 4, lit(null).cast("string")).otherwise(col("st")))
+    val n = Mixing.stratifiedSample(withNull, "id", "st", 0.5, 3L,
+      hashKey = false).where(col("st").isNull).count()
+    assert(n === 2L)
+  }
+
+  test("trigramBackoff: exact ladder — known trigram, bigram backoff, OOV floor") {
+    import graft.operators.TextAnalysis
+    // train: "a b c a b d" → trigrams: abc, bca, cab, abd
+    //   c(ab)=2 contexts from trigram table: ab→{c,d} so c12(a,b)=2
+    //   bigrams: ab×2, bc, ca, bd; unigrams: a×2,b×2,c,d (N=6, V=4)
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),   // known trigram: ln(1/2)
+      (2L, "x b c"),   // unseen tri+ctx, bigram bc known: ln(.4 * 1/2)
+      (3L, "x y zz")   // everything unseen: ln(.16 * (0+1)/(6+4))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramBackoff(train, score, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) === ((1L, 1L, Some(r6(math.log(0.5))))))
+    assert(got(1) === ((2L, 1L, Some(r6(math.log(0.4 * 0.5))))))
+    assert(got(2) === ((3L, 1L, Some(r6(math.log(0.4 * 0.4 * 0.1))))))
+    // under 3 words → zero trigrams, null score
+    val short = TextAnalysis.trigramBackoff(train,
+        Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Option[Double])].head()
+    assert(short === ((9L, 0L, None)))
+  }
+
+  test("lmQualityBuckets: rank terciles per lang, unscored stays null") {
+    import graft.operators.TextAnalysis
+    // 'rare' appears once → lowest logprob; 'the' dominates → head
+    val df = Seq(
+      (1L, "the the the the", "en"),
+      (2L, "the the it it", "en"),
+      (3L, "rare rare rare word", "en"),
+      (4L, "", "en"),                       // unscorable
+      (5L, "x x", "de")                     // single-doc lang → head
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.lmQualityBuckets(df, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Double], Option[String])].collect()
+    assert(got.map(r => r._1 -> r._4).toMap === Map(
+      1L -> Some("head"), 2L -> Some("middle"), 3L -> Some("tail"),
+      4L -> None, 5L -> Some("head")))
+  }
+
+  test("dedupSavings: later copies charged to their group, winner free") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "dup", "a", 10L), (2L, "dup", "b", 10L), (3L, "dup", "a", 10L),
+      (4L, "uniq", "a", 7L)
+    ).toDF("id", "text", "src", "sz")
+    val got = Dedup.dedupSavings(df, "id", "text", "src", "sz")
+      .orderBy("src").as[(String, Long, Long)].collect()
+    // id 1 wins; ids 2 (src b) and 3 (src a) are waste
+    assert(got === Array(("a", 1L, 10L), ("b", 1L, 10L)))
+  }
+
   test("centroidDrift: stable group cos 1, inverted group cos -1, empty side null") {
     import graft.operators.EmbeddingQC
     val df = Seq(
