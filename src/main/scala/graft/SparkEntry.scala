@@ -1987,6 +1987,59 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // day-grain PSI trend of the event-type mix vs day one — the drift
+    // dashboard line; one bounded (day, cat) aggregate, in-plan
+    // baseline, grid-bounded joins
+    "q_daily_psi" -> ((s, d) =>
+      Drift.psiTrend(t(s, d, "events"), "ts", "event_type")
+        .orderBy("day")),
+
+    // scraped-template detection: dominant 8-word document prefix per
+    // source (template planted on doc_id%4==0 so the winner and its
+    // share are non-trivial); winner via max-of-struct, prefix-level
+    // exchanges only
+    "q_template_headers" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("tpl hdr one two three four five six "), col("text")))
+          .otherwise(col("text")))
+      TextAnalysis.templateHeaders(docs, "source", "text", prefixWords = 8)
+        .orderBy("source")
+    }),
+
+    // same-content label-conflict audit: identical bytes under
+    // different lang labels (conflicts planted via the self-union
+    // pattern with lang='xx'); (hash, label) pre-aggregate, text never
+    // shuffles
+    "q_lang_conflicts" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text", "lang")
+      val planted = docs.where(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("lang", lit("xx"))
+      Dedup.contentLabelConflicts(docs.unionByName(planted), "text", "lang")
+        .orderBy("content_hash")
+    }),
+
+    // per-label embedding dispersion: mean/min cosine to the label
+    // centroid — the semantic-diversity dial; centroid from one
+    // (label, dim) aggregate, per-vector sums joined against the
+    // broadcast centroid frame
+    "q_embedding_dispersion" -> ((s, d) =>
+      graft.operators.EmbeddingQC.dispersion(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label")),
+
+    // per-doc 3-gram novelty of the odd half against the even half —
+    // the "does it add anything" score; distinct gram sets, word-tuple
+    // joins, text never enters an exchange
+    "q_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramNovelty(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // row-level quarantine split over the same constraint suite: clean
     // rows pass through byte-identical (checksummed below), dirty rows
     // grouped by their violated-rule combination
@@ -4216,6 +4269,116 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN st ON d.source IS NOT DISTINCT FROM st.source
         |ORDER BY doc_id""".stripMargin,
+
+    "q_daily_psi" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         coalesce(CAST(event_type AS VARCHAR), '<null>') AS cat,
+        |         count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS day FROM c),
+        |b AS (SELECT cat, n AS nb FROM c JOIN d0 USING (day)),
+        |tb AS (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM b),
+        |t AS (SELECT day, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1),
+        |g AS (SELECT d.day, k.cat FROM (SELECT DISTINCT day FROM c) d,
+        |      (SELECT DISTINCT cat FROM c) k),
+        |j AS (
+        |  SELECT g.day, t.t AS tt,
+        |    greatest(CAST(coalesce(c.n, 0) AS DOUBLE)
+        |      / CAST(t.t AS DOUBLE), 0.0001) AS po,
+        |    greatest(CAST(coalesce(b.nb, 0) AS DOUBLE)
+        |      / CAST(tb.tb AS DOUBLE), 0.0001) AS pb
+        |  FROM g LEFT JOIN c ON g.day = c.day AND g.cat = c.cat
+        |  LEFT JOIN b ON g.cat = b.cat
+        |  JOIN t ON g.day = t.day
+        |  CROSS JOIN tb)
+        |SELECT day, max(tt) AS n_rows,
+        |       round(sum((po - pb) * ln(po / pb)), 6) AS psi
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_template_headers" ->
+      """WITH d2 AS (
+        |  SELECT source, CASE WHEN doc_id % 4 = 0
+        |    THEN 'tpl hdr one two three four five six ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT source, list_filter(string_split_regex(
+        |        lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM d2),
+        |p AS (SELECT source, array_to_string(ws[1:8], ' ') AS pfx
+        |      FROM w WHERE len(ws) > 0),
+        |c AS (SELECT source, pfx, count(*) AS n FROM p GROUP BY 1, 2),
+        |r AS (SELECT source, pfx, n,
+        |        CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+        |          AS n_docs,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY n DESC, pfx DESC) AS rn
+        |      FROM c)
+        |SELECT source, pfx AS top_prefix, n_docs, n AS top_n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS top_share
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "q_lang_conflicts" ->
+      """WITH u AS (
+        |  SELECT text, lang FROM documents
+        |  UNION ALL
+        |  SELECT text, 'xx' AS lang FROM documents WHERE doc_id % 25 = 0),
+        |p AS (SELECT md5(text) AS content_hash,
+        |        coalesce(CAST(lang AS VARCHAR), '<null>') AS l FROM u),
+        |c AS (SELECT content_hash, l, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT content_hash, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_labels,
+        |  array_to_string(list_sort(list(l)), ',') AS labels
+        |FROM c GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_embedding_dispersion" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cen AS (SELECT label, dim, avg(v) AS c FROM e GROUP BY 1, 2),
+        |pv AS (SELECT e.label, e.vec_id, sum(e.v * cen.c) AS vc,
+        |         sum(e.v * e.v) AS vv, sum(cen.c * cen.c) AS cc
+        |       FROM e JOIN cen ON e.label = cen.label AND e.dim = cen.dim
+        |       GROUP BY 1, 2),
+        |cs AS (SELECT label, CASE WHEN vv > 0 AND cc > 0
+        |         THEN vc / sqrt(vv * cc) END AS c FROM pv),
+        |cn AS (SELECT label, count(*) AS n_vectors FROM embeddings
+        |       GROUP BY 1)
+        |SELECT cn.label, cn.n_vectors, count(cs.c) AS n_scored,
+        |  round(avg(cs.c), 6) AS avg_cos, round(min(cs.c), 6) AS min_cos
+        |FROM cn LEFT JOIN cs ON cn.label = cs.label
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(
+        |          lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |tg AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tok QUALIFY w3 IS NOT NULL),
+        |ref AS (SELECT DISTINCT w1, w2, w3 FROM tg WHERE doc_id % 2 = 0),
+        |dg AS (SELECT DISTINCT doc_id, w1, w2, w3 FROM tg
+        |       WHERE doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT dg.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN r.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS novel
+        |  FROM dg LEFT JOIN ref r ON dg.w1 = r.w1 AND dg.w2 = r.w2
+        |                          AND dg.w3 = r.w3
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+        |  round(CAST(sc.novel AS DOUBLE) / CAST(sc.n_grams AS DOUBLE), 6)
+        |    AS novelty
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_badword_filter" ->
       """WITH w AS (

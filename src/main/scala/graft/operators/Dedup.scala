@@ -119,6 +119,34 @@ object Dedup {
         sum(col(sizeCol).cast("long")).as("size_saved"))
   }
 
+  /** Same-content label-conflict audit: exact-duplicate content groups
+    * whose rows DISAGREE on a label column — the classic symptom of a
+    * broken language-ID stage, copy-paste ingestion across sources, or
+    * translated-twin leakage (identical bytes cannot be both `en` and
+    * `de`; one of the labels is lying, and training mixtures built on
+    * that label are mis-weighted). One row per conflicted content
+    * group: (content_hash, n_docs, n_labels, labels — sorted,
+    * comma-joined, NULL spelled '<null>' so a null-vs-value conflict
+    * is visible). `hash` defaults to md5 for the SQL oracle;
+    * production passes xxhash64.
+    *
+    * Scale shape: one (hash, label) distinct-pair pre-aggregate
+    * (map-side combine) feeding a hash-keyed fold — text never enters
+    * an exchange, and the output is bounded by the conflict count. */
+  def contentLabelConflicts(df: DataFrame, textCol: String,
+      labelCol: String,
+      hash: Column => Column = md5(_)): DataFrame = {
+    val pairs = df.select(hash(col(textCol)).as("content_hash"),
+      coalesce(col(labelCol).cast("string"), lit("<null>")).as("__l"))
+    val byHash = pairs.groupBy(col("content_hash"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+    byHash.groupBy(col("content_hash"))
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_labels"),
+        array_join(array_sort(collect_list(col("__l"))), ",").as("labels"))
+      .where(col("n_labels") > 1)
+  }
+
   /** [[dropExactDuplicates]] with an injectable hash column (tests force
     * collisions with a constant hash — crafting real xxhash64 collisions
     * is not practical). `exact = true` adds the CONTENT column to the

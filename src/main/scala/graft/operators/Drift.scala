@@ -318,6 +318,47 @@ object Drift {
         .as("ratio"))
   }
 
+  /** Day-grain PSI trend: population stability index of `catCol`'s
+    * daily mix against the FIRST day's mix — [[psi]] as a monitoring
+    * time series instead of a one-shot verdict (the dashboard line an
+    * ingest pipeline alarms on: a category mix bending away from day
+    * one is upstream drift long before volumes move). Same eps floor
+    * and reading bands as [[psi]]; NULL categories group as '<null>'
+    * (loud, the [[contingencyChiSquare]] convention). Returns
+    * (day, n_rows, psi 6dp); day one scores 0 against itself.
+    *
+    * Fully in-plan, no driver stats: ONE (day, category) count
+    * aggregate (map-side combined, exchange ≤ |days|·|cats| rows);
+    * the baseline day is an in-plan min, the day×category grid and
+    * every later join are bounded by |days|·|cats| — nothing rescans
+    * or reshuffles the corpus. */
+  def psiTrend(df: DataFrame, tsCol: String, catCol: String,
+               eps: Double = 1e-4): DataFrame = {
+    val counts = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"),
+        coalesce(col(catCol).cast("string"), lit("<null>")).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val days = counts.select(col("day")).distinct()
+    val cats = counts.select(col("__c")).distinct()
+    val base = counts
+      .join(counts.agg(min(col("day")).as("day")), Seq("day"))
+      .select(col("__c"), col("__n").as("__nb"))
+    val baseTot = base.agg(sum(col("__nb")).as("__tb"))
+    val totals = counts.groupBy(col("day")).agg(sum(col("__n")).as("__t"))
+    val po = greatest(coalesce(col("__n"), lit(0L)).cast("double") /
+      col("__t").cast("double"), lit(eps))
+    val pb = greatest(coalesce(col("__nb"), lit(0L)).cast("double") /
+      col("__tb").cast("double"), lit(eps))
+    days.crossJoin(cats)
+      .join(counts, Seq("day", "__c"), "left")
+      .join(broadcast(base), Seq("__c"), "left")
+      .join(totals, Seq("day"))
+      .crossJoin(broadcast(baseTot))
+      .groupBy(col("day"))
+      .agg(max(col("__t")).as("n_rows"),
+        round(sum((po - pb) * log(po / pb)), 6).as("psi"))
+  }
+
   /** Two-way contingency chi-square of independence between two
     * categorical columns — the CONDITIONAL mix-shift detector: the
     * marginal source and language frequencies can both be stable while

@@ -101,6 +101,46 @@ object EmbeddingQC {
         round(max(col("__vs.l2_norm")), 4).as("norm_max"),
         round(avg(col("__vs.l2_norm")), 4).as("norm_avg"))
 
+  /** Per-group embedding dispersion: mean and minimum cosine of each
+    * vector to its GROUP CENTROID — the semantic-diversity dial for
+    * mixture design (a label whose vectors hug their centroid is
+    * near-duplicate mass SemDeDup will crush; a low minimum flags
+    * outliers/mislabels worth auditing). Returns (groupCol, n_vectors,
+    * n_scored, avg_cos 6dp, min_cos 6dp); zero vectors (or a zero
+    * centroid) are unscorable and excluded from the cosines but
+    * counted in n_vectors − n_scored — loud, not silent.
+    *
+    * Scale shape: centroid means come from one (group, dim) aggregate
+    * (exchange bounded by |groups|·dim); per-vector dot/norm sums from
+    * a second exploded aggregate keyed (group, id) joined against the
+    * broadcast-small centroid frame; the final fold is |groups|-
+    * bounded. Two corpus passes, no window, no driver collect. */
+  def dispersion(df: DataFrame, idCol: String, vecCol: String,
+                 groupCol: String): DataFrame = {
+    val exploded = df.select(col(groupCol), col(idCol),
+      posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+    val centroid = exploded.groupBy(col(groupCol), col("__dim"))
+      .agg(avg(col("__v").cast("double")).as("__c"))
+    val perVec = exploded
+      .join(broadcast(centroid), Seq(groupCol, "__dim"))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(sum(col("__v").cast("double") * col("__c")).as("__vc"),
+        sum(col("__v").cast("double") * col("__v").cast("double"))
+          .as("__vv"),
+        sum(col("__c") * col("__c")).as("__cc"))
+      .select(col(groupCol),
+        when(col("__vv") > 0 && col("__cc") > 0,
+          col("__vc") / sqrt(col("__vv") * col("__cc"))).as("__cos"))
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vectors"))
+    counts.join(
+      perVec.groupBy(col(groupCol))
+        .agg(count(col("__cos")).as("n_scored"),
+          round(avg(col("__cos")), 6).as("avg_cos"),
+          round(min(col("__cos")), 6).as("min_cos")),
+      Seq(groupCol), "left_outer")
+  }
+
   /** Embedding centroid drift between two snapshots, per group — the
     * embedding-space companion of the histogram drift pass
     * ([[Drift]]): when the encoder, preprocessing, or upstream corpus

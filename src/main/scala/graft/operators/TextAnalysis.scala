@@ -1060,6 +1060,89 @@ object TextAnalysis {
       .unionByName(bucketed)
   }
 
+  /** Per-source template-header detection: the most common `k`-word
+    * document PREFIX per source and its share of the source's docs —
+    * the scraped-template tell (a source where 40% of documents open
+    * with the same eight words is a boilerplate artifact, not forty
+    * percent duplicate content; chunk-level dedup sees the symptoms,
+    * this names the cause per source). Winner is deterministic
+    * (count, then prefix, lexicographically greatest on ties); docs
+    * too short to form a prefix (no words) don't vote. Returns
+    * (srcCol, top_prefix, n_docs, top_n, top_share 6dp).
+    *
+    * Scale shape: one native word-chunk eval extracts the prefix in
+    * the scan, then two bounded aggregates — (source, prefix) counts
+    * combine map-side and the winner is a max-of-struct fold; the
+    * exchange carries k-word prefixes, never documents. */
+  def templateHeaders(df: DataFrame, srcCol: String, textCol: String,
+                      prefixWords: Int = 8): DataFrame = {
+    require(prefixWords >= 1, "templateHeaders: prefixWords >= 1")
+    val ws = words(col(textCol))
+    val prefix = array_join(slice(ws, 1, prefixWords), " ")
+    val counts = df
+      .where(size(ws) > 0)
+      .groupBy(col(srcCol), prefix.as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(col(srcCol))
+      .agg(sum(col("__n")).as("n_docs"),
+        max(struct(col("__n").as("n"), col("__p").as("p"))).as("__w"))
+      .select(col(srcCol), col("__w.p").as("top_prefix"), col("n_docs"),
+        col("__w.n").as("top_n"),
+        round(col("__w.n").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  /** Per-document n-gram novelty against a reference corpus: the
+    * fraction of the document's DISTINCT word n-grams absent from the
+    * reference (RefinedWeb's novelty reading, and the memorization-
+    * risk prior: near-zero novelty means the doc restates what the
+    * model already trains on; decontamination asks "does it overlap a
+    * benchmark", this asks "does it add anything"). Returns (idCol,
+    * n_grams — distinct, novelty 6dp — NULL when the doc has no
+    * n-grams).
+    *
+    * Scale shape: n-grams zip inside the scan on both frames (the
+    * [[trigramBackoff]] spelling); the reference collapses to its
+    * distinct gram set map-side; the left-anti-style membership is a
+    * left join on the gram tuple with a null-probe count — exchanges
+    * carry word tuples, text never moves. */
+  def ngramNovelty(reference: DataFrame, score: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 3, "ngramNovelty: n in 1..3")
+    val ws = words(col(textCol))
+    val cnt = greatest(size(ws) - (n - 1), lit(0))
+    val gram: Column = n match {
+      case 1 => explode(ws)
+      case 2 => explode(arrays_zip(
+        slice(ws, lit(1), cnt).as("w1"), slice(ws, lit(2), cnt).as("w2")))
+      case 3 => explode(arrays_zip(
+        slice(ws, lit(1), cnt).as("w1"), slice(ws, lit(2), cnt).as("w2"),
+        slice(ws, lit(3), cnt).as("w3")))
+    }
+    def gramCols(d: DataFrame, keep: Seq[Column]): DataFrame = {
+      val g = d.select(keep :+ gram.as("__g"): _*)
+      if (n == 1) g.select(keep :+ col("__g").as("g1"): _*)
+      else g.select(keep ++ (1 to n).map(i =>
+        col(s"__g.w$i").as(s"g$i")): _*)
+    }
+    val gcols = (1 to n).map(i => s"g$i")
+    val ref = gramCols(reference, Nil).distinct()
+      .withColumn("__seen", lit(1))
+    val docGrams = gramCols(score, Seq(col(idCol)))
+      .distinct()
+    val scored = docGrams
+      .join(ref, gcols, "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("__novel"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__novel").cast("double") / col("n_grams").cast("double"),
+          6).as("novelty"))
+    score.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("novelty"))
+  }
+
   /** Pairwise head-vocabulary overlap between sources — the mixture-
     * design diagnostic: two "different" sources whose top-k vocabularies
     * nearly coincide add redundancy, not diversity, and a near-zero

@@ -2076,6 +2076,86 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array(("a", 1L, 10L), ("b", 1L, 10L)))
   }
 
+  test("psiTrend: day one scores 0, one-sided categories hit the eps floor") {
+    import graft.operators.Drift
+    val df = Seq(
+      ("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "b"),
+      ("2024-01-02 10:00:00", "a"), ("2024-01-02 11:00:00", "a"),
+      ("2024-01-03 10:00:00", "c") // c unseen on day 1 → floored base
+    ).toDF("ts", "cat").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Drift.psiTrend(df, "ts", "cat")
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Double)].collect()
+    assert(got.length === 3)
+    assert(got(0)._3 === 0.0)               // self-comparison
+    assert(got(1)._3 > 0 && got(2)._3 > got(1)._3) // c-day drifts hardest
+    assert(got.map(_._2).toSeq === Seq(2L, 2L, 1L))
+  }
+
+  test("templateHeaders: planted template wins, wordless docs don't vote") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("a", "same old header words here x"),
+      ("a", "same old header words here y"),
+      ("a", "something completely different"),
+      ("a", "   "),                        // no words: no vote
+      ("b", "unique one"), ("b", "unique two")
+    ).toDF("source", "text")
+    val got = TextAnalysis.templateHeaders(df, "source", "text",
+        prefixWords = 5)
+      .orderBy("source")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got(0) === (("a", "same old header words here", 3L, 2L,
+      0.666667)))
+    // b: 1-vs-1 tie → lexicographically greatest prefix wins
+    assert(got(1) === (("b", "unique two", 2L, 1L, 0.5)))
+  }
+
+  test("contentLabelConflicts: disagreeing labels flagged, null spelled out") {
+    import graft.operators.Dedup
+    val df = Seq(
+      ("dup", Some("en")), ("dup", Some("de")), ("dup", Some("en")),
+      ("solo", Some("en")), ("solo", Some("en")),      // agree: no row
+      ("nl", Some("en")), ("nl", None: Option[String]) // null conflicts
+    ).toDF("text", "lang")
+    val got = Dedup.contentLabelConflicts(df, "text", "lang")
+      .orderBy("labels")
+      .as[(String, Long, Long, String)].collect()
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq === Seq(
+      (2L, 2L, "<null>,en"), (3L, 2L, "de,en")))
+  }
+
+  test("dispersion: tight cluster cos 1, zero vector unscorable but counted") {
+    import graft.operators.EmbeddingQC
+    val df = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)), (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 1, Seq(2.0f, 0.0f)), (3L, 1, Seq(0.0f, 0.0f)) // zero vec
+    ).toDF("vec_id", "label", "embedding")
+    val got = EmbeddingQC.dispersion(df, "vec_id", "embedding", "label")
+      .orderBy("label")
+      .as[(Int, Long, Long, Option[Double], Option[Double])].collect()
+    assert(got(0) === ((0, 2L, 2L, Some(1.0), Some(1.0))))
+    // label 1: centroid (1,0); the zero vector can't take a cosine
+    assert(got(1) === ((1, 2L, 1L, Some(1.0), Some(1.0))))
+  }
+
+  test("ngramNovelty: seen grams 0, unseen 1, short docs null") {
+    import graft.operators.TextAnalysis
+    val ref = Seq((0L, "a b c d")).toDF("doc_id", "text") // grams abc bcd
+    val score = Seq(
+      (1L, "a b c d"),     // both grams seen → 0
+      (2L, "x y z w"),     // xyz, yzw unseen → 1
+      (3L, "a b c z"),     // abc seen, bcz not → 0.5
+      (4L, "a b")          // no trigrams → null
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(ref, score, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got === Array(
+      (1L, 2L, Some(0.0)), (2L, 2L, Some(1.0)),
+      (3L, 2L, Some(0.5)), (4L, 0L, None)))
+  }
+
   test("centroidDrift: stable group cos 1, inverted group cos -1, empty side null") {
     import graft.operators.EmbeddingQC
     val df = Seq(
