@@ -2040,6 +2040,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // NDCG@10 of the BM25 ranking against graded term-hit relevance —
+    // the retrieval-eval closure of the q_bm25 tier; both rankings are
+    // TakeOrdered folds, position math on the 10 survivors only
+    "q_ndcg" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val terms = Seq("spark", "window", "merge")
+      val scored = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms,
+        k = 1000000)
+      val rel = docs.select(col("doc_id"),
+        size(array_intersect(
+          array_distinct(TextAnalysis.words(col("text"))),
+          lit(terms.toArray))).cast("long").as("rel"))
+      Profile.ndcgAtK(scored.join(rel, Seq("doc_id")), "doc_id", "bm25",
+        "rel", k = 10)
+    }),
+
+    // per-host quality reputation (the crawl-frontier domain prior):
+    // pass rate of a length gate per synthesized host — one
+    // map-side-combined aggregate, docs never shuffle
+    "q_host_reputation" -> ((s, d) => {
+      val host0 = when(col("doc_id") % 3 === 0,
+          concat(lower(col("source")), lit(".example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("www."), lower(col("source")), lit(".example.com")))
+        .otherwise(concat(lower(col("source")), lit(".net")))
+      val withUrl = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("http://"), host0, lit("/p/"), col("doc_id")).as("url"),
+        col("n_chars").between(200, 3000).as("keep"))
+      graft.operators.WebFilter.hostQuality(withUrl, "url", "keep")
+        .orderBy("host")
+    }),
+
+    // similarity-score histogram over the word-jaccard candidate pairs
+    // — the dedup-threshold calibration view; bounded aggregate over
+    // the bounded pair frame
+    "q_jaccard_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1,
+          threshold = 0.0)
+        .select(round(col("jaccard"), 6).as("jaccard"))
+      Dedup.similarityHistogram(pairs, "jaccard", nBuckets = 10)
+        .orderBy("bucket")
+    }),
+
     // row-level quarantine split over the same constraint suite: clean
     // rows pass through byte-identical (checksummed below), dirty rows
     // grouped by their violated-rule combination
@@ -4269,6 +4313,94 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN st ON d.source IS NOT DISTINCT FROM st.source
         |ORDER BY doc_id""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf_spark,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x = 'window')) AS tf_window,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x = 'merge')) AS tf_merge
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM base),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      CAST(tf_spark AS DOUBLE) * (1.2 + 1.0)
+        |        / (tf_spark + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |        * ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+        |    + CAST(tf_window AS DOUBLE) * (1.2 + 1.0)
+        |        / (tf_window + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |        * ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+        |    + CAST(tf_merge AS DOUBLE) * (1.2 + 1.0)
+        |        / (tf_merge + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |        * ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5)), 6)
+        |    AS bm25
+        |  FROM base, stats),
+        |rel AS (
+        |  SELECT doc_id, CAST(len(list_intersect(
+        |    list_distinct(list_filter(string_split_regex(
+        |      lower(trim(text)), '\s+'), x -> x <> '')),
+        |    ['spark', 'window', 'merge'])) AS BIGINT) AS rel
+        |  FROM documents),
+        |j AS (SELECT sc.doc_id, sc.bm25, rel.rel
+        |      FROM sc JOIN rel USING (doc_id)),
+        |d AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS dcg
+        |      FROM (SELECT rel, row_number() OVER (
+        |              ORDER BY bm25 DESC, doc_id) AS pos
+        |            FROM j ORDER BY bm25 DESC, doc_id LIMIT 10)),
+        |i AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
+        |      FROM (SELECT rel, row_number() OVER (
+        |              ORDER BY rel DESC, doc_id) AS pos
+        |            FROM j ORDER BY rel DESC, doc_id LIMIT 10))
+        |SELECT 10 AS k, round(coalesce(d.dcg, 0.0), 6) AS dcg,
+        |  round(coalesce(i.idcg, 0.0), 6) AS idcg,
+        |  CASE WHEN coalesce(i.idcg, 0.0) > 0
+        |       THEN round(d.dcg / i.idcg, 6) END AS ndcg
+        |FROM d, i""".stripMargin,
+
+    "q_host_reputation" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.example.com'
+        |         WHEN doc_id % 3 = 1
+        |           THEN 'www.' || lower(source) || '.example.com'
+        |         ELSE lower(source) || '.net' END AS host,
+        |    n_chars BETWEEN 200 AND 3000 AS keep
+        |  FROM documents)
+        |SELECT host, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS keep_rate
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_jaccard_hist" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> ''))) AS word
+        |  FROM documents WHERE doc_id < 100),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT round(nc * 1.0 / (sa.n + sb.n - nc), 6) AS j
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS bucket,
+        |       count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_daily_psi" ->
       """WITH c AS (

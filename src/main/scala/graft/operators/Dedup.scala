@@ -119,6 +119,23 @@ object Dedup {
         sum(col(sizeCol).cast("long")).as("size_saved"))
   }
 
+  /** Similarity-score histogram over candidate pairs — the threshold-
+    * CALIBRATION view read before committing a dedup cutoff on 100 TB:
+    * a bimodal histogram (near-0 noise + near-1 twins) makes any
+    * threshold in the valley safe; mass piling at the chosen threshold
+    * means the cutoff is load-bearing and needs manual review. Buckets
+    * are [i/n, (i+1)/n) with similarity 1.0 clamped into the top
+    * bucket. One bounded aggregate over the (already bounded) candidate
+    *-pair frame. Returns (bucket, n_pairs). */
+  def similarityHistogram(pairs: DataFrame, simCol: String,
+                          nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "similarityHistogram: nBuckets >= 2")
+    pairs.groupBy(
+        least(floor(col(simCol) * nBuckets), lit(nBuckets - 1L))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Same-content label-conflict audit: exact-duplicate content groups
     * whose rows DISAGREE on a label column — the classic symptom of a
     * broken language-ID stage, copy-paste ingestion across sources, or

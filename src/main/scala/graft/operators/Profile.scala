@@ -370,4 +370,38 @@ object Profile {
       when(vx > 0 && vy > 0,
         round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("pearson_r"))
   }
+
+  /** NDCG@k of a scored ranking against graded relevance — the
+    * retrieval-eval number for the BM25/ANN tier (is the ranker
+    * actually surfacing the relevant documents, position-weighted?).
+    * Standard Järvelin–Kekäläinen form: DCG = Σ (2^rel − 1) /
+    * log₂(pos + 1) over the top k by (score desc, id); IDCG re-ranks
+    * by (rel desc, id); NDCG = DCG/IDCG, NULL when nothing is relevant
+    * (IDCG 0 — "no right answers" is not a perfect score). Ties break
+    * on id on both rankings, so the number is engine-replayable.
+    * Returns one row (k, dcg, idcg, ndcg — 6dp).
+    *
+    * Scale shape: both rankings are TakeOrderedAndProject folds (each
+    * task keeps a local top-k; no global sort, no SinglePartition
+    * window over the corpus — the position window runs on the k
+    * survivors only), and the DCG sums are k-row folds. */
+  def ndcgAtK(df: DataFrame, idCol: String, scoreCol: String,
+              relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "ndcgAtK: k must be positive")
+    def dcgOf(by: Seq[Column], alias: String) =
+      df.select(col(idCol), col(scoreCol), col(relCol))
+        .orderBy(by: _*).limit(k)
+        .withColumn("__pos", row_number().over(Window.orderBy(by: _*)))
+        .agg(coalesce(sum(
+          (pow(lit(2.0), col(relCol).cast("double")) - 1.0) /
+            log2(col("__pos").cast("double") + 1.0)), lit(0.0)).as(alias))
+    val dcg = dcgOf(Seq(col(scoreCol).desc, col(idCol).asc), "dcg")
+    val idcg = dcgOf(Seq(col(relCol).desc, col(idCol).asc), "idcg")
+    dcg.crossJoin(idcg)
+      .select(lit(k).as("k"), round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+          .as("ndcg"))
+  }
 }

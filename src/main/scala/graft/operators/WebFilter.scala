@@ -129,6 +129,28 @@ object WebFilter {
       .drop("__rule_allow")
   }
 
+  /** Per-host quality reputation: how much of each host's content
+    * passes a caller-supplied quality gate — the domain PRIOR every
+    * crawl pipeline maintains (UT1-style lists are its curated cousin):
+    * hosts with abysmal pass rates get deprioritized at the frontier,
+    * before fetch cost is paid, and rising hosts earn crawl budget.
+    * `keepCol` is any boolean verdict column (Gopher gate, bad-word
+    * gate, length gate…); a NULL verdict counts as not kept — unscored
+    * content earns no reputation. NULL hosts (unparsable URLs) form
+    * their own loud bucket. Returns (host, n_docs, n_keep,
+    * keep_rate 6dp).
+    *
+    * Scale shape: one map-side-combined aggregate keyed by host —
+    * the exchange carries (host, partial counts), never documents. */
+  def hostQuality(df: DataFrame, urlCol: String,
+                  keepCol: String): DataFrame =
+    df.groupBy(hostOf(col(urlCol)).as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(keepCol), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"),
+          6))
+
   /** Structural URL features for crawl-frontier scoring and quality
     * filtering — scheme, host, path depth, query-parameter count,
     * fragment flag: deep paths and parameter-heavy URLs correlate with

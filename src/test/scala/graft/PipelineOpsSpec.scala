@@ -2156,6 +2156,53 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 2L, Some(0.5)), (4L, 0L, None)))
   }
 
+  test("ndcgAtK: perfect ranking 1, reversed ranking < 1, no relevance null") {
+    import graft.operators.Profile
+    // rel: doc1=3, doc2=1, doc3=0; perfect score order = rel order
+    val perfect = Seq((1L, 9.0, 3L), (2L, 5.0, 1L), (3L, 1.0, 0L))
+      .toDF("id", "score", "rel")
+    val p = Profile.ndcgAtK(perfect, "id", "score", "rel", k = 2)
+      .as[(Int, Double, Double, Option[Double])].head()
+    assert(p._1 === 2 && p._4 === Some(1.0))
+    // dcg = (2^3-1)/log2(2) + (2^1-1)/log2(3)
+    val expDcg = 7.0 / 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(math.abs(p._2 - expDcg) < 1e-6 && p._2 === p._3)
+    val reversed = Seq((1L, 1.0, 3L), (2L, 5.0, 1L), (3L, 9.0, 0L))
+      .toDF("id", "score", "rel")
+    val r = Profile.ndcgAtK(reversed, "id", "score", "rel", k = 2)
+      .as[(Int, Double, Double, Option[Double])].head()
+    assert(r._4.get < 1.0 && r._4.get > 0.0)
+    val none = Seq((1L, 9.0, 0L), (2L, 5.0, 0L)).toDF("id", "score", "rel")
+    val n = Profile.ndcgAtK(none, "id", "score", "rel", k = 2)
+      .as[(Int, Double, Double, Option[Double])].head()
+    assert(n === ((2, 0.0, 0.0, None)))
+  }
+
+  test("hostQuality: pass rates per host, null verdicts earn nothing") {
+    import graft.operators.WebFilter
+    val df = Seq(
+      ("http://a.com/1", Some(true)), ("http://a.com/2", Some(false)),
+      ("http://b.com/1", Some(true)),
+      ("http://b.com/2", None: Option[Boolean]), // unscored: not kept
+      ("garbage", Some(true))                    // unparsable host bucket
+    ).toDF("url", "keep")
+    val got = WebFilter.hostQuality(df, "url", "keep")
+      .orderBy(asc_nulls_first("host"))
+      .as[(Option[String], Long, Long, Double)].collect()
+    assert(got === Array(
+      (None, 1L, 1L, 1.0),
+      (Some("a.com"), 2L, 1L, 0.5),
+      (Some("b.com"), 2L, 1L, 0.5)))
+  }
+
+  test("similarityHistogram: bucket edges, 1.0 clamps into the top bucket") {
+    import graft.operators.Dedup
+    val pairs = Seq(0.0, 0.05, 0.1, 0.95, 1.0).toDF("j")
+    val got = Dedup.similarityHistogram(pairs, "j", nBuckets = 10)
+      .orderBy("bucket").as[(Long, Long)].collect()
+    assert(got === Array((0L, 2L), (1L, 1L), (9L, 2L)))
+  }
+
   test("centroidDrift: stable group cos 1, inverted group cos -1, empty side null") {
     import graft.operators.EmbeddingQC
     val df = Seq(
