@@ -529,22 +529,61 @@ object Mixing {
     * ("exactly 1k docs per language", proportional but guaranteed
     * per-stratum counts). [[sampleByWeights]]'s stateless predicate
     * realizes a fraction only in expectation per stratum; this
-    * guarantees the count, at the cost of a per-stratum ranking.
-    * Selection is deterministic (seeded hash order, id tie-break) —
-    * retry/append-stable like every sampler in this file.
+    * guarantees the count. Selection is deterministic (smallest seeded
+    * hash keys, id tie-break) — retry/append-stable like every sampler
+    * in this file.
     *
-    * Scale shape: the rank window partitions BY STRATUM over narrow
-    * (id, stratum, hashkey) rows — strata parallelize across the
-    * cluster and the payload arrives by semi-join afterwards; never a
-    * SinglePartition sort. A pathologically hot stratum makes one big
-    * sort partition; at that scale the two-phase threshold refinement
-    * ([[capPerKey]]'s salted shape) is the escape hatch. NULL strata
-    * sample like any other stratum. `hashKey = false` is the
-    * SQL-replicable oracle mode, as everywhere in [[Mixing]]. */
+    * Scale shape — two-phase so the per-stratum ranking never sorts
+    * the corpus: phase 1 keeps only rows whose hash key falls under an
+    * over-sampled threshold (2·fraction of the key space), bounding
+    * the ranked pool at ~2f·n; a stratum whose survivor count falls
+    * short of its target (possible only for tiny strata — for large n
+    * the shortfall probability is exponentially small) is detected by
+    * a bounded count and re-ranked over its FULL rows, so the result
+    * is EXACTLY the naive ranking's (any excluded row has key above
+    * ≥ target survivors and can never rank inside the target; the
+    * differential test pins equality, fallback included). The rank
+    * window partitions by stratum over narrow (id, stratum, key) rows;
+    * payload arrives by semi-join afterwards; never a SinglePartition
+    * sort. NULL strata sample like any other stratum. `idCol` must be
+    * unique (the payload returns via an id-keyed semi-join — the
+    * contract of every sampler in this file). `hashKey = false` is
+    * the SQL-replicable oracle mode, as everywhere in [[Mixing]]. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        fraction: Double, seed: Long = 0L,
                        hashKey: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val m = 4294967296L
+    val thr = math.min(m.toDouble, math.ceil(m.toDouble * fraction * 2))
+      .toLong
+    val narrow = stratKeyed(df, idCol, strataCol, fraction, seed, hashKey)
+    val targets = narrow.groupBy(col("__s"))
+      .agg(ceil(count(lit(1)) * fraction).cast("long").as("__tgt"),
+        sum(when(col("__key") < thr, 1L).otherwise(0L)).as("__nsurv"))
+      .select(col("__s").as("__s2"), col("__tgt"),
+        (col("__nsurv") >= col("__tgt")).as("__ok"))
+    val picked = rankPick(
+      narrow.join(broadcast(targets), col("__s") <=> col("__s2"))
+        .where(!col("__ok") || col("__key") < thr))
+    df.join(picked.withColumnRenamed("__i", idCol), Seq(idCol), "left_semi")
+  }
+
+  /** The one-phase spelling [[stratifiedSample]] optimizes (full
+    * per-stratum sort) — kept for the differential test that pins the
+    * two-phase result identical, fallback strata included. */
+  private[graft] def stratifiedSampleNaive(df: DataFrame, idCol: String,
+      strataCol: String, fraction: Double, seed: Long = 0L,
+      hashKey: Boolean = true): DataFrame = {
+    val narrow = stratKeyed(df, idCol, strataCol, fraction, seed, hashKey)
+    val targets = narrow.groupBy(col("__s"))
+      .agg(ceil(count(lit(1)) * fraction).cast("long").as("__tgt"))
+      .select(col("__s").as("__s2"), col("__tgt"))
+    val picked = rankPick(
+      narrow.join(broadcast(targets), col("__s") <=> col("__s2")))
+    df.join(picked.withColumnRenamed("__i", idCol), Seq(idCol), "left_semi")
+  }
+
+  private def stratKeyed(df: DataFrame, idCol: String, strataCol: String,
+      fraction: Double, seed: Long, hashKey: Boolean): DataFrame = {
     require(fraction > 0 && fraction <= 1,
       "stratifiedSample: fraction in (0, 1]")
     val m = 4294967296L
@@ -556,17 +595,18 @@ object Mixing {
         pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo +
           lit(((seed % m) + m) % m), lit(m))
       }
-    val targets = df.groupBy(col(strataCol).as("__st"))
-      .agg(ceil(count(lit(1)) * fraction).cast("long").as("__tgt"))
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(key.asc, col(idCol).asc)
-    val picked = df
-      .select(col(idCol), col(strataCol))
-      .withColumn("__rn", row_number().over(w))
-      .join(broadcast(targets),
-        col(strataCol) <=> col("__st"), "inner")
+    df.select(col(idCol).as("__i"), col(strataCol).as("__s"),
+      key.as("__key"))
+  }
+
+  /** Rank the pool by (key, id) within each stratum and keep the first
+    * `__tgt` rows. Input: (__i, __s, __key, __tgt, …). */
+  private def rankPick(pool: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__s"))
+      .orderBy(col("__key").asc, col("__i").asc)
+    pool.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("__tgt"))
-      .select(col(idCol))
-    df.join(picked, Seq(idCol), "left_semi")
+      .select(col("__i"))
   }
 }

@@ -1104,10 +1104,18 @@ object TextAnalysis {
     * Scale shape: n-grams zip inside the scan on both frames (the
     * [[trigramBackoff]] spelling); the reference collapses to its
     * distinct gram set map-side; the left-anti-style membership is a
-    * left join on the gram tuple with a null-probe count — exchanges
-    * carry word tuples, text never moves. */
+    * left join with a null-probe count — text never moves. With
+    * `hashGrams` (the default) grams collapse to ONE xxhash64 key
+    * before the distinct and the join, so every exchange carries
+    * 8-byte keys instead of n-word string tuples — the
+    * TokenGramHashes 64-bit argument: a collision (≈ g²/2⁶⁵ for g
+    * distinct grams) can only mark a novel gram as seen; results are
+    * identical to the word-tuple spelling absent collisions
+    * (differential-tested). `hashGrams = false` is the oracle-mirror
+    * spelling. */
   def ngramNovelty(reference: DataFrame, score: DataFrame, idCol: String,
-                   textCol: String, n: Int = 3): DataFrame = {
+                   textCol: String, n: Int = 3,
+                   hashGrams: Boolean = true): DataFrame = {
     require(n >= 1 && n <= 3, "ngramNovelty: n in 1..3")
     val ws = words(col(textCol))
     val cnt = greatest(size(ws) - (n - 1), lit(0))
@@ -1126,12 +1134,19 @@ object TextAnalysis {
         col(s"__g.w$i").as(s"g$i")): _*)
     }
     val gcols = (1 to n).map(i => s"g$i")
-    val ref = gramCols(reference, Nil).distinct()
-      .withColumn("__seen", lit(1))
-    val docGrams = gramCols(score, Seq(col(idCol)))
-      .distinct()
+    val ref0 = gramCols(reference, Nil)
+    val doc0 = gramCols(score, Seq(col(idCol)))
+    val (ref, docGrams, joinKeys) =
+      if (hashGrams) (
+        ref0.select(xxhash64(gcols.map(col): _*).as("__h")).distinct()
+          .withColumn("__seen", lit(1)),
+        doc0.select(col(idCol), xxhash64(gcols.map(col): _*).as("__h"))
+          .distinct(),
+        Seq("__h"))
+      else (ref0.distinct().withColumn("__seen", lit(1)),
+        doc0.distinct(), gcols)
     val scored = docGrams
-      .join(ref, gcols, "left")
+      .join(ref, joinKeys, "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("__novel"))

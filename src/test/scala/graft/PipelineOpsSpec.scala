@@ -2021,6 +2021,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n === 2L)
   }
 
+  test("stratifiedSample two-phase equals naive ranking, fallback included") {
+    import graft.operators.Mixing
+    val m = 4294967296L
+    def key(id: Long, seed: Long) = (id * 2654435761L + seed) % m
+    val seed = 3L
+    val thr = math.ceil(m.toDouble * 0.4 * 2).toLong
+    // engineer a 2-row stratum whose BOTH keys miss the survivor
+    // threshold — forces the full-rank fallback arm for that stratum
+    // ids disjoint from the lo stratum's 0..99 — the sampler keys the
+    // final semi-join on the id, so ids must be unique across strata
+    val hiIds = (100L until 2000L).filter(id => key(id, seed) >= thr).take(2)
+    assert(hiIds.length === 2)
+    val df = ((0L until 100L).map(i => (i, "lo")) ++
+      hiIds.map(i => (i, "hi"))).toDF("id", "st")
+    val fast = Mixing.stratifiedSample(df, "id", "st", 0.4, seed,
+      hashKey = false).select("id", "st").as[(Long, String)].collect().sorted
+    val naive = Mixing.stratifiedSampleNaive(df, "id", "st", 0.4, seed,
+      hashKey = false).select("id", "st").as[(Long, String)].collect().sorted
+    assert(fast === naive, "two-phase diverged from the naive ranking")
+    assert(fast.count(_._2 == "hi") === 1) // ceil(2 * 0.4) despite fallback
+    assert(fast.count(_._2 == "lo") === 40)
+    // hashKey=true path agrees with its own naive spelling too
+    val f2 = Mixing.stratifiedSample(df, "id", "st", 0.3, 7L)
+      .select("id").as[Long].collect().sorted
+    val n2 = Mixing.stratifiedSampleNaive(df, "id", "st", 0.3, 7L)
+      .select("id").as[Long].collect().sorted
+    assert(f2 === n2)
+  }
+
+  test("ngramNovelty: hashed-gram join equals the word-tuple spelling") {
+    import graft.operators.TextAnalysis
+    val ref = docs.where($"doc_id" % 2 === 0)
+    val score = docs.where($"doc_id" % 2 === 1)
+    val hashed = TextAnalysis.ngramNovelty(ref, score, "doc_id", "text", 3)
+    val tuples = TextAnalysis.ngramNovelty(ref, score, "doc_id", "text", 3,
+      hashGrams = false)
+    assert(hashed.exceptAll(tuples).isEmpty &&
+      tuples.exceptAll(hashed).isEmpty,
+      "hashed-gram novelty diverged from the word-tuple spelling")
+  }
+
   test("trigramBackoff: exact ladder — known trigram, bigram backoff, OOV floor") {
     import graft.operators.TextAnalysis
     // train: "a b c a b d" → trigrams: abc, bca, cab, abd
