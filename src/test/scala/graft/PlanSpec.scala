@@ -638,6 +638,36 @@ class PlanSpec extends SparkSpec {
       s"winner must combine map-side:\n$p")
   }
 
+  test("round-5 continuation ops: no exchange ever carries document text") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val outs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "trigramBackoff" -> graft.operators.TextAnalysis.trigramBackoff(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text"),
+      "ngramNovelty" -> graft.operators.TextAnalysis.ngramNovelty(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text"),
+      "dedupSavings" -> graft.operators.Dedup.dedupSavings(
+        docs, "doc_id", "text", "source", "n_chars"),
+      "templateHeaders" -> graft.operators.TextAnalysis.templateHeaders(
+        docs, "source", "text"),
+      "contentLabelConflicts" -> graft.operators.Dedup
+        .contentLabelConflicts(docs, "text", "lang"))
+    outs.foreach { case (name, out) =>
+      out.collect()
+      val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+        .collectWithSubqueries(out.queryExecution.executedPlan) {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text"),
+          s"$name shuffled document text: $names")
+      }
+    }
+  }
+
   test("pmiPairs: exchanges carry (id, word) tokens, never document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.TextAnalysis.pmiPairs(
