@@ -2084,6 +2084,50 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // WARC record header/payload extraction (ISO 28500, the Common
+    // Crawl wire format): records synthesized deterministically per doc
+    // with a garbled-length arm (try_cast NULL) and a missing-separator
+    // arm (payload NULL, len 0); pure codegen'd projection
+    "q_warc_extract" -> ((s, d) => {
+      val crlf = "\r\n"
+      val rec = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://"),
+        lower(col("source")), lit(".example.com/p/"), col("doc_id"),
+        lit(crlf),
+        when(col("doc_id") % 7 === 0,
+          lit("Content-Length: garbled" + crlf))
+          .otherwise(concat(lit("Content-Length: "), col("n_chars"),
+            lit(crlf))),
+        lit("Content-Type: text/plain" + crlf),
+        when(col("doc_id") % 13 === 0, lit(""))
+          .otherwise(concat(lit(crlf), col("text"))))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.sources.WarcIngest.parseRecord(rec).as("w"))
+        .select(col("doc_id"), col("w.warc_type").as("warc_type"),
+          col("w.target_uri").as("target_uri"),
+          col("w.content_type").as("content_type"),
+          col("w.content_length").as("content_length"),
+          col("w.payload_len").as("payload_len"))
+        .orderBy("doc_id")
+    }),
+
+    // robots.txt parsing (RFC 9309 grammar): comments, blank lines,
+    // multi-group files, empty directives dropped, governing agent by
+    // forward fill — the fetch-side producer of robotsVerdict's rules
+    "q_robots_parse" -> ((s, d) => {
+      val bodies = t(s, d, "documents").select(col("source")).distinct()
+        .select(col("source"), concat(
+          lit("# synthetic robots\nUser-agent: *\n" +
+            "Disallow: /private  # keep out\nAllow: /private/"),
+          lower(col("source")),
+          lit("\nCrawl-delay: 5\nDisallow:\n\n" +
+            "User-agent: badbot\nDisallow: /\n")).as("body"))
+      graft.operators.WebFilter.parseRobots(bodies, "source", "body")
+        .orderBy("source", "line_no")
+    }),
+
     // row-level quarantine split over the same constraint suite: clean
     // rows pass through byte-identical (checksummed below), dirty rows
     // grouped by their violated-rule combination
@@ -4313,6 +4357,70 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN st ON d.source IS NOT DISTINCT FROM st.source
         |ORDER BY doc_id""".stripMargin,
+
+    "q_warc_extract" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    e'WARC/1.0\r\nWARC-Type: response\r\n'
+        |    || 'WARC-Target-URI: http://' || lower(source)
+        |    || '.example.com/p/' || doc_id || e'\r\n'
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN e'Content-Length: garbled\r\n'
+        |         ELSE 'Content-Length: ' || n_chars || e'\r\n' END
+        |    || e'Content-Type: text/plain\r\n'
+        |    || CASE WHEN doc_id % 13 = 0 THEN ''
+        |         ELSE e'\r\n' || text END AS rec
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, rec, strpos(rec, e'\r\n\r\n') AS sep FROM r),
+        |x AS (
+        |  SELECT doc_id,
+        |    nullif(regexp_extract(rec,
+        |      '(?m)^WARC-Type: ([^\r\n]+)', 1), '') AS warc_type,
+        |    nullif(regexp_extract(rec,
+        |      '(?m)^WARC-Target-URI: ([^\r\n]+)', 1), '') AS target_uri,
+        |    nullif(regexp_extract(rec,
+        |      '(?m)^Content-Type: ([^\r\n]+)', 1), '') AS content_type,
+        |    try_cast(nullif(regexp_extract(rec,
+        |      '(?m)^Content-Length: ([^\r\n]+)', 1), '') AS BIGINT)
+        |      AS content_length,
+        |    CASE WHEN sep > 0 THEN substring(rec, sep + 4) END AS payload
+        |  FROM p)
+        |SELECT doc_id, warc_type, target_uri, content_type,
+        |  content_length,
+        |  CAST(coalesce(length(payload), 0) AS BIGINT) AS payload_len
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_robots_parse" ->
+      """WITH b AS (
+        |  SELECT DISTINCT source,
+        |    e'# synthetic robots\nUser-agent: *\n'
+        |    || e'Disallow: /private  # keep out\nAllow: /private/'
+        |    || lower(source)
+        |    || e'\nCrawl-delay: 5\nDisallow:\n\n'
+        |    || e'User-agent: badbot\nDisallow: /\n' AS body
+        |  FROM documents),
+        |l AS (
+        |  SELECT source, generate_subscripts(ls, 1) - 1 AS pos,
+        |         trim(regexp_replace(unnest(ls), '#.*', '')) AS l
+        |  FROM (SELECT source, string_split(body, e'\n') AS ls FROM b)),
+        |d AS (
+        |  SELECT source, pos,
+        |    lower(regexp_extract(l, '^([A-Za-z-]+):', 1)) AS dn,
+        |    trim(regexp_extract(l, '^[A-Za-z-]+:(.*)$', 1)) AS dv
+        |  FROM l),
+        |f AS (
+        |  SELECT source, pos, dn, dv,
+        |    last_value(CASE WHEN dn = 'user-agent' THEN dv END
+        |      IGNORE NULLS) OVER (PARTITION BY source ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS user_agent
+        |  FROM d)
+        |SELECT source, CAST(pos AS BIGINT) AS line_no, user_agent,
+        |       dn = 'allow' AS allow, dv AS prefix
+        |FROM f
+        |WHERE dn IN ('allow', 'disallow') AND dv <> ''
+        |  AND user_agent IS NOT NULL
+        |ORDER BY source, line_no""".stripMargin,
 
     "q_ndcg" ->
       """WITH base AS (

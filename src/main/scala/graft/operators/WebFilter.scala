@@ -129,6 +129,44 @@ object WebFilter {
       .drop("__rule_allow")
   }
 
+  /** robots.txt parser (RFC 9309 grammar, the subset group-membership
+    * needs): one rule row per Allow/Disallow directive, tagged with the
+    * governing `User-agent` group — the fetch/parse stage whose output
+    * feeds [[robotsVerdict]], closing the crawl-compliance chain.
+    * Handles `#` comments, blank lines, case-insensitive directive
+    * names, and multi-group files (the governing agent is the LAST
+    * User-agent line above the directive — a forward fill, not a join).
+    * Directives with an empty value ("Disallow:" = nothing disallowed,
+    * RFC) and directives before any User-agent line are dropped — both
+    * are no-ops in the grammar, not errors. Returns (idCol, line_no,
+    * user_agent, allow, prefix).
+    *
+    * Scale shape: lines explode from the body in the scan; the
+    * forward-fill window partitions per robots FILE (bodies are KB-
+    * sized by spec — Google caps at 500 KiB — so a per-file window is
+    * bounded by construction); everything else is a projection. */
+  def parseRobots(df: DataFrame, idCol: String, bodyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(col(idCol), col("__pos"),
+        trim(regexp_replace(col("__raw"), "#.*", "")).as("__l"))
+    val dname = lower(regexp_extract(col("__l"), "^([A-Za-z-]+):", 1))
+    val dval = trim(regexp_extract(col("__l"), "^[A-Za-z-]+:(.*)$", 1))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .select(col(idCol), col("__pos"), dname.as("__d"), dval.as("__v"))
+      .withColumn("user_agent",
+        last(when(col("__d") === "user-agent", col("__v")),
+          ignoreNulls = true).over(w))
+      .where(col("__d").isin("allow", "disallow") && col("__v") =!= "" &&
+        col("user_agent").isNotNull)
+      .select(col(idCol), col("__pos").cast("long").as("line_no"),
+        col("user_agent"), (col("__d") === "allow").as("allow"),
+        col("__v").as("prefix"))
+  }
+
   /** Per-host quality reputation: how much of each host's content
     * passes a caller-supplied quality gate — the domain PRIOR every
     * crawl pipeline maintains (UT1-style lists are its curated cousin):

@@ -243,4 +243,55 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
     assert(r.getSeq[Long](2).length === 2)
   }
+
+  test("WARC file splitter + header parse: records, payloads, degraded headers") {
+    import graft.sources.WarcIngest
+    val crlf = "\r\n"
+    def rec(uri: String, cl: String, payload: Option[String]): String =
+      s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+        s"WARC-Target-URI: $uri${crlf}Content-Length: $cl$crlf" +
+        s"Content-Type: text/plain$crlf" +
+        payload.map(p => crlf + p).getOrElse("")
+    val dir = java.nio.file.Files.createTempDirectory("warc").toFile
+    val f = new java.io.File(dir, "a.warc")
+    val w = new java.io.FileWriter(f)
+    w.write(rec("http://a/1", "5", Some("hello")) +
+      rec("http://a/2", "junk", Some("body two")) +
+      rec("http://a/3", "0", None))
+    w.close()
+    val parsed = WarcIngest.readRecords(spark, f.getAbsolutePath)
+      .select(WarcIngest.parseRecord(col("record")).as("w"))
+      .select("w.target_uri", "w.content_length", "w.payload",
+        "w.payload_len", "w.warc_type")
+      .orderBy("target_uri")
+      .collect()
+    assert(parsed.length === 3)
+    assert(parsed(0).getString(0) === "http://a/1" &&
+      parsed(0).getLong(1) === 5L && parsed(0).getString(2) === "hello")
+    // garbled Content-Length NULLs instead of failing under ANSI
+    assert(parsed(1).isNullAt(1) && parsed(1).getString(2) === "body two")
+    // no blank-line separator: null payload, len 0
+    assert(parsed(2).isNullAt(2) && parsed(2).getLong(3) === 0L)
+    assert(parsed.forall(_.getString(4) == "response"))
+  }
+
+  test("robots.txt parse: comments, CRLF, empty directives, pre-group lines") {
+    import graft.operators.WebFilter
+    val body = "Disallow: /orphan\r\n" +        // before any agent: dropped
+      "User-Agent: *\r\n" +                      // case-insensitive name
+      "Disallow: /private # comment\r\n" +
+      "allow: /private/ok\r\n" +
+      "Disallow:\r\n" +                          // empty value: no-op
+      "\r\n" +
+      "User-agent: badbot\r\nDisallow: /\r\n"
+    val got = WebFilter.parseRobots(
+        Seq((1L, body)).toDF("id", "body"), "id", "body")
+      .orderBy("line_no")
+      .select("user_agent", "allow", "prefix")
+      .as[(String, Boolean, String)].collect()
+    assert(got === Array(
+      ("*", false, "/private"),
+      ("*", true, "/private/ok"),
+      ("badbot", false, "/")))
+  }
 }
