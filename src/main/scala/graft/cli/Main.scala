@@ -85,7 +85,8 @@ object Main {
             w => w =!= "").as("tokens"))
         def gates(df: org.apache.spark.sql.DataFrame) =
           graft.operators.CurationGates(df, seen,
-            blockedHosts = Seq("h3.example.com"), bench = Some(bench))
+            blockedHosts = Seq("h3.example.com"), bench = Some(bench),
+            badWords = Seq("deprecated", "lorem"), maxBadRatio = 0.2)
         // FileStreamSource needs a landing DIRECTORY (multi-file), not a
         // single parquet file — stage the fixture as arriving batches
         val landing = java.nio.file.Files

@@ -7,7 +7,8 @@ import graft.functions.TextExpressions
 
 /** The full curate keep-gate sequence as ONE reusable composition —
   * main-content extraction → length gate → Gopher quality gate →
-  * domain blocklist → seen-corpus dedup → decontamination predicate.
+  * bad-word gate → domain blocklist → seen-corpus dedup →
+  * decontamination predicate.
   *
   * Every gate is either a stateless projection/predicate or a
   * stream-static operation (the bloom filters and blocklist literals
@@ -45,7 +46,8 @@ object CurationGates {
   private def gateSeq(docs: DataFrame, seen: DataFrame,
                       blockedHosts: Seq[String], bench: Option[DataFrame],
                       minChars: Int, expectedSeen: Long,
-                      contamN: Int): Seq[(String, DataFrame => DataFrame)] = {
+                      contamN: Int, badWords: Seq[String],
+                      maxBadRatio: Double): Seq[(String, DataFrame => DataFrame)] = {
     TextExpressions.register(docs.sparkSession)
     // ingest: synthesized crawl page (planted nav/footer boilerplate —
     // the q_main_content fixture shape) → readability-class extraction.
@@ -74,6 +76,19 @@ object CurationGates {
       "len_gate" -> (_.where(length(col("text")) >= minChars)),
       "quality_gate" -> (df => TextAnalysis.applyQualityFilter(df, "text",
         TextAnalysis.QualityThresholds(minStopwordRatio = 0.0))),
+      // C4-style lexical-safety gate: word-level blocklist ratio, a
+      // stateless predicate over the same canonical tokenization —
+      // streaming-safe like every other gate
+      "badwords" -> (df =>
+        if (badWords.isEmpty) df
+        else {
+          val list = lit(badWords
+            .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray)
+          val ws = wordsOf(col("text"))
+          val ratio = size(filter(ws, w => array_contains(list, w)))
+            .cast("double") / greatest(size(ws), lit(1)).cast("double")
+          df.where(ratio <= maxBadRatio)
+        }),
       "blocklist" -> (df =>
         if (blockedHosts.isEmpty) df
         else WebFilter.filterBlockedHosts(df, "url", blockedHosts)),
@@ -95,9 +110,12 @@ object CurationGates {
             bench: Option[DataFrame] = None,
             minChars: Int = 100,
             expectedSeen: Long = 1000L,
-            contamN: Int = 5): DataFrame =
+            contamN: Int = 5,
+            badWords: Seq[String] = Nil,
+            maxBadRatio: Double = 0.1): DataFrame =
     gateSeq(docs, seen, blockedHosts, bench, minChars, expectedSeen,
-      contamN).foldLeft(docs) { case (df, (_, gate)) => gate(df) }
+      contamN, badWords, maxBadRatio)
+      .foldLeft(docs) { case (df, (_, gate)) => gate(df) }
 
   /** The same sequence with per-stage [[Funnel]] observability (rows +
     * input-char mass surviving each gate, as CollectMetrics of the ONE
@@ -108,9 +126,12 @@ object CurationGates {
                bench: Option[DataFrame] = None,
                minChars: Int = 100,
                expectedSeen: Long = 1000L,
-               contamN: Int = 5): Funnel =
+               contamN: Int = 5,
+               badWords: Seq[String] = Nil,
+               maxBadRatio: Double = 0.1): Funnel =
     gateSeq(docs, seen, blockedHosts, bench, minChars, expectedSeen,
-      contamN).foldLeft(Funnel(docs, massCol = Some("n_chars"))) {
+      contamN, badWords, maxBadRatio)
+      .foldLeft(Funnel(docs, massCol = Some("n_chars"))) {
         case (f, (name, gate)) => f.stage(name, gate)
       }
 }

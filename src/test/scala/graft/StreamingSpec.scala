@@ -273,7 +273,10 @@ class StreamingSpec extends SparkSpec {
         w => w =!= "").as("tokens"))
     def gates(df: org.apache.spark.sql.DataFrame) =
       CurationGates(df, seen, blockedHosts = Seq("h3.example.com"),
-        bench = Some(bench), contamN = 5)
+        bench = Some(bench), contamN = 5,
+        // exercise the bad-word gate's streaming parity too: a ratio
+        // low enough to bite on the fixture's SQL-word corpus
+        badWords = Seq("merge", "scan"), maxBadRatio = 0.05)
 
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
