@@ -165,6 +165,10 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] QUERY FAILED ($name): $e"); -1.0
       }
+      // per-query stderr line: interleaves with Spark's own log output,
+      // so a mid-sweep warning (e.g. a codegen fallback) is attributable
+      // to the query that triggered it by position, not by arithmetic
+      System.err.println(f"[bench] $name $secs%.3f s")
       name -> secs
     }
 

@@ -254,21 +254,6 @@ object Similarity {
       }
   }
 
-  /** argmin-L2 code per subspace against broadcast-literal codewords,
-    * as a codegen'd fold: argmin ‖x−c‖² = argmax (dot(x,c) − ‖c‖²/2)
-    * since ‖x‖² is common. Ties break to the LOWEST code (struct max
-    * on (score, −code)) — matching [[graft.functions.PqEncode]]. */
-  private def nearestSubCode(sv: Column,
-                             codes: Array[(Int, Array[Float])]): Column = {
-    val scored: Column = array(codes.map { case (k, cw) =>
-      val half = cw.map(x => x.toDouble * x).sum / 2.0
-      struct(
-        (VectorExpressions.dot(sv, typedlit(cw.toSeq)) - half).as("score"),
-        lit(-k).as("negk"))
-    }: _*)
-    -array_max(scored).getField("negk")
-  }
-
   /** Train PQ codebooks: per subspace, deterministic hash-sampled seeds
     * over DISTINCT subvectors (the [[buildIvf]] TakeOrdered pattern —
     * no count() pre-pass) refined by `iters` Lloyd steps with L2
@@ -314,15 +299,26 @@ object Similarity {
       }
     }
     (0 until iters).foreach { _ =>
-      // one scan: the assignment dispatches on the subspace index, so
-      // every subspace's cell means come back from the same aggregate
-      val assignExpr = (1 until nSub).foldLeft(
-          when(col("__sub") === 0, nearestSubCode(col("__sv"), cents(0)))) {
-        (acc, s) => acc.when(col("__sub") === s,
-          nearestSubCode(col("__sv"), cents(s)))
-      }
-      val means = subbed
-        .select(col("__sub"), assignExpr.as("k"),
+      // one scan: assignment is ONE native PqEncode eval per row (all
+      // subspaces at once; identical argmin-L2 + lowest-code ties).
+      // The previous spelling inlined a when-chain of nSub × nCodes
+      // literal dot expressions into the posexplode consumer — at
+      // 8 × 32 the generated doConsume method exceeded janino's 64 KB
+      // limit and pushed the WHOLE stage into interpreted fallback
+      // (ERROR CodeGenerator ... "Code grows beyond 64 KB").
+      val cbSeq: Seq[Seq[Seq[Float]]] = cents.map(_.map(_._2.toSeq).toSeq).toSeq
+      // stored byte is (k − 128); unsigned-read u = byte & 0xFF, so
+      // k = (u + 128) mod 256 (conv(hex(...)) reads the byte unsigned)
+      val kExpr = (conv(hex(col("__codes").substr(col("__sub") + 1, lit(1))),
+        16, 10).cast("int") + 128) % 256
+      val means = corpus
+        .select(VectorExpressions.pqEncode(col(vecCol), cbSeq).as("__codes"),
+          col(vecCol).as("__v"))
+        .select(col("__codes"), posexplode(
+            transform(sequence(lit(0), lit(nSub - 1)),
+              s => slice(col("__v"), s * subDim + 1, lit(subDim))))
+            .as(Seq("__sub", "__sv")))
+        .select(col("__sub"), kExpr.as("k"),
           posexplode(col("__sv")).as(Seq("pos", "x")))
         .groupBy(col("__sub"), col("k"), col("pos"))
         .agg(avg(col("x")).as("m"))
