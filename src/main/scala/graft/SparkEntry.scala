@@ -2172,6 +2172,28 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- conversational (SFT) data QC: role structure, shape stats,
+    // preference-pair length bias. Turns synthesized from documents by
+    // pure id arithmetic (conv = doc_id div 4, idx = doc_id mod 4,
+    // alternating roles) with violations planted at prime moduli:
+    // %97 forces 'assistant' (first-turn + alternation breaks), %101
+    // forces 'system' (mid-conversation system), %103 an unknown role,
+    // %89 blanks the content — every rule class fires at sf0.001.
+    "q_chat_roles" -> ((s, d) =>
+      ChatQC.violations(chatTurns(s, d), "conv_id", "turn_idx",
+          "role", "content")
+        .orderBy("conv_id", "turn_idx", "rule_id")),
+
+    "q_chat_stats" -> ((s, d) =>
+      ChatQC.conversationStats(chatTurns(s, d), "conv_id", "turn_idx",
+          "role", "content")
+        .orderBy("conv_id")),
+
+    // RLHF preference pairs from even/odd document pairing; every 50th
+    // pair planted byte-identical (the labeling-bug case)
+    "q_pref_bias" -> ((s, d) =>
+      ChatQC.preferenceBias(prefPairs(s, d), "chosen", "rejected")),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -2191,6 +2213,51 @@ object SparkEntry {
     * Spark plans above. Hash-seed-specific / sketch-approximate /
     * heuristic queries are intentionally omitted (driver records a
     * rows-only check for those). */
+  /** DuckDB spelling of [[chatTurns]] — the shared turns CTE both chat
+    * oracles open with (same arithmetic, same planted moduli). */
+  private val chatTurnsCte: String =
+    """turns AS (
+      |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'assistant'
+      |         WHEN doc_id % 101 = 0 THEN 'system'
+      |         WHEN doc_id % 103 = 0 THEN 'tool'
+      |         WHEN doc_id % 2 = 0 THEN 'user'
+      |         ELSE 'assistant' END AS role,
+      |    CASE WHEN doc_id % 89 = 0 THEN '' ELSE text END AS content
+      |  FROM documents)""".stripMargin
+
+  /** Synthetic chat-turns frame shared by q_chat_roles / q_chat_stats
+    * (oracle CTEs replay the same arithmetic): conversations of four
+    * turns with alternating user/assistant roles, violations planted
+    * at prime moduli (%97 assistant-override, %101 system-override,
+    * %103 unknown role, %89 blank content). */
+  private def chatTurns(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    t(s, d, "documents").select(
+      expr("doc_id div 4").as("conv_id"),
+      (id % 4).as("turn_idx"),
+      when(id % 97 === 0, lit("assistant"))
+        .when(id % 101 === 0, lit("system"))
+        .when(id % 103 === 0, lit("tool"))
+        .when(id % 2 === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      when(id % 89 === 0, lit("")).otherwise(col("text")).as("content"))
+  }
+
+  /** Synthetic preference pairs for q_pref_bias: even doc = chosen,
+    * odd doc = rejected; every 50th pair planted byte-identical. */
+  private def prefPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val chosen = docs.where(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pair_id"), col("text").as("chosen"))
+    val rejected = docs.where(col("doc_id") % 2 === 1)
+      .select(expr("doc_id div 2").as("pair_id"), col("text").as("rejected"))
+    chosen.join(rejected, "pair_id")
+      .select(col("pair_id"), col("chosen"),
+        when(col("pair_id") % 50 === 0, col("chosen"))
+          .otherwise(col("rejected")).as("rejected"))
+  }
+
   /** Synthetic doc-to-doc edge set shared by q_pagerank / q_hits /
     * q_degree_dist (their oracle CTEs replay the same arithmetic):
     * three outlinks per page, doc_id%17 pages link-free. Returns
@@ -5274,6 +5341,99 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_chat_roles" ->
+      s"""WITH $chatTurnsCte,
+        |w AS (
+        |  SELECT conv_id, turn_idx, role,
+        |    (content IS NULL OR trim(content) = '') AS blank,
+        |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        |      AS prev_role,
+        |    min(turn_idx) OVER (PARTITION BY conv_id) AS lo,
+        |    max(turn_idx) OVER (PARTITION BY conv_id) AS hi
+        |  FROM turns),
+        |v AS (
+        |  SELECT conv_id, turn_idx, 'R_FIRST_NOT_USER' AS rule_id, role
+        |    FROM w WHERE turn_idx = lo AND role <> 'user'
+        |    AND role <> 'system'
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'R_SYSTEM_NOT_FIRST', role FROM w
+        |    WHERE role = 'system' AND turn_idx <> lo
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'R_BROKEN_ALTERNATION', role FROM w
+        |    WHERE prev_role IS NOT NULL AND role = prev_role
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'R_LAST_NOT_ASSISTANT', role FROM w
+        |    WHERE turn_idx = hi AND role <> 'assistant'
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'R_EMPTY_TURN', role FROM w
+        |    WHERE blank
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'R_BAD_ROLE', role FROM w
+        |    WHERE role NOT IN ('system', 'user', 'assistant'))
+        |SELECT conv_id, turn_idx, rule_id, role AS offending_value
+        |FROM v ORDER BY conv_id, turn_idx, rule_id""".stripMargin,
+
+    "q_chat_stats" ->
+      s"""WITH $chatTurnsCte
+        |SELECT conv_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_user,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_assistant,
+        |  CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_system,
+        |  CAST(sum(CASE WHEN role = 'user'
+        |    THEN coalesce(length(content), 0) ELSE 0 END) AS BIGINT)
+        |    AS user_chars,
+        |  CAST(sum(CASE WHEN role = 'assistant'
+        |    THEN coalesce(length(content), 0) ELSE 0 END) AS BIGINT)
+        |    AS assistant_chars,
+        |  CAST(sum(coalesce(length(content), 0)) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(max(coalesce(length(content), 0)) AS BIGINT)
+        |    AS max_turn_chars,
+        |  CASE WHEN sum(coalesce(length(content), 0)) > 0 THEN
+        |    CAST(sum(CASE WHEN role = 'assistant'
+        |      THEN coalesce(length(content), 0) ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(coalesce(length(content), 0)) AS DOUBLE)
+        |  END AS assistant_char_share
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    "q_pref_bias" ->
+      """WITH c AS (
+        |  SELECT doc_id // 2 AS pair_id, text AS chosen
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |r AS (
+        |  SELECT doc_id // 2 AS pair_id, text AS rejected
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |p AS (
+        |  SELECT c.pair_id, chosen,
+        |    CASE WHEN c.pair_id % 50 = 0 THEN chosen ELSE rejected END
+        |      AS rejected
+        |  FROM c JOIN r USING (pair_id)),
+        |s AS (
+        |  SELECT coalesce(length(chosen), 0) AS lc,
+        |         coalesce(length(rejected), 0) AS lr,
+        |         (chosen IS NOT DISTINCT FROM rejected) AS same
+        |  FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identical,
+        |  CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_chosen_longer,
+        |  CAST(sum(CASE WHEN lc < lr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rejected_longer,
+        |  CAST(sum(CASE WHEN lc = lr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_len_ties,
+        |  CAST(sum(lc - lr) AS BIGINT) AS len_delta_sum,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(lc - lr) AS DOUBLE) / count(*) END AS mean_len_delta,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) END AS frac_chosen_longer
+        |FROM s""".stripMargin,
 
     "q_seq_drift" ->
       """WITH cnt AS (
