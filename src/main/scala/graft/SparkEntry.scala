@@ -2172,6 +2172,21 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- degenerate-generation detection over token arrays: longest
+    // repeated-token run + mode-token share, computed as IN-ROW folds
+    // (zero exchange) while the oracle replays the explode +
+    // gaps-and-islands window spelling. Plants: %43 docs are a constant
+    // array (share 1.0), %41 docs get a 6-token run appended.
+    "q_token_runs" -> ((s, d) =>
+      TokenHealth.runStats(degenTokens(s, d), "doc_id", "tokens")
+        .orderBy("doc_id")),
+
+    "q_degenerate_filter" -> ((s, d) =>
+      TokenHealth.dropDegenerate(degenTokens(s, d), "tokens",
+          maxRun = 20, maxTopShare = 0.5)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"))
+        .orderBy("doc_id")),
+
     // ---- conversational (SFT) data QC: role structure, shape stats,
     // preference-pair length bias. Turns synthesized from documents by
     // pure id arithmetic (conv = doc_id div 4, idx = doc_id mod 4,
@@ -2213,6 +2228,60 @@ object SparkEntry {
     * Spark plans above. Hash-seed-specific / sketch-approximate /
     * heuristic queries are intentionally omitted (driver records a
     * rows-only check for those). */
+  /** Token arrays with planted degenerate repetition for q_token_runs /
+    * q_degenerate_filter (oracle CTE replays the same arithmetic):
+    * %43 docs collapse to a constant array, %41 docs get a 6-token run
+    * appended to the healthy base sequence. */
+  private def degenTokens(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val len = (id % 7 + 5).cast("int")
+    val base = transform(sequence(lit(0), len - 1),
+      i => ((id * 31 + i * 17) % 50000).cast("int"))
+    val toks =
+      when(id % 43 === 0, transform(sequence(lit(0), len - 1), _ => lit(7)))
+        .when(id % 41 === 0,
+          concat(base, array_repeat((id % 50000).cast("int"), 6)))
+        .otherwise(base)
+    t(s, d, "documents").select(col("doc_id"), toks.as("tokens"))
+  }
+
+  /** DuckDB spelling of [[degenTokens]] — shared by both run oracles. */
+  private val degenTokensCte: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 43 = 0 THEN
+      |           list_transform(range(0, doc_id % 7 + 5), i -> 7)
+      |         WHEN doc_id % 41 = 0 THEN
+      |           list_concat(
+      |             list_transform(range(0, doc_id % 7 + 5),
+      |               i -> (doc_id * 31 + i * 17) % 50000),
+      |             list_transform(range(0, 6), i -> doc_id % 50000))
+      |         ELSE list_transform(range(0, doc_id % 7 + 5),
+      |                i -> (doc_id * 31 + i * 17) % 50000)
+      |    END AS toks
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+      |         unnest(toks) AS t
+      |  FROM base),
+      |g AS (
+      |  SELECT doc_id, t, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id, t ORDER BY pos)
+      |      AS grp
+      |  FROM tok),
+      |runs AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS rl
+      |  FROM g GROUP BY doc_id, t, grp),
+      |mr AS (SELECT doc_id, max(rl) AS max_run FROM runs GROUP BY doc_id),
+      |tc AS (
+      |  SELECT doc_id, max(c) AS top_token_count FROM (
+      |    SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+      |    FROM tok GROUP BY 1, 2) GROUP BY 1),
+      |nn AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      |  FROM base)""".stripMargin
+
   /** DuckDB spelling of [[chatTurns]] — the shared turns CTE both chat
     * oracles open with (same arithmetic, same planted moduli). */
   private val chatTurnsCte: String =
@@ -5341,6 +5410,24 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_runs" ->
+      s"""WITH $degenTokensCte
+        |SELECT nn.doc_id, n_tok, max_run, top_token_count, n_distinct,
+        |  CASE WHEN n_tok > 0 THEN
+        |    CAST(top_token_count AS DOUBLE) / n_tok END AS top_share,
+        |  CASE WHEN n_tok > 0 THEN
+        |    CAST(n_distinct AS DOUBLE) / n_tok END AS distinct_ratio
+        |FROM nn JOIN mr USING (doc_id) JOIN tc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_degenerate_filter" ->
+      s"""WITH $degenTokensCte
+        |SELECT nn.doc_id, n_tok
+        |FROM nn JOIN mr USING (doc_id) JOIN tc USING (doc_id)
+        |WHERE max_run < 20
+        |  AND CAST(top_token_count AS DOUBLE) < 0.5 * n_tok
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chat_roles" ->
       s"""WITH $chatTurnsCte,

@@ -192,4 +192,74 @@ object TokenHealth {
     Seq((bh.total, ch.total, r6(ks), r6(crit), ks > crit))
       .toDF("n_base", "n_cur", "ks_stat", "ks_critical", "ks_drifted")
   }
+
+  /** Longest run of one repeated element, as an IN-ROW fold
+    * (`functions.aggregate` over the array) — O(n) per sequence, zero
+    * exchange, the whole computation stays inside the scan. The
+    * explode + gaps-and-islands window spelling (what the SQL oracle
+    * runs) would shuffle EVERY token; at 10^12 sequences that is the
+    * difference between a projection and a corpus-sized exchange. */
+  private def maxRunCol(arr: Column): Column =
+    when(arr.isNull || size(arr) === 0, lit(0L)).otherwise(
+      aggregate(arr,
+        struct(lit(null).cast("int").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x <=> acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")))
+
+  /** Degenerate-generation signals per sequence — the loop/repetition
+    * detector for synthetic or model-generated corpora, where decoding
+    * failures show up as a single token repeated forever ("!!!!…") or
+    * a collapsed distribution (one token dominating the sequence):
+    *
+    *  - `max_run` — longest run of one repeated token ([[maxRunCol]])
+    *  - `top_token_count` / `top_share` — the mode token's count and
+    *    mass fraction, computed as the longest run of the SORTED array
+    *    (sorting makes equal tokens contiguous, so mode count = max
+    *    run — an O(n log n) in-row spelling that needs no map state)
+    *  - `distinct_ratio` — type/token ratio of the sequence
+    *
+    * Everything is computed inside the scan; the only exchange in a
+    * typical use is whatever the caller aggregates afterwards. Ratios
+    * are IEEE divisions of exact integers (bit-stable cross-engine).
+    * Empty/NULL sequences report 0 counts and NULL ratios — loud, not
+    * silently perfect. */
+  def runStats(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val toks = col(tokensCol)
+    df.select(
+        col(idCol),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_tok"),
+        maxRunCol(toks).as("max_run"),
+        maxRunCol(array_sort(toks)).as("top_token_count"),
+        coalesce(size(array_distinct(toks)).cast("long"), lit(0L))
+          .as("n_distinct"))
+      .withColumn("top_share",
+        when(col("n_tok") > 0,
+          col("top_token_count").cast("double") /
+            col("n_tok").cast("double")))
+      .withColumn("distinct_ratio",
+        when(col("n_tok") > 0,
+          col("n_distinct").cast("double") / col("n_tok").cast("double")))
+  }
+
+  /** Filter gate over [[runStats]]: drop sequences whose longest run
+    * or mode share crosses the degenerate thresholds. Returns the
+    * surviving rows of `df` unprojected (byte-identical passthrough,
+    * the [[graft.operators.ValidationPass.splitValid]] convention) —
+    * the stats frame is only consulted as a predicate, via the same
+    * in-row folds, so the gate stays a zero-exchange scan. */
+  def dropDegenerate(df: DataFrame, tokensCol: String,
+                     maxRun: Int = 20, maxTopShare: Double = 0.5): DataFrame = {
+    val toks = col(tokensCol)
+    val n = size(toks).cast("long")
+    df.where(toks.isNull || n === 0 ||
+      (maxRunCol(toks) < maxRun.toLong &&
+        maxRunCol(array_sort(toks)).cast("double") <
+          lit(maxTopShare) * n.cast("double")))
+  }
 }

@@ -108,4 +108,45 @@ class TokenHealthSpec extends SparkSpec {
       lo = 0.0, hi = 50000.0, nBins = 64).head()
     assert(drift.getAs[Double]("ks_stat") === 1.0)
   }
+
+  test("runStats: hand-computed runs, mode share, empty and null arrays") {
+    val df = Seq(
+      (0L, Seq(5, 5, 5, 9, 5)),      // run 3, mode 5 count 4
+      (1L, Seq(1, 2, 3, 4)),         // all distinct
+      (2L, Seq(7, 7, 7, 7)),         // constant
+      (3L, Seq.empty[Int])
+    ).toDF("id", "toks")
+      .union(Seq((4L, null.asInstanceOf[Seq[Int]])).toDF("id", "toks"))
+    val got = TokenHealth.runStats(df, "id", "toks").orderBy("id").collect()
+    assert(got(0).getAs[Long]("max_run") === 3L)
+    assert(got(0).getAs[Long]("top_token_count") === 4L)
+    assert(got(0).getAs[Double]("top_share") === 0.8)
+    assert(got(0).getAs[Long]("n_distinct") === 2L)
+    assert(got(1).getAs[Long]("max_run") === 1L)
+    assert(got(1).getAs[Double]("distinct_ratio") === 1.0)
+    assert(got(2).getAs[Long]("max_run") === 4L)
+    assert(got(2).getAs[Double]("top_share") === 1.0)
+    assert(got(3).getAs[Long]("n_tok") === 0L)
+    assert(got(3).isNullAt(got(3).fieldIndex("top_share")))
+    assert(got(4).getAs[Long]("max_run") === 0L)
+  }
+
+  test("dropDegenerate: constant array dropped, healthy kept, thresholds exact") {
+    val df = Seq(
+      (0L, Seq.fill(10)(7)),                    // share 1.0 → dropped
+      (1L, (1 to 10).toSeq),                    // healthy → kept
+      (2L, Seq(1, 1, 1, 1, 1, 6, 7, 8, 9, 10)), // share exactly 0.5 → dropped (>= threshold)
+      (3L, (1 to 5).toSeq ++ Seq.fill(21)(9) ++ (10 to 14).toSeq) // run 21 ≥ 20 → dropped
+    ).toDF("id", "toks")
+    val kept = TokenHealth.dropDegenerate(df, "toks", maxRun = 20,
+      maxTopShare = 0.5).select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("plan: runStats is a zero-exchange scan (the fold stays in-row)") {
+    val df = Seq((0L, Seq(1, 2, 3))).toDF("id", "toks")
+    val p = TokenHealth.runStats(df, "id", "toks")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"runStats shuffled:\n$p")
+  }
 }
