@@ -2172,6 +2172,15 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- exact embedding covariance (upper triangle, 1-based dims):
+    // ONE VecMomentsAgg scan — sufficient stats combine map-side and
+    // merge as O(partitions × d²) metadata; the oracle replays the
+    // explode + self-join spelling. PCA (jacobiEigen/project) consumes
+    // this matrix driver-side (test-verified — eigensolves aren't SQL).
+    "q_embedding_cov" -> ((s, d) =>
+      EmbeddingStats.covarianceDf(t(s, d, "embeddings"), "embedding", 64)
+        .orderBy("i", "j")),
+
     // ---- degenerate-generation detection over token arrays: longest
     // repeated-token run + mode-token share, computed as IN-ROW folds
     // (zero exchange) while the oracle replays the explode +
@@ -5410,6 +5419,17 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embedding_cov" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT a.i AS i, b.i AS j,
+        |  round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
 
     "q_token_runs" ->
       s"""WITH $degenTokensCte

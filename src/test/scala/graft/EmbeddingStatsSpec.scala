@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.EmbeddingStats
+import org.apache.spark.sql.functions._
+
+class EmbeddingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, eps: Double = 1e-9): Boolean =
+    math.abs(a - b) <= eps
+
+  test("moments: hand-computed mean/cov, merge across partitions identical") {
+    val vecs = Seq(
+      Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 0.0f), Seq(7.0f, 2.0f))
+    val df = vecs.toDF("v")
+    val m = EmbeddingStats.moments(df, "v", 2)
+    assert(m.n === 4L && m.skipped === 0L)
+    assert(approx(m.mean(0), 4.0) && approx(m.mean(1), 2.0))
+    // population cov: E[xy]-E[x]E[y]
+    // x: 1,3,5,7 → var 5; y: 2,4,0,2 → var 2; xy mean: (2+12+0+14)/4=7 → cov xy = 7-8 = -1
+    assert(approx(m.cov(0)(0), 5.0))
+    assert(approx(m.cov(1)(1), 2.0))
+    assert(approx(m.cov(0)(1), -1.0) && approx(m.cov(1)(0), -1.0))
+    val m4 = EmbeddingStats.moments(df.repartition(4), "v", 2)
+    assert(m4.n === m.n && approx(m4.cov(0)(1), m.cov(0)(1), 1e-12))
+  }
+
+  test("moments: NULL vector, wrong dim, null element all counted skipped") {
+    val good = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val badDim = Seq(Seq(1.0f)).toDF("v")
+    val nullVec = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("v")
+    val nullElem = Seq(Tuple1(Seq[java.lang.Float](1.0f, null))).toDF("v")
+    val m = EmbeddingStats.moments(
+      good.union(badDim).union(nullVec).union(nullElem), "v", 2)
+    assert(m.n === 2L && m.skipped === 3L)
+    assert(approx(m.mean(0), 2.0))
+  }
+
+  test("jacobiEigen: known 2x2 and 3x3 spectra, orthonormal, Av = lambda v") {
+    val (vals2, vecs2) = EmbeddingStats.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(approx(vals2(0), 3.0) && approx(vals2(1), 1.0))
+    val r = 1.0 / math.sqrt(2.0)
+    assert(approx(vecs2(0)(0), r) && approx(vecs2(0)(1), r))
+    // 3x3 diag + rank-1: eigen relation + orthonormality invariants
+    val a = Array(
+      Array(4.0, 1.0, 0.5), Array(1.0, 3.0, 0.25), Array(0.5, 0.25, 1.0))
+    val (vals, vecs) = EmbeddingStats.jacobiEigen(a)
+    assert(vals(0) >= vals(1) && vals(1) >= vals(2))
+    for (k <- 0 until 3) {
+      val av = Array.tabulate(3)(i =>
+        (0 until 3).map(j => a(i)(j) * vecs(k)(j)).sum)
+      for (i <- 0 until 3) assert(approx(av(i), vals(k) * vecs(k)(i), 1e-9))
+    }
+    for (k1 <- 0 until 3; k2 <- 0 until 3) {
+      val dot = (0 until 3).map(i => vecs(k1)(i) * vecs(k2)(i)).sum
+      assert(approx(dot, if (k1 == k2) 1.0 else 0.0, 1e-9))
+    }
+    // trace = sum of eigenvalues
+    assert(approx(vals.sum, 8.0, 1e-9))
+  }
+
+  test("pca: planted dominant direction is recovered") {
+    // points along (0.6, 0.8) with small orthogonal jitter
+    val rows = (0 until 200).map { i =>
+      val s = (i % 21) - 10.0       // spread along the line
+      val o = ((i % 7) - 3.0) * 0.01 // tiny orthogonal noise
+      Seq((0.6 * s - 0.8 * o).toFloat, (0.8 * s + 0.6 * o).toFloat)
+    }
+    val df = rows.toDF("v")
+    val (vals, comps, m) = EmbeddingStats.pca(df, "v", 2, 2)
+    val dot = math.abs(comps(0)(0) * 0.6 + comps(0)(1) * 0.8)
+    assert(dot > 0.9999, s"top PC ${comps(0).toSeq} not along (0.6,0.8)")
+    assert(vals(0) > 100 * vals(1))
+    assert(approx(vals.sum, m.cov(0)(0) + m.cov(1)(1), 1e-9))
+  }
+
+  test("project: hand dot products, centering, zero-exchange plan") {
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val comps = Array(Array(1.0, 0.0), Array(1.0, 1.0))
+    val out = EmbeddingStats.project(df, "v", comps)
+    val got = out.select("projection").as[Seq[Double]].collect()
+    assert(got(0) === Seq(1.0, 3.0) && got(1) === Seq(3.0, 7.0))
+    val centered = EmbeddingStats.project(df, "v", comps,
+      mean = Some(Array(2.0, 3.0)))
+    val gc = centered.select("projection").as[Seq[Double]].collect()
+    assert(gc(0) === Seq(-1.0, -2.0) && gc(1) === Seq(1.0, 2.0))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection shuffled:\n$p")
+  }
+
+  test("covarianceDf matches a brute-force driver computation on real embeddings") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cov = EmbeddingStats.covarianceDf(df, "embedding", 64)
+    assert(cov.count() === 64L * 65 / 2)
+    // spot-check (1,1) and (1,2) against a driver-side brute force
+    val vecs = df.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def ent(i: Int, j: Int): Double = {
+      val exy = vecs.map(v => v(i) * v(j)).sum / n
+      val ex = vecs.map(_(i)).sum / n
+      val ey = vecs.map(_(j)).sum / n
+      BigDecimal(exy - ex * ey)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = cov.where(col("i") === 1 && col("j") <= 2)
+      .orderBy("j").select("cov").as[Double].collect()
+    assert(got(0) === ent(0, 0) && got(1) === ent(0, 1))
+  }
+}
