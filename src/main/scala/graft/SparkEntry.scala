@@ -2172,6 +2172,35 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- winnowing fingerprints (MOSS): md5 oracle mode — DuckDB
+    // replays gram hashing AND the rightmost-min window selection, so
+    // the full fingerprint SET is hash-verified (the CDC md5 pattern);
+    // the native Karp–Rabin deque is the O(len) scale path
+    // (WinnowingSpec differential). Fixture docs are all ≥ 47 chars,
+    // so the short-doc branch never fires here (unit-tested instead).
+    "q_winnow" -> ((s, d) =>
+      Winnowing.fingerprintsMd5(t(s, d, "documents"), "doc_id", "text",
+          k = 8, w = 4)
+        .orderBy("doc_id", "fp")),
+
+    // the detection guarantee, oracle-replayed: a 3-char prefix shift
+    // preserves every length ≥ w+k−1 = 11 match, so each of the 200
+    // planted copies must share fingerprints with its original
+    "q_winnow_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 200)
+      val union = docs.select(col("doc_id"), col("text"))
+        .union(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("ZQ "), col("text")).as("text")))
+      val fps = Winnowing.fingerprintsMd5(union, "doc_id", "text", 8, 4)
+      val a = fps.where(col("doc_id") < 1000000)
+        .select(col("doc_id").as("a"), col("fp"))
+      val b = fps.where(col("doc_id") >= 1000000)
+        .select((col("doc_id") - 1000000).as("a"), col("fp"))
+      a.join(b, Seq("a", "fp"))
+        .groupBy("a").agg(count(lit(1)).as("n_shared"))
+        .orderBy("a")
+    }),
+
     // ---- exact embedding covariance (upper triangle, 1-based dims):
     // ONE VecMomentsAgg scan — sufficient stats combine map-side and
     // merge as O(partitions × d²) metadata; the oracle replays the
@@ -5419,6 +5448,57 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(text) - 6)) AS pos, text
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, pos,
+        |    substr(md5(substr(text, pos, 8)), 1, 16) AS h,
+        |    len(text) - 7 AS m
+        |  FROM g),
+        |sel AS (
+        |  SELECT doc_id, pos, m,
+        |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |      AS s
+        |  FROM g2)
+        |SELECT DISTINCT doc_id, struct_extract(s, 'h') AS fp
+        |FROM sel WHERE pos >= least(4, m)
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_winnow_pairs" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'ZQ ' || text
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(text) - 6)) AS pos, text
+        |  FROM d0),
+        |g2 AS (
+        |  SELECT doc_id, pos,
+        |    substr(md5(substr(text, pos, 8)), 1, 16) AS h,
+        |    len(text) - 7 AS m
+        |  FROM g),
+        |sel AS (
+        |  SELECT doc_id, pos, m,
+        |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |      AS s
+        |  FROM g2),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, struct_extract(s, 'h') AS fp
+        |  FROM sel WHERE pos >= least(4, m)),
+        |a AS (SELECT doc_id AS a, fp FROM fp WHERE doc_id < 1000000),
+        |b AS (SELECT doc_id - 1000000 AS a, fp FROM fp
+        |      WHERE doc_id >= 1000000)
+        |SELECT a.a, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM a JOIN b USING (a, fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_embedding_cov" ->
       """WITH x AS (

@@ -94,6 +94,75 @@ case class RollingFingerprint(child: Expression, window: Int)
   override def prettyName: String = "graft_fingerprint"
 }
 
+/** FULL winnowing fingerprint set (Schleimer et al., SIGMOD'03): the
+  * rightmost minimum of each `w`-hash window over the `k`-gram
+  * Karp–Rabin hash stream, deduplicated and sorted. Unlike
+  * [[RollingFingerprint]]'s single global min, this is the MOSS local
+  * fingerprinting scheme with the detection guarantee: any shared
+  * substring of length ≥ w + k − 1 contributes at least one shared
+  * fingerprint — deterministic recall, where MinHash is probabilistic.
+  * O(len) via a monotonic deque (amortized one push/pop per gram); the
+  * md5 window spelling (the SQL-replicable oracle mode in
+  * [[graft.operators.Winnowing]]) re-hashes every gram from scratch.
+  * Documents shorter than k yield the whole-text hash as a singleton.
+  * Per-row compute-bound loop ⇒ interpreted Expression in a
+  * projection (same rationale as [[RollingFingerprint]]). */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = s.length - k + 1
+    if (m < 1) {
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(XxHash64Function.hash(UTF8String.fromString(s), StringType, 7L)))
+    }
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    // gram hashes, rolling
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    while (i < s.length) {
+      h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+      hs(i - k + 1) = h
+      i += 1
+    }
+    // monotonic deque of indices, values strictly increasing front→back
+    // (equal values popped ⇒ rightmost tie survives, matching the
+    // min-by-(hash asc, pos desc) oracle spelling)
+    val deque = new Array[Int](m)
+    var lo = 0; var hi = 0 // [lo, hi) holds candidate indices
+    val firstRecord = math.min(w, m) - 1 // 0-based window-end position
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p < m) {
+      while (hi > lo &&
+        java.lang.Long.compareUnsigned(hs(deque(hi - 1)), hs(p)) >= 0) hi -= 1
+      deque(hi) = p; hi += 1
+      if (deque(lo) <= p - w) lo += 1
+      if (p >= firstRecord) out.add(hs(deque(lo)))
+      p += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowedFingerprints =
+    copy(child = c)
+  override def prettyName: String = "graft_winnow"
+}
+
 /** Content-defined-chunking cut positions (the LBFS/rsync boundary
   * rule, Muthitacharoen et al. SOSP 2001): ONE O(len) Karp–Rabin pass;
   * position i (1-based, i ≥ window) is a boundary when the rolling hash
@@ -670,6 +739,11 @@ object TextExpressions {
       (es: Seq[Expression]) => RollingFingerprint(
         es.head,
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString.toInt))
+    reg.registerFunction(FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowedFingerprints].getName, "graft_winnow"),
+      (es: Seq[Expression]) => WinnowedFingerprints(es.head,
+        es(1).eval(InternalRow.empty).toString.toInt,
+        es(2).eval(InternalRow.empty).toString.toInt))
     reg.registerFunction(FunctionIdentifier("graft_text_profile"),
       new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
       (es: Seq[Expression]) => TextProfile(es.head))
@@ -764,6 +838,11 @@ object TextExpressions {
     ensure()
     call_function("graft_cdc_chunk_hashes", text, lit(window),
       lit(maskBits), lit(seed))
+  }
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensure()
+    call_function("graft_winnow", text, lit(k), lit(w))
   }
   def wordIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
     import org.apache.spark.sql.functions.{array, lit}
