@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HistogramAgg, Predicates, TextExpressions, VectorExpressions}
 import graft.model.{Requirement, Rule, RuleType}
 import graft.operators._
-import graft.sources.SeqTableGen
+import graft.sources.{Bucketing, SeqTableGen}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-pipeline additions), each with a DuckDB
@@ -2172,6 +2172,26 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- bucketed co-located join: both sides written hash-bucketed
+    // + sorted on the join key, so the fact⋈fact join and any groupBy
+    // on that key plan with ZERO exchanges (BucketingSpec pins the
+    // plan; this row pins result parity vs DuckDB's plain join). The
+    // write cost is paid once and amortizes over every reuse — the
+    // storage-side answer to a repeated 100 TB join.
+    "q_bucketed_join" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      Bucketing.writeBucketed(t(s, d, "orders"), s"graft_bj_orders_$tag",
+        s"/tmp/graft_bj_$tag/orders", "o_orderkey", 8)
+      Bucketing.writeBucketed(t(s, d, "lineitem"), s"graft_bj_lineitem_$tag",
+        s"/tmp/graft_bj_$tag/lineitem", "l_orderkey", 8)
+      Bucketing.colocatedJoin(s, s"graft_bj_orders_$tag", "o_orderkey",
+          s"graft_bj_lineitem_$tag", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- winnowing fingerprints (MOSS): md5 oracle mode — DuckDB
     // replays gram hashing AND the rightmost-min window selection, so
     // the full fingerprint SET is hash-verified (the CDC md5 pattern);
@@ -5448,6 +5468,13 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_winnow" ->
       """WITH g AS (
