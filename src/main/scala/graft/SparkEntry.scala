@@ -2172,6 +2172,13 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- Flesch reading-ease: regexp-count arithmetic, zero-shuffle
+    // projection; DuckDB's independent regex engine replays the
+    // word/sentence/vowel-group counting
+    "q_readability" -> ((s, d) =>
+      TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- bucketed co-located join: both sides written hash-bucketed
     // + sorted on the join key, so the fact⋈fact join and any groupBy
     // on that key plan with ZERO exchanges (BucketingSpec pins the
@@ -5468,6 +5475,24 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN round(
+        |    206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+        |  END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT o_orderpriority,

@@ -1209,4 +1209,36 @@ object TextAnalysis {
           (col("__sza") + col("__szb") - col("n_common")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Flesch reading-ease per document — the readability tier of the
+    * quality-signal family (very low or impossibly high scores flag
+    * gibberish, OCR noise, and keyword-stuffed pages): counts words
+    * (whitespace split), sentences (`[.!?]+` runs, floored at 1 so a
+    * fragment is "one sentence", never a division by zero), and
+    * syllables via the standard vowel-group heuristic
+    * (`[aeiouy]+` runs in the lowercased text — word boundaries break
+    * groups, so the whole-text count equals the per-word sum), then
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * 6dp-rounded. Everything is codegen'd regexp arithmetic on exact
+    * integer counts through a fixed IEEE expression order (bit-stable
+    * cross-engine); zero-word documents get a loud NULL score. One
+    * zero-shuffle projection. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nWords = size(filter(
+      split(lower(trim(text)), "\\s+"), x => x =!= "")).cast("long")
+    val nSentences = greatest(
+      regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+    val nSyllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"), nSentences.as("n_sentences"),
+        nSyllables.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0, round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6)))
+  }
 }

@@ -737,4 +737,28 @@ class CurationSpec extends SparkSpec {
     assert(sizes.map(_._2).sum === 20L)
     assert(sizes.forall(_._2 > 0))
   }
+
+  test("readability: hand-computed counts, fragment floor, empty doc NULL") {
+    val df = Seq(
+      (1L, "The cat sat. It ran!"),  // 6 words, 2 sentences, 6 syllable groups
+      (2L, "no punctuation here"),   // fragment → 1 sentence
+      (3L, "")                        // zero words → NULL flesch
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // whitespace tokens: the/cat/sat./it/ran! = 5 (punctuation attached)
+    assert(got(0).getAs[Long]("n_words") === 5L)
+    assert(got(0).getAs[Long]("n_sentences") === 2L)
+    // vowel groups: e,a,a,i,a = 5
+    assert(got(0).getAs[Long]("n_syllables") === 5L)
+    val expected = BigDecimal(
+      206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getAs[Double]("flesch") === expected)
+    assert(got(1).getAs[Long]("n_sentences") === 1L)
+    assert(got(2).isNullAt(got(2).fieldIndex("flesch")))
+    val p = TextAnalysis.readability(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"readability shuffled:\n$p")
+  }
 }
