@@ -2172,6 +2172,47 @@ object SparkEntry {
     // KS + chi-square drift over oracle-visible data: shifted l_quantity
     // vs its own baseline histogram; l_returnflag freq vs a half-sample
     // baseline (both statistics recomputable exactly in SQL)
+    // ---- hard-negative mining: for each labeled query vector the 3
+    // nearest DIFFERENT-label corpus vectors — broadcast queries,
+    // codegen cosine, label filter as a join predicate (the
+    // contrastive/reward-model training-pair op)
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
+          k = 3)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- mergeable profile algebra: profile each half once, merge
+    // the metadata-sized profiles — profile(A ∪ B) without re-scanning
+    // A (the incremental-snapshot accounting path); oracle replays the
+    // same per-half-then-merge arithmetic
+    "q_profile_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val fields = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val merged = Profile.mergeProfiles(Seq(
+        Profile.mergeableProfile(li.where(col("l_orderkey") % 2 === 0), fields),
+        Profile.mergeableProfile(li.where(col("l_orderkey") % 2 === 1), fields)))
+      merged.select(col("field"), col("cnt"), col("min"), col("max"),
+          round(col("sum"), 4).as("sum"), round(col("avg"), 6).as("avg"))
+        .orderBy("field")
+    }),
+
+    // ---- detokenize round trip: ids → words via the literal vocab;
+    // OOV renders <unk>, in-vocab words reconstruct exactly
+    "q_detokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", size = 20)
+      docs.select(col("doc_id"),
+          TextAnalysis.detokenize(
+            TextAnalysis.tokenize(col("text"), vocab, unkId = -1), vocab)
+            .as("round_trip"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Flesch reading-ease: regexp-count arithmetic, zero-shuffle
     // projection; DuckDB's independent regex engine replays the
     // word/sentence/vowel-group counting
@@ -5475,6 +5516,74 @@ object SparkEntry {
         |SELECT source, count(*) AS n_seqs, round(avg(n_tok), 6) AS avg_ntok,
         |       min(n_tok) AS min_ntok, max(n_tok) AS max_ntok
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |         label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+        |  FROM embeddings e
+        |  JOIN q ON e.label <> q.ql AND e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, id, rank, round(score, 4) AS score
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_profile_merge" ->
+      """WITH halves AS (
+        |  SELECT l_orderkey % 2 AS h, l_quantity, l_extendedprice,
+        |         l_discount
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'l_quantity' AS field, h, count(l_quantity) AS cnt,
+        |    min(l_quantity) AS mn, max(l_quantity) AS mx,
+        |    sum(l_quantity) AS sm FROM halves GROUP BY h
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', h, count(l_extendedprice),
+        |    min(l_extendedprice), max(l_extendedprice),
+        |    sum(l_extendedprice) FROM halves GROUP BY h
+        |  UNION ALL
+        |  SELECT 'l_discount', h, count(l_discount), min(l_discount),
+        |    max(l_discount), sum(l_discount) FROM halves GROUP BY h)
+        |SELECT field, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |  min(mn) AS min, max(mx) AS max,
+        |  round(sum(sm), 4) AS sum,
+        |  CASE WHEN sum(cnt) > 0 THEN round(sum(sm) / sum(cnt), 6) END
+        |    AS avg
+        |FROM p GROUP BY field ORDER BY field""".stripMargin,
+
+    "q_detokenize" ->
+      """WITH wl AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(l) AS word,
+        |         CAST(unnest(range(0, len(l))) AS INTEGER) AS pos
+        |  FROM wl),
+        |vocab AS (
+        |  SELECT word,
+        |         CAST(row_number() OVER (ORDER BY n DESC, word) - 1
+        |              AS INTEGER) AS id
+        |  FROM (SELECT word, count(*) AS n FROM words
+        |        GROUP BY 1 ORDER BY n DESC, word LIMIT 20)),
+        |rt AS (
+        |  SELECT w.doc_id, w.pos,
+        |    CASE WHEN v.id IS NOT NULL THEN w.word ELSE '<unk>' END
+        |      AS wout
+        |  FROM words w LEFT JOIN vocab v USING (word))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(wout, ' ' ORDER BY pos), '') AS round_trip
+        |FROM documents d LEFT JOIN rt ON d.doc_id = rt.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_readability" ->
       """WITH c AS (

@@ -93,6 +93,47 @@ object Profile {
     }.toDF("field", "cnt", "min", "max", "avg")
   }
 
+  /** MERGEABLE numeric profile: `(field, cnt, min, max, sum)` — the
+    * incremental-corpus profile algebra. Unlike [[exactNumericProfileDf]]
+    * (which rounds the average away), every column here merges exactly:
+    * profile(A ∪ B) = merge(profile(A), profile(B)) by (sum cnt,
+    * min min, max max, sum sum). Profile each ingest batch once, store
+    * the metadata-sized rows, and the whole-corpus profile is a fold
+    * over stored profiles — no re-scan of 100 TB when a snapshot lands.
+    * One fused aggregate pass (the [[run]] convention). */
+  def mergeableProfile(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val aggs = fields.flatMap { f =>
+      val c = col(f).cast("double")
+      Seq(count(c).as(s"cnt__$f"), min(c).as(s"min__$f"),
+        max(c).as(s"max__$f"), sum(c).as(s"sum__$f"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = row.head()
+    fields.map { f =>
+      (f, r.getAs[Long](s"cnt__$f"),
+        Option(r.getAs[Double](s"min__$f")),
+        Option(r.getAs[Double](s"max__$f")),
+        Option(r.getAs[Double](s"sum__$f")))
+    }.toDF("field", "cnt", "min", "max", "sum")
+  }
+
+  /** Merge any number of [[mergeableProfile]] frames into one profile
+    * with a derived `avg` — a metadata-sized groupBy over k×|fields|
+    * rows, no corpus touch. Empty-batch fields (cnt 0) contribute
+    * nothing (their NULL min/max/sum are ignored by the aggregates);
+    * an all-empty field keeps a loud NULL avg. */
+  def mergeProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "no profiles to merge")
+    profiles.reduce(_ unionByName _)
+      .groupBy("field")
+      .agg(sum(col("cnt")).as("cnt"), min(col("min")).as("min"),
+        max(col("max")).as("max"), sum(col("sum")).as("sum"))
+      .withColumn("avg",
+        when(col("cnt") > 0, col("sum") / col("cnt").cast("double")))
+  }
+
   /** Robust (median/MAD) outlier detection on a numeric column — the
     * distributional cousin of the declarative range checks: flag values
     * outside median ± k · 1.4826 · MAD (1.4826 scales MAD to σ under

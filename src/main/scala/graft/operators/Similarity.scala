@@ -49,6 +49,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive / reward-model training
+    * data: for each labeled query vector, the k nearest corpus vectors
+    * whose label DIFFERS (the negatives most likely to fool the
+    * model). Same bounded-query-table contract and plan shape as
+    * [[topKForQueries]] — queries broadcast, corpus scanned once with
+    * the codegen'd cosine, label-mismatch and self-exclusion applied
+    * as join predicates BEFORE anything is scored wide, then a
+    * per-query window rank. NULL-labeled corpus rows never mine (a
+    * null label is "unknown", not "different" — documented). At IVF
+    * scale, compose with [[ivfTopKBatch]]'s probe pruning first and
+    * re-rank the pruned candidates here. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    qLabelCol: String, k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(
+      col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
+      col(qLabelCol).as("__qlabel")))
+    val scored = corpus.join(q,
+        col(labelCol) =!= col("__qlabel") && col(idCol) =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col(idCol).as("id"),
+        col(labelCol).as("label"),
+        VectorExpressions.cosine(col(vecCol), col("__qvec")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF coarse index: nCentroids deterministic representatives +
     * centroid-assigned corpus. */
   final case class IvfIndex(

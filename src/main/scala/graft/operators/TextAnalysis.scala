@@ -214,6 +214,22 @@ object TextAnalysis {
   def tokenize(text: Column, vocab: Seq[String], unkId: Int = -1): Column =
     TextExpressions.wordIds(text, vocab, unkId)
 
+  /** Inverse of [[tokenize]]: ids back to words through the literal
+    * vocab, joined by single spaces — the debugging / audit /
+    * sample-inspection direction of the round trip. Ids outside
+    * [0, |vocab|) (the OOV `unkId` included) render as `unkToken`;
+    * `try_element_at` keeps the out-of-range probe legal under ANSI.
+    * Lossy by design (case and punctuation spacing are gone):
+    * detokenize(tokenize(t)) equals the lower-cased whitespace-
+    * normalized words of `t` wherever no word fell out of vocab.
+    * Zero-shuffle projection — the vocab rides the plan. */
+  def detokenize(tokens: Column, vocab: Seq[String],
+                 unkToken: String = "<unk>"): Column =
+    array_join(transform(tokens, id =>
+      when(id >= 0 && id < vocab.size,
+        try_element_at(typedlit(vocab), id + 1))
+        .otherwise(lit(unkToken))), " ")
+
   /** Thresholds for the composite document-quality FILTER
     * ([[qualityRules]]) — the published Gopher heuristics (Rae et al.
     * 2021 §A1.1) and C4 cleanups re-expressed over the TextProfile

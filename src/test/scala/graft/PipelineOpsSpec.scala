@@ -2264,4 +2264,60 @@ class PipelineOpsSpec extends SparkSpec {
       (1, 1L, 1L, Some(-1.0)),
       (2, 1L, 0L, None)))
   }
+
+  test("hardNegatives: same-label and self excluded, nearest different-label wins") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),   // query
+      (2L, Seq(0.99f, 0.1f), 0),  // same label, closest — must NOT mine
+      (3L, Seq(0.9f, 0.2f), 1),   // different label, close → rank 1
+      (4L, Seq(0.0f, 1.0f), 1),   // different label, orthogonal → rank 2
+      (5L, Seq(-1.0f, 0.0f), 2)   // different label, opposite → rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        "label", corpus.where($"vec_id" === 1L), "vec_id", "embedding",
+        "label", k = 3)
+      .orderBy("rank").select("id", "rank").as[(Long, Int)].collect()
+    assert(got === Array((3L, 1), (4L, 2), (5L, 3)))
+  }
+
+  test("mergeable profiles: merge(profile(A), profile(B)) == profile(A ∪ B)") {
+    import graft.operators.Profile
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(10.0, 20.0).toDF("x")
+    val merged = Profile.mergeProfiles(Seq(
+        Profile.mergeableProfile(a, Seq("x")),
+        Profile.mergeableProfile(b, Seq("x")))).collect()(0)
+    assert(merged.getAs[Long]("cnt") === 5L)
+    assert(merged.getAs[Double]("min") === 1.0)
+    assert(merged.getAs[Double]("max") === 20.0)
+    assert(merged.getAs[Double]("sum") === 36.0)
+    assert(merged.getAs[Double]("avg") === 7.2)
+    // empty batch contributes nothing and keeps NULLs out of min/max
+    val empty = Profile.mergeableProfile(a.where($"x" > 100), Seq("x"))
+    val m2 = Profile.mergeProfiles(Seq(
+      Profile.mergeableProfile(a, Seq("x")), empty)).collect()(0)
+    assert(m2.getAs[Long]("cnt") === 3L && m2.getAs[Double]("min") === 1.0)
+    // all-empty field: loud NULL avg
+    val m3 = Profile.mergeProfiles(Seq(empty, empty)).collect()(0)
+    assert(m3.getAs[Long]("cnt") === 0L)
+    assert(m3.isNullAt(m3.fieldIndex("avg")))
+  }
+
+  test("detokenize: round trip on in-vocab words, <unk> for OOV, empty doc") {
+    import graft.operators.TextAnalysis
+    val vocab = Seq("the", "cat", "sat")
+    val df = Seq(
+      (1L, "The cat SAT"),        // full round trip (lower-cased)
+      (2L, "the dog sat"),        // dog is OOV
+      (3L, "")
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        TextAnalysis.detokenize(
+          TextAnalysis.tokenize($"text", vocab, unkId = -1), vocab)
+          .as("rt"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(got === Array(
+      (1L, "the cat sat"), (2L, "the <unk> sat"), (3L, "")))
+  }
 }
