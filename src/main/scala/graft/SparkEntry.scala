@@ -353,6 +353,43 @@ object SparkEntry {
         .orderBy("anchor_id")
     }),
 
+    // interval-OVERLAP join (interval×interval sibling of the range
+    // join): every 2h mod-97 anchor window paired with every 90min
+    // mod-89 window it shares an instant with. Both sides fan out to
+    // hour buckets; a pair is kept exactly once — in the bucket holding
+    // max(starts) — by predicate, never a distinct() of the joined
+    // payload. DuckDB's IEJoin computes the theta-join as the oracle.
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val a = ev.where(col("event_id") % 97 === 0)
+        .select(col("event_id").as("a_id"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("a_end"))
+      val b = ev.where(col("event_id") % 89 === 0)
+        .select(col("event_id").as("b_id"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("b_end"))
+      RangeJoin.intervalOverlap(a, b, "a_start", "a_end",
+          "b_start", "b_end", bucketWidth = 3600L * 1000000L)
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("b_id")).as("sum_b"))
+        .orderBy("a_id")
+    }),
+
+    // exact order statistics WITHOUT a global sort: radix select — ≤8
+    // counting passes, each one map-side-combined 256-bucket histogram
+    // of the next byte, O(1) driver state. The exact companion to
+    // approx_percentile where a bit-exact median/kth is contractually
+    // required (billing, SLA percentiles) and a 10^12-row range
+    // exchange is not an option; DuckDB's median replays it bit-exactly
+    "q_exact_median" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .select(((col("l_orderkey") * 37) % 1001 - 500).cast("long").as("v"))
+      val (n, med) = Profile.exactMedianLong(v, "v")
+      val mn = Profile.kthSmallestLong(v, "v", 1)
+      val mx = Profile.kthSmallestLong(v, "v", n)
+      import s.implicits._
+      Seq((n, med.getOrElse(0.0), mn, mx)).toDF("n", "med", "min_v", "max_v")
+    }),
+
     // gap-based sessionization: per-user activity sessions with a
     // 30-minute inactivity close, via Spark's native session_window
     // aggregate; the oracle reconstructs the identical sessions with
@@ -2784,6 +2821,23 @@ object SparkEntry {
         |FROM events p JOIN iv
         |  ON p.ts >= iv.w_start AND p.ts <= iv.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, ts AS a_start,
+        |                  ts + INTERVAL 2 HOUR AS a_end
+        |           FROM events WHERE event_id % 97 = 0),
+        |     b AS (SELECT event_id AS b_id, ts AS b_start,
+        |                  ts + INTERVAL 90 MINUTE AS b_end
+        |           FROM events WHERE event_id % 89 = 0)
+        |SELECT a.a_id, count(*) AS n_overlaps,
+        |       CAST(sum(b.b_id) AS BIGINT) AS sum_b
+        |FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_exact_median" ->
+      """WITH v AS (SELECT (l_orderkey * 37) % 1001 - 500 AS v FROM lineitem)
+        |SELECT count(*) AS n, CAST(median(v) AS DOUBLE) AS med,
+        |       min(v) AS min_v, max(v) AS max_v FROM v""".stripMargin,
 
     "q_sessions" ->
       """WITH o AS (

@@ -445,4 +445,80 @@ object Profile {
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
           .as("ndcg"))
   }
+
+  /** EXACT k-th smallest of a long column in at most 8 counting passes
+    * — the order statistic that neither sorts nor sketches: a global
+    * sort of 10^12 rows is a full range-exchange, `approx_percentile`
+    * is approximate, and exact `median`/`percentile` buffer whole
+    * groups; this is the radix-select alternative that scales. Each
+    * pass is ONE map-side-combined 256-bucket histogram of the next
+    * byte (restricted to the prefix that survived the previous
+    * passes), so the driver sees 8 × 256 counts and the data is
+    * scanned ≤ 8 times — often fewer: the descent stops as soon as
+    * one value remains. Values are sign-bit-biased so unsigned byte
+    * order equals signed long order (negatives handled exactly).
+    * `k` is 1-based; NULLs are excluded (callers count separately).
+    * Deterministic — no sampling, no sketch, bit-exact on any engine.
+    */
+  def kthSmallestLong(df: DataFrame, colName: String, k: Long): Long = {
+    val biased = col(colName).cast("long").bitwiseXOR(Long.MinValue)
+    val base = df.where(col(colName).isNotNull).select(biased.as("__v"))
+    require(k >= 1, s"k=$k must be >= 1")
+    var prefix = 0L
+    var remaining = k
+    var shift = 56
+    var done = false
+    var result = 0L
+    while (shift >= 0 && !done) {
+      val mask = if (shift == 56) 0L
+        else -1L << (shift + 8) // bits already fixed
+      val hist = base
+        .where(lit(mask).bitwiseAND(col("__v")) === lit(prefix & mask))
+        .groupBy(shiftRight(col("__v"), shift).bitwiseAND(0xFFL).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var b = 0L
+      var cum = 0L
+      var found = false
+      while (b < 256 && !found) {
+        val n = hist.getOrElse(b, 0L)
+        if (cum + n >= remaining) {
+          prefix |= b << shift
+          remaining -= cum
+          // single distinct candidate left in this bucket path when its
+          // count is 1 — but equal values share all bytes, so we can
+          // only stop early when the bucket holds exactly one ROW
+          if (n == 1L && shift > 0) {
+            val only = base.where(
+              lit(-1L << shift).bitwiseAND(col("__v")) === lit(prefix & (-1L << shift)))
+              .head().getLong(0)
+            result = only
+            done = true
+          }
+          found = true
+        } else { cum += n; b += 1 }
+      }
+      require(found, s"k=$k exceeds the non-null row count")
+      shift -= 8
+    }
+    val v = if (done) result else prefix
+    v ^ Long.MinValue
+  }
+
+  /** Exact median of a long column via [[kthSmallestLong]] — ≤ 16
+    * counting passes, O(1) driver memory, no global sort: odd n takes
+    * the middle order statistic, even n the mean of the two middles
+    * (the SQL `median` rule, so DuckDB replays it bit-exactly).
+    * Returns (n, median); n = 0 ⇒ NULL median. */
+  def exactMedianLong(df: DataFrame, colName: String): (Long, Option[Double]) = {
+    val n = df.where(col(colName).isNotNull).count()
+    if (n == 0) return (0L, None)
+    val med = if (n % 2 == 1) kthSmallestLong(df, colName, (n + 1) / 2).toDouble
+      else {
+        val lo = kthSmallestLong(df, colName, n / 2)
+        val hi = kthSmallestLong(df, colName, n / 2 + 1)
+        (lo + hi) / 2.0
+      }
+    (n, Some(med))
+  }
 }

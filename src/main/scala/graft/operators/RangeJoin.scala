@@ -119,4 +119,75 @@ object RangeJoin {
       .where(col(pointTs) >= col(ivStart) && col(pointTs) <= col(ivEnd))
       .drop("__graft_b" +: "__graft_bi" +: keys.map(k => s"__graft_k_$k"): _*)
   }
+
+  /** Interval-OVERLAP join: pair every left interval with every right
+    * interval sharing at least one instant — `[ls, le] ∩ [rs, re] ≠ ∅`,
+    * all bounds inclusive — optionally under extra equi-keys. The
+    * interval×interval sibling of [[pointInInterval]] ("which outages
+    * overlapped which deploy windows", "which crawl sessions overlapped
+    * which rate-limit episodes").
+    *
+    * Same bucketing strategy, with one extra subtlety: BOTH sides fan
+    * out to the buckets they cover, so an overlapping pair can meet in
+    * every bucket its intersection touches. The pair is kept exactly
+    * once — in the bucket containing the intersection's START,
+    * `max(ls, rs)` (both intervals cover that instant by definition of
+    * a non-empty overlap, so both fan-outs produced that bucket) — a
+    * pure post-join predicate, never a `distinct()`: a dedup shuffle of
+    * the joined payload would dwarf the join itself at scale.
+    *
+    * Cost: one hash-shuffle of (|L| + |R|) · ⌈len/W⌉ narrow rows; pick
+    * `W` near the typical interval length (split-by-length-class and
+    * union for mixed scales, as with [[pointInInterval]]). Null bounds
+    * and inverted intervals (end < start) match nothing.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"non-key columns present on both sides: ${overlap.mkString(", ")}")
+
+    def micros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+    def floorDiv(t: String): String =
+      s"($t - (($t % $bucketWidth + $bucketWidth) % $bucketWidth)) div $bucketWidth"
+
+    val l = left
+      .where(col(lStart).isNotNull && col(lEnd).isNotNull &&
+        col(lEnd) >= col(lStart))
+      .withColumn("__graft_ls", micros(left, lStart))
+      .withColumn("__graft_le", micros(left, lEnd))
+      .withColumn("__graft_bl", explode(sequence(
+        expr(floorDiv("__graft_ls")), expr(floorDiv("__graft_le")))))
+      .drop("__graft_le")
+    // fresh names on the right side for the same self-join-lineage
+    // reason as pointInInterval's interval side
+    val r = keys.foldLeft(right
+        .where(col(rStart).isNotNull && col(rEnd).isNotNull &&
+          col(rEnd) >= col(rStart))
+        .withColumn("__graft_rs", micros(right, rStart))
+        .withColumn("__graft_re", micros(right, rEnd))
+        .withColumn("__graft_br", explode(sequence(
+          expr(floorDiv("__graft_rs")), expr(floorDiv("__graft_re")))))
+        .drop("__graft_re")) {
+      (df, k) => df.withColumn(s"__graft_k_$k", col(k)).drop(k)
+    }
+
+    val cond = ((col("__graft_bl") === col("__graft_br")) +:
+      keys.map(k => col(k) === col(s"__graft_k_$k"))).reduce(_ && _)
+    l.join(r, cond)
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // meet-exactly-once: keep the pair only in the bucket that holds
+      // the overlap's first instant
+      .withColumn("__graft_ms", greatest(col("__graft_ls"), col("__graft_rs")))
+      .where(col("__graft_bl") === expr(floorDiv("__graft_ms")))
+      .drop("__graft_ls" +: "__graft_rs" +: "__graft_ms" +:
+        "__graft_bl" +: "__graft_br" +: keys.map(k => s"__graft_k_$k"): _*)
+  }
 }

@@ -153,6 +153,50 @@ class ChunkingSpec extends SparkSpec {
     assert(exact.getAs[Long]("n_outliers") === 0)
   }
 
+  // ---------- exact order statistics (radix select) ----------
+
+  test("kth smallest long: every k on a messy fixture equals sorted order") {
+    // negatives, Long extremes, heavy ties, zero — the sign-bias and
+    // equal-value byte paths all exercised
+    val vals = Seq(Long.MinValue, Long.MaxValue, -1L, -1L, 0L, 0L, 0L,
+      42L, 42L, -999999999999L, 7L, Long.MinValue + 1, 255L, 256L, -256L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    sorted.indices.foreach { i =>
+      assert(Profile.kthSmallestLong(df, "v", i + 1) === sorted(i), s"k=${i + 1}")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.kthSmallestLong(df, "v", vals.size + 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.kthSmallestLong(df, "v", 0L)
+    }
+  }
+
+  test("kth smallest long: LCG differential at scale, nulls excluded") {
+    // 5000 pseudo-random signed longs via a seeded LCG (built driver-
+    // side — the wrapping multiply throws under ANSI as a column);
+    // nulls interleaved must be invisible to the order statistic
+    val vals: Seq[java.lang.Long] = (0 until 5000).map { i =>
+      if (i % 11 == 0) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(
+        i.toLong * 6364136223846793005L + 1442695040888963407L)
+    }
+    val df = vals.toDF("v")
+    val nonNull = df.where($"v".isNotNull).as[Long].collect().sorted
+    for (k <- Seq(1, 17, nonNull.length / 2, nonNull.length))
+      assert(Profile.kthSmallestLong(df, "v", k.toLong) === nonNull(k - 1), s"k=$k")
+  }
+
+  test("exact median long: odd, even (SQL mean-of-middles), empty") {
+    assert(Profile.exactMedianLong(Seq(5L, -3L, 9L).toDF("v"), "v")
+      === ((3L, Some(5.0))))
+    assert(Profile.exactMedianLong(Seq(4L, 10L, -2L, 0L).toDF("v"), "v")
+      === ((4L, Some(2.0)))) // (0 + 4) / 2
+    assert(Profile.exactMedianLong(
+      Seq(null.asInstanceOf[java.lang.Long]).toDF("v"), "v") === ((0L, None)))
+  }
+
   // ---------- epoch shuffle ----------
 
   test("epoch order: a seeded permutation — deterministic, seed-sensitive, complete") {

@@ -82,6 +82,65 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-key columns present on both sides"))
   }
 
+  // -------------------------------------------------- intervalOverlap
+
+  // second interval set with different phase/lengths (0, 29, 58, 87),
+  // plus inverted + null rows that must match nothing
+  private def intervalsB =
+    (0 until 40).map { i =>
+      val s = (i * 23 % 450).toLong
+      (500L + i, s, s + (i % 4) * 29L)
+    }.toDF("b_id", "b_start", "b_end")
+      .union(Seq((950L, 80L, 20L)).toDF("b_id", "b_start", "b_end"))
+      .union(Seq((951L, 5L, null.asInstanceOf[java.lang.Long]))
+        .toDF("b_id", "b_start", "b_end"))
+
+  private def naiveOverlapPairs: Set[(Long, Long)] =
+    intervals.join(intervalsB,
+        col("start") <= col("b_end") && col("b_start") <= col("end") &&
+        col("end") >= col("start") && col("b_end") >= col("b_start"))
+      .select("iv_id", "b_id").as[(Long, Long)].collect().toSet
+
+  test("interval overlap equals naive theta-join, exactly once per pair") {
+    val truth = naiveOverlapPairs
+    assert(truth.nonEmpty)
+    for (w <- Seq(1L, 7L, 37L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(intervals, intervalsB,
+          "start", "end", "b_start", "b_end", bucketWidth = w)
+        .select("iv_id", "b_id").as[(Long, Long)].collect()
+      assert(got.toSet === truth, s"bucketWidth=$w")
+      // the meet-once predicate, not a distinct(), dedups the fan-out
+      assert(got.length === got.toSet.size, s"duplicate pairs at W=$w")
+    }
+    // fixture must exercise touching endpoints (inclusive overlap) and
+    // containment (one interval inside another)
+    val rows = intervals.join(intervalsB,
+      col("start") <= col("b_end") && col("b_start") <= col("end"))
+    assert(rows.where(col("b_start") === col("end") ||
+      col("start") === col("b_end")).count() > 0, "no touching pair")
+    assert(rows.where(col("b_start") >= col("start") &&
+      col("b_end") <= col("end")).count() > 0, "no contained pair")
+  }
+
+  test("interval overlap: inverted/null rows match nothing; keys restrict") {
+    val got = RangeJoin.intervalOverlap(intervals, intervalsB,
+        "start", "end", "b_start", "b_end", bucketWidth = 37L)
+      .select("iv_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!got.exists { case (a, b) => a >= 900L || b >= 950L })
+    val lk = intervals.withColumn("k", (col("iv_id") % 3).cast("long"))
+    val rk = intervalsB.withColumn("k", (col("b_id") % 3).cast("long"))
+    val truth = lk.join(rk.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") &&
+        col("start") <= col("b_end") && col("b_start") <= col("end") &&
+        col("end") >= col("start") && col("b_end") >= col("b_start"))
+      .select("iv_id", "b_id").as[(Long, Long)].collect().toSet
+    val out = RangeJoin.intervalOverlap(lk, rk,
+      "start", "end", "b_start", "b_end", bucketWidth = 37L, keys = Seq("k"))
+    assert(out.columns.count(_ == "k") === 1)
+    assert(out.select("iv_id", "b_id").as[(Long, Long)].collect().toSet === truth)
+    assert(truth !== naiveOverlapPairs, "keys must actually restrict")
+  }
+
   test("timestamp columns bucket via unix_micros (self-range-join lineage)") {
     // both sides derived from ONE frame — the shared-lineage case the
     // internal renames exist for
