@@ -1786,6 +1786,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // partition-digest snapshot comparison — the 100-TB fast path that
+    // makes the row-level diff above incremental: per-partition
+    // (count, bit_xor, sum-mod) digests of a multiplicative row hash
+    // (production: xxhash64 via SnapshotDiff.rowHash — the epoch-order
+    // dual-spelling pattern), compared in O(partitions). Fixture is
+    // engineered so all four statuses appear: partition = doc_id % 7,
+    // the %7==0 text mutation confines 'changed' to partition 0,
+    // partitions 5/6 are excluded from one side each, 1–4 unchanged.
+    "q_partition_digest" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .where(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0)
+        .withColumn("part", col("doc_id") % 7)
+      val oldSnap = base.where(col("part") =!= 6)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val newSnap = base.where(col("part") =!= 5)
+      def h(df: DataFrame): Column =
+        (df("doc_id") * lit(2654435761L) +
+          length(df("text")).cast("long") * lit(40503L) + lit(7L)) %
+          lit(4294967296L)
+      SnapshotDiff.changedPartitions(
+          SnapshotDiff.partitionDigests(oldSnap, "part", h(oldSnap)),
+          SnapshotDiff.partitionDigests(newSnap, "part", h(newSnap)))
+        .orderBy("part")
+    }),
+
+    // length-bucketed batching accounting: power-of-two buckets via
+    // integer bin-length (never floor(log2) — double rounding
+    // mis-buckets exact powers), pad-to-longest-in-bucket waste per
+    // bucket — the dataloader regime next to greedy pack / concat-chunk
+    "q_length_buckets" -> ((s, d) =>
+      Packing.lengthBucketStats(t(s, d, "documents"), "n_chars",
+        batchSize = 64)),
+
     // cross-snapshot NEAR-dup planted recall (the q_minhash_recall
     // pattern for the asymmetric batch-vs-seen path): every batch row is
     // an exact copy (id + 1000000) of a seen doc, so each must surface
@@ -5381,6 +5416,64 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM old FULL JOIN nw ON old.doc_id = nw.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_partition_digest" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, doc_id % 7 AS part
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0),
+        |oldh AS (
+        |  SELECT part,
+        |         (doc_id * 2654435761 +
+        |          length(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                      ELSE text END) * 40503 + 7) % 4294967296 AS h
+        |  FROM base WHERE part <> 6),
+        |newh AS (
+        |  SELECT part,
+        |         (doc_id * 2654435761 + length(text) * 40503 + 7)
+        |           % 4294967296 AS h
+        |  FROM base WHERE part <> 5),
+        |od AS (SELECT part, count(*) AS n, bit_xor(h) AS x,
+        |              CAST(sum(h) % 2305843009213693951 AS BIGINT) AS s
+        |       FROM oldh GROUP BY 1),
+        |nd AS (SELECT part, count(*) AS n, bit_xor(h) AS x,
+        |              CAST(sum(h) % 2305843009213693951 AS BIGINT) AS s
+        |       FROM newh GROUP BY 1)
+        |SELECT coalesce(nd.part, od.part) AS part,
+        |       CASE WHEN od.part IS NULL THEN 'added'
+        |            WHEN nd.part IS NULL THEN 'removed'
+        |            WHEN od.n = nd.n AND od.x = nd.x AND od.s = nd.s
+        |              THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       coalesce(od.n, 0) AS n_rows_old,
+        |       coalesce(nd.n, 0) AS n_rows_new
+        |FROM od FULL JOIN nd ON od.part = nd.part
+        |ORDER BY part""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH b AS (
+        |  SELECT CAST(CASE WHEN n_chars IS NULL OR n_chars < 1 THEN -1
+        |              ELSE length(bin(n_chars)) - 1 END AS INTEGER)
+        |           AS bucket,
+        |         CASE WHEN n_chars IS NULL OR n_chars < 1 THEN 0
+        |              ELSE n_chars END AS len
+        |  FROM documents),
+        |g AS (SELECT bucket, count(*) AS n_docs,
+        |             CAST(sum(len) AS BIGINT) AS token_mass,
+        |             CAST(max(len) AS BIGINT) AS max_len
+        |      FROM b GROUP BY 1)
+        |SELECT bucket,
+        |       CASE WHEN bucket >= 0 THEN CAST(power(2, bucket) AS BIGINT)
+        |            ELSE 0 END AS bucket_lo,
+        |       CASE WHEN bucket >= 0
+        |            THEN CAST(power(2, bucket + 1) AS BIGINT) - 1
+        |            ELSE 0 END AS bucket_hi,
+        |       n_docs, token_mass, max_len,
+        |       n_docs * max_len AS padded_mass,
+        |       CASE WHEN max_len > 0
+        |            THEN round(token_mass / CAST(n_docs * max_len AS DOUBLE), 6)
+        |            ELSE 0.0 END AS utilization,
+        |       CAST(ceil(n_docs / 64.0) AS BIGINT) AS n_batches
+        |FROM g ORDER BY bucket""".stripMargin,
 
     // TextProfile quality arithmetic replicated exactly: whitespace word
     // split, BPE-ish token count (alnum runs + non-alnum non-ws chars),

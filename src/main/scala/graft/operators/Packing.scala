@@ -286,4 +286,68 @@ object Packing {
     shards.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("total_cost"))
       .orderBy(col("shard_id"))
+
+  // ----------------------------------------------- length bucketing
+
+  /** Power-of-two length bucket of `costCol`: bucket b holds lengths in
+    * `[2^b, 2^(b+1))`; null / non-positive lengths land in bucket −1
+    * (surfaced, never dropped — the "no silent caps" convention). The
+    * third pack regime next to [[greedyPack]] (never splits) and
+    * [[concatChunk]] (always fills): bucket-then-pad, the dynamic-
+    * batching layout encoder-style training uses — batches are drawn
+    * within a bucket and padded to the bucket's longest row, so the pad
+    * waste is bounded by the bucket's 2× width.
+    *
+    * Spelled as `length(bin(cost)) − 1` — pure integer arithmetic,
+    * codegen'd, zero shuffle, and bit-exact in SQL replay (a
+    * `floor(log2(x))` spelling rounds through doubles: log2(2^k) can
+    * land a hair under k and mis-bucket every power of two). */
+  def lengthBucket(cost: Column): Column =
+    when(cost.isNull || cost <= 0, lit(-1))
+      .otherwise(length(bin(cost.cast("long"))) - 1)
+
+  /** Per-bucket dataloader accounting: how much pad waste does
+    * bucket-then-pad batching actually pay on THIS corpus?
+    * One narrow aggregate over [[lengthBucket]]:
+    *
+    *  - `bucket_lo` / `bucket_hi`: the bucket's length range (−1 row:
+    *    both 0 — the invalid-length bucket);
+    *  - `n_docs`, `token_mass`: occupancy;
+    *  - `max_len`: the realized pad target (pad-to-longest-in-bucket);
+    *  - `padded_mass`: `n_docs × max_len` — what the dataloader
+    *    actually materializes;
+    *  - `utilization`: `token_mass / padded_mass` (round 6) — the
+    *    padding efficiency this bucketing achieves (1.0 = no waste);
+    *  - `n_batches`: `ceil(n_docs / batchSize)` full+partial batches.
+    *
+    * Compare Σ padded_mass against `n_docs × global max_len` (the
+    * unbucketed pad-to-global-max cost) to price the bucketing win. */
+  def lengthBucketStats(df: DataFrame, costCol: String,
+                        batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val b = lengthBucket(col(costCol))
+    df.select(b.as("bucket"), col(costCol).cast("long").as("__len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__len") > 0, col("__len")).otherwise(0L))
+          .as("token_mass"),
+        max(when(col("__len") > 0, col("__len")).otherwise(0L))
+          .as("max_len"))
+      .select(col("bucket"),
+        when(col("bucket") >= 0,
+          pow(lit(2.0), col("bucket")).cast("long")).otherwise(0L)
+          .as("bucket_lo"),
+        when(col("bucket") >= 0,
+          pow(lit(2.0), col("bucket") + 1).cast("long") - 1).otherwise(0L)
+          .as("bucket_hi"),
+        col("n_docs"), col("token_mass"), col("max_len"),
+        (col("n_docs") * col("max_len")).as("padded_mass"),
+        when(col("max_len") > 0,
+          round(col("token_mass").cast("double") /
+            (col("n_docs") * col("max_len")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("utilization"),
+        ceil(col("n_docs").cast("double") / batchSize).cast("long")
+          .as("n_batches"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -73,4 +73,73 @@ object SnapshotDiff {
       .select(col(idCol))
     newDf.join(delta, Seq(idCol), "left_semi")
   }
+
+  // ------------------------------------------------ partition digests
+
+  /** Production row hash for [[partitionDigests]]: xxhash64 over the
+    * key and the null-flag-interleaved compare columns (the exact
+    * [[diff]] signature discipline — a value moving between columns or
+    * flipping to null always changes the hash). */
+  def rowHash(idCol: String, compareCols: Seq[String]): Column =
+    xxhash64(col(idCol) +: compareCols.flatMap(c =>
+      Seq(col(c), col(c).isNull.cast("int"))): _*)
+
+  private val SumModulus = 2305843009213693951L // 2^61 - 1 (prime)
+
+  /** Per-partition content digests — the 100-TB fast path for snapshot
+    * comparison. [[diff]] is one narrow full-outer join, but it still
+    * SCANS both snapshots end to end; when snapshots are stored
+    * partitioned (date / source / shard — the Iceberg layout of the
+    * north star), comparing per-partition digests first reduces the
+    * work to O(partitions) metadata rows, and the row-level diff then
+    * runs ONLY over partitions whose digests disagree (partition-pruned
+    * scans on both sides).
+    *
+    * The digest must not depend on row order — file order, shuffle
+    * order and task order are all non-deterministic — so it is built
+    * from commutative aggregates of a per-row hash: `n_rows` (count),
+    * `xor64` (bit_xor of the hashes) and `sum_mod` (hash sum modulo
+    * 2^61−1; the decimal intermediate never overflows and the result
+    * is engine-exact). XOR alone is blind to a row appearing an EVEN
+    * number of times (pairs cancel); count+sum break that symmetry.
+    * Commutativity also makes digests MERGEABLE: sub-partition digests
+    * roll up to coarser ones without rescanning (xor of xors, sum of
+    * sums mod m, sum of counts).
+    *
+    * `rowHashExpr` is injected so production uses [[rowHash]]
+    * (xxhash64) while SQL-oracle replays can pass a multiplicative-
+    * hash spelling — the [[graft.operators.Mixing]] epoch-order
+    * pattern. */
+  def partitionDigests(df: DataFrame, partCol: String,
+                       rowHashExpr: Column): DataFrame =
+    df.groupBy(col(partCol).as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        bit_xor(rowHashExpr).as("xor64"),
+        pmod(sum(rowHashExpr.cast("decimal(38,0)")), lit(SumModulus))
+          .cast("long").as("sum_mod"))
+
+  /** Digest-level snapshot comparison: one row per partition present in
+    * either snapshot, classified `added` / `removed` / `changed` /
+    * `unchanged` — O(partitions) rows total. Feed the `changed` set to
+    * [[diff]] as a partition filter for the row-level pass. */
+  def changedPartitions(oldDigests: DataFrame,
+                        newDigests: DataFrame): DataFrame = {
+    val o = oldDigests.select(col("part").as("__po"),
+      col("n_rows").as("__no"), col("xor64").as("__xo"),
+      col("sum_mod").as("__mo"))
+    val n = newDigests.select(col("part").as("__pn"),
+      col("n_rows").as("__nn"), col("xor64").as("__xn"),
+      col("sum_mod").as("__mn"))
+    o.join(n, col("__po") <=> col("__pn"), "full_outer")
+      .select(
+        coalesce(col("__pn"), col("__po")).as("part"),
+        when(col("__po").isNull && col("__no").isNull, lit("added"))
+          .when(col("__pn").isNull && col("__nn").isNull, lit("removed"))
+          .when(col("__no") === col("__nn") &&
+            col("__xo") === col("__xn") && col("__mo") === col("__mn"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("__no"), lit(0L)).as("n_rows_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_rows_new"))
+  }
 }

@@ -103,6 +103,80 @@ class CurationSpec extends SparkSpec {
     assert(delta === Array((2L, "after"), (4L, "fresh"))) // the refresh set
   }
 
+  test("partition digests: order/layout-invariant, mergeable, xor-blind-spot covered") {
+    val rows = Seq((1L, "p0", "a"), (2L, "p0", "b"), (3L, "p1", "c"),
+      (4L, "p1", "d"), (5L, "p1", "e")).toDF("doc_id", "part", "text")
+    val h = SnapshotDiff.rowHash("doc_id", Seq("text"))
+    val dig = SnapshotDiff.partitionDigests(rows, "part", h)
+      .orderBy("part").collect()
+    // digest must not see row order, partitioning, or file layout
+    val shuffled = SnapshotDiff.partitionDigests(
+      rows.orderBy(desc("doc_id")).repartition(7), "part", h)
+      .orderBy("part").collect()
+    assert(dig === shuffled)
+    // mergeable: sub-partition digests roll up (xor of xors, sums mod m)
+    val lo = SnapshotDiff.partitionDigests(
+      rows.where($"doc_id" <= 3), "part", h).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hi = SnapshotDiff.partitionDigests(
+      rows.where($"doc_id" > 3), "part", h).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val m = BigInt(2305843009213693951L)
+    dig.foreach { r =>
+      val (nl, xl, sl) = lo.getOrElse(r.getString(0), (0L, 0L, 0L))
+      val (nh, xh, sh) = hi.getOrElse(r.getString(0), (0L, 0L, 0L))
+      assert(r.getLong(1) === nl + nh)
+      assert(r.getLong(2) === (xl ^ xh))
+      assert(BigInt(r.getLong(3)) === (BigInt(sl) + BigInt(sh)).mod(m))
+    }
+    // XOR blind spot: even multiplicity cancels (h⊕h = 0) — count+sum
+    // must still flag the change. Inject the value itself as the hash
+    // so the cancelling sets are craftable.
+    val vOld = Seq(("p", 2L), ("p", 2L), ("p", 8L), ("p", 8L)).toDF("part", "v")
+    val vNew = Seq(("p", 4L), ("p", 4L), ("p", 14L), ("p", 14L)).toDF("part", "v")
+    val dOld = SnapshotDiff.partitionDigests(vOld, "part", $"v")
+    val dNew = SnapshotDiff.partitionDigests(vNew, "part", $"v")
+    assert(dOld.head().getLong(2) === dNew.head().getLong(2)) // xor ties (0)
+    assert(dOld.head().getLong(1) === dNew.head().getLong(1)) // count ties
+    val st = SnapshotDiff.changedPartitions(dOld, dNew).head()
+    assert(st.getString(1) === "changed") // sum_mod breaks the tie
+  }
+
+  test("changedPartitions classifies partitions; digest-equal means skip") {
+    val oldR = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"),
+      (4L, "c", "w")).toDF("doc_id", "part", "text")
+    val newR = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "Z"),
+      (5L, "d", "q")).toDF("doc_id", "part", "text")
+    val h = SnapshotDiff.rowHash("doc_id", Seq("text"))
+    val out = SnapshotDiff.changedPartitions(
+        SnapshotDiff.partitionDigests(oldR, "part", h),
+        SnapshotDiff.partitionDigests(newR, "part", h))
+      .orderBy("part").as[(String, String, Long, Long)].collect()
+    assert(out === Array(
+      ("a", "unchanged", 2L, 2L), ("b", "changed", 1L, 1L),
+      ("c", "removed", 1L, 0L), ("d", "added", 0L, 1L)))
+  }
+
+  test("lengthBucketStats: hand-computed buckets, invalid rows surfaced") {
+    import graft.operators.Packing
+    val docs = Seq[java.lang.Long](1L, 1L, 3L, 4L, 7L, 8L, 100L, 0L, null)
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "len")
+    val out = Packing.lengthBucketStats(docs, "len", batchSize = 2)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Double, Long)]
+      .collect()
+    assert(out === Array(
+      (-1, 0L, 0L, 2L, 0L, 0L, 0L, 0.0, 1L),      // 0 + null, surfaced
+      (0, 1L, 1L, 2L, 2L, 1L, 2L, 1.0, 1L),       // lens 1,1
+      (1, 2L, 3L, 1L, 3L, 3L, 3L, 1.0, 1L),       // len 3
+      (2, 4L, 7L, 2L, 11L, 7L, 14L, 0.785714, 1L), // lens 4,7
+      (3, 8L, 15L, 1L, 8L, 8L, 8L, 1.0, 1L),      // len 8
+      (6, 64L, 127L, 1L, 100L, 100L, 100L, 1.0, 1L))) // len 100
+    // bucketed padding beats pad-to-global-max on this fixture
+    val paddedBucketed = out.map(r => r._7).sum
+    val globalMax = 100L * 7L // 7 valid docs padded to 100
+    assert(paddedBucketed < globalMax)
+  }
+
   test("snapshot diff joins narrow (key, hash) frames — payload never shuffles") {
     val plan = SnapshotDiff.diff(oldSnap, newSnap, "doc_id", Seq("text"))
       .queryExecution.executedPlan.toString
