@@ -805,7 +805,13 @@ object SparkEntry {
     // day-grain retention cohorts over the event stream: users bucketed
     // by first-seen day, counted at each day offset they return
     "q_retention" -> ((s, d) =>
-      Sessionize.retentionCohorts(t(s, d, "events"), "user_id", "ts")),
+      Sessionize.retentionCohorts(t(s, d, "events"), "user_id", "ts")
+        // ISO string day: a raw DATE column round-trips as python date
+        // objects on the Spark side but datetime64 from DuckDB — the
+        // compare sees different value types; strings are unambiguous
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")),
 
     // structural URL features (scheme/host/path depth/params/fragment)
     // on URLs synthesized from doc arithmetic — crawl-frontier scoring
@@ -870,6 +876,7 @@ object SparkEntry {
     // day-over-day event-volume trend ratios per type (first day NULL)
     "q_daily_trend" -> ((s, d) =>
       Drift.dailyTrend(t(s, d, "events"), "ts", "event_type")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("event_type", "day")),
 
     // BPE tokenizer-vocabulary training, first 4 merges: corpus touched
@@ -2064,6 +2071,7 @@ object SparkEntry {
     // baseline, grid-bounded joins
     "q_daily_psi" -> ((s, d) =>
       Drift.psiTrend(t(s, d, "events"), "ts", "event_type")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day")),
 
     // scraped-template detection: dominant 8-word document prefix per
@@ -2386,6 +2394,103 @@ object SparkEntry {
     // pair planted byte-identical (the labeling-bug case)
     "q_pref_bias" -> ((s, d) =>
       ChatQC.preferenceBias(prefPairs(s, d), "chosen", "rejected")),
+
+    // ---- ε-DP count release (Laplace mechanism): the third privacy
+    // gate next to k-anonymity / l-diversity. Deterministic seeded
+    // inverse-CDF noise — u from the group ordinal's multiplicative
+    // hash — so DuckDB replays the release bit-exactly (ln parity
+    // holds, the q_tfidf precedent); production swaps xxhash64 draws
+    "q_dp_counts" -> ((s, d) =>
+      Governance.dpCounts(
+        t(s, d, "documents").withColumn("grp", col("doc_id") % 20),
+        "grp", col("grp"), epsilon = 1.0, seed = 101L)
+        .orderBy("grp")),
+
+    // ---- inter-annotator agreement (Cohen's kappa) for labeled-data
+    // QC: two deterministic pseudo-annotators from id arithmetic;
+    // kappa corrects raw agreement by the chance floor p_e
+    "q_cohen_kappa" -> ((s, d) => {
+      val labeled = t(s, d, "documents").select(
+        when(col("doc_id") % 4 <= 1, lit("pos")).otherwise(lit("neg"))
+          .as("a"),
+        when(col("doc_id") % 4 === 0 || col("doc_id") % 7 === 0,
+          lit("pos")).otherwise(lit("neg")).as("b"))
+      Drift.cohenKappa(labeled, "a", "b")
+    }),
+
+    // ---- rendezvous resharding bill: growing 8 → 10 shards moves
+    // ~2/10 of keys (argmax changes only when a NEW shard wins) vs
+    // ~90% for modulo sharding — the difference between topping up an
+    // output layout and rewriting it. Oracle replays the argmax with
+    // a window rank over the same mul-xorshift-mul draw.
+    "q_rendezvous" -> ((s, d) =>
+      Packing.rendezvousMoved(t(s, d, "documents"), "doc_id",
+        fromShards = 8, toShards = 10, seed = 17L)),
+
+    // ---- cross-doc stitch candidates (pagination reassembly): planted
+    // continuation pages whose head is the parent's 16-char tail; exact
+    // mode joins the raw grams so DuckDB replays the candidate set
+    // verbatim (hash mode is the narrow production path, tested)
+    "q_stitch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 300 && length(col("text")) >= 16)
+      val parts = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(expr("substring(text, -16, 16)"),
+            lit(" continuation page")).as("text")))
+      Dedup.stitchCandidates(parts, "doc_id", "text", k = 16,
+          exact = true)
+        .orderBy("tail_id", "head_id")
+    }),
+
+    // ---- cross-field conditional constraints: the validation tier one
+    // level above the reference's per-column rules — a rule fires where
+    // its antecedent is definitely true and its consequent is not; one
+    // sparse filter+explode pass, zero shuffle
+    "q_crossfield" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("id", col("l_orderkey") * 100 + col("l_linenumber"))
+      ValidationPass.crossFieldViolations(li, "id", Seq(
+        ("R_HIGH_QTY_DISC", col("l_quantity") >= 45,
+          col("l_discount") <= 0.05),
+        ("R_RETURN_FINISHED", col("l_returnflag") === "R",
+          col("l_linestatus") === "F"),
+        ("R_TAX_PRICE", col("l_tax") > 0.06,
+          col("l_extendedprice") > 20000)))
+        .orderBy("id", "rule_id")
+    }),
+
+    // ---- Benford first-digit conformance on a grown magnitude column;
+    // digit read from the bigint decimal rendering (never floor∘log10 —
+    // float error at powers of ten would mis-bucket per engine)
+    "q_benford" -> ((s, d) =>
+      Profile.benfordTest(t(s, d, "lineitem"), "l_extendedprice")),
+
+    // ---- functional-dependency audit: does partkey determine suppkey?
+    // (here: no — the synthetic data fans suppliers per part; the
+    // summary row quantifies by how much)
+    "q_fd_check" -> ((s, d) =>
+      Profile.fdViolations(t(s, d, "lineitem"), "l_partkey", "l_suppkey")),
+
+    // ---- candidate-key discovery over orders: o_orderkey is a true
+    // key, o_custkey is 10:1, and the status column is categorical —
+    // one multi-distinct aggregate pass, unpivoted driver-side-free
+    "q_key_candidates" -> ((s, d) =>
+      Profile.keyCandidates(t(s, d, "orders"), Seq(
+        ("o_orderkey", col("o_orderkey")),
+        ("o_custkey", col("o_custkey")),
+        ("o_orderkey:o_custkey",
+          concat_ws(":", col("o_orderkey"), col("o_custkey")))))),
+
+    // ---- per-stream freshness: staleness behind the newest event
+    // anywhere + mean arrival rate over each stream's own span
+    "q_freshness" -> ((s, d) =>
+      Drift.freshness(t(s, d, "events"), "event_type", "ts")
+        .select(col("event_type"), col("n_events"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("staleness_s"), col("events_per_hour"))
+        .orderBy("event_type")),
 
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -3892,7 +3997,7 @@ object SparkEntry {
         |         CAST(date_trunc('day', ts) AS DATE) AS day
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |coh AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY 1)
-        |SELECT coh.cohort_day,
+        |SELECT strftime(coh.cohort_day, '%Y-%m-%d') AS cohort_day,
         |       CAST(date_diff('day', coh.cohort_day, act.day) AS BIGINT)
         |         AS day_offset,
         |       CAST(count(*) AS BIGINT) AS n_users
@@ -4057,7 +4162,8 @@ object SparkEntry {
         |         count(*) AS n
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         |  GROUP BY 1, 2)
-        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(n AS BIGINT) AS n,
         |       round(n * 1.0 / lag(n) OVER (
         |         PARTITION BY event_type ORDER BY day), 6) AS ratio
         |FROM c ORDER BY event_type, day""".stripMargin,
@@ -4863,7 +4969,7 @@ object SparkEntry {
         |  LEFT JOIN b ON g.cat = b.cat
         |  JOIN t ON g.day = t.day
         |  CROSS JOIN tb)
-        |SELECT day, max(tt) AS n_rows,
+        |SELECT strftime(day, '%Y-%m-%d') AS day, max(tt) AS n_rows,
         |       round(sum((po - pb) * ln(po / pb)), 6) AS psi
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -5474,6 +5580,178 @@ object SparkEntry {
         |            ELSE 0.0 END AS utilization,
         |       CAST(ceil(n_docs / 64.0) AS BIGINT) AS n_batches
         |FROM g ORDER BY bucket""".stripMargin,
+
+    "q_dp_counts" ->
+      """WITH g AS (SELECT doc_id % 20 AS grp, count(*) AS n_true
+        |           FROM documents GROUP BY 1),
+        |n AS (SELECT grp, n_true,
+        |        (CAST((grp * 2654435761 + 101) % 4294967296 AS DOUBLE)
+        |          + 0.5) / 4294967296.0 AS u
+        |      FROM g)
+        |SELECT grp, n_true,
+        |  round(-1.0 * (CASE WHEN u > 0.5 THEN 1.0 WHEN u < 0.5 THEN -1.0
+        |                     ELSE 0.0 END)
+        |        * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+        |  round(n_true + (-1.0 * (CASE WHEN u > 0.5 THEN 1.0
+        |                               WHEN u < 0.5 THEN -1.0
+        |                               ELSE 0.0 END)
+        |        * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS n_dp
+        |FROM n ORDER BY grp""".stripMargin,
+
+    "q_cohen_kappa" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN doc_id % 4 <= 1 THEN 'pos' ELSE 'neg' END AS a,
+        |         CASE WHEN doc_id % 4 = 0 OR doc_id % 7 = 0 THEN 'pos'
+        |              ELSE 'neg' END AS b
+        |  FROM documents),
+        |c AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS DOUBLE) AS t,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS DOUBLE) AS agree,
+        |  CAST(sum(CASE WHEN a = 'pos' THEN 1 ELSE 0 END) AS DOUBLE) AS nap,
+        |  CAST(sum(CASE WHEN b = 'pos' THEN 1 ELSE 0 END) AS DOUBLE) AS nbp
+        |  FROM l)
+        |SELECT n, round(agree / t, 6) AS p_o,
+        |       round((nap / t) * (nbp / t)
+        |             + ((t - nap) / t) * ((t - nbp) / t), 6) AS p_e,
+        |       round((agree / t
+        |               - ((nap / t) * (nbp / t)
+        |                  + ((t - nap) / t) * ((t - nbp) / t)))
+        |             / (1.0 - ((nap / t) * (nbp / t)
+        |                  + ((t - nap) / t) * ((t - nbp) / t))), 6) AS kappa
+        |FROM c""".stripMargin,
+
+    "q_rendezvous" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |h AS (SELECT k, s,
+        |        CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |             % 4294967296 AS BIGINT) AS h
+        |      FROM (SELECT k, s,
+        |              ((k + s * 1000003 + 17) * 2654435761)
+        |                % 4294967296 AS h1
+        |            FROM d, range(10) t(s))),
+        |a8 AS (SELECT k, s FROM (
+        |         SELECT k, s, row_number() OVER (PARTITION BY k
+        |           ORDER BY h DESC, s DESC) AS rn
+        |         FROM h WHERE s < 8) WHERE rn = 1),
+        |a10 AS (SELECT k, s FROM (
+        |         SELECT k, s, row_number() OVER (PARTITION BY k
+        |           ORDER BY h DESC, s DESC) AS rn
+        |         FROM h) WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN a8.s <> a10.s THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_moved,
+        |       round(CAST(sum(CASE WHEN a8.s <> a10.s THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS moved_frac
+        |FROM a8 JOIN a10 USING (k)""".stripMargin,
+
+    "q_stitch" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id < 300 AND length(text) >= 16),
+        |u AS (SELECT doc_id, text FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 1000000,
+        |             right(text, 16) || ' continuation page' FROM base),
+        |tl AS (SELECT doc_id AS tail_id, right(text, 16) AS g
+        |       FROM u WHERE length(text) >= 16),
+        |hd AS (SELECT doc_id AS head_id, substr(text, 1, 16) AS g
+        |       FROM u WHERE length(text) >= 16)
+        |SELECT tail_id, head_id FROM tl JOIN hd USING (g)
+        |WHERE tail_id <> head_id
+        |ORDER BY tail_id, head_id""".stripMargin,
+
+    "q_crossfield" ->
+      """WITH li AS (SELECT l_orderkey * 100 + l_linenumber AS id, *
+        |            FROM lineitem)
+        |SELECT id, rule_id FROM (
+        |  SELECT id, 'R_HIGH_QTY_DISC' AS rule_id FROM li
+        |  WHERE COALESCE(l_quantity >= 45, FALSE)
+        |    AND NOT COALESCE(l_discount <= 0.05, FALSE)
+        |  UNION ALL
+        |  SELECT id, 'R_RETURN_FINISHED' FROM li
+        |  WHERE COALESCE(l_returnflag = 'R', FALSE)
+        |    AND NOT COALESCE(l_linestatus = 'F', FALSE)
+        |  UNION ALL
+        |  SELECT id, 'R_TAX_PRICE' FROM li
+        |  WHERE COALESCE(l_tax > 0.06, FALSE)
+        |    AND NOT COALESCE(l_extendedprice > 20000, FALSE))
+        |ORDER BY id, rule_id""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+        |                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL
+        |             AND l_extendedprice >= 1.0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM g),
+        |e AS (SELECT CAST(r.range AS INT) AS digit,
+        |             log10(1.0 + 1.0 / r.range) AS p_exp
+        |      FROM range(1, 10) r)
+        |SELECT e.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+        |       round(COALESCE(g.n, 0) / t.t, 6) AS p_obs,
+        |       round(e.p_exp, 6) AS p_exp,
+        |       round(t.t * (COALESCE(g.n, 0) / t.t - e.p_exp)
+        |                 * (COALESCE(g.n, 0) / t.t - e.p_exp)
+        |             / e.p_exp, 6) AS chi_term
+        |FROM e LEFT JOIN g USING (digit), t
+        |ORDER BY e.digit""".stripMargin,
+
+    "q_fd_check" ->
+      """WITH p AS (SELECT l_partkey,
+        |             count(DISTINCT COALESCE(CAST(l_suppkey AS VARCHAR),
+        |                                     '<null>')) AS nd
+        |           FROM lineitem WHERE l_partkey IS NOT NULL
+        |           GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_keys,
+        |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS violation_rate,
+        |       CAST(max(nd) AS BIGINT) AS max_distinct_dep
+        |FROM p""".stripMargin,
+
+    "q_key_candidates" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS d0,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS z0,
+        |    count(DISTINCT o_custkey) AS d1,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z1,
+        |    count(DISTINCT concat_ws(':', CAST(o_orderkey AS VARCHAR),
+        |                             CAST(o_custkey AS VARCHAR))) AS d2,
+        |    sum(CASE WHEN concat_ws(':', CAST(o_orderkey AS VARCHAR),
+        |               CAST(o_custkey AS VARCHAR)) IS NULL
+        |             THEN 1 ELSE 0 END) AS z2
+        |  FROM orders)
+        |SELECT "column", CAST(n AS BIGINT) AS n_rows,
+        |       CAST(d AS BIGINT) AS n_distinct, CAST(z AS BIGINT) AS n_nulls,
+        |       round(CAST(d AS DOUBLE) / n, 6) AS uniq_ratio,
+        |       (d = n AND z = 0) AS is_key
+        |FROM (
+        |  SELECT 'o_orderkey' AS "column", n, d0 AS d, z0 AS z FROM a
+        |  UNION ALL
+        |  SELECT 'o_custkey', n, d1, z1 FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderkey:o_custkey', n, d2, z2 FROM a)
+        |ORDER BY "column"""".stripMargin,
+
+    "q_freshness" ->
+      """WITH p AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>')
+        |             AS event_type,
+        |             count(*) AS n_events,
+        |             min(ts) AS first_ts, max(ts) AS last_ts
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (SELECT max(last_ts) AS gmax FROM p)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |       strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       round(epoch_us(gmax) / 1e6 - epoch_us(last_ts) / 1e6, 6)
+        |         AS staleness_s,
+        |       CASE WHEN epoch_us(last_ts) / 1e6 - epoch_us(first_ts) / 1e6 > 0
+        |            THEN round(CAST(n_events AS DOUBLE) /
+        |              ((epoch_us(last_ts) / 1e6 - epoch_us(first_ts) / 1e6)
+        |               / 3600.0), 6) END AS events_per_hour
+        |FROM p, g ORDER BY event_type""".stripMargin,
 
     // TextProfile quality arithmetic replicated exactly: whitespace word
     // split, BPE-ish token count (alnum runs + non-alnum non-ws chars),

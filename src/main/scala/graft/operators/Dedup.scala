@@ -858,4 +858,40 @@ object Dedup {
             .cast("double") / sum(col("__n")).cast("double"), 6)
           .as("leak_rate"))
   }
+
+  /** Cross-document STITCH candidates: pairs where doc A's trailing
+    * `k` characters equal doc B's leading `k` characters — the
+    * signature of one logical document split across crawl records
+    * (pagination, "continue reading" cuts, log rotation). The dedup
+    * families above find documents that are COPIES of each other; this
+    * finds documents that are FRAGMENTS of each other, the complement
+    * every re-assembly pass needs first.
+    *
+    * Scale shape: each side projects to (id, xxhash64 of its boundary
+    * gram) — 16-byte rows, text never enters the exchange — and the
+    * candidate join keys on the 8-byte hash (equi-join, AQE-splittable;
+    * a boilerplate boundary gram — shared headers — fans out like any
+    * hot join key and is observable in the output). The 64-bit-hash
+    * collision trade is the [[exactDuplicates]] one (~5e-20/pair);
+    * `exact = true` joins on the raw k-char gram instead (k×2 bytes per
+    * row in the exchange — still narrow, and SQL-replicable, the
+    * oracle mode). Docs shorter than `k` chars cannot anchor a
+    * boundary and are excluded from both sides; self-pairs are
+    * excluded (a doc whose head equals its own tail is periodicity,
+    * not a stitch). Returns (tail_id, head_id) — A's tail continues
+    * into B's head, so the re-assembly order is tail_id ++ head_id. */
+  def stitchCandidates(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, exact: Boolean = false): DataFrame = {
+    require(k > 0, "gram length k must be positive")
+    val long = df.where(col(textCol).isNotNull && length(col(textCol)) >= k)
+    def key(gram: Column): Column =
+      if (exact) gram else xxhash64(gram)
+    val tails = long.select(col(idCol).as("tail_id"),
+      key(substring(col(textCol), -k, k)).as("__g"))
+    val heads = long.select(col(idCol).as("head_id"),
+      key(substring(col(textCol), 1, k)).as("__g"))
+    tails.join(heads, Seq("__g"))
+      .where(col("tail_id") =!= col("head_id"))
+      .select(col("tail_id"), col("head_id"))
+  }
 }

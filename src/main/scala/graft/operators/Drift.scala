@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HistogramAgg
@@ -399,5 +399,91 @@ object Drift {
         sum(coalesce(col("__n"), lit(0L))).as("n"),
         ((max(col("__ka")) - 1) * (max(col("__kb")) - 1)).as("dof"),
         round(sum((o - e) * (o - e) / e), 6).as("chi_square"))
+  }
+
+  /** Cohen's kappa between two categorical label columns — the
+    * inter-annotator-agreement gate for labeled / preference / SFT
+    * data: raw agreement p_o overstates quality when the label
+    * distribution is skewed (two annotators who always answer the
+    * majority class "agree" constantly); kappa rescales by the
+    * chance-agreement floor p_e = Σ_c p_a(c)·p_b(c). Verdict bands
+    * (Landis & Koch): < 0.4 poor, 0.4–0.6 moderate, 0.6–0.8
+    * substantial, > 0.8 near-perfect — a labeling pipeline gating on
+    * raw p_o instead of kappa ships skew as quality.
+    *
+    * Same plan shape as [[contingencyChiSquare]]: one (a, b) count
+    * aggregate (exchange ≤ |A|×|B| rows), margins re-aggregated from
+    * the cell counts, one final 1-row reduce. NULL labels group as
+    * '<null>' — "annotator declined" agreeing with "annotator
+    * declined" is real agreement, not discarded rows. Degenerate
+    * p_e = 1 (both columns constant and equal) returns kappa 1.0 when
+    * agreement is total, 0.0 otherwise (the 0/0 convention, pinned by
+    * test). Returns (n, p_o, p_e, kappa), each rounded 6. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cnt = df
+      .select(coalesce(col(colA).cast("string"), lit("<null>")).as("__a"),
+        coalesce(col(colB).cast("string"), lit("<null>")).as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val ra = cnt.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val cb = cnt.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    // chance agreement pairs category c of A with category c of B —
+    // an inner join of the margins on the label VALUE
+    val pe = ra.join(cb, col("__a") === col("__b"))
+      .crossJoin(broadcast(cnt.agg(sum(col("__n")).as("__t"))))
+      .agg(coalesce(sum(col("__na").cast("double") / col("__t") *
+        (col("__nb").cast("double") / col("__t"))), lit(0.0)).as("p_e"))
+    val po = cnt.agg(
+      sum(col("__n")).as("n"),
+      (sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .cast("double") / sum(col("__n"))).as("p_o"))
+    po.crossJoin(broadcast(pe))
+      .select(col("n"), round(col("p_o"), 6).as("p_o"),
+        round(col("p_e"), 6).as("p_e"),
+        round(when(col("p_e") >= 1.0,
+            when(col("p_o") >= 1.0, 1.0).otherwise(0.0))
+          .otherwise((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))), 6)
+          .as("kappa"))
+  }
+
+  /** Per-stream freshness / staleness audit — the ingestion-health
+    * view a validation pass runs BEFORE trusting a snapshot: for each
+    * value of `keyCol` (source, event type, feed), the event count,
+    * first/last timestamp, staleness in seconds behind the NEWEST
+    * event anywhere in the table, and the mean arrival rate over the
+    * stream's own active span. A feed whose staleness_s suddenly
+    * exceeds its historical inter-arrival scale has stopped — caught
+    * here as data, not as a 3 a.m. downstream join regression. NULL
+    * timestamps are excluded per stream (they carry no arrival
+    * information); NULL keys form their own '<null>' stream —
+    * surfaced, never dropped.
+    *
+    * ONE map-side-combined (key → count/min/max) aggregate + a
+    * broadcast 1-row global max — shuffle is O(keys), the global max
+    * re-reduces the per-key maxima rather than rescanning. Rate over a
+    * zero-width span (single event) is NULL, not infinity. Returns
+    * (key, n_events, first_ts, last_ts, staleness_s,
+    * events_per_hour round 6). */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val perKey = df.where(col(tsCol).isNotNull)
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("<null>"))
+        .as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+    val global = perKey.agg(max(col("last_ts")).as("__gmax"))
+    // NTZ-safe epoch seconds: TIMESTAMP_NTZ casts to DOUBLE only via an
+    // LTZ hop (session-tz offset — constant, so it cancels in every
+    // difference below; no absolute epoch is ever emitted)
+    def secs(c: Column): Column = c.cast("timestamp").cast("double")
+    val span = secs(col("last_ts")) - secs(col("first_ts"))
+    perKey.crossJoin(broadcast(global))
+      .select(col(keyCol), col("n_events"), col("first_ts"), col("last_ts"),
+        round(secs(col("__gmax")) - secs(col("last_ts")), 6)
+          .as("staleness_s"),
+        when(span > 0,
+          round(col("n_events").cast("double") / (span / 3600.0), 6))
+          .as("events_per_hour"))
+      .orderBy(col(keyCol))
   }
 }

@@ -67,4 +67,44 @@ object Governance {
       .agg(count(lit(1)).as("l_div"))
       .withColumn("at_risk", col("l_div") < l)
   }
+
+  /** ε-differentially-private per-group count release (the Laplace
+    * mechanism, Dwork et al. 2006) — the third privacy gate next to
+    * [[kAnonymity]]/[[lDiversity]]: when even the exact group COUNTS
+    * are a disclosure (per-hospital patient tallies, per-site user
+    * counts in a published data card), release n + Laplace(1/ε) noise
+    * instead. Count sensitivity is 1, so scale b = 1/ε.
+    *
+    * The noise draw is DETERMINISTIC: u ∈ (0,1) from a seeded
+    * multiplicative hash of `drawKey` (inverse-CDF Laplace,
+    * −b·sign(u−½)·ln(1−2|u−½|)), so a retried or re-planned release
+    * emits bit-identical numbers — re-running with a FRESH seed is a
+    * FRESH privacy spend (ε adds up; callers own the accounting, and
+    * the u = (h+½)/2^32 offset keeps the tail finite at |noise| ≤
+    * b·32·ln 2). `drawKey` must be a numeric expression of the GROUP
+    * (not of rows — one draw per released number): inject the group
+    * ordinal or a group-key hash, the [[SnapshotDiff.partitionDigests]]
+    * injection pattern, which keeps the whole release SQL-replicable.
+    *
+    * One map-side-combined count aggregate + a stateless projection —
+    * O(groups) shuffle rows. Returns (group, n_true, noise, n_dp);
+    * production releases ONLY (group, n_dp) — n_true/noise are the
+    * audit columns (kept so tests and oracles can pin the arithmetic),
+    * documented, never for publication. */
+  def dpCounts(df: DataFrame, groupCol: String, drawKey: Column,
+               epsilon: Double, seed: Long): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    val h = (drawKey.cast("long") * lit(2654435761L) + lit(seed)) %
+      lit(4294967296L)
+    // pmod: drawKey may be negative; the +0.5 offset keeps u in (0,1)
+    val u = (pmod(h, lit(4294967296L)).cast("double") + 0.5) / 4294967296.0
+    val c = u - 0.5
+    val noise = -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col(groupCol), col("n_true"),
+        round(noise, 6).as("noise"),
+        round(col("n_true") + noise, 6).as("n_dp"))
+  }
 }

@@ -289,6 +289,69 @@ object Packing {
 
   // ----------------------------------------------- length bucketing
 
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    * shard assignment: key k goes to `argmax over s < nShards of
+    * hash(k, s)`. The property modulo sharding lacks: when the shard
+    * count changes K → K', ONLY keys whose argmax lands on a
+    * new/removed shard move — expected moved fraction (K'−K)/K' on
+    * grow — while `k % K'` reshuffles ~(1−1/K') of the corpus. That is
+    * the difference between topping up an output layout and rewriting
+    * 100 TB because the shard count grew.
+    *
+    * Per-(key, shard) draw: multiply → xorshift → multiply,
+    * `h1 = ((k + s·1000003 + seed) · 2654435761) mod 2^32;
+    *  h  = ((h1 ⊕ (h1 >> 16)) · 2246822519) mod 2^32`.
+    * Two structural requirements drive the spelling: the shard index
+    * must pass THROUGH a multiply (an additive term after it is
+    * monotone in s — the largest shard wins everything), and the mix
+    * must be NON-affine in k (a single multiply keeps every shard
+    * pair's draw difference constant, so per-shard win probability
+    * becomes the uneven gaps between those constants instead of 1/K —
+    * the xorshift round breaks the affinity; both failure modes are
+    * pinned by the distribution test). Products use the
+    * [[Mixing.weightedSample]] split-multiplier spelling — never
+    * overflowing a Long (ANSI-safe at any key range) yet congruent mod
+    * 2^32 with the exact products DuckDB's HUGEINT oracle computes.
+    * Production callers can swap `xxhash64(k, s, seed)` — the
+    * epoch-order dual pattern. The argmax is a fold over a literal
+    * per-shard struct array ([[Similarity.nearestCentroid]] pattern) —
+    * fully codegen'd, zero shuffle, O(nShards) work per row, ties
+    * broken to the larger shard id by the struct comparison. */
+  def rendezvousShard(keyCol: Column, nShards: Int, seed: Long): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val m = 4294967296L
+    val aHi = 40503L; val aLo = 31153L // 2654435761 = aHi*65536 + aLo
+    val bHi = 34283L; val bLo = 51831L // 2246822519 = bHi*65536 + bLo
+    def mulMod(u: Column, hi: Long, lo: Long): Column =
+      pmod(pmod(u * hi, lit(m)) * 65536L + u * lo, lit(m))
+    def draw(s: Int): Column = {
+      val u = pmod(keyCol.cast("long") + lit(s.toLong * 1000003L + seed),
+        lit(m))
+      val h1 = mulMod(u, aHi, aLo)
+      mulMod(h1.bitwiseXOR(shiftright(h1, 16)), bHi, bLo)
+    }
+    val scored = array((0 until nShards).map { s =>
+      struct(draw(s).as("h"), lit(s).as("shard"))
+    }: _*)
+    array_max(scored).getField("shard")
+  }
+
+  /** Rebalance bill: how many keys move when rendezvous sharding goes
+    * `fromShards` → `toShards`? One stateless projection + one 1-row
+    * aggregate — (n, n_moved, moved_frac round 6). The companion
+    * assertion for [[rendezvousShard]]'s minimal-movement claim; run it
+    * before a resharding job to price the copy. */
+  def rendezvousMoved(df: DataFrame, keyCol: String,
+                      fromShards: Int, toShards: Int,
+                      seed: Long): DataFrame = {
+    val from = rendezvousShard(col(keyCol), fromShards, seed)
+    val to = rendezvousShard(col(keyCol), toShards, seed)
+    df.agg(count(lit(1)).as("n"),
+        sum(when(from =!= to, 1L).otherwise(0L)).as("n_moved"))
+      .select(col("n"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n"), 6).as("moved_frac"))
+  }
+
   /** Power-of-two length bucket of `costCol`: bucket b holds lengths in
     * `[2^b, 2^(b+1))`; null / non-positive lengths land in bucket −1
     * (surfaced, never dropped — the "no silent caps" convention). The

@@ -521,4 +521,116 @@ object Profile {
       }
     (n, Some(med))
   }
+
+  /** Benford first-digit conformance test — the numeric-QC anomaly
+    * detector for "naturally grown" magnitude columns (prices, counts,
+    * file sizes): genuine multi-scale data follows
+    * P(d) = log10(1 + 1/d); fabricated, truncated, or unit-capped data
+    * does not. The first digit is read from the DECIMAL RENDERING of
+    * floor(x) as a bigint — never from floor(log10(x)), whose float
+    * error at exact powers of ten (log10(1000.0) = 2.999…96 on some
+    * libms) would mis-bucket boundary values differently per engine;
+    * string-of-bigint is bit-identical everywhere, which is what lets
+    * DuckDB replay the digit extraction verbatim. Rows with x < 1 or
+    * NULL have no leading digit at this scale and are excluded (n_rows
+    * reports the rows actually tested).
+    *
+    * One stateless projection + one 9-group map-side-combined count +
+    * a broadcast 1-row total — shuffle is 9 rows per partition.
+    * Returns per digit (digit, n, p_obs, p_exp, chi_term) rounded 6,
+    * where chi_term = n_rows·(p_obs−p_exp)²/p_exp; Σ chi_term vs
+    * χ²(8 dof) is the caller's gate, and MAD = mean |p_obs−p_exp| is
+    * one more fold away. Digits with zero rows still appear (p_obs 0 —
+    * a MISSING digit is the loudest Benford violation). */
+  def benfordTest(df: DataFrame, colName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(colName).cast("double")
+    val digits = df.where(x.isNotNull && x >= 1.0)
+      .select(substring(floor(x).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val all = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+      .toDF("digit", "p_exp")
+    val tot = digits.agg(sum(col("n")).as("__t"))
+    all.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("p_exp"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("p_obs"),
+        round(col("p_exp"), 6).as("p_exp"),
+        round(col("__t") *
+          (col("n").cast("double") / col("__t") - col("p_exp")) *
+          (col("n").cast("double") / col("__t") - col("p_exp")) /
+          col("p_exp"), 6).as("chi_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** Functional-dependency audit: does `detCol` determine `depCol`?
+    * The data-contract discovery/validation primitive ("orderkey
+    * determines custkey", "url determines domain") that catches
+    * merge-corrupted joins and drifting denormalizations: a determinant
+    * value mapping to MORE than one distinct dependent value is a
+    * violation of the claimed FD. NULL determinants are excluded (no
+    * key to determine with); NULL dependents count as a value of their
+    * own (det → {NULL, x} IS a violation — two contradictory answers).
+    *
+    * Plan: groupBy(det) with exact count(distinct dep) — two-level
+    * partial aggregation, exchange carries (det, dep) pairs already
+    * deduped map-side — then ONE 1-row reduce over the per-key counts.
+    * Returns (n_keys, n_violating_keys, violation_rate round 6,
+    * max_distinct_dep) — the summary row a validation report embeds;
+    * per-key triage is one where(n_dep > 1) away from the same
+    * intermediate. */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val perKey = df.where(col(detCol).isNotNull)
+      .groupBy(col(detCol))
+      .agg(countDistinct(coalesce(col(depCol).cast("string"),
+        lit("<null>"))).as("__nd"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+      max(col("__nd")).as("max_distinct_dep"))
+      .select(col("n_keys"), col("n_violating_keys"),
+        round(col("n_violating_keys").cast("double") / col("n_keys"), 6)
+          .as("violation_rate"),
+        col("max_distinct_dep"))
+  }
+
+  /** Candidate-key discovery: for each named column expression, exact
+    * distinct count, null count, and uniqueness ratio — `is_key` iff
+    * every row carries a distinct non-null value. The schema-inference
+    * companion to [[fdViolations]]: run it once per snapshot and a
+    * silently broken primary key (dup ingest, truncated hash) shows up
+    * as is_key flipping to false long before a downstream join fans
+    * out. Composite keys pass a struct/concat expression under one
+    * name.
+    *
+    * ONE aggregate over ONE scan computes all columns' metrics
+    * (count-distinct expands the input #exprs-fold map-side — the
+    * standard multi-distinct shape, still a single exchange of partial
+    * states); the per-column rows then unpivot from the 1-row result
+    * via a stateless explode — no per-column jobs, no rescans. */
+  def keyCandidates(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "keyCandidates: no columns given")
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case ((_, c), i) => Seq(
+        countDistinct(c).as(s"__d$i"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__z$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("column"), col(s"__d$i").as("n_distinct"),
+        col(s"__z$i").as("n_nulls"))
+    }
+    one.select(col("__n"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column").as("column"), col("__n").as("n_rows"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.n_nulls").as("n_nulls"),
+        round(col("__e.n_distinct").cast("double") / col("__n"), 6)
+          .as("uniq_ratio"),
+        (col("__e.n_distinct") === col("__n") &&
+          col("__e.n_nulls") === 0L).as("is_key"))
+      .orderBy(col("column"))
+  }
 }

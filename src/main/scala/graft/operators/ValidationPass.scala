@@ -372,6 +372,37 @@ object ValidationPass {
         col("v.offending_value"): _*)
   }
 
+  /** Conditional CROSS-FIELD constraints — "when P(row) holds, Q(row)
+    * must hold" — the validation tier one level above the reference's
+    * strictly per-column rules (validate_core.py checks each column in
+    * isolation): status-implies-amount, flag-implies-date, range-caps
+    * conditioned on another field. A rule fires only where its
+    * antecedent is definitely TRUE (NULL/false antecedent ⇒ rule not
+    * applicable — vacuous truth, the SQL `CASE WHEN` reading); the
+    * consequent then violates when it is false OR NULL (an unknown
+    * answer to a required guarantee is a violation, matching the
+    * engine's non-null-predicate convention).
+    *
+    * Same one-pass sparse-extraction shape as [[seqViolations]]: every
+    * rule compiles to a when()-tagged struct cell, one
+    * filter(array)+explode per row emits only the fired rules — zero
+    * shuffles, whole-stage codegen, no rules×rows mask. Returns
+    * (idCol, rule_id) rows. */
+  def crossFieldViolations(df: DataFrame, idCol: String,
+      rules: Seq[(String, Column, Column)]): DataFrame = {
+    require(rules.nonEmpty, "crossFieldViolations: no rules given")
+    val cells = rules.map { case (ruleId, ant, cons) =>
+      when(coalesce(ant, lit(false)) && !coalesce(cons, lit(false)),
+        lit(ruleId))
+    }
+    val anyHit = rules.map { case (_, ant, cons) =>
+      coalesce(ant, lit(false)) && !coalesce(cons, lit(false))
+    }.reduce(_ || _)
+    df.where(anyHit)
+      .select(col(idCol),
+        explode(filter(array(cells: _*), x => x.isNotNull)).as("rule_id"))
+  }
+
   /** Row-level quarantine split: (clean, dirty). Clean rows pass through
     * BYTE-IDENTICAL — all input columns, no projection — which is what
     * makes the north-star per-row token-array-equality invariant hold by

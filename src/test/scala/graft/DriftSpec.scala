@@ -165,4 +165,34 @@ class DriftSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n") === 3L)
     assert(r3.getAs[Long]("dof") === 1L)
   }
+
+  test("cohen kappa: textbook 2x2, skew-chance correction, degenerate and null cases") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // classic: 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes of 50
+    // p_o = 35/50 = 0.7; margins a: yes 30, b: yes 25
+    // p_e = 0.6*0.5 + 0.4*0.5 = 0.5 → kappa = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(10)(("yes", "no")) ++ Seq.fill(5)(("no", "yes"))
+    val r = Drift.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") === 50L)
+    assert(r.getAs[Double]("p_o") === 0.7)
+    assert(r.getAs[Double]("p_e") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.4)
+    // both constant and equal: p_e = 1, total agreement → kappa 1
+    val const = Drift.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b").head()
+    assert(const.getAs[Double]("kappa") === 1.0)
+    // disjoint label sets: p_e = 0, p_o = 0 → kappa 0
+    val disj = Drift.cohenKappa(
+      Seq(("x", "y"), ("x", "y")).toDF("a", "b"), "a", "b").head()
+    assert(disj.getAs[Double]("p_e") === 0.0)
+    assert(disj.getAs[Double]("kappa") === 0.0)
+    // null labels are the '<null>' category: null==null is agreement
+    val withNull = Drift.cohenKappa(Seq(
+      (null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("x", "x"), ("x", null.asInstanceOf[String])).toDF("a", "b"),
+      "a", "b").head()
+    assert(withNull.getAs[Double]("p_o") === 0.666667)
+  }
 }

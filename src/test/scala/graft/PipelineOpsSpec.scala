@@ -2304,6 +2304,88 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m3.isNullAt(m3.fieldIndex("avg")))
   }
 
+  test("dp counts: Laplace arithmetic exact, seed-deterministic, epsilon-scaled") {
+    import graft.operators.Governance
+    val df = Seq.tabulate(30)(i => (i.toLong, i.toLong % 3)).toDF("id", "grp")
+    def run(eps: Double, seed: Long) =
+      Governance.dpCounts(df, "grp", col("grp"), eps, seed)
+        .orderBy("grp").collect()
+    val out = run(1.0, 17L)
+    // replicate the draw in plain Scala: u=(h+.5)/2^32, inverse-CDF
+    out.foreach { r =>
+      val g = r.getLong(0)
+      val h = java.lang.Math.floorMod(g * 2654435761L + 17L, 4294967296L)
+      val u = (h + 0.5) / 4294967296.0
+      val c = u - 0.5
+      val noise = -math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n_true") === 10L)
+      assert(r.getAs[Double]("noise") === r6(noise), s"grp=$g")
+      assert(r.getAs[Double]("n_dp") === r6(10.0 + noise), s"grp=$g")
+    }
+    assert(run(1.0, 17L) === out)          // same seed → identical release
+    assert(run(1.0, 18L) !== out)          // fresh seed → fresh draw
+    // epsilon scales the noise magnitude: b = 1/eps
+    val tight = run(2.0, 17L)
+    out.zip(tight).foreach { case (a, b) =>
+      assert(math.abs(b.getAs[Double]("noise")) <=
+        math.abs(a.getAs[Double]("noise")) / 2 + 1e-6)
+    }
+  }
+
+  test("rendezvous shard: full range, deterministic, minimal movement vs modulo") {
+    import graft.operators.Packing
+    val keys = spark.range(10000).toDF("k")
+    val assigned = keys.select(
+      Packing.rendezvousShard($"k", 8, seed = 17L).as("s"))
+    val dist = assigned.groupBy("s").count().orderBy("s")
+      .as[(Int, Long)].collect()
+    assert(dist.map(_._1).toSeq === (0 until 8)) // every shard populated
+    assert(dist.map(_._2).forall(n => n > 800 && n < 1700)) // roughly even
+    // identity: K -> K moves nothing
+    val same = Packing.rendezvousMoved(keys, "k", 8, 8, 17L).head()
+    assert(same.getAs[Long]("n_moved") === 0L)
+    // grow 8 -> 10: expected moved fraction 2/10; modulo resharding
+    // moves ~1 - 1/10 of keys — rendezvous must beat it by a mile
+    val grow = Packing.rendezvousMoved(keys, "k", 8, 10, 17L).head()
+    val frac = grow.getAs[Double]("moved_frac")
+    assert(frac > 0.12 && frac < 0.28, s"moved_frac=$frac")
+    val moduloMoved = keys.where(pmod($"k", lit(8)) =!= pmod($"k", lit(10)))
+      .count().toDouble / 10000
+    assert(frac < moduloMoved / 3, s"rendezvous $frac vs modulo $moduloMoved")
+  }
+
+  test("stitch candidates: boundary-gram pairs, short/self excluded, exact==hash") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "page one text ends with BRIDGE"),   // tail 'BRIDGE'
+      (2L, "BRIDGE and page two continues on"), // head 'BRIDGE' → (1, 2)
+      (3L, "BRIDGE but nothing points here"),   // also head 'BRIDGE' → (1, 3)
+      (4L, "unrelated content entirely"),
+      (5L, "short"),                            // < k chars: excluded
+      (6L, "ABABAB")                            // head==tail: self-pair excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.stitchCandidates(docs, "doc_id", "text", k = 6)
+      .orderBy("tail_id", "head_id").as[(Long, Long)].collect()
+    assert(got === Array((1L, 2L), (1L, 3L)))
+    val exact = Dedup.stitchCandidates(docs, "doc_id", "text", k = 6,
+        exact = true)
+      .orderBy("tail_id", "head_id").as[(Long, Long)].collect()
+    assert(exact === got)
+    // the narrow-exchange discipline: hash mode never shuffles text
+    val out = Dedup.stitchCandidates(docs, "doc_id", "text", k = 6)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"), s"text leaked into an exchange: $names")
+    }
+  }
+
   test("detokenize: round trip on in-vocab words, <unk> for OOV, empty doc") {
     import graft.operators.TextAnalysis
     val vocab = Seq("the", "cat", "sat")
@@ -2320,4 +2402,105 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array(
       (1L, "the cat sat"), (2L, "the <unk> sat"), (3L, "")))
   }
+
+  test("cross-field rules: vacuous antecedent, null consequent violates, multi-fire") {
+    import graft.operators.ValidationPass
+    val df = Seq(
+      (1L, Some(true), Some(true)),   // applicable, satisfied
+      (2L, Some(true), Some(false)),  // violation
+      (3L, Some(true), None),         // null consequent = violation
+      (4L, Some(false), Some(false)), // antecedent false: vacuous
+      (5L, None, Some(false))         // antecedent null: vacuous
+    ).toDF("id", "ant", "cons")
+    val got = ValidationPass.crossFieldViolations(df, "id", Seq(
+        ("R_ONE", col("ant"), col("cons")),
+        ("R_ALWAYS", lit(true), col("cons")))) // fires on every non-true cons
+      .orderBy("id", "rule_id").as[(Long, String)].collect()
+    assert(got === Array(
+      (2L, "R_ALWAYS"), (2L, "R_ONE"),
+      (3L, "R_ALWAYS"), (3L, "R_ONE"),
+      (4L, "R_ALWAYS"), (5L, "R_ALWAYS")))
+    // one-pass shape: no exchange at all
+    val plan = ValidationPass.crossFieldViolations(df, "id",
+      Seq(("R", col("ant"), col("cons"))))
+    plan.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(plan.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.isEmpty, "cross-field pass must not shuffle")
+  }
+
+  test("benford: digit extraction, zero-count digit, sub-1 and null excluded") {
+    // digits: 1 (x3 via 1.5, 12, 199), 2 (x1 via 250), 9 absent, 0.5 and
+    // null excluded → n_rows tested = 4
+    val df = Seq(Some(1.5), Some(12.0), Some(199.0), Some(250.0),
+      Some(0.5), None).toDF("x")
+    val rows = Profile.benfordTest(df, "x").collect()
+    assert(rows.length === 9)
+    val byD = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byD(1).getLong(1) === 3L && byD(2).getLong(1) === 1L)
+    assert(byD(9).getLong(1) === 0L)
+    assert(byD(1).getDouble(2) === 0.75) // p_obs
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byD(1).getDouble(3) === r6(math.log10(2.0)))
+    // zero-count digit still contributes chi mass: t * p_exp
+    assert(byD(9).getDouble(4) === r6(4.0 * math.log10(1.0 + 1.0 / 9)))
+  }
+
+  test("fd violations: clean FD, broken FD, null det excluded, null dep distinct") {
+    val clean = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("det", "dep")
+    val r1 = Profile.fdViolations(clean, "det", "dep").head()
+    assert(r1.getAs[Long]("n_keys") === 2L)
+    assert(r1.getAs[Long]("n_violating_keys") === 0L)
+    assert(r1.getAs[Double]("violation_rate") === 0.0)
+    val broken = Seq((Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(1L), None),            // null dep is its own value → 3 distinct
+      (Some(2L), Some("c")), (None, Some("zzz"))) // null det excluded
+      .toDF("det", "dep")
+    val r2 = Profile.fdViolations(broken, "det", "dep").head()
+    assert(r2.getAs[Long]("n_keys") === 2L)
+    assert(r2.getAs[Long]("n_violating_keys") === 1L)
+    assert(r2.getAs[Double]("violation_rate") === 0.5)
+    assert(r2.getAs[Long]("max_distinct_dep") === 3L)
+  }
+
+  test("key candidates: true key, dup column, nulls break keyness, composite") {
+    val df = Seq((1L, Some("x"), "p"), (2L, Some("x"), "q"),
+      (3L, None, "p")).toDF("id", "grp", "tag")
+    val m = Profile.keyCandidates(df, Seq(
+        ("id", col("id")), ("grp", col("grp")), ("tag", col("tag")),
+        ("grp:tag", concat_ws(":", col("grp"), col("tag")))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(m("id") === ((3L, 0L, true)))
+    assert(m("grp") === ((1L, 1L, false))) // 1 distinct non-null, 1 null
+    assert(m("tag") === ((2L, 0L, false)))
+    // concat_ws drops null parts (no separator): "x:p", "x:q", "p" —
+    // 3 distinct, never null, so the composite reads as a key here
+    assert(m("grp:tag") === ((3L, 0L, true)))
+  }
+
+  test("freshness: staleness vs global max, single-event rate null, null key bucket") {
+    import graft.operators.Drift
+    val df = Seq(
+      (Some("a"), Some("2024-01-01 00:00:00")),
+      (Some("a"), Some("2024-01-01 06:00:00")),
+      (Some("b"), Some("2024-01-01 05:00:00")), // single event
+      (None: Option[String], Some("2024-01-01 01:00:00")),
+      (Some("c"), None: Option[String])         // null ts: excluded
+    ).toDF("k", "s").select(col("k"), col("s").cast("timestamp").as("ts"))
+    val got = Drift.freshness(df, "k", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("c")) // no non-null ts → no stream row
+    assert(got("a").getAs[Double]("staleness_s") === 0.0)
+    assert(got("a").getAs[Double]("events_per_hour") === r6d(2.0 / 6.0))
+    assert(got("b").getAs[Double]("staleness_s") === 3600.0)
+    assert(got("b").isNullAt(got("b").fieldIndex("events_per_hour")))
+    assert(got("<null>").getAs[Double]("staleness_s") === 5 * 3600.0)
+  }
+
+  private def r6d(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
