@@ -2492,6 +2492,183 @@ object SparkEntry {
           col("staleness_s"), col("events_per_hour"))
         .orderBy("event_type")),
 
+    // ---- edit-distance near-dup (short keys): length-banded
+    // candidate join (W >= maxDist ⇒ qualifying pairs land in same or
+    // adjacent buckets; one side fans {b-1,b,b+1}, the probe bucket
+    // pins to the other side's own bucket ⇒ each pair produced exactly
+    // once) + threshold levenshtein verify. Keys are synthesized short
+    // record labels (same arithmetic in the oracle, which brute-pairs
+    // with the pure length prefilter — same semantics, no banding)
+    "q_editdist_pairs" -> ((s, d) => {
+      val recs = t(s, d, "documents")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), expr(
+          "concat('rec-', lpad(CAST(doc_id % 40 AS STRING), 3, '0'), " +
+          "repeat('z', CAST(doc_id % 4 AS INT)))").as("k"))
+      EditDistance.neardupPairs(recs, "doc_id", "k", maxDist = 2,
+          bucketWidth = 2)
+        .groupBy(col("dist").cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("sum_a"), sum(col("id_b")).as("sum_b"))
+        .orderBy("dist")
+    }),
+
+    // ---- key-space continuity audit: holes planted at %13==5; both
+    // islands and missing mass via shifted-key anti-joins — never the
+    // textbook islands window, whose unpartitioned ORDER BY is a
+    // SinglePartition sort of the whole table
+    "q_id_gaps" -> ((s, d) =>
+      Continuity.gapSummary(
+        t(s, d, "documents").where(col("doc_id") % 13 =!= 5), "doc_id")),
+
+    // ---- event-time disorder profile (watermark sizing): arrival
+    // order = event_id; event time jittered back 0..7199 s by a
+    // deterministic multiplicative hash so a late tail exists to
+    // measure; dyadic exact percentiles = candidate watermark delays
+    "q_out_of_order" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("et", expr(
+        "timestampadd(SECOND, " +
+        "-CAST((event_id * 2654435761) % 7200 AS INT), ts)"))
+      Sessionize.disorderProfile(ev, "user_id", "event_id", "et")
+    }),
+
+    // ---- water-filling budget allocation: deterministic skewed
+    // groups (50/30/15/5 %), budget = 60 % of rows → the level binds
+    // on the two big groups while small groups keep everything; the
+    // oracle replays the sorted level search + remainder rule in SQL
+    "q_waterfill" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val grouped = docs.withColumn("grp",
+        when(col("doc_id") % 20 < 10, "g_half")
+          .when(col("doc_id") % 20 < 16, "g_third")
+          .when(col("doc_id") % 20 < 19, "g_sixth")
+          .otherwise("g_tiny"))
+      Mixing.waterfillAllocation(grouped, "grp",
+          budget = docs.count() * 3 / 5)
+        .orderBy("grp")
+    }),
+
+    // ---- char-entropy gibberish signal: one native HashMap pass per
+    // row, zero shuffle; DuckDB's entropy() aggregate over exploded
+    // chars replays the same log2 formula (ASCII-projected so both
+    // engines count identical codepoints; 4-dp round absorbs
+    // sum-order ulps)
+    "q_char_entropy" -> ((s, d) => {
+      TextExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.charEntropy(
+            regexp_replace(col("text"), "[^\\x20-\\x7e]", "")), 4).as("h"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- raking / IPF: balance the corpus to uniform lang AND group
+    // marginals simultaneously — 3 fixed row/col scaling rounds on the
+    // proportion table, driver arithmetic on one count aggregate; the
+    // oracle replays every scaling as a window-sum CTE
+    "q_raking" -> ((s, d) =>
+      Mixing.rakeWeights(
+          t(s, d, "documents").withColumn("grp",
+            concat(lit("g"), (col("doc_id") % 3).cast("string"))),
+          "lang", "grp", iters = 3)
+        .orderBy("lang", "grp")),
+
+    // ---- class-based TF-IDF (BERTopic formula): the terms that
+    // CHARACTERIZE each source — integer counts through one fixed ln,
+    // so the SQL replica is bit-exact; text never moves past the scan
+    "q_ctfidf" -> ((s, d) =>
+      TextAnalysis.classTfIdfTopTerms(t(s, d, "documents"), "source",
+          "text", k = 3)
+        .orderBy("cls", "rank")),
+
+    // ---- Luhn-validated card candidates: extraction + normalization
+    // + checksum all oracle-replayed (DuckDB spells the check digit as
+    // list arithmetic; Spark uses the codegen'd luhn_check builtin);
+    // candidates synthesized into the text by id arithmetic so ~10 %
+    // pass — the precision gap vs a bare regex is the visible result
+    "q_luhn_pii" -> ((s, d) => {
+      val synth = t(s, d, "documents").select(col("doc_id"), concat(
+        lit("card "),
+        lpad(((col("doc_id") * 48271 + 11) % 100000000000000L)
+          .cast("string"), 14, "0"),
+        lit(" tail")).as("text2"))
+      TextAnalysis.luhnCandidates(synth, "doc_id", "text2")
+        .orderBy("doc_id", "cand")
+    }),
+
+    // ---- cross-source duplication matrix ("who copies whom"):
+    // shared-content groups planted across sources by id arithmetic;
+    // per-pair counts from a distinct (key, source) self-join — text
+    // never moves (the key is a hash)
+    "q_dup_matrix" -> ((s, d) =>
+      Dedup.crossSourceMatrix(
+        t(s, d, "documents").withColumn("key",
+          when(col("doc_id") % 9 < 3,
+            concat(lit("shared-"), (col("doc_id") % 50).cast("string")))
+            .otherwise(md5(col("text")))),
+        "key", "source")),
+
+    // ---- QQ-decile drift observability: WHERE two cohorts differ
+    // (body vs tail), one exact-percentile aggregate per side at
+    // dyadic eighths over integer cents — interpolation products stay
+    // exact in double, so both engines agree bit-for-bit
+    "q_qq_deciles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("cents",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      Drift.qqQuantiles(li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 =!= 0), "cents",
+        Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))
+    }),
+
+    // ---- diagonal-Mahalanobis embedding outliers: one VecMomentsAgg
+    // training pass, then one native expression eval per row with
+    // [μ, 1/σ²] riding the plan as a literal — the corpus never joins
+    // for scoring; 4-dp round absorbs the engines' sum-order ulps in
+    // the trained moments
+    "q_embed_outliers" -> ((s, d) =>
+      EmbeddingStats.diagMahalanobisScores(t(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy("vec_id")),
+
+    // ---- Theil–Sen robust trend of daily event volume: median of
+    // pairwise slopes over the O(days) aggregated series — one outlier
+    // day barely moves it; both medians replay exactly in DuckDB
+    "q_theil_sen" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          datediff(col("day"), lit("2024-01-01")).cast("double").as("x"),
+          col("cnt").cast("double").as("y"))
+      Drift.theilSenTrend(daily, "x", "y")
+        .select(col("n_points"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+    }),
+
+    // ---- percentile ranks without the percent_rank() trap (an
+    // unpartitioned window = one task sorts the table): distinct-value
+    // counts collapse map-side, the ordered window runs over the
+    // O(distinct) frame only
+    "q_pct_rank" -> ((s, d) =>
+      Profile.percentileRanks(
+        t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q")), "q")),
+
+    // ---- per-user burstiness: integer-second gaps keep Σ and Σ² exact
+    // in both engines; the float stats derive through one fixed
+    // expression order, so the replica is bit-exact
+    "q_burstiness" -> ((s, d) =>
+      Sessionize.interArrivalStats(
+        t(s, d, "events").where(col("user_id") % 10 === 3),
+        "user_id", "ts")),
+
+    // ---- per-source hapax ratio: the Zipf-tail health signal (OCR
+    // noise scores high, template spam low); (class, word) counts
+    // collapse map-side, text never leaves the scan
+    "q_hapax" -> ((s, d) =>
+      TextAnalysis.hapaxStats(t(s, d, "documents"), "source", "text")),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -6249,7 +6426,324 @@ object SparkEntry {
         |SELECT round((SELECT stat FROM ks), 6) AS ks_stat,
         |       round((SELECT v FROM crit), 6) AS ks_critical,
         |       (SELECT stat FROM ks) > (SELECT v FROM crit) AS ks_drifted,
-        |       round((SELECT stat FROM chi), 6) AS chi_square""".stripMargin)
+        |       round((SELECT stat FROM chi), 6) AS chi_square""".stripMargin,
+
+    // brute pair join with the pure length prefilter — same semantics
+    // as the banded candidate join (banding is complete for
+    // |Δlen| <= maxDist when W >= maxDist), no banding needed at
+    // oracle scale
+    "q_editdist_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         'rec-' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') ||
+        |         repeat('z', CAST(doc_id % 4 AS INT)) AS k
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         levenshtein(a.k, b.k) AS dist
+        |  FROM r a JOIN r b
+        |    ON a.doc_id < b.doc_id
+        |   AND abs(length(a.k) - length(b.k)) <= 2)
+        |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs,
+        |       CAST(sum(id_a) AS BIGINT) AS sum_a,
+        |       CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM p WHERE dist <= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_id_gaps" ->
+      """WITH k AS (
+        |  SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 13 <> 5),
+        |s AS (
+        |  SELECT count(*) AS n_islands FROM k a
+        |  WHERE NOT EXISTS (SELECT 1 FROM k b WHERE b.id = a.id - 1)),
+        |b AS (
+        |  SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_distinct,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT n_rows, n_distinct, min_id, max_id,
+        |       max_id - min_id + 1 - n_distinct AS n_missing,
+        |       CAST(n_islands AS BIGINT) AS n_islands
+        |FROM b, s""".stripMargin,
+
+    "q_out_of_order" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         ts - to_microseconds(((event_id * 2654435761) % 7200)
+        |                              * 1000000) AS et
+        |  FROM events WHERE user_id IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, event_id, et,
+        |         max(et) OVER (PARTITION BY user_id ORDER BY event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        |l AS (
+        |  SELECT CASE WHEN prev_max IS NOT NULL AND et < prev_max
+        |              THEN (epoch_us(prev_max) - epoch_us(et)) // 1000000
+        |              ELSE 0 END AS late_s
+        |  FROM o)
+        |SELECT count(*) AS n_events,
+        |       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       round(avg(CASE WHEN late_s > 0 THEN 1.0 ELSE 0.0 END), 6)
+        |         AS frac_late,
+        |       max(late_s) AS max_late_s,
+        |       quantile_cont(CASE WHEN late_s > 0
+        |                          THEN CAST(late_s AS DOUBLE) END, 0.5)
+        |         AS p50_late_s,
+        |       quantile_cont(CASE WHEN late_s > 0
+        |                          THEN CAST(late_s AS DOUBLE) END, 0.9375)
+        |         AS p94_late_s
+        |FROM l""".stripMargin,
+
+    // sorted water-level search: first group (ascending size) whose
+    // equal share of the remaining budget undercuts it fixes the
+    // level; leftover units go one each to the first unsaturated
+    // groups in the same (size, name) order — the exact rule in
+    // Mixing.waterfill
+    "q_waterfill" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN doc_id % 20 < 10 THEN 'g_half'
+        |              WHEN doc_id % 20 < 16 THEN 'g_third'
+        |              WHEN doc_id % 20 < 19 THEN 'g_sixth'
+        |              ELSE 'g_tiny' END AS grp,
+        |         count(*) AS n_rows
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) * 3 // 5 AS BIGINT) AS budget FROM c),
+        |o AS (
+        |  SELECT grp, n_rows,
+        |         CAST(row_number() OVER w AS BIGINT) AS j,
+        |         CAST(coalesce(sum(n_rows) OVER (ORDER BY n_rows, grp
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before,
+        |         CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM c WINDOW w AS (ORDER BY n_rows, grp)),
+        |lev AS (
+        |  SELECT (budget - cum_before) // (k - j + 1) AS level
+        |  FROM o, t WHERE (budget - cum_before) // (k - j + 1) < n_rows
+        |  ORDER BY j LIMIT 1),
+        |lv AS (SELECT coalesce((SELECT level FROM lev),
+        |                       (SELECT max(n_rows) FROM c)) AS level),
+        |b AS (
+        |  SELECT grp, n_rows, least(n_rows, level) AS base,
+        |         CASE WHEN n_rows > level THEN
+        |           sum(CASE WHEN n_rows > level THEN 1 ELSE 0 END)
+        |             OVER (ORDER BY n_rows, grp ROWS UNBOUNDED PRECEDING)
+        |         ELSE 0 END AS ur
+        |  FROM o, lv),
+        |l AS (SELECT budget - sum(base) AS leftover FROM b, t GROUP BY budget)
+        |SELECT grp, n_rows,
+        |       CAST(base + CASE WHEN ur > 0 AND ur <= leftover
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM b, l ORDER BY grp""".stripMargin,
+
+    // each scaling = w · (target / marginal-sum), replayed as a
+    // window-sum per axis; same op order as Mixing.rake, round-6
+    // absorbs sum-order ulps
+    "q_raking" ->
+      """WITH c AS (
+        |  SELECT lang, 'g' || CAST(doc_id % 3 AS VARCHAR) AS grp,
+        |         count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot,
+        |             1.0 / count(DISTINCT lang) AS rt,
+        |             1.0 / count(DISTINCT grp) AS ct FROM c),
+        |w0 AS (SELECT lang, grp, n, n / tot AS w, rt, ct FROM c, t),
+        |r1 AS (SELECT lang, grp, n, rt, ct,
+        |              w * (rt / sum(w) OVER (PARTITION BY lang)) AS w FROM w0),
+        |c1 AS (SELECT lang, grp, n, rt, ct,
+        |              w * (ct / sum(w) OVER (PARTITION BY grp)) AS w FROM r1),
+        |r2 AS (SELECT lang, grp, n, rt, ct,
+        |              w * (rt / sum(w) OVER (PARTITION BY lang)) AS w FROM c1),
+        |c2 AS (SELECT lang, grp, n, rt, ct,
+        |              w * (ct / sum(w) OVER (PARTITION BY grp)) AS w FROM r2),
+        |r3 AS (SELECT lang, grp, n, rt, ct,
+        |              w * (rt / sum(w) OVER (PARTITION BY lang)) AS w FROM c2),
+        |c3 AS (SELECT lang, grp, n, rt, ct,
+        |              w * (ct / sum(w) OVER (PARTITION BY grp)) AS w FROM r3)
+        |SELECT lang, grp, n AS n_rows, round(w, 6) AS weight
+        |FROM c3 ORDER BY lang, grp""".stripMargin,
+
+    "q_ctfidf" ->
+      """WITH w AS (
+        |  SELECT source AS cls, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT cls, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |cf AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
+        |a AS (SELECT sum(tf)::DOUBLE / count(DISTINCT cls)::DOUBLE AS a
+        |      FROM tf)
+        |SELECT cls, rank, word, round(score, 6) AS ctfidf FROM (
+        |  SELECT tf.cls, tf.word, tf.tf * ln(1.0 + a.a / cf.f) AS score,
+        |         CAST(row_number() OVER (PARTITION BY tf.cls
+        |           ORDER BY tf.tf * ln(1.0 + a.a / cf.f) DESC, tf.word)
+        |           AS BIGINT) AS rank
+        |  FROM tf JOIN cf USING (word), a)
+        |WHERE rank <= 3 ORDER BY cls, rank""".stripMargin,
+
+    "q_luhn_pii" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         'card ' || lpad(CAST((doc_id * 48271 + 11) %
+        |           100000000000000 AS VARCHAR), 14, '0') || ' tail' AS text2
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text2,
+        |    '[0-9][0-9 -]{11,20}[0-9]', 0)) AS raw
+        |  FROM s),
+        |n AS (
+        |  SELECT doc_id, regexp_replace(raw, '[ -]', '', 'g') AS cand
+        |  FROM e)
+        |SELECT doc_id, cand,
+        |       list_sum(list_transform(range(1, length(cand) + 1), i ->
+        |         CASE WHEN i % 2 = 1
+        |              THEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
+        |                        AS INT)
+        |              ELSE CASE WHEN CAST(substr(reverse(cand),
+        |                          CAST(i AS INT), 1) AS INT) * 2 > 9
+        |                   THEN CAST(substr(reverse(cand), CAST(i AS INT),
+        |                             1) AS INT) * 2 - 9
+        |                   ELSE CAST(substr(reverse(cand), CAST(i AS INT),
+        |                             1) AS INT) * 2 END
+        |         END)) % 10 = 0 AS luhn_ok
+        |FROM n WHERE length(cand) BETWEEN 13 AND 19
+        |ORDER BY doc_id, cand""".stripMargin,
+
+    "q_dup_matrix" ->
+      """WITH k AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN doc_id % 9 < 3
+        |         THEN 'shared-' || CAST(doc_id % 50 AS VARCHAR)
+        |         ELSE md5(text) END AS key,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       count(*) AS n_shared_groups
+        |FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_qq_deciles" ->
+      """WITH a AS (
+        |  SELECT quantile_cont(CAST(CAST(round(l_extendedprice * 100)
+        |           AS BIGINT) AS DOUBLE),
+        |         [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |b AS (
+        |  SELECT quantile_cont(CAST(CAST(round(l_extendedprice * 100)
+        |           AS BIGINT) AS DOUBLE),
+        |         [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+        |  FROM lineitem WHERE l_orderkey % 2 <> 0),
+        |p AS (
+        |  SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS p,
+        |         unnest(range(1, 8)) AS i)
+        |SELECT p.p, a.qs[CAST(i AS INT)] AS q_a, b.qs[CAST(i AS INT)] AS q_b,
+        |       b.qs[CAST(i AS INT)] - a.qs[CAST(i AS INT)] AS diff
+        |FROM p, a, b ORDER BY p""".stripMargin,
+
+    // same population mean/var formula shape as VecMomentsAgg-derived
+    // moments; per-dim stats joined back by subscript, weight 0 for
+    // zero-variance dims
+    "q_embed_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, sum(v) / count(*) AS mu,
+        |         sum(v * v) / count(*)
+        |           - (sum(v) / count(*)) * (sum(v) / count(*)) AS var
+        |  FROM x GROUP BY i),
+        |sc AS (
+        |  SELECT vec_id,
+        |         sum((v - mu) * (v - mu) *
+        |             (CASE WHEN var > 0 THEN 1.0 / var ELSE 0.0 END))
+        |           AS score
+        |  FROM x JOIN st USING (i) GROUP BY vec_id)
+        |SELECT vec_id, round(score, 4) AS score
+        |FROM sc ORDER BY vec_id""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH dy AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS DOUBLE) AS x,
+        |         CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT median((b.y - a.y) / (b.x - a.x)) AS slope
+        |  FROM dy a JOIN dy b ON a.x < b.x),
+        |ic AS (
+        |  SELECT median(y - (SELECT slope FROM sl) * x) AS intercept FROM dy)
+        |SELECT (SELECT count(*) FROM dy) AS n_points,
+        |       round((SELECT slope FROM sl), 6) AS slope,
+        |       round((SELECT intercept FROM ic), 6) AS intercept""".stripMargin,
+
+    "q_pct_rank" ->
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS value FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT value, percent_rank() OVER (ORDER BY value) AS pr
+        |      FROM v)
+        |SELECT value, count(*) AS n, round(min(pr), 6) AS pct_rank
+        |FROM r GROUP BY value ORDER BY value""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id % 10 = 3),
+        |g AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - epoch_us(lag(ts) OVER
+        |            (PARTITION BY user_id ORDER BY ts))) // 1000000 AS gap
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |         CAST(sum(gap) AS BIGINT) AS s,
+        |         CAST(sum(gap * gap) AS BIGINT) AS ss
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, n_gaps,
+        |         CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+        |         sqrt(greatest(
+        |           (CAST(ss AS DOUBLE)
+        |              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |                / CAST(n_gaps AS DOUBLE))
+        |             / CAST(n_gaps AS DOUBLE), 0.0)) AS std
+        |  FROM a)
+        |SELECT user_id, n_gaps, round(mean, 6) AS mean_gap_s,
+        |       CASE WHEN mean > 0 THEN round(std / mean, 6) END AS cv,
+        |       CASE WHEN std + mean > 0
+        |            THEN round((std - mean) / (std + mean), 6)
+        |       END AS burstiness
+        |FROM d ORDER BY user_id""".stripMargin,
+
+    "q_hapax" ->
+      """WITH w AS (
+        |  SELECT source AS cls, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT cls, word, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT cls, CAST(sum(c) AS BIGINT) AS n_words,
+        |       count(*) AS n_distinct,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM d)
+        |SELECT d.doc_id,
+        |       coalesce(h.h, 0.0) AS h
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, round(entropy(substr(t, CAST(i AS INT), 1)), 4) AS h
+        |  FROM c GROUP BY doc_id) h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

@@ -722,6 +722,68 @@ object RepetitionSignals {
     StructField("dup_ngram_char_frac", DoubleType, nullable = false)))
 }
 
+/** Shannon entropy (bits) of the CODEPOINT distribution of a string —
+  * the classic cheap gibberish/boilerplate signal orthogonal to the
+  * word-level profile: key-mash and base64 blobs score HIGH (flat
+  * char distribution), template spam and run-padding score LOW, and
+  * natural language sits in a stable mid band (~3.5–4.5 bits for
+  * English), so both tails are filterable. One HashMap pass per row,
+  * zero shuffle, sits in the projection next to [[TextProfile]].
+  *
+  * Determinism: the per-count terms are summed in SORTED count order
+  * (HashMap iteration order would vary run to run and make the last
+  * ulp of the double nondeterministic — results feed hash-compared
+  * oracle rows, so bit-stability matters). Computed as
+  * log2(n) − Σ c·log2(c) / n, the count-weighted form a SQL
+  * `entropy()` aggregate replays. Empty string → 0.0; null → null. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_char_entropy requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val e = counts.get(cp)
+      if (e == null) counts.put(cp, Array(1L)) else e(0) += 1L
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    val cs = new Array[Long](counts.size())
+    val it = counts.values().iterator()
+    var j = 0
+    while (it.hasNext) { cs(j) = it.next()(0); j += 1 }
+    java.util.Arrays.sort(cs)
+    var acc = 0.0
+    j = 0
+    val ln2 = math.log(2.0)
+    while (j < cs.length) {
+      val c = cs(j).toDouble
+      acc += c * (math.log(c) / ln2)
+      j += 1
+    }
+    math.log(n.toDouble) / ln2 - acc / n.toDouble
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
+  override def prettyName: String = "graft_char_entropy"
+}
+
 object TextExpressions {
   /** Idempotent registration (quiet re-entry: no "replaced function"
     * warnings on repeat calls). The Column builders below self-register
@@ -754,6 +816,9 @@ object TextExpressions {
     reg.registerFunction(FunctionIdentifier("graft_compression_ratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName, "graft_compression_ratio"),
       (es: Seq[Expression]) => CompressionRatio(es.head))
+    reg.registerFunction(FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es.head))
     reg.registerFunction(FunctionIdentifier("graft_repetition_signals"),
       new ExpressionInfo(classOf[RepetitionSignals].getName,
         "graft_repetition_signals"),
@@ -813,6 +878,9 @@ object TextExpressions {
   }
   def compressionRatio(text: Column): Column = {
     ensure(); call_function("graft_compression_ratio", text)
+  }
+  def charEntropy(text: Column): Column = {
+    ensure(); call_function("graft_char_entropy", text)
   }
   def repetitionSignals(text: Column, topN: Int, dupN: Int): Column = {
     import org.apache.spark.sql.functions.lit

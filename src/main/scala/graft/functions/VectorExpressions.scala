@@ -367,6 +367,69 @@ case class PqAdcScore(left: Expression, right: Expression)
   override def prettyName: String = "graft_pq_adc"
 }
 
+/** Diagonal-covariance Mahalanobis distance²: Σᵢ (xᵢ−μᵢ)²·wᵢ with
+  * w = 1/σᵢ² — the multivariate outlier score over embedding columns
+  * (per-dim z-scores summed in quadrature), the statistical companion
+  * to [[VecStats]]' structural checks. `right` is a FOLDABLE
+  * [μ, w] pair of double arrays (trained on one [[VecMomentsAgg]]
+  * pass, broadcast as a literal — no join touches the corpus).
+  * Accumulates in dimension order so the result is bit-stable; null /
+  * wrong-length vectors → null (dim defects are [[VecStats]]' job).
+  * One interpreted loop per row — the measured-faster shape vs HOF
+  * chains (BENCH.md optimization log). */
+case class DiagMahalanobis(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType, right.foldable) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _), true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r, f) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_diag_mahalanobis requires (array<float|double>, foldable " +
+          s"array<array<double>> [mu, weights]), got (${l.simpleString}, " +
+          s"${r.simpleString}, foldable=$f)")
+    }
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  @transient private lazy val (mu, wt): (Array[Double], Array[Double]) = {
+    val p = right.eval(null).asInstanceOf[ArrayData]
+    require(p.numElements() == 2,
+      "params must be [mu, weights] — exactly two arrays")
+    (p.getArray(0).toDoubleArray(), p.getArray(1).toDoubleArray())
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val d = mu.length
+    if (v.numElements() != d || wt.length != d) return null
+    val isF = elemIsFloat
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return null
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      val c = x - mu(i)
+      acc += c * c * wt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DiagMahalanobis =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_diag_mahalanobis"
+}
+
 object VectorExpressions {
   /** Idempotent; Column builders self-register on the active session. */
   def register(spark: SparkSession): Unit = {
@@ -393,6 +456,10 @@ object VectorExpressions {
     reg.registerFunction(FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc"),
       (es: Seq[Expression]) => PqAdcScore(es(0), es(1)))
+    reg.registerFunction(FunctionIdentifier("graft_diag_mahalanobis"),
+      new ExpressionInfo(classOf[DiagMahalanobis].getName,
+        "graft_diag_mahalanobis"),
+      (es: Seq[Expression]) => DiagMahalanobis(es(0), es(1)))
   }
 
   private def ensure(): Unit =
@@ -418,5 +485,11 @@ object VectorExpressions {
   def pqAdcScore(codes: Column, lut: Seq[Seq[Double]]): Column = {
     import org.apache.spark.sql.functions.typedlit
     ensure(); call_function("graft_pq_adc", codes, typedlit(lut))
+  }
+  def diagMahalanobis(vec: Column, mu: Seq[Double],
+                      weights: Seq[Double]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    ensure()
+    call_function("graft_diag_mahalanobis", vec, typedlit(Seq(mu, weights)))
   }
 }

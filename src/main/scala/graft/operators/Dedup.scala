@@ -894,4 +894,32 @@ object Dedup {
       .where(col("tail_id") =!= col("head_id"))
       .select(col("tail_id"), col("head_id"))
   }
+
+  /** Cross-source duplication matrix — "who copies whom": for every
+    * pair of sources, how many duplicate-content groups span both.
+    * The provenance rollup OVER the dedup families: exact dedup says
+    * which rows to drop; this says which FEEDS overlap, which is what
+    * decides licensing reviews, crawl-frontier dedup priorities, and
+    * whether a new source adds anything.
+    *
+    * Scale shape: distinct (key, source) pairs first (map-side combine
+    * crushes per-group fan-in; text never moves — callers pass a
+    * content HASH as the key), then a self-join on the key whose
+    * per-group fan-out is bounded by nSources² (sources are a bounded
+    * label set by contract — the same bound the mixing tier relies
+    * on), then an O(pairs) count. NULL sources are kept as their own
+    * label so shared-with-unknown volume stays visible. */
+  def crossSourceMatrix(df: DataFrame, keyCol: String,
+                        srcCol: String): DataFrame = {
+    val d = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        coalesce(col(srcCol).cast("string"), lit("<null>")).as("__s"))
+      .distinct()
+    d.select(col("__k"), col("__s").as("src_a"))
+      .join(d.select(col("__k"), col("__s").as("src_b")), Seq("__k"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_groups"))
+      .orderBy("src_a", "src_b")
+  }
 }

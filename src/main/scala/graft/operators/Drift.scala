@@ -486,4 +486,73 @@ object Drift {
           .as("events_per_hour"))
       .orderBy(col(keyCol))
   }
+
+  /** QQ-plot data for two cohorts of one numeric column: matched exact
+    * quantiles at the given probabilities plus their gap — the
+    * OBSERVABILITY companion to the one-number drift statistics
+    * ([[ksTest]] says "the distributions differ"; the QQ rows say
+    * WHERE — body vs tail — which decides whether anyone cares).
+    *
+    * Each side is ONE exact-`percentile` aggregate (two-level partial
+    * merge; swap `approx_percentile` past memory bounds), unpacked by
+    * a stateless posexplode and joined on quantile index — never a
+    * per-probability rescan. Dyadic probabilities over integer-valued
+    * doubles interpolate bit-exactly cross-engine (the
+    * q_len_percentiles argument), which is why callers should feed
+    * integer-valued columns (cents, counts, seconds). */
+  /** Theil–Sen robust trend over a SMALL aggregated series (daily
+    * counts, hourly rates — O(points) by construction): slope = median
+    * of all pairwise slopes, intercept = median of (y − slope·x). One
+    * outlier day barely moves it, where the OLS fit of a spike day is
+    * garbage — the robust companion to the least-squares trend. The
+    * series is collected (require-capped at `maxPoints`, the bounded-
+    * observability contract every trend operator here shares) and the
+    * O(points²) slope set is driver arithmetic; both medians are exact
+    * middle statistics over identically-computed doubles, so SQL
+    * replays them bit-exactly. Null x/y points are excluded; returns
+    * (n_points, slope, intercept) — n_points < 2 → null trend. */
+  def theilSenTrend(df: DataFrame, xCol: String, yCol: String,
+                    maxPoints: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .limit(maxPoints + 1).collect()
+    require(rows.length <= maxPoints,
+      s"theilSenTrend: series exceeds maxPoints=$maxPoints — aggregate " +
+      "first (this is a trend over a SMALL series, not a table scan)")
+    val pts = rows.map(r => (r.getDouble(0), r.getDouble(1)))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    import spark.implicits._
+    if (pts.length < 2)
+      return Seq((pts.length.toLong, Option.empty[Double],
+        Option.empty[Double])).toDF("n_points", "slope", "intercept")
+    val slopes = for {
+      i <- pts.indices.toArray; j <- (i + 1) until pts.length
+      if pts(i)._1 != pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+    require(slopes.nonEmpty, "theilSenTrend: all x values identical")
+    val slope = median(slopes)
+    val intercept = median(pts.map { case (x, y) => y - slope * x })
+    Seq((pts.length.toLong, Some(slope), Some(intercept)))
+      .toDF("n_points", "slope", "intercept")
+  }
+
+  def qqQuantiles(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                  probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "qqQuantiles needs at least one probability")
+    def side(df: DataFrame, out: String): DataFrame =
+      df.agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), array(" +
+          probs.map(p => s"${p}D").mkString(", ") + "))").as("__qs"))
+        .select(posexplode(col("__qs")).as(Seq("__i", out)))
+    side(dfA, "q_a").join(side(dfB, "q_b"), Seq("__i"))
+      .select(
+        element_at(lit(probs.toArray), col("__i") + 1).as("p"),
+        col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("diff"))
+      .orderBy("p")
+  }
 }

@@ -187,4 +187,29 @@ object EmbeddingStats {
     }.toIndexedSeq: _*)
     df.withColumn(outCol, proj)
   }
+
+  /** Diagonal-covariance Mahalanobis outlier scores: per-dim
+    * population mean/variance from ONE [[VecMomentsAgg]] pass, then
+    * score = Σᵢ (xᵢ−μᵢ)²/σᵢ² as a single native
+    * [[graft.functions.DiagMahalanobis]] evaluation per row with the
+    * trained [μ, 1/σ²] riding the plan as a literal — the corpus never
+    * joins or shuffles for scoring, the statistical complement to
+    * [[graft.operators.EmbeddingQC]]'s structural rules (a vector can
+    * be perfectly well-formed and still sit 40σ from the population —
+    * a wrong-model or wrong-preprocessing batch looks exactly like
+    * that). Zero-variance dimensions carry no signal and get weight 0
+    * (documented, not silent: they're visible in [[covarianceDf]]).
+    * Under normality scores ≈ χ²(effective dims), so a threshold like
+    * dim + 4·sqrt(2·dim) is a principled gate. */
+  def diagMahalanobisScores(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val weights = (0 until dim).map { i =>
+      val v = m.cov(i)(i)
+      if (v > 0.0) 1.0 / v else 0.0
+    }
+    df.select(col(idCol),
+      graft.functions.VectorExpressions.diagMahalanobis(
+        col(vecCol), m.mean.toIndexedSeq, weights).as("score"))
+  }
 }

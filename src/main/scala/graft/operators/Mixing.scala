@@ -609,4 +609,150 @@ object Mixing {
       .where(col("__rn") <= col("__tgt"))
       .select(col("__i"))
   }
+
+  /** Integer water-filling: allocate a total `budget` of rows across
+    * groups, each capped at its own size — small groups keep everything,
+    * large groups are levelled down to a common water line λ, the
+    * largest integer with Σ min(nᵢ, λ) ≤ budget. The allocation rule
+    * behind "cap every domain at its fair share of the token budget"
+    * mixture designs — the hard-cap complement to the SOFT rebalancing
+    * of [[temperatureFractions]] (which reweights proportionally and
+    * never saturates) and to DoReMi-style learned weights.
+    *
+    * Fully deterministic, including the sub-λ remainder: after
+    * levelling, `budget − Σ min(nᵢ, λ)` leftover units (< number of
+    * unsaturated groups, by maximality of λ) go one each to the first
+    * leftover-many unsaturated groups in (size, name) order — the same
+    * total order that drives the level search, so the whole allocation
+    * is a pure function of the count map. Pure driver arithmetic on
+    * O(groups) state; no Spark job here (callers feed it one count
+    * aggregate, the [[temperatureFractions]] pattern).
+    */
+  def waterfill(counts: Map[String, Long], budget: Long): Map[String, Long] = {
+    require(budget >= 0, "budget must be non-negative")
+    require(counts.values.forall(_ >= 0), "counts must be non-negative")
+    val sorted = counts.toSeq.sortBy { case (s, n) => (n, s) }
+    val k = sorted.length
+    if (k == 0) return Map.empty
+    if (sorted.map(_._2).sum <= budget) return counts // budget covers all
+    // walk groups ascending: group j binds iff the equal split of what
+    // remains over groups j..k is smaller than n_j
+    var remaining = budget
+    var level = -1L
+    var j = 0
+    while (j < k && level < 0) {
+      val share = remaining / (k - j) // floor
+      if (share < sorted(j)._2) level = share
+      else { remaining -= sorted(j)._2; j += 1 }
+    }
+    val base = sorted.map { case (s, n) => s -> math.min(n, level) }
+    var leftover = budget - base.map(_._2).sum
+    base.map { case (s, a) =>
+      val bump = if (leftover > 0 && counts(s) > a) { leftover -= 1; 1L }
+                 else 0L
+      s -> (a + bump)
+    }.toMap
+  }
+
+  /** Raking (iterative proportional fitting): reweight a two-axis
+    * contingency table so BOTH marginals hit their targets at once —
+    * the survey-statistics workhorse, and the mixture-design step for
+    * "balance the corpus to these language shares AND these source
+    * shares simultaneously" (per-axis reweighting alone breaks the
+    * other axis; IPF alternates row and column scalings and converges
+    * geometrically when every target is reachable).
+    *
+    * Operates on PROPORTIONS (cells normalized by the grand total;
+    * targets should each sum to 1). A fixed `iters` count, not a
+    * convergence test, keeps the output a pure function of the input
+    * — replayable in SQL as chained CTEs. Cells absent from the input
+    * stay absent (structural zeros, standard IPF); a row/column whose
+    * current sum is 0 keeps its weights (cannot be scaled to a
+    * positive target — surfaced by the final marginals, not hidden).
+    * Driver arithmetic on O(cells) state; labels are bounded by
+    * contract (the [[temperatureFractions]] pattern). */
+  def rake(cells: Map[(String, String), Long],
+           rowTargets: Map[String, Double],
+           colTargets: Map[String, Double],
+           iters: Int = 3): Map[(String, String), Double] = {
+    require(iters >= 1, "iters must be >= 1")
+    require(cells.values.forall(_ >= 0), "cell counts must be non-negative")
+    val total = cells.values.sum.toDouble
+    if (total == 0) return cells.map { case (k, _) => k -> 0.0 }
+    // sorted key order everywhere: marginal sums over doubles must add
+    // in a fixed order for bit-stable output
+    val keys = cells.keys.toSeq.sorted
+    var w = keys.map(k => k -> cells(k).toDouble / total).toMap
+    (1 to iters).foreach { _ =>
+      val rowSums = keys.groupBy(_._1).map { case (r, ks) =>
+        r -> ks.sortBy(_._2).map(w).sum
+      }
+      w = w.map { case (k @ (r, _), v) =>
+        val s = rowSums(r)
+        k -> (if (s > 0) v * (rowTargets.getOrElse(r, 0.0) / s) else v)
+      }
+      val colSums = keys.groupBy(_._2).map { case (c, ks) =>
+        c -> ks.sortBy(_._1).map(w).sum
+      }
+      w = w.map { case (k @ (_, c), v) =>
+        val s = colSums(c)
+        k -> (if (s > 0) v * (colTargets.getOrElse(c, 0.0) / s) else v)
+      }
+    }
+    w
+  }
+
+  /** [[rake]] as a frame operator with uniform targets over the
+    * OBSERVED labels of each axis: one map-side-combined count
+    * aggregate, driver IPF on the O(cells) table, and a small result
+    * frame (row label, col label, n_rows, weight). The weight column
+    * is the raked cell PROPORTION; weight/(n/N) is the per-row
+    * resampling factor. NULL labels rake under their own '<null>'
+    * bucket — no volume silently vanishes. */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+                  iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    def lbl(c: String): Column =
+      coalesce(col(c).cast("string"), lit("<null>"))
+    val rows = df.groupBy(lbl(rowCol).as("__r"), lbl(colCol).as("__c"))
+      .agg(count(lit(1)).as("n")).collect()
+    val cells = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rowLabels = cells.keys.map(_._1).toSeq.distinct
+    val colLabels = cells.keys.map(_._2).toSeq.distinct
+    val raked = rake(cells,
+      rowLabels.map(_ -> 1.0 / rowLabels.size).toMap,
+      colLabels.map(_ -> 1.0 / colLabels.size).toMap, iters)
+    import spark.implicits._
+    cells.keys.toSeq.sorted
+      .map { case k @ (r, c) =>
+        (r, c, cells(k),
+          BigDecimal(raked(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      .toDF(rowCol, colCol, "n_rows", "weight")
+  }
+
+  /** [[waterfill]] as a frame operator: one map-side-combined count
+    * aggregate, driver arithmetic on O(groups) rows, and a small
+    * result frame (group, n_rows, alloc) — never a per-row pass. NULL
+    * group keys are counted under their own bucket (rendered as a NULL
+    * `grp` row) so no volume silently vanishes from the audit. */
+  def waterfillAllocation(df: DataFrame, groupCol: String,
+                          budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("n")).collect()
+    val nullTag = " null" // sorts before any printable group name
+    val counts = rows.map { r =>
+      (if (r.isNullAt(0)) nullTag else r.getString(0)) -> r.getLong(1)
+    }.toMap
+    val alloc = waterfill(counts, budget)
+    import spark.implicits._
+    counts.toSeq.sortBy(_._1)
+      .map { case (g, n) =>
+        (if (g == nullTag) null else g, n, alloc(g))
+      }
+      .toDF("grp", "n_rows", "alloc")
+  }
 }

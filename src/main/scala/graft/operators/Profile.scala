@@ -633,4 +633,34 @@ object Profile {
           col("__e.n_nulls") === 0L).as("is_key"))
       .orderBy(col("column"))
   }
+
+  /** Exact percentile ranks per DISTINCT value — score normalization
+    * to the corpus's own CDF (the step before mixing quality signals
+    * on different scales), without the trap spelling: a
+    * `percent_rank()` window over the raw table is an unpartitioned
+    * ORDER BY — one task sorts 10^12 rows. Here the table collapses to
+    * (value, count) with map-side combine first, and the only ordered
+    * window runs over the O(distinct) frame; rows re-join the rank by
+    * value (broadcastable for bounded-cardinality scores). Matches SQL
+    * `percent_rank` exactly: rank(v) = #{x < v} / (n − 1), n = 1 → 0.
+    * NULL values are excluded (no rank on an unscored row). */
+  def percentileRanks(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("n"))
+    // O(distinct) frame: this ordered window is the POINT — it never
+    // sees the raw table
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts
+      .withColumn("__less", coalesce(sum(col("n")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("value"), col("n"),
+        when(col("__t") > 1,
+          round(col("__less").cast("double") /
+            (col("__t") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pct_rank"))
+      .orderBy(col("value"))
+  }
 }

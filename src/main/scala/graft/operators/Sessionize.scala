@@ -124,4 +124,101 @@ object Sessionize {
     }.reduce(_.unionByName(_))
       .orderBy("stage_idx")
   }
+
+  /** Per-key inter-arrival statistics — burstiness profiling: is a
+    * key's traffic a steady drip or spikes with silence between?
+    * Mean/CV of the gap distribution plus the Goh–Barabási burstiness
+    * index B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic, 0 Poisson, →1
+    * bursty) — the signal behind rate-limiter sizing, bot detection,
+    * and "is this source a batch uploader or a stream".
+    *
+    * Exactness shape: gaps are INTEGER seconds (floor of the µs
+    * difference), and the per-key aggregate keeps integer Σgap and
+    * Σgap² — exact in both engines — deriving the float statistics at
+    * the end through one fixed expression order, so the SQL replica is
+    * bit-exact (the q_burstiness contract). One window per key (hash
+    * exchange, no global sort) + one keyed aggregate. Keys with < 2
+    * events have no gaps and don't appear; tied timestamps are fine
+    * (the multiset of consecutive gaps of a sorted multiset is
+    * tie-order-invariant). */
+  def interArrivalStats(df: DataFrame, keyCol: String,
+                        tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // NTZ-safe µs: the LTZ hop offset is constant and cancels in gaps
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val gaps = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), micros.as("__us"),
+        lag(micros, 1).over(w).as("__prev"))
+      .where(col("__prev").isNotNull)
+      .select(col(keyCol),
+        floor((col("__us") - col("__prev")) / 1000000L).cast("long")
+          .as("__gap"))
+    val n = col("n_gaps").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance =
+      (col("__ss").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") / n) / n
+    val std = sqrt(greatest(variance, lit(0.0)))
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("__s"),
+        sum(col("__gap") * col("__gap")).as("__ss"))
+      .select(col(keyCol), col("n_gaps"),
+        round(mean, 6).as("mean_gap_s"),
+        when(mean > 0, round(std / mean, 6)).as("cv"),
+        when(std + mean > 0, round((std - mean) / (std + mean), 6))
+          .as("burstiness"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Event-time DISORDER profile — the measurement that sizes a
+    * streaming watermark. An event is "late" if an event of the same
+    * key that arrived EARLIER (smaller `arrivalCol`) carries a LATER
+    * event time; its lateness is how far its event time lags the
+    * running maximum. The returned one-row summary (count and fraction
+    * of late events, max and dyadic percentiles of lateness in
+    * seconds) is exactly what `withWatermark(delay)` needs: a delay at
+    * the p-th lateness percentile bounds state while admitting p of
+    * the late tail. Run this on a history slice BEFORE deploying the
+    * stream — a guessed watermark silently drops whatever the guess
+    * misses.
+    *
+    * Scale shape: the running max is a window partitioned BY KEY in
+    * arrival order — embarrassingly parallel across keys (one hash
+    * exchange on the key, no global sort); the summary is a single
+    * fused aggregate over the (late_s) projection. Percentiles use
+    * exact `percentile` at dyadic probabilities (bit-exact replicable;
+    * swap `approx_percentile` at unbounded scale). Lateness percentiles
+    * are over LATE events only (the zeros of in-order events would
+    * drown the tail this exists to measure); no late events → null
+    * percentiles, frac_late 0. Null keys/timestamps are excluded (a
+    * null ts belongs to no watermark domain). */
+  def disorderProfile(df: DataFrame, keyCol: String, arrivalCol: String,
+                      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(arrivalCol), col(tsCol))
+      .withColumn("__prev_max", max(col(tsCol)).over(w))
+      .select(
+        // timestampdiff, not unix_micros: polymorphic over TIMESTAMP
+        // and TIMESTAMP_NTZ inputs (whole seconds; positive here, so
+        // truncation == floor, matching the oracle's epoch_us // 1e6)
+        when(col("__prev_max").isNotNull && col(tsCol) < col("__prev_max"),
+          expr(s"timestampdiff(SECOND, `$tsCol`, __prev_max)").cast("long"))
+          .otherwise(lit(0L)).as("late_s"))
+    late.agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+      round(avg(when(col("late_s") > 0, 1.0).otherwise(0.0)), 6)
+        .as("frac_late"),
+      max(col("late_s")).as("max_late_s"),
+      expr("percentile(CASE WHEN late_s > 0 THEN CAST(late_s AS DOUBLE) END," +
+        " 0.5D)").as("p50_late_s"),
+      expr("percentile(CASE WHEN late_s > 0 THEN CAST(late_s AS DOUBLE) END," +
+        " 0.9375D)").as("p94_late_s"))
+  }
 }

@@ -37,6 +37,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     textProfile(text).getField("n_words")
 
+  /** Shannon entropy (bits) of the string's codepoint distribution —
+    * the gibberish/template two-tail signal ([[graft.functions.CharEntropy]]):
+    * flat distributions (key-mash, base64) score high, repetitive
+    * templates score low, natural text sits mid-band. */
+  def charEntropy(text: Column): Column = TextExpressions.charEntropy(text)
+
   /** One-pass profile struct (n_words, n_bpeish, mean_word_len,
     * punct/upper/digit/stopword ratios, lang, lang_score). Registers the
     * expression on the session lazily via [[analyze]]/callers. */
@@ -1257,4 +1263,89 @@ object TextAnalysis {
             - lit(84.6) * (col("n_syllables").cast("double") /
               col("n_words").cast("double")), 6)))
   }
+
+  /** Class-based TF-IDF (the BERTopic / c-TF-IDF formula): the top-k
+    * terms that CHARACTERIZE each class (source, cluster, topic) —
+    * what [[tfIdfTopTerms]] does per document, lifted to class
+    * granularity for composition reports and automatic source/cluster
+    * labeling. Score = tf(word, class) · ln(1 + A / f(word)) with
+    * A = mean words per class and f = corpus frequency — all integer
+    * counts through one fixed ln, so SQL replays it bit-exactly.
+    *
+    * Scale shape: (class, word) and (word) counts both collapse
+    * map-side before their shuffles (text never moves past the scan's
+    * explode); the corpus-frequency join is vocab-bounded; the final
+    * top-k window partitions by class, bounded by the class's distinct
+    * vocabulary. Null classes group under their own NULL row (no
+    * silent drops); ties break on word ascending for determinism. */
+  def classTfIdfTopTerms(df: DataFrame, classCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(col(classCol).as("cls"),
+      explode(words(col(textCol))).as("word"))
+    val tf = pairs.groupBy(col("cls"), col("word"))
+      .agg(count(lit(1)).as("__tf"))
+    val corpusFreq = pairs.groupBy(col("word"))
+      .agg(count(lit(1)).as("__f"))
+    val avgClassSize = tf.agg(
+      (sum(col("__tf")).cast("double") /
+        count_distinct(col("cls")).cast("double")).as("__a"))
+    val scored = tf.join(corpusFreq, Seq("word"))
+      .crossJoin(broadcast(avgClassSize))
+      .withColumn("__score",
+        col("__tf") * log(lit(1.0) + col("__a") / col("__f")))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("__score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("cls"), col("rank").cast("long").as("rank"), col("word"),
+        round(col("__score"), 6).as("ctfidf"))
+  }
+
+  /** Hapax statistics per class: how much of each source's vocabulary
+    * occurs exactly once WITHIN that source — the vocabulary-growth /
+    * OCR-noise signal (a healthy natural-language source runs ~40–60 %
+    * hapax by Zipf's law; far above that is typo/OCR noise or id-like
+    * junk, far below is template spam — the two-sided companion to
+    * [[classTfIdfTopTerms]] and the Zipf fit). One (class, word) count
+    * with map-side combine, then an O(class-vocab) rollup; text never
+    * moves past the scan's explode. NULL classes bucket as '<null>'. */
+  def hapaxStats(df: DataFrame, classCol: String,
+                 textCol: String): DataFrame =
+    df.select(
+        coalesce(col(classCol).cast("string"), lit("<null>")).as("cls"),
+        explode(words(col(textCol))).as("word"))
+      .groupBy(col("cls"), col("word")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("cls"))
+      .agg(sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("cls"), col("n_words"), col("n_distinct"), col("n_hapax"),
+        round(col("n_hapax").cast("double") /
+          col("n_distinct").cast("double"), 6).as("hapax_ratio"))
+      .orderBy(col("cls"))
+
+  /** Checksum-validated payment-card candidates — the precision tier
+    * above [[piiCounts]]'s regex patterns: digit runs (spaces/dashes
+    * allowed inside) are extracted, normalized, length-gated to the
+    * PAN range 13–19, and validated with the Luhn check digit, which
+    * kills the ~90 % of random digit runs a bare regex would flag.
+    * Returns one row per candidate (id, cand, luhn_ok) — the caller
+    * redacts `luhn_ok` hits and can audit the misses.
+    *
+    * Pure projection + stateless explode (regexp_extract_all and
+    * Spark's builtin `luhn_check` are codegen'd; zero shuffle, zero
+    * UDF); the oracle replays extraction AND the checksum in SQL. */
+  def luhnCandidates(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(expr(
+          s"regexp_extract_all(`$textCol`, '[0-9][0-9 -]{11,20}[0-9]', 0)"))
+          .as("__raw"))
+      .select(col(idCol),
+        regexp_replace(col("__raw"), "[ -]", "").as("cand"))
+      .where(length(col("cand")).between(13, 19))
+      .select(col(idCol), col("cand"),
+        expr("luhn_check(cand)").as("luhn_ok"))
 }

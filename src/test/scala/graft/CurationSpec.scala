@@ -835,4 +835,110 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"readability shuffled:\n$p")
   }
+
+  test("waterfill: level search, saturation, and exact budget") {
+    val got = Mixing.waterfill(Map("a" -> 1L, "b" -> 5L, "c" -> 10L), 12L)
+    assert(got === Map("a" -> 1L, "b" -> 5L, "c" -> 6L))
+    assert(got.values.sum === 12L)
+  }
+
+  test("waterfill: deterministic remainder to first unsaturated groups") {
+    // level 2 fits 6 of budget 7; the single leftover unit goes to 'a'
+    // (first in (size, name) order among the unsaturated)
+    val got = Mixing.waterfill(Map("c" -> 3L, "a" -> 3L, "b" -> 3L), 7L)
+    assert(got === Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("waterfill: budget covering everything, and zero budget") {
+    val counts = Map("a" -> 2L, "b" -> 7L)
+    assert(Mixing.waterfill(counts, 9L) === counts)
+    assert(Mixing.waterfill(counts, 100L) === counts)
+    assert(Mixing.waterfill(counts, 0L) === Map("a" -> 0L, "b" -> 0L))
+    assert(Mixing.waterfill(Map.empty[String, Long], 5L) === Map.empty)
+  }
+
+  test("rake: both marginals converge, structural zeros stay absent") {
+    // 2×2 with one empty cell; uniform targets 0.5/0.5 per axis
+    val cells = Map(("r1", "c1") -> 30L, ("r1", "c2") -> 10L,
+      ("r2", "c2") -> 60L)
+    val w = Mixing.rake(cells,
+      Map("r1" -> 0.5, "r2" -> 0.5), Map("c1" -> 0.5, "c2" -> 0.5),
+      iters = 25)
+    assert(w.keySet === cells.keySet, "IPF must not invent cells")
+    val rowSum = w.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val colSum = w.groupBy(_._1._2).view.mapValues(_.values.sum)
+    // r2 lives only in c2, so the joint target sits on the boundary
+    // (w(r1,c2) → 0): the col marginal is exact after the final col
+    // scaling; the row marginal approaches its target sub-geometrically
+    assert(math.abs(colSum("c1") - 0.5) < 1e-9)
+    assert(math.abs(rowSum("r1") - 0.5) < 0.01)
+    // and it IS converging: the raw proportion started at 0.4
+    assert(rowSum("r1") > 0.49 && rowSum("r1") < 0.51)
+    // determinism: identical input → identical doubles
+    assert(w === Mixing.rake(cells,
+      Map("r1" -> 0.5, "r2" -> 0.5), Map("c1" -> 0.5, "c2" -> 0.5), 25))
+  }
+
+  test("rake: empty table and zero-count cells") {
+    assert(Mixing.rake(Map.empty, Map.empty, Map.empty) === Map.empty)
+    val z = Mixing.rake(Map(("r", "c") -> 0L), Map("r" -> 1.0),
+      Map("c" -> 1.0))
+    assert(z === Map(("r", "c") -> 0.0)) // no mass to move
+  }
+
+  test("rakeWeights: frame operator, NULL labels bucketed, weights sum to 1") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("en", "a")) ++ Seq.fill(1)(("de", "a")) ++
+      Seq.fill(4)(("en", "b")) ++ Seq((null, "b"))).toDF("lang", "g")
+    val got = Mixing.rakeWeights(df, "lang", "g", iters = 3).collect()
+    assert(got.map(_.getString(0)).toSet === Set("en", "de", "<null>"))
+    val total = got.map(_.getDouble(3)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"weights sum $total")
+    assert(got.map(_.getLong(2)).sum === 9L)
+  }
+
+  test("classTfIdfTopTerms: hand-computed scores, class-characterizing terms win") {
+    import spark.implicits._
+    val df = Seq(
+      ("code", "def def return"), ("code", "def x"),
+      ("news", "election election results"), ("news", "election today")
+    ).toDF("src", "text")
+    val got = TextAnalysis.classTfIdfTopTerms(df, "src", "text", k = 1)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    // totals: 10 words, 2 classes → A = 5.0; tf(def|code)=3, f(def)=3
+    val defScore = BigDecimal(3.0 * math.log(1.0 + 5.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("code") === (("def", defScore)))
+    assert(got("news")._1 === "election")
+  }
+
+  test("hapaxStats: hand-counted vocab, null class bucketed") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "a a b"), ("x", "c"),       // x: a:2 b:1 c:1 → hapax 2/3
+      (null.asInstanceOf[String], "q q") // null class: q:2 → hapax 0/1
+    ).toDF("src", "text")
+    val got = TextAnalysis.hapaxStats(df, "src", "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("<null>", 2L, 1L, 0L, 0.0),
+      ("x", 4L, 3L, 2L, BigDecimal(2.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("waterfillAllocation: frame operator counts NULL groups too") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("big") ++ Seq.fill(2)("small") ++
+      Seq[String](null, null)).toDF("grp")
+    val got = Mixing.waterfillAllocation(df, "grp", budget = 7L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    // sorted (n, name): (2, " null"), (2, "small"), (6, "big") — the
+    // null tag sorts first among the size-2 groups; level search:
+    // 7/3=2 ≥ 2 → rem 5; 5/2=2 ≥ 2 → rem 3; 3/1=3 < 6 → λ=3;
+    // base 2+2+3=7, leftover 0
+    assert(got === Set((None, 2L, 2L), (Some("small"), 2L, 2L),
+      (Some("big"), 6L, 3L)))
+  }
 }

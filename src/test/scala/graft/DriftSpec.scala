@@ -195,4 +195,45 @@ class DriftSpec extends AnyFunSuite {
       "a", "b").head()
     assert(withNull.getAs[Double]("p_o") === 0.666667)
   }
+
+  test("qqQuantiles: matched deciles, constant shift shows in every diff") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val a = (1L to 9L).toSeq.toDF("v")
+    val b = (1L to 9L).map(_ + 10L).toSeq.toDF("v")
+    val got = Drift.qqQuantiles(a, b, "v", Seq(0.25, 0.5, 0.75))
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    // positions p·(n−1) on 1..9: 0.25→3.0, 0.5→5.0, 0.75→7.0
+    assert(got === Seq(
+      (0.25, 3.0, 13.0, 10.0), (0.5, 5.0, 15.0, 10.0),
+      (0.75, 7.0, 17.0, 10.0)))
+    // interpolated position: p=0.5 over 1..4 → 2.5
+    val frac = Drift.qqQuantiles((1L to 4L).toSeq.toDF("v"),
+      (1L to 4L).toSeq.toDF("v"), "v", Seq(0.5))
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(frac === ((0.5, 2.5, 2.5, 0.0)))
+  }
+
+  test("theilSenTrend: one spike day cannot move the robust fit") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // clean slope 1 with a 100× outlier at x=4: 6 of 10 pairwise
+    // slopes are exactly 1, so the median stays 1 and the intercept 0
+    val pts = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0),
+      (4.0, 400.0)).toDF("x", "y")
+    val got = Drift.theilSenTrend(pts, "x", "y").head()
+    assert(got.getAs[Long]("n_points") === 5L)
+    assert(got.getAs[Double]("slope") === 1.0)
+    assert(got.getAs[Double]("intercept") === 0.0)
+    // degenerate: a single point has no trend
+    val one = Drift.theilSenTrend(Seq((1.0, 5.0)).toDF("x", "y"), "x", "y")
+      .head()
+    assert(one.getAs[Long]("n_points") === 1L)
+    assert(one.isNullAt(one.fieldIndex("slope")))
+    // all x equal → no defined slope, loudly
+    intercept[IllegalArgumentException] {
+      Drift.theilSenTrend(Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y"),
+        "x", "y").head()
+    }
+  }
 }

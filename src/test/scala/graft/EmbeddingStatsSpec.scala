@@ -108,4 +108,29 @@ class EmbeddingStatsSpec extends SparkSpec {
       .orderBy("j").select("cov").as[Double].collect()
     assert(got(0) === ent(0, 0) && got(1) === ent(0, 1))
   }
+
+  test("diagMahalanobis: hand-computed scores, zero-var dim weightless") {
+    // dim 3: last dim constant → variance 0 → weight 0 (no signal)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f, 7.0f)),
+      (2L, Seq(2.0f, 0.0f, 7.0f)),
+      (3L, Seq(0.0f, 4.0f, 7.0f)),
+      (4L, Seq(2.0f, 4.0f, 7.0f))
+    ).toDF("id", "vec")
+    val got = EmbeddingStats.diagMahalanobisScores(vecs, "id", "vec", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // dim0: mu 1, var 1; dim1: mu 2, var 4; dim2: var 0 → dropped
+    // every row: (±1)²/1 + (±2)²/4 = 1 + 1 = 2
+    (1L to 4L).foreach(id => assert(math.abs(got(id) - 2.0) < 1e-12))
+    // null and wrong-dim vectors score null (VecStats' jurisdiction)
+    val bad = Seq((1L, Seq(0.0f, 0.0f, 7.0f)), (2L, Seq(2.0f, 4.0f, 7.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]), (4L, Seq(1.0f))).toDF("id", "vec")
+    val r = EmbeddingStats.diagMahalanobisScores(bad, "id", "vec", 3)
+      .collect().map(x => x.getLong(0) -> x.isNullAt(1)).toMap
+    assert(!r(1L) && !r(2L) && r(3L) && r(4L))
+    // scoring never joins or shuffles: params ride as a literal
+    val plan = EmbeddingStats.diagMahalanobisScores(vecs, "id", "vec", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"mahalanobis scoring joined:\n$plan")
+  }
 }

@@ -2501,6 +2501,96 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("<null>").getAs[Double]("staleness_s") === 5 * 3600.0)
   }
 
+  test("charEntropy: closed-form values, codepoints not UTF-16 units") {
+    TextExpressions.register(spark)
+    val df = Seq(
+      (1L, "aaaa"),   // one symbol → 0 bits
+      (2L, "ab"),     // two equiprobable → 1 bit
+      (3L, "abab"),   // same distribution → still 1 bit
+      (4L, "abcd"),   // four equiprobable → 2 bits
+      (5L, ""),       // empty → 0 by contract
+      (6L, null),     // null → null
+      (7L, "😀"),            // one surrogate-pair codepoint → 0
+      (8L, "😀a")            // two distinct codepoints → 1
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L) === Some(0.0))
+    assert(got(2L) === Some(1.0))
+    assert(got(3L) === Some(1.0))
+    assert(got(4L) === Some(2.0))
+    assert(got(5L) === Some(0.0))
+    assert(got(6L) === None)
+    assert(got(7L) === Some(0.0),
+      "surrogate pair must count as ONE codepoint")
+    assert(got(8L) === Some(1.0))
+    // skewed distribution: "aab" → 2/3·log2(3/2) + 1/3·log2(3)
+    val skew = Seq((1L, "aab")).toDF("id", "text")
+      .select(TextAnalysis.charEntropy(col("text"))).collect()(0).getDouble(0)
+    val expect = 2.0 / 3 * (math.log(1.5) / math.log(2)) +
+      1.0 / 3 * (math.log(3) / math.log(2))
+    assert(math.abs(skew - expect) < 1e-12)
+    // projection stays shuffle-free
+    val plan = df.select(TextAnalysis.charEntropy(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"charEntropy shuffled:\n$plan")
+  }
+
+  test("luhnCandidates: extraction, normalization, checksum verdicts") {
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),          // valid Visa test PAN
+      (2L, "pay 4111111111111112 now"),          // one digit off → invalid
+      (3L, "ref 4111 1111 1111 1111 thanks"),    // spaced variant → valid
+      (4L, "id 4111-1111-1111-1111 end"),        // dashed variant → valid
+      (5L, "short 123456789012 run"),            // 12 digits < 13 → absent
+      (6L, "phone 555 1234 only"),               // runs too short → absent
+      (7L, "long 12345678901234567890123 x")     // >19 digits → absent
+    ).toDF("id", "text")
+    val got = TextAnalysis.luhnCandidates(df, "id", "text")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, "4111111111111111", true),
+      (2L, "4111111111111112", false),
+      (3L, "4111111111111111", true),
+      (4L, "4111111111111111", true)))
+    // pure projection + stateless explode: no shuffle, no UDF
+    val plan = TextAnalysis.luhnCandidates(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"luhnCandidates shuffled:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"luhnCandidates used a UDF:\n$plan")
+  }
+
+  test("crossSourceMatrix: planted shared groups, null source labeled") {
+    val df = Seq(
+      ("k1", "web"), ("k1", "books"), ("k1", "web"),   // dup rows collapse
+      ("k2", "web"), ("k2", "code"), ("k2", "books"),  // 3-source group
+      ("k3", "web"),                                   // singleton: no pair
+      ("k4", "books"), ("k4", null)                    // null joins as label
+    ).toDF("key", "src")
+    val got = Dedup.crossSourceMatrix(df, "key", "src")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("books", "web", 2L),    // k1 and k2
+      ("books", "code", 1L), ("code", "web", 1L),
+      ("<null>", "books", 1L)))
+  }
+
+  test("percentileRanks: percent_rank semantics over distinct values") {
+    val df = Seq(10L, 10L, 20L, 30L).toDF("v")
+    val got = Profile.percentileRanks(df, "v")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 2L, 0.0), (20L, 1L, r6d(2.0 / 3.0)),
+      (30L, 1L, 1.0)))
+    // single row → rank 0, not 0/0; nulls excluded
+    val single = Profile.percentileRanks(
+      Seq(Some(5L), None).toDF("v"), "v")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(single === Seq((5L, 1L, 0.0)))
+  }
+
   private def r6d(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -70,4 +70,67 @@ class SessionizeSpec extends SparkSpec {
     assert(got === truth)
     assert(got.size > 17, "fixture must produce multiple sessions per user")
   }
+
+  test("disorderProfile: hand-computed lateness, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      // (user, arrival, event-time seconds)
+      (java.lang.Long.valueOf(1L), 1L, java.lang.Long.valueOf(100L)),
+      (java.lang.Long.valueOf(1L), 2L, java.lang.Long.valueOf(50L)), // 50 s late
+      (java.lang.Long.valueOf(1L), 3L, java.lang.Long.valueOf(200L)),
+      (java.lang.Long.valueOf(1L), 4L, java.lang.Long.valueOf(190L)), // 10 s late
+      (java.lang.Long.valueOf(2L), 5L, java.lang.Long.valueOf(10L)),
+      (java.lang.Long.valueOf(2L), 6L, java.lang.Long.valueOf(20L)), // in order
+      (null, 7L, java.lang.Long.valueOf(5L)),                        // null key: out
+      (java.lang.Long.valueOf(2L), 8L, null)                         // null ts: out
+    ).toDF("user", "arrival", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = Sessionize.disorderProfile(df, "user", "arrival", "ts")
+      .collect()(0)
+    assert(got.getAs[Long]("n_events") === 6L)
+    assert(got.getAs[Long]("n_late") === 2L)
+    assert(got.getAs[Double]("frac_late") === 0.333333) // round(2/6, 6)
+    assert(got.getAs[Long]("max_late_s") === 50L)
+    // late set {10, 50}: p50 = 30, p94 = 10 + 0.9375·40 = 47.5
+    assert(got.getAs[Double]("p50_late_s") === 30.0)
+    assert(got.getAs[Double]("p94_late_s") === 47.5)
+  }
+
+  test("interArrivalStats: hand-computed burstiness, periodic hits -1-ish") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L), (1L, 10L), (1L, 20L), (1L, 40L), // gaps 10, 10, 20
+      (2L, 0L), (2L, 5L), (2L, 10L), (2L, 15L),  // constant gaps 5
+      (3L, 7L)                                    // single event: no gaps
+    ).toDF("user", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = Sessionize.interArrivalStats(df, "user", "ts")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L))
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_gaps") === 3L)
+    // s=40, ss=600: mean 40/3, var (600−1600/3)/3, the exact formulas
+    val mean = 40.0 / 3.0
+    val std = math.sqrt((600.0 - 40.0 * 40.0 / 3.0) / 3.0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u1.getAs[Double]("mean_gap_s") === r6(mean))
+    assert(u1.getAs[Double]("cv") === r6(std / mean))
+    assert(u1.getAs[Double]("burstiness") === r6((std - mean) / (std + mean)))
+    val u2 = got(2L)
+    assert(u2.getAs[Double]("cv") === 0.0)        // perfectly periodic
+    assert(u2.getAs[Double]("burstiness") === -1.0)
+  }
+
+  test("disorderProfile: fully ordered stream reports a zero-late row") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 20L)) // ties OK
+      .toDF("user", "arrival", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = Sessionize.disorderProfile(df, "user", "arrival", "ts")
+      .collect()(0)
+    assert(got.getAs[Long]("n_late") === 0L)
+    assert(got.getAs[Double]("frac_late") === 0.0)
+    assert(got.isNullAt(got.fieldIndex("p50_late_s")))
+  }
 }
