@@ -2669,6 +2669,52 @@ object SparkEntry {
     "q_hapax" -> ((s, d) =>
       TextAnalysis.hapaxStats(t(s, d, "documents"), "source", "text")),
 
+    // ---- exact-threshold set-similarity join via PPJoin prefix
+    // filtering: only rarest-prefix tokens generate candidates (hot
+    // boilerplate tokens sit at the end of every doc's order and never
+    // join); identical jaccard spelling as the inverted-index path, so
+    // the q_word_jaccard-style brute oracle verifies the full pair set
+    "q_ppjoin" -> ((s, d) =>
+      Dedup.prefixFilterJaccardPairs(
+          t(s, d, "documents").where(col("doc_id") < 150),
+          "doc_id", "text", n = 1, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- stride-scheduled weighted interleave: the smoothest
+    // w-proportional ORDER (membership is sampleByWeights' job) —
+    // virtual time k/w per source, head-60 shown; identical doubles
+    // both engines, ties broken (grp, id)
+    "q_interleave" -> ((s, d) =>
+      Mixing.interleavePositions(
+          t(s, d, "documents").withColumn("grp",
+            concat(lit("g"), (col("doc_id") % 3).cast("string"))),
+          "doc_id", "grp", Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.2))
+        .orderBy(col("vt"), col("grp"), col("doc_id"))
+        .limit(60)
+        .select(col("doc_id"), col("grp"), col("__k").as("k"),
+          round(col("vt"), 6).as("vt"))),
+
+    // ---- pre-flight join forecast: per-key nₐ·n_b IS the exact inner
+    // equi-join output size — the table you read before choosing plain
+    // vs salted join; self-join of events on user_id, heaviest first
+    "q_join_estimate" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      SkewJoin.joinSizeEstimate(ev, "user_id", ev, "user_id", topK = 10)
+    }),
+
+    // ---- Gonzalez greedy k-center: k−1 bounded argmax jobs, centers
+    // ride the plan as literals (corpus never joins); dimension-order
+    // distance accumulation makes every argmax bit-replayable by the
+    // oracle's unrolled CTE chain
+    "q_kcenter" -> ((s, d) =>
+      Similarity.kCenters(t(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, k = 4, startId = 0L)
+        .select(col("step"), col("center_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("step")),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -2897,6 +2943,53 @@ object SparkEntry {
        |SELECT source, n_words, n_bpe_tok,
        |       round(CAST(n_bpe_tok AS DOUBLE) / n_words, 6) AS fertility
        |FROM c ORDER BY source""".stripMargin
+  }
+
+  /** q_kcenter oracle, generated: unrolled Gonzalez steps — each round
+    * computes squared-L2 to the newest center in DIMENSION ORDER (the
+    * same accumulation order as DiagMahalanobis), folds it into the
+    * running min, and argmaxes with the (d DESC, vec_id ASC)
+    * tie-break. */
+  private def kCenterOracle(k: Int): String = {
+    def dist(eAlias: String, cAlias: String): String =
+      s"""list_sum(list_transform(range(1, 65), i ->
+         |  (CAST($eAlias.embedding[CAST(i AS INT)] AS DOUBLE) -
+         |   CAST($cAlias.embedding[CAST(i AS INT)] AS DOUBLE)) *
+         |  (CAST($eAlias.embedding[CAST(i AS INT)] AS DOUBLE) -
+         |   CAST($cAlias.embedding[CAST(i AS INT)] AS DOUBLE))))"""
+        .stripMargin
+    val steps = (2 to k).map { s =>
+      val prev = if (s == 2) s"s1" else s"s${s - 1}"
+      val cDef =
+        if (s == 2)
+          s"c2 AS (SELECT e.vec_id, e.embedding FROM e, p2 " +
+            s"WHERE e.vec_id = p2.cid)"
+        else
+          s"c$s AS (SELECT e.vec_id, e.embedding FROM e, p$s " +
+            s"WHERE e.vec_id = p$s.cid)"
+      val pDef =
+        s"p$s AS (SELECT vec_id AS cid, d FROM $prev " +
+          s"ORDER BY d DESC, vec_id LIMIT 1)"
+      val sDef = if (s < k)
+        s"""s$s AS (
+           |  SELECT $prev.vec_id, least($prev.d, ${dist("e", s"c$s")}) AS d
+           |  FROM $prev JOIN e USING (vec_id), c$s)""".stripMargin
+      else ""
+      Seq(pDef, cDef, sDef).filter(_.nonEmpty).mkString(",\n")
+    }.mkString(",\n")
+    val rows = (2 to k).map { s =>
+      s"SELECT CAST($s AS BIGINT) AS step, CAST(cid AS BIGINT) AS " +
+        s"center_id, round(d, 6) AS dist FROM p$s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c1 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+       |s1 AS (SELECT e.vec_id, ${dist("e", "c1")} AS d FROM e, c1),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS center_id,
+       |       CAST(0.0 AS DOUBLE) AS dist
+       |UNION ALL
+       |$rows
+       |ORDER BY step""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6730,6 +6823,54 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
         |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+
+    // brute pairwise jaccard — same semantics the prefix-filtered
+    // candidate path must reproduce in full
+    "q_ppjoin" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> ''))) AS word
+        |  FROM documents WHERE doc_id < 150),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(nc * 1.0 / (sa.n + sb.n - nc), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_interleave" ->
+      """WITH g AS (
+        |  SELECT doc_id, 'g' || CAST(doc_id % 3 AS VARCHAR) AS grp
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, grp,
+        |         CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id)
+        |              AS BIGINT) AS k
+        |  FROM g),
+        |v AS (
+        |  SELECT doc_id, grp, k,
+        |         CAST(k AS DOUBLE) /
+        |           (CASE grp WHEN 'g0' THEN 0.5 WHEN 'g1' THEN 0.3
+        |                     ELSE 0.2 END) AS vt
+        |  FROM k)
+        |SELECT doc_id, grp, k, round(vt, 6) AS vt FROM v
+        |ORDER BY v.vt, grp, doc_id LIMIT 60""".stripMargin,
+
+    "q_join_estimate" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT key, n AS n_a, n AS n_b, n * n AS rows_out
+        |FROM c ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
+
+    "q_kcenter" -> kCenterOracle(4),
 
     "q_char_entropy" ->
       """WITH d AS (

@@ -895,6 +895,67 @@ object Dedup {
       .select(col("tail_id"), col("head_id"))
   }
 
+  /** Exact-threshold set-similarity self-join via PREFIX FILTERING
+    * (the PPJoin family, Xiao et al. WWW'08 / Bayardo et al. WWW'07)
+    * — the scale path over [[ngramJaccardPairs]]'s full inverted
+    * index: that one self-joins EVERY posting list, so one boilerplate
+    * shingle shared by 10^6 docs contributes 5·10^11 candidate pairs;
+    * here each document only indexes its PREFIX under a global
+    * rarest-first token order — the |x| − ⌈t·|x|⌉ + 1 tokens that the
+    * prefix principle proves must overlap for any pair with
+    * Jaccard ≥ t — so hot tokens sit at the END of every document's
+    * order and never generate candidates.
+    *
+    * Stages, all narrow: (token_hash df) counts collapse map-side; the
+    * rarest-first rank window runs over the O(vocab) frame only;
+    * per-doc sorted rank arrays build in one keyed aggregate;
+    * prefix postings (rank, id) self-join + a min ≥ t·max size
+    * prefilter; candidates dedup as 16-byte id pairs; exact
+    * verification re-attaches the two shingle-hash arrays by id
+    * (bounded by the candidate count, not the corpus) and scores the
+    * IDENTICAL jaccard expression as [[ngramJaccardPairs]] — the
+    * differential test pins set equality between the two paths. */
+  def prefixFilterJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    graft.functions.ShingleExpression.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    val tok = sets.select(col("id"), explode(col("sh")).as("tok"))
+    // global rarest-first total order; the window input is O(vocab)
+    val ranked = tok.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("__df"), col("tok"))))
+    val docRanks = tok.join(ranked.select(col("tok"), col("__rank")),
+        Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("__rank"))).as("__ranks"))
+      .select(col("id"), col("__ranks"), size(col("__ranks")).as("__sz"),
+        (size(col("__ranks")) -
+          ceil(lit(threshold) * size(col("__ranks"))).cast("int") + 1)
+          .as("__p"))
+    val prefixes = docRanks.select(col("id"), col("__sz"),
+      explode(slice(col("__ranks"), lit(1), col("__p"))).as("__r"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.__r") === col("b.__r") && col("a.id") < col("b.id") &&
+          least(col("a.__sz"), col("b.__sz")).cast("double") >=
+            lit(threshold) *
+              greatest(col("a.__sz"), col("b.__sz")).cast("double"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("__nc"),
+        size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("__nc").cast("double") /
+          (col("__na") + col("__nb") - col("__nc"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Cross-source duplication matrix — "who copies whom": for every
     * pair of sources, how many duplicate-content groups span both.
     * The provenance rollup OVER the dedup families: exact dedup says

@@ -654,6 +654,33 @@ object Mixing {
     }.toMap
   }
 
+  /** Deterministic weighted interleave (stride scheduling, the
+    * lottery-scheduler classic): the k-th row of source s gets virtual
+    * time k / wₛ, and consuming rows in virtual-time order yields the
+    * smoothest possible w-proportional interleave — "a code row every
+    * 4th position", not code-in-a-clump — which is the ORDER a
+    * curriculum/mixture dataloader actually wants, where
+    * [[sampleByWeights]] only decides MEMBERSHIP. Pure projection + one
+    * per-source row_number window (hash exchange on the source key, no
+    * global sort — consumers TakeOrdered the head or range-partition by
+    * vt). A pure function of (id order, weights): append-stable,
+    * retry-stable, SQL-replicable. Sources absent from `weights` are
+    * excluded (weight 0 = not in the mix). Ties in vt (exact double
+    * equality, e.g. 2/0.5 = 4/1.0) are broken by (source, id) — also
+    * deterministic. */
+  def interleavePositions(df: DataFrame, idCol: String, srcCol: String,
+                          weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "at least one source weight")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+    df.where(col(srcCol).isin(weights.keys.toSeq: _*))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("vt",
+        col("__k").cast("double") /
+          element_at(typedlit(weights), col(srcCol)))
+  }
+
   /** Raking (iterative proportional fitting): reweight a two-axis
     * contingency table so BOTH marginals hit their targets at once —
     * the survey-statistics workhorse, and the mixture-design step for

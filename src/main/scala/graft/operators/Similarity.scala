@@ -769,4 +769,50 @@ object Similarity {
     index.assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(desc("n_vectors"), col("centroid_id"))
+
+  /** Greedy k-center selection (Gonzalez 1985, the 2-approximation):
+    * starting from `startId`, repeatedly pick the point FARTHEST (in
+    * squared L2) from every center chosen so far — the coreset /
+    * diverse-seed selector ("give me k maximally-spread exemplars"),
+    * the diversity complement to [[bruteForceTopK]]'s similarity.
+    * Exactly k bounded driver-side jobs: each round is ONE max
+    * aggregate over the corpus — the distance-to-chosen-centers
+    * expression is a `least` of k native
+    * [[graft.functions.DiagMahalanobis]] evals (unit weights = squared
+    * L2) with the centers riding the plan as literals, so the corpus
+    * never joins or shuffles; the argmax is a TakeOrdered(1) on
+    * (dist DESC, id ASC) — dimension-order accumulation makes the
+    * doubles bit-stable, so the tie-break (and hence the whole chosen
+    * SET) is deterministic and SQL-replayable by unrolled CTEs.
+    * Returns (step, center_id, dist) with dist = the point's squared
+    * distance to the previously-chosen set (step 1 = the seed, dist 0).
+    * Null / wrong-dim vectors score null and are never selected. */
+  def kCenters(df: DataFrame, idCol: String, vecCol: String,
+               dim: Int, k: Int, startId: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val ones = Seq.fill(dim)(1.0)
+    def vecOf(id: Long): Seq[Double] = {
+      val r = df.where(col(idCol) === id).select(col(vecCol)).head()
+      r.getSeq[Float](0).map(_.toDouble)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (1L, startId, 0.0))
+    val centers = scala.collection.mutable.ArrayBuffer(vecOf(startId))
+    var step = 2
+    while (step <= k) {
+      val dist = centers.map(c =>
+        graft.functions.VectorExpressions.diagMahalanobis(
+          col(vecCol), c, ones)).reduce(least(_, _))
+      val next = df.select(col(idCol).as("__id"), dist.as("__d"))
+        .where(col("__d").isNotNull)
+        .orderBy(desc("__d"), col("__id"))
+        .limit(1).head()
+      picked += ((step.toLong, next.getLong(0), next.getDouble(1)))
+      centers += vecOf(next.getLong(0))
+      step += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("step", "center_id", "dist")
+  }
 }

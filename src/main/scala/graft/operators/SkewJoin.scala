@@ -34,4 +34,29 @@ object SkewJoin {
       "__salt", explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Pre-flight forecast of an inner equi-join: EXACT output rows per
+    * key (nₐ·n_b — not an estimate: for an equi-join the per-key
+    * product IS the output size), heaviest keys first. This is the
+    * 10-second query you run BEFORE the 10-hour join: one hot key with
+    * 10⁶ × 10⁶ rows means 10¹² output rows in one task, and the choice
+    * between plain join / [[saltedEquiJoin]] / per-key caps should be
+    * made from this table, not from the postmortem. Cost: two
+    * map-side-combined count aggregates + an O(distinct-keys) join —
+    * payloads never move. NULL keys are excluded (inner equi-joins
+    * drop them anyway). */
+  def joinSizeEstimate(a: DataFrame, aKey: String,
+                       b: DataFrame, bKey: String,
+                       topK: Int = 20): DataFrame = {
+    require(topK > 0)
+    val ca = a.where(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.where(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("key")).agg(count(lit(1)).as("n_b"))
+    ca.join(cb, Seq("key"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("rows_out"))
+      .orderBy(desc("rows_out"), col("key"))
+      .limit(topK)
+  }
 }

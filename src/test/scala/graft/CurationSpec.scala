@@ -913,6 +913,24 @@ class CurationSpec extends SparkSpec {
     assert(got("news")._1 === "election")
   }
 
+  test("interleavePositions: stride schedule interleaves proportionally") {
+    import spark.implicits._
+    val df = (1L to 8L).map(i => (i, if (i <= 4) "a" else "b"))
+      .toDF("id", "src")
+    // w(a)=0.5, w(b)=0.25 → vt a: 2,4,6,8; b: 4,8,12,16 — consuming in
+    // vt order gives two a's per b (ties: a before b, then id)
+    val got = Mixing.interleavePositions(df, "id", "src",
+        Map("a" -> 0.5, "b" -> 0.25))
+      .orderBy(col("vt"), col("src"), col("id"))
+      .select("src").as[String].collect().toSeq
+    assert(got === Seq("a", "a", "b", "a", "a", "b", "b", "b"))
+    // a source not in the weight map is excluded from the order
+    val excl = Mixing.interleavePositions(
+      Seq((1L, "a"), (2L, "zz")).toDF("id", "src"), "id", "src",
+      Map("a" -> 1.0))
+    assert(excl.select("src").as[String].collect().toSeq === Seq("a"))
+  }
+
   test("hapaxStats: hand-counted vocab, null class bucketed") {
     import spark.implicits._
     val df = Seq(

@@ -2591,6 +2591,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(single === Seq((5L, 1L, 0.0)))
   }
 
+  test("prefixFilterJaccardPairs: full differential vs inverted index") {
+    // pseudo-random word-set docs incl. one boilerplate token shared by
+    // EVERY doc (the inverted-index path's quadratic hazard; the prefix
+    // path must still find the identical pair set)
+    val docs = (0 until 80).map { i =>
+      val h = i * 2654435761L
+      val ws = (0 until 4 + (i % 5)).map(j => s"w${(h + j * 17) % 23}")
+      (i.toLong, (ws :+ "common").mkString(" "))
+    }.toDF("id", "text")
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val pp = Dedup.prefixFilterJaccardPairs(docs, "id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = Dedup.ngramJaccardPairs(docs, "id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pp === brute, s"threshold $t pair sets diverged")
+      assert(brute.nonEmpty, s"threshold $t fixture found no pairs")
+      assert(pp.forall(_._3 >= t))
+    }
+  }
+
+  test("kCenters: greedy farthest-point picks, ties to the lowest id") {
+    // 4-dim points: a cluster near the origin and two far corners
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val pts = Seq(
+      (0L, v(0, 0, 0, 0)), (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(10, 10, 0, 0)),  // far corner A: d²=200 from origin
+      (4L, v(-10, 10, 0, 0)), // far corner B, same norm — tie broken to 3
+      (5L, v(0, 0, 5, 0))     // mid-range
+    ).toDF("id", "vec")
+    val got = graft.operators.Similarity
+      .kCenters(pts, "id", "vec", dim = 4, k = 3, startId = 0L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((1L, 0L, 0.0)))
+    assert(got(1) === ((2L, 3L, 200.0))) // tie with 4 → lower id wins
+    // after {0, 3}: point 4 is 200 from 0 and 400 from 3 → min 200;
+    // point 5 is 25 from 0 → next center is 4
+    assert(got(2) === ((3L, 4L, 200.0)))
+  }
+
+  test("joinSizeEstimate: exact per-key products, heaviest first") {
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val b = (Seq.fill(4)("k1") ++ Seq.fill(5)("k2") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val got = graft.operators.SkewJoin.joinSizeEstimate(a, "k", b, "k", 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // k3 has no match on b; nulls excluded
+    assert(got === Seq(("k1", 3L, 4L, 12L), ("k2", 2L, 5L, 10L)))
+  }
+
   private def r6d(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
