@@ -2715,6 +2715,39 @@ object SparkEntry {
           round(col("dist"), 6).as("dist"))
         .orderBy("step")),
 
+    // ---- k-NN label-noise audit: points whose nearest neighbors
+    // mostly carry a different label — exact audit-sample spelling
+    // (all-pairs cosine + top-k window), require-capped; dimension-
+    // order cosine makes the neighbor ranking bit-replayable
+    "q_label_noise" -> ((s, d) =>
+      Similarity.knnLabelDisagreement(
+        t(s, d, "embeddings").where(col("vec_id") < 200),
+        "vec_id", "embedding", "label", k = 5)),
+
+    // ---- physical-layout audit: rows + file count per partition
+    // directory from input_file_name() inside one aggregate scan — the
+    // small-files/skew check before compaction; DuckDB re-reads the
+    // same directory with filename=true as the oracle
+    "q_layout_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Bucketing.writePartitionedBy(docs, "/tmp/graft_layout_audit",
+        "source")
+      Bucketing.partitionAudit(s, "/tmp/graft_layout_audit", "source")
+    }),
+
+    // ---- site-section rollup: page volume by 2-segment path prefix;
+    // the n_pages/n_paths gap (p{id%50} pagination dupes planted) is
+    // the duplicated-pagination smell
+    "q_path_rollup" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val url = concat(lit("https://ex.com/sec"), (id % 5).cast("string"),
+        lit("/sub"), (id % 17).cast("string"),
+        lit("/p"), (id % 50).cast("string"), lit(".html"),
+        when(id % 3 === 0, lit("?page=2")).otherwise(lit("")))
+      WebFilter.pathPrefixRollup(
+        t(s, d, "documents").select(url.as("url")), "url", depth = 2)
+    }),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -6871,6 +6904,68 @@ object SparkEntry {
         |FROM c ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
 
     "q_kcenter" -> kCenterOracle(4),
+
+    // exact CosineSimilarity replica — dot/(√na·√nb + 1e-30), each sum
+    // in dimension order — so the (cos DESC, nid) neighbor ranking is
+    // bit-identical and the k-th neighbor never flips cross-engine
+    "q_label_noise" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, CAST(label AS VARCHAR) AS l
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (
+        |  SELECT a.vec_id AS id, a.l AS label, b.l AS nlabel,
+        |         b.vec_id AS nid,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+        |           CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |            CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+        |            CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(range(1, 65), i ->
+        |            CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) *
+        |            CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))) +
+        |          1e-30) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT id, label, nlabel,
+        |         row_number() OVER (PARTITION BY id
+        |                            ORDER BY cos DESC, nid) AS rk
+        |  FROM p)
+        |SELECT id, label,
+        |       CAST(sum(CASE WHEN nlabel <> label THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_diff,
+        |       round(CAST(sum(CASE WHEN nlabel <> label THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / 5, 6) AS disagreement
+        |FROM r WHERE rk <= 5 GROUP BY 1, 2 ORDER BY id""".stripMargin,
+
+    "q_layout_audit" ->
+      """SELECT regexp_extract(filename, 'source=([^/]+)', 1) AS part,
+        |       count(*) AS n_rows,
+        |       CAST(count(DISTINCT filename) AS BIGINT) AS n_files
+        |FROM read_parquet('/tmp/graft_layout_audit/**/*.parquet',
+        |                  filename=true)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_path_rollup" ->
+      """WITH u AS (
+        |  SELECT 'https://ex.com/sec' || CAST(doc_id % 5 AS VARCHAR) ||
+        |         '/sub' || CAST(doc_id % 17 AS VARCHAR) ||
+        |         '/p' || CAST(doc_id % 50 AS VARCHAR) || '.html' ||
+        |         CASE WHEN doc_id % 3 = 0 THEN '?page=2' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT coalesce(nullif(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/')
+        |    AS path
+        |  FROM u),
+        |s AS (SELECT path,
+        |             list_filter(string_split(path, '/'), x -> x <> '')
+        |               AS segs
+        |      FROM p)
+        |SELECT '/' || array_to_string(segs[1:2], '/') AS prefix,
+        |       count(*) AS n_pages,
+        |       CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        |FROM s GROUP BY 1 ORDER BY n_pages DESC, prefix""".stripMargin,
 
     "q_char_entropy" ->
       """WITH d AS (

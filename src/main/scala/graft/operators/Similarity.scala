@@ -770,6 +770,52 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(desc("n_vectors"), col("centroid_id"))
 
+  /** Label-noise candidates via k-NN label disagreement (the
+    * confident-learning / deep-kNN heuristic): a point whose k nearest
+    * neighbors mostly carry a DIFFERENT label is either mislabeled or
+    * sits on a class boundary — either way it's what a labeling audit
+    * should read first. Returns (id, label, n_diff, disagreement)
+    * per point.
+    *
+    * This is the exact AUDIT-SAMPLE spelling (all-pairs cosine +
+    * per-point top-k window): quadratic by construction, so it
+    * require-caps the input at `maxRows` — run it on a stratified
+    * sample ([[graft.operators.Mixing.stratifiedSample]]), or replace
+    * the pair source with the IVF probe ([[ivfTopKBatch]]) at corpus
+    * scale. Cosines come from the codegen'd [[graft.functions.CosineSimilarity]]
+    * in dimension order — bit-stable, so the (cos DESC, id ASC)
+    * neighbor ranking is deterministic and SQL-replayable. Null labels
+    * count as their own class (disagreeing with every real label —
+    * unlabeled rows in a labeled audit ARE anomalies). */
+  def knnLabelDisagreement(df: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, k: Int,
+                           maxRows: Int = 20000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"knnLabelDisagreement: input exceeds maxRows=$maxRows — this is " +
+      "the quadratic audit-sample path; sample first or use the IVF probe")
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      coalesce(col(labelCol).cast("string"), lit("<null>")).as("__l"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("id"), col("a.__l").as("label"),
+        col("b.__id").as("nid"), col("b.__l").as("nlabel"),
+        graft.functions.VectorExpressions.cosine(
+          col("a.__v"), col("b.__v")).as("cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(desc("cos"), col("nid"))
+    pairs.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .groupBy(col("id"), col("label"))
+      .agg(sum(when(col("nlabel") =!= col("label"), 1L).otherwise(0L))
+        .as("n_diff"))
+      .select(col("id"), col("label"), col("n_diff"),
+        round(col("n_diff").cast("double") / k, 6).as("disagreement"))
+      .orderBy(col("id"))
+  }
+
   /** Greedy k-center selection (Gonzalez 1985, the 2-approximation):
     * starting from `startId`, repeatedly pick the point FARTHEST (in
     * squared L2) from every center chosen so far — the coreset /

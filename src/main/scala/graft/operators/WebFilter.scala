@@ -216,4 +216,26 @@ object WebFilter {
         .as("n_params"),
       url.contains("#").as("has_fragment"))
   }
+
+  /** Site-section rollup: page volume by the first `depth` path
+    * segments — "is this domain 90 % /tag/ pagination?", the
+    * crawl-frontier prioritization view that [[hostOf]]-level counts
+    * can't give (a host is not a content unit; its sections are).
+    * Returns (prefix, n_pages, n_paths): total pages and DISTINCT full
+    * paths per section — a big n_pages/n_paths gap is the duplicated-
+    * pagination smell. Pure projection + one map-side-combinable
+    * aggregate pair; URLs with no parsable path roll up under "/".
+    * Segment extraction reuses [[pathOf]]'s RE2-safe regex family. */
+  def pathPrefixRollup(df: DataFrame, urlCol: String,
+                       depth: Int): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    val segs = filter(split(pathOf(col(urlCol)), "/"), s => s =!= "")
+    val prefix = concat(lit("/"),
+      concat_ws("/", slice(segs, 1, depth)))
+    df.select(prefix.as("prefix"), pathOf(col(urlCol)).as("__path"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_pages"),
+        count_distinct(col("__path")).as("n_paths"))
+      .orderBy(desc("n_pages"), col("prefix"))
+  }
 }

@@ -49,4 +49,37 @@ object Bucketing {
     spark.table(leftName)
       .join(spark.table(rightName), col(leftKey) === col(rightKey))
   }
+
+  /** Write `df` hive-partitioned by `partCol` (one file per partition
+    * value: the hash repartition on the key routes each value to one
+    * task, and the partitioned writer splits per value within it). The
+    * physical-layout half of the storage tier next to [[writeBucketed]]:
+    * partition pruning needs the directories, and the AUDIT below needs
+    * a layout to audit. */
+  def writePartitionedBy(df: DataFrame, path: String,
+                         partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+
+  /** Physical-layout audit of a partitioned parquet dataset: rows and
+    * FILE COUNT per partition directory — the small-files / skewed-
+    * partition check that decides compaction before a 100 TB table
+    * rots (10⁶ tiny files cost more in listing + task overhead than
+    * the data; one 500 GB partition starves its readers). Derived from
+    * `input_file_name()` inside one aggregate scan — no filesystem
+    * walk on the driver, so it parallelizes with the read itself. */
+  def partitionAudit(spark: SparkSession, path: String,
+                     partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .select(regexp_extract(input_file_name(),
+        java.util.regex.Pattern.quote(partCol) + "=([^/]+)", 1).as("part"),
+        input_file_name().as("__f"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("__f")).as("n_files"))
+      .orderBy(col("part"))
+  }
 }

@@ -57,4 +57,15 @@ class BucketingSpec extends SparkSpec {
       Bucketing.writeBucketed(df, "bspec_bad", s"$base/bad", "id", 6)
     }
   }
+
+  test("partitionAudit: rows and file counts per partition directory") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    val path = s"$base/layout_audit"
+    Bucketing.writePartitionedBy(df, path, "p")
+    val got = Bucketing.partitionAudit(spark, path, "p")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 5L, 1L), ("b", 3L, 1L), ("c", 1L, 1L)))
+  }
 }

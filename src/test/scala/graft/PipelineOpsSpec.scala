@@ -2641,6 +2641,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq(("k1", 3L, 4L, 12L), ("k2", 2L, 5L, 10L)))
   }
 
+  test("knnLabelDisagreement: planted mislabel found, cap enforced") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two tight clusters; id 3 sits IN cluster A but carries B's label
+    val pts = Seq(
+      (1L, v(1, 0, 0), "A"), (2L, v(0.9, 0.1, 0), "A"),
+      (3L, v(0.95, 0.05, 0), "B"), // mislabeled
+      (4L, v(0, 0, 1), "B"), (5L, v(0, 0.1, 0.9), "B"),
+      (6L, v(0.1, 0, 0.95), null.asInstanceOf[String]) // unlabeled
+    ).toDF("id", "vec", "label")
+    val got = graft.operators.Similarity
+      .knnLabelDisagreement(pts, "id", "vec", "label", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(got(3L) === (("B", 2L))) // both neighbors are A → flagged
+    assert(got(1L)._2 === 1L)       // one of its 2-NN is the mislabel
+    assert(got(6L)._1 === "<null>") // unlabeled = its own class
+    assert(got(6L)._2 === 2L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity
+        .knnLabelDisagreement(pts, "id", "vec", "label", 2, maxRows = 3)
+    }
+  }
+
+  test("pathPrefixRollup: section volumes, pagination gap visible") {
+    val urls = Seq(
+      "https://a.com/blog/2024/post1",
+      "https://a.com/blog/2024/post1?page=2", // same path after ?-strip
+      "https://a.com/blog/2024/post2",
+      "https://a.com/tag/x/p1",
+      "https://a.com",                         // no path → "/"
+      "not a url"                              // unparsable → "/"
+    ).toDF("url")
+    val got = graft.operators.WebFilter.pathPrefixRollup(urls, "url", 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("/blog/2024", 3L, 2L), ("/", 2L, 1L),
+      ("/tag/x", 1L, 1L)))
+  }
+
   private def r6d(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
