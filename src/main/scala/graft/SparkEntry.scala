@@ -2748,6 +2748,44 @@ object SparkEntry {
         t(s, d, "documents").select(url.as("url")), "url", depth = 2)
     }),
 
+    // ---- rank-biased overlap between two top-50 quality rankings
+    // (3/4 shared scores → high but non-1 RBO): rankings built with
+    // TakeOrdered + a window over the 50-row frame, never the corpus
+    "q_rbo" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val id = col("doc_id").cast("long")
+      val s1 = (id * 2654435761L + 7L) % 1000000007L
+      val s2 = when(id % 4 === 0,
+        (id * 1099511627L + 13L) % 1000000007L).otherwise(s1)
+      def rank(score: Column): DataFrame =
+        docs.select(col("doc_id"), score.as("__s"))
+          .orderBy(desc("__s"), col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("__s"), col("doc_id"))))
+      Drift.rankBiasedOverlap(rank(s1), rank(s2), "doc_id", "rank",
+        k = 50, p = 0.9)
+    }),
+
+    // ---- blocking-quality meta-eval for the edit-distance banding:
+    // reduction ratio + measured completeness (provably 1.0 — and
+    // measured anyway) on the same synthetic keys as q_editdist_pairs
+    "q_blocking_quality" -> ((s, d) => {
+      val recs = t(s, d, "documents")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), expr(
+          "concat('rec-', lpad(CAST(doc_id % 40 AS STRING), 3, '0'), " +
+          "repeat('z', CAST(doc_id % 4 AS INT)))").as("k"))
+      EditDistance.bandingStats(recs, "doc_id", "k", maxDist = 2,
+        bucketWidth = 2)
+    }),
+
+    // ---- CUBE data card: all four grouping granularities of
+    // (lang, source) in ONE aggregate pass; '<all>' marks roll-ups,
+    // gid carries the grouping bits
+    "q_cube" -> ((s, d) =>
+      Profile.cubeCounts(t(s, d, "documents"), "lang", "source")),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -6904,6 +6942,80 @@ object SparkEntry {
         |FROM c ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
 
     "q_kcenter" -> kCenterOracle(4),
+
+    // (1.0 − 0.9) spelled as DOUBLE subtraction — DuckDB's DECIMAL
+    // literals would otherwise yield exact 0.1 vs IEEE 0.0999…8
+    "q_rbo" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         (doc_id * 2654435761 + 7) % 1000000007 AS s1,
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN (doc_id * 1099511627 + 13) % 1000000007
+        |              ELSE (doc_id * 2654435761 + 7) % 1000000007
+        |         END AS s2
+        |  FROM documents),
+        |ra AS (SELECT doc_id,
+        |              CAST(row_number() OVER (ORDER BY s1 DESC, doc_id)
+        |                   AS BIGINT) AS r
+        |       FROM s ORDER BY s1 DESC, doc_id LIMIT 50),
+        |rb AS (SELECT doc_id,
+        |              CAST(row_number() OVER (ORDER BY s2 DESC, doc_id)
+        |                   AS BIGINT) AS r
+        |       FROM s ORDER BY s2 DESC, doc_id LIMIT 50),
+        |m AS (SELECT greatest(ra.r, rb.r) AS m
+        |      FROM ra JOIN rb USING (doc_id)),
+        |dd AS (SELECT unnest(range(1, 51)) AS d),
+        |x AS (SELECT dd.d,
+        |             (SELECT count(*) FROM m WHERE m.m <= dd.d) AS x
+        |      FROM dd)
+        |SELECT round(sum((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) *
+        |                 pow(CAST(0.9 AS DOUBLE), x.d - 1) *
+        |                 (CAST(x.x AS DOUBLE) / CAST(x.d AS DOUBLE))), 6)
+        |         AS rbo,
+        |       CAST(max(x.x) AS BIGINT) AS n_common,
+        |       CAST(50 AS BIGINT) AS k
+        |FROM x""".stripMargin,
+
+    "q_blocking_quality" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         'rec-' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') ||
+        |         repeat('z', CAST(doc_id % 4 AS INT)) AS k
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |n AS (SELECT count(*) AS n FROM r),
+        |pairs AS (
+        |  SELECT length(a.k) AS la, length(b.k) AS lb,
+        |         length(a.k) // 2 AS ba, length(b.k) // 2 AS bb,
+        |         levenshtein(a.k, b.k) AS dist
+        |  FROM r a JOIN r b ON a.doc_id < b.doc_id),
+        |agg AS (
+        |  SELECT count(*) AS total,
+        |         CAST(sum(CASE WHEN abs(la - lb) <= 2
+        |                        AND abs(ba - bb) <= 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS cand,
+        |         CAST(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_true,
+        |         CAST(sum(CASE WHEN abs(la - lb) <= 2
+        |                        AND abs(ba - bb) <= 1 AND dist <= 2
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+        |  FROM pairs)
+        |SELECT n.n AS n_items, agg.total AS n_pairs_total,
+        |       agg.cand AS n_candidates,
+        |       round(CAST(1 AS DOUBLE)
+        |             - CAST(agg.cand AS DOUBLE)
+        |               / CAST(agg.total AS DOUBLE), 6) AS reduction_ratio,
+        |       agg.n_true, agg.n_found,
+        |       round(CAST(agg.n_found AS DOUBLE)
+        |             / CAST(agg.n_true AS DOUBLE), 6) AS completeness
+        |FROM n, agg""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(lang, '<all>') AS lang,
+        |       coalesce(source, '<all>') AS source,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |       count(*) AS n
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
 
     // exact CosineSimilarity replica — dot/(√na·√nb + 1e-30), each sum
     // in dimension order — so the (cos DESC, nid) neighbor ranking is

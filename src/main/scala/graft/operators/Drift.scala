@@ -541,6 +541,47 @@ object Drift {
       .toDF("n_points", "slope", "intercept")
   }
 
+  /** Truncated rank-biased overlap (Webber et al., TOIS 2010) between
+    * two top-k rankings: RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·X_d/d, with
+    * X_d = |prefix_d(A) ∩ prefix_d(B)| — the top-weighted answer to
+    * "did the quality scorer's ranking MOVE?" that plain set-overlap
+    * can't give (rank 1↔2 swaps barely matter, head↔tail swaps
+    * dominate). Truncated form (no residual extrapolation): ∈ [0,
+    * 1−p^k... 1], 1 = identical prefixes. Inputs are two (id, rank)
+    * frames with ranks 1..k — O(k) by construction (rank with
+    * TakeOrdered + a window over the k-frame, never the corpus); the
+    * whole computation is one O(k) join + cumsum window + weighted
+    * sum. An element in only one ranking contributes to no X_d. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                        rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0 && p < 1, "p in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val ra = a.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .where(col("__ra") <= k)
+    val rb = b.select(col(idCol).as("__id"), col(rankCol).as("__rb"))
+      .where(col("__rb") <= k)
+    // element visible in both prefixes from depth max(ra, rb) on
+    val joint = ra.join(rb, Seq("__id"))
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val depths = (1 to k).map(_.toLong).toDF("__d")
+    val w = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0) // O(k) frame only
+    depths.join(joint, col("__d") === col("__m"), "left")
+      .withColumn("__x", sum(coalesce(col("__c"), lit(0L))).over(w))
+      .select(sum(
+        lit(1.0 - p) * pow(lit(p), col("__d") - 1) *
+          (col("__x").cast("double") / col("__d").cast("double")))
+        .as("rbo"),
+        max(col("__x")).as("n_common"))
+      .select(round(col("rbo"), 6).as("rbo"), col("n_common"),
+        lit(k.toLong).as("k"))
+  }
+
   def qqQuantiles(dfA: DataFrame, dfB: DataFrame, valueCol: String,
                   probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty, "qqQuantiles needs at least one probability")

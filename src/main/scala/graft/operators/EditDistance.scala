@@ -70,6 +70,60 @@ object EditDistance {
       .where(col("dist") >= 0) // threshold form returns -1 above maxDist
   }
 
+  /** Blocking-quality meta-evaluation — "measure, don't guess" for the
+    * candidate generation itself: how many of the n(n−1)/2 possible
+    * pairs did the length banding actually test (reduction ratio), and
+    * did it find every true match (pair completeness — provably 1.0
+    * for this banding, and this measures it rather than trusting the
+    * proof)? The numbers that justify running banded candidates at
+    * 100 TB where brute force is off the table. One row:
+    * (n_items, n_pairs_total, n_candidates, reduction_ratio, n_true,
+    * n_found, completeness). `n_true` brute-forces all pairs — this is
+    * the AUDIT-SAMPLE operator (same quadratic contract as the oracle
+    * that verifies it); run it on a sample, trust the banding on the
+    * corpus. */
+  def bandingStats(df: DataFrame, idCol: String, keyCol: String,
+                   maxDist: Int, bucketWidth: Int = 8,
+                   maxKeyLen: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val narrow = df
+      .where(col(keyCol).isNotNull && length(col(keyCol)) <= maxKeyLen)
+      .select(col(idCol).as("__id"), col(keyCol).as("__key"),
+        length(col(keyCol)).as("__len"))
+    val n = narrow.count()
+    val banded = narrow
+      .withColumn("__bkt", (col("__len") / bucketWidth).cast("long"))
+    // candidates: the banded join's raw output (pre-verify)
+    val nCand = banded.select(col("__id").as("ia"),
+        col("__len").as("__la"),
+        explode(array(col("__bkt") - 1, col("__bkt"), col("__bkt") + 1))
+          .as("__jb"))
+      .join(banded.select(col("__id").as("ib"), col("__len").as("__lb"),
+        col("__bkt").as("__jb")), Seq("__jb"))
+      .where(col("ia") < col("ib") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .count()
+    // ground truth: every pair, no banding (the quadratic audit side)
+    val nTrue = narrow.as("a").join(narrow.as("b"),
+        col("a.__id") < col("b.__id"))
+      .where(levenshtein(col("a.__key"), col("b.__key"), maxDist) >= 0)
+      .count()
+    val nFound = neardupPairs(df, idCol, keyCol, maxDist, bucketWidth,
+      maxKeyLen).count()
+    val total = n * (n - 1) / 2
+    import spark.implicits._
+    Seq((n, total, nCand,
+        if (total > 0) BigDecimal(1.0 - nCand.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0,
+        nTrue, nFound,
+        if (nTrue > 0) BigDecimal(nFound.toDouble / nTrue)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 1.0))
+      .toDF("n_items", "n_pairs_total", "n_candidates", "reduction_ratio",
+        "n_true", "n_found", "completeness")
+  }
+
   /** Length-bucket occupancy — the skew observability companion: a
     * bucket of size s contributes O(s²) candidate pairs, so a hot
     * bucket (one dominant key length) is THE scale hazard here; check

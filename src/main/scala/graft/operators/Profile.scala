@@ -634,6 +634,23 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** CUBE data card: counts at every grouping granularity of two
+    * dimensions at once — (a,b), (a,*), (*,b), (*,*) — the one-pass
+    * spelling of the four GROUP BYs a composition dashboard runs
+    * (Spark expands grouping sets inside a single aggregate; four
+    * separate scans would read the table four times). Rolled-up
+    * positions render as '<all>' and `gid` carries the grouping bits
+    * (MSB = first dimension), so data NULLs and roll-up NULLs can't
+    * be confused. */
+  def cubeCounts(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.cube(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(
+        coalesce(col(aCol).cast("string"), lit("<all>")).as(aCol),
+        coalesce(col(bCol).cast("string"), lit("<all>")).as(bCol),
+        col("gid").cast("long").as("gid"), col("n"))
+      .orderBy("gid", aCol, bCol)
+
   /** Exact percentile ranks per DISTINCT value — score normalization
     * to the corpus's own CDF (the step before mixing quality signals
     * on different scales), without the trap spelling: a

@@ -214,6 +214,33 @@ class DriftSpec extends AnyFunSuite {
     assert(frac === ((0.5, 2.5, 2.5, 0.0)))
   }
 
+  test("rankBiasedOverlap: identity, disjoint, and head-weighted cases") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def ranks(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("id", "rank")
+    // identical prefixes: X_d = d → RBO = 1 − p^k
+    val same = Drift.rankBiasedOverlap(
+      ranks(Seq(10L, 20L, 30L)), ranks(Seq(10L, 20L, 30L)),
+      "id", "rank", k = 3, p = 0.5).head()
+    assert(same.getAs[Double]("rbo") === 0.875) // 1 − 0.5³
+    assert(same.getAs[Long]("n_common") === 3L)
+    // disjoint → 0
+    val disj = Drift.rankBiasedOverlap(
+      ranks(Seq(1L, 2L)), ranks(Seq(8L, 9L)), "id", "rank", 2, 0.5)
+      .head()
+    assert(disj.getAs[Double]("rbo") === 0.0)
+    // head agreement outweighs tail agreement at the same overlap size
+    val headAgree = Drift.rankBiasedOverlap(
+      ranks(Seq(1L, 2L, 3L)), ranks(Seq(1L, 8L, 9L)), "id", "rank", 3, 0.5)
+      .head().getAs[Double]("rbo")
+    val tailAgree = Drift.rankBiasedOverlap(
+      ranks(Seq(1L, 2L, 3L)), ranks(Seq(8L, 9L, 3L)), "id", "rank", 3, 0.5)
+      .head().getAs[Double]("rbo")
+    assert(headAgree > tailAgree)
+  }
+
   test("theilSenTrend: one spike day cannot move the robust fit") {
     val spark = SparkSpec.session
     import spark.implicits._

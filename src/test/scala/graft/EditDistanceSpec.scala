@@ -93,6 +93,24 @@ class EditDistanceSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("bandingStats: hand-counted reduction, completeness measured 1.0") {
+    // lengths 3 and 10: cross-length pairs fail both the length filter
+    // and the bucket filter, so the banding tests only within-cluster
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"),
+      (4L, "abcdefghij"), (5L, "abcdefghiz")).toDF("id", "k")
+    val got = EditDistance.bandingStats(df, "id", "k", maxDist = 2,
+      bucketWidth = 2).head()
+    assert(got.getAs[Long]("n_items") === 5L)
+    assert(got.getAs[Long]("n_pairs_total") === 10L)
+    // candidates: the 3+1 within-length pairs (3 among len-3, 1 len-10)
+    assert(got.getAs[Long]("n_candidates") === 4L)
+    assert(got.getAs[Double]("reduction_ratio") === 0.6)
+    // true matches: (abc,abd)=1 and (…hij,…hiz)=1; abc/xyz is 3 edits
+    assert(got.getAs[Long]("n_true") === 2L)
+    assert(got.getAs[Long]("n_found") === 2L)
+    assert(got.getAs[Double]("completeness") === 1.0)
+  }
+
   test("gapSummary: hand-built islands, duplicates, and planted holes") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L, 10L, 15L, 15L) // dup 15
     val got = Continuity.gapSummary(ids.toDF("id"), "id").collect()(0)

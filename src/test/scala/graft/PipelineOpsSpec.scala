@@ -2679,6 +2679,22 @@ class PipelineOpsSpec extends SparkSpec {
       ("/tag/x", 1L, 1L)))
   }
 
+  test("cubeCounts: all four granularities in one pass, sums consistent") {
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "code"),
+      ("de", "web")).toDF("lang", "src")
+    val got = Profile.cubeCounts(df, "lang", "src")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.toSet === Set(
+      ("en", "web", 0L, 2L), ("en", "code", 0L, 1L), ("de", "web", 0L, 1L),
+      ("en", "<all>", 1L, 3L), ("de", "<all>", 1L, 1L),
+      ("<all>", "web", 2L, 3L), ("<all>", "code", 2L, 1L),
+      ("<all>", "<all>", 3L, 4L)))
+    // each granularity level must re-total to the row count
+    Seq(0L, 1L, 2L, 3L).foreach { g =>
+      assert(got.filter(_._3 == g).map(_._4).sum === 4L, s"gid $g")
+    }
+  }
+
   private def r6d(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
