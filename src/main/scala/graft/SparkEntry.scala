@@ -2786,6 +2786,21 @@ object SparkEntry {
     "q_cube" -> ((s, d) =>
       Profile.cubeCounts(t(s, d, "documents"), "lang", "source")),
 
+    // ---- mass-weighted length percentiles: where the TOKEN MASS
+    // sits, not where the median document sits — cumulative window
+    // over the O(distinct) frame only, integer masses exact
+    "q_mass_percentiles" -> ((s, d) =>
+      Profile.massWeightedPercentiles(t(s, d, "documents"),
+        "n_chars", "n_chars", Seq(0.5, 0.9, 0.99))),
+
+    // ---- validation-rule co-occurrence: which rules trip TOGETHER
+    // (one defect, not two) — distinct (doc, rule) self-join bounded
+    // by nRules² per doc, over the flagship seq-constraint violations
+    "q_rule_cooccur" -> ((s, d) =>
+      ValidationPass.ruleCooccurrence(
+        ValidationPass.seqViolations(seqFromDocs(s, d),
+          ValidationPass.seqConstraints(50000, SeqTableGen.Sources)))),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -6266,6 +6281,15 @@ object SparkEntry {
         |SELECT rule_id, count(*) AS n_violations FROM ($SeqViolationsSql)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_rule_cooccur" ->
+      s"""WITH $SeqTableCte,
+        |v AS ($SeqViolationsSql),
+        |d AS (SELECT DISTINCT doc_id, rule_id FROM v)
+        |SELECT a.rule_id AS rule_a, b.rule_id AS rule_b,
+        |       count(*) AS n_docs
+        |FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.rule_id < b.rule_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_seq_violations" ->
       s"""WITH $SeqTableCte
         |SELECT doc_id, rule_id, offending_value FROM ($SeqViolationsSql)
@@ -6942,6 +6966,27 @@ object SparkEntry {
         |FROM c ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
 
     "q_kcenter" -> kCenterOracle(4),
+
+    "q_mass_percentiles" ->
+      """WITH pv AS (
+        |  SELECT n_chars AS value, count(*) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS m
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT value,
+        |         CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |         CAST(sum(m) OVER w AS BIGINT) AS cm
+        |  FROM pv WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT max(cm) AS tt FROM c),
+        |p AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        |SELECT p.p, min(c.value) AS threshold,
+        |       arg_min(c.cn, c.value) AS n_le,
+        |       arg_min(c.cm, c.value) AS mass_le,
+        |       round(CAST(arg_min(c.cm, c.value) AS DOUBLE)
+        |             / CAST(t.tt AS DOUBLE), 6) AS mass_frac
+        |FROM p, t, c
+        |WHERE CAST(c.cm AS DOUBLE) >= p.p * CAST(t.tt AS DOUBLE)
+        |GROUP BY p.p, t.tt ORDER BY p.p""".stripMargin,
 
     // (1.0 − 0.9) spelled as DOUBLE subtraction — DuckDB's DECIMAL
     // literals would otherwise yield exact 0.1 vs IEEE 0.0999…8

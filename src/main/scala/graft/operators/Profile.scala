@@ -634,6 +634,50 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Mass-weighted percentiles: the smallest value v with
+    * Σ mass(rows ≤ v) ≥ p · total mass — "p% of the TOKENS live in
+    * documents shorter than X", which is the question batch/shard
+    * sizing actually asks (the count-weighted median document says
+    * nothing about where the token mass sits when lengths are
+    * heavy-tailed, and web corpora always are). Same scale shape as
+    * [[percentileRanks]]: per-distinct-value (count, mass) collapses
+    * map-side, the cumulative window runs over the O(distinct) frame,
+    * and the threshold pick is a tiny probs × distinct filter-agg.
+    * Integer cumulative masses keep both engines exact; the p·total
+    * comparison point is one double multiply, identical cross-engine.
+    * Returns (p, threshold, n_le, mass_le, mass_frac) per
+    * probability. NULL values are excluded. */
+  def massWeightedPercentiles(df: DataFrame, valueCol: String,
+                              massCol: String,
+                              probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "at least one probability")
+    require(probs.forall(p => p > 0 && p <= 1), "probs in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val perValue = df
+      .where(col(valueCol).isNotNull && col(massCol).isNotNull)
+      .groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("__n"), sum(col(massCol)).as("__m"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0) // O(distinct) frame
+    val cum = perValue
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cm", sum(col("__m")).over(w))
+    val total = cum.agg(max(col("__cm")).as("__t"))
+    import spark.implicits._
+    val ps = probs.toDF("p")
+    ps.crossJoin(broadcast(total)).join(cum,
+        col("__cm").cast("double") >= col("p") * col("__t").cast("double"))
+      .groupBy(col("p"))
+      .agg(min(struct(col("value"), col("__cn"), col("__cm"))).as("__pick"),
+        first(col("__t")).as("__tt"))
+      .select(col("p"), col("__pick.value").as("threshold"),
+        col("__pick.__cn").as("n_le"), col("__pick.__cm").as("mass_le"),
+        round(col("__pick.__cm").cast("double") /
+          col("__tt").cast("double"), 6).as("mass_frac"))
+      .orderBy("p")
+  }
+
   /** CUBE data card: counts at every grouping granularity of two
     * dimensions at once — (a,b), (a,*), (*,b), (*,*) — the one-pass
     * spelling of the four GROUP BYs a composition dashboard runs

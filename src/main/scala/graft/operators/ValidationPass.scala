@@ -429,4 +429,24 @@ object ValidationPass {
         filter(array(ruleTags: _*), x => x.isNotNull))
     (clean, dirty)
   }
+
+  /** Rule co-occurrence matrix over a violations frame (doc_id,
+    * rule_id, …): for each rule PAIR, how many documents trip both —
+    * the root-cause view over per-rule counts (R_NONNULL and R_REGEX
+    * firing together on every blank id is ONE defect, not two; two
+    * independent counters hide that). One distinct (doc, rule)
+    * projection, then a self-join whose per-doc fan-out is bounded by
+    * nRules² (rules are a fixed catalog), then an O(rule-pairs)
+    * count — document payloads never enter any exchange. */
+  def ruleCooccurrence(violations: DataFrame, idCol: String = "doc_id",
+                       ruleCol: String = "rule_id"): DataFrame = {
+    val d = violations.select(col(idCol).as("__d"), col(ruleCol).as("__r"))
+      .distinct()
+    d.select(col("__d"), col("__r").as("rule_a"))
+      .join(d.select(col("__d"), col("__r").as("rule_b")), Seq("__d"))
+      .where(col("rule_a") < col("rule_b"))
+      .groupBy(col("rule_a"), col("rule_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("rule_a"), col("rule_b"))
+  }
 }

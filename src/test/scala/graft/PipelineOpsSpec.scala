@@ -2695,6 +2695,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("massWeightedPercentiles: token mass sits where counts don't") {
+    // six 1-char docs + one 100-char doc: the count-median is 1, but
+    // half the MASS needs the big doc
+    val df = (Seq.fill(6)(1L) :+ 100L).toDF("len")
+    val got = Profile.massWeightedPercentiles(df, "len", "len",
+        Seq(0.05, 0.5))
+      .as[(Double, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0.05, 1L, 6L, 6L, r6d(6.0 / 106.0)),  // 5% of mass: tiny docs do
+      (0.5, 100L, 7L, 106L, 1.0)))           // 50%: only with the giant
+    // null masses/values excluded
+    val withNull = Profile.massWeightedPercentiles(
+      Seq(Some(1L), None).toDF("len"), "len", "len", Seq(1.0))
+      .as[(Double, Long, Long, Long, Double)].collect()
+    assert(withNull === Seq((1.0, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("ruleCooccurrence: pairs counted once per doc, singles absent") {
+    import graft.operators.ValidationPass
+    val v = Seq(
+      (1L, "R_A"), (1L, "R_B"), (1L, "R_B"), // dup (doc,rule) collapses
+      (2L, "R_A"), (2L, "R_B"), (2L, "R_C"),
+      (3L, "R_C")                            // single rule: no pair
+    ).toDF("doc_id", "rule_id")
+    val got = ValidationPass.ruleCooccurrence(v)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("R_A", "R_B", 2L), ("R_A", "R_C", 1L),
+      ("R_B", "R_C", 1L)))
+  }
+
   private def r6d(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -325,4 +325,65 @@ class StreamingSpec extends SparkSpec {
     assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
     assert(exact.nonEmpty)
   }
+
+  test("disorder-profiled watermark: measured max lateness guarantees " +
+       "no event loss in the finalized windows") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sessionize
+    // hand-built arrival stream: one event arrives 3 h event-time-late
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(h: Double): java.sql.Timestamp =
+      new java.sql.Timestamp(base + (h * 3600 * 1000).toLong)
+    val rows = Seq(
+      (1L, 1L, ts(10.0)), (1L, 2L, ts(11.0)), (1L, 3L, ts(12.0)),
+      (1L, 4L, ts(12.5)), (1L, 5L, ts(9.5)), // ← 3 h late vs max-so-far
+      (1L, 6L, ts(13.0)),
+      (1L, 7L, ts(18.0)), (1L, 8L, ts(19.0)), (1L, 9L, ts(20.0)))
+      .toDF("user", "arrival", "et")
+    // the profile MEASURES the lateness the watermark must absorb
+    val prof = Sessionize.disorderProfile(rows, "user", "arrival", "et")
+      .head()
+    assert(prof.getAs[Long]("n_late") === 1L)
+    val delayS = prof.getAs[Long]("max_late_s")
+    assert(delayS === 3 * 3600L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_wm").toString
+    // the file source orders by modification time — write the three
+    // arrival batches sequentially with real mtime gaps so the stream
+    // replays the ARRIVAL order the lateness was measured against
+    Seq(rows.where($"arrival" <= 3), rows.where($"arrival".between(4, 6)),
+        rows.where($"arrival" >= 7)).foreach { part =>
+      part.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1200)
+    }
+    def hourly(delay: String, sink: String): Map[String, Long] = {
+      val counts = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withWatermark("et", delay)
+        .groupBy(window($"et", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format($"w.start", "HH:mm").as("h"), $"n")
+      StreamingValidation.runToMemorySink(counts, sink)
+      spark.table(sink).collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    }
+    // Spark's watermark contract is one-directional: data later than
+    // the delay MAY be dropped; data within it never is. The profile
+    // supplies the delay that puts EVERY observed event inside the
+    // guarantee — so each window the watermark finalized must equal
+    // batch truth exactly, including the 3-h-late event's 09:00 window
+    // (which a guessed smaller delay would have left to best-effort).
+    val exact = hourly(s"$delayS seconds", "wm_measured")
+    val batchTruth = rows
+      .groupBy(window($"et", "1 hour").as("w")).agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "HH:mm").as("h"), $"n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.get("09:00") === Some(1L)) // the late event, kept
+    exact.foreach { case (h, n) =>
+      assert(batchTruth(h) === n, s"window $h diverged from batch")
+    }
+    // final watermark = 20:00 − 3 h: windows ending after 17:00 are
+    // not yet finalized and correctly held back
+    assert(exact.keySet === Set("09:00", "10:00", "11:00", "12:00", "13:00"))
+  }
 }
