@@ -2801,6 +2801,60 @@ object SparkEntry {
         ValidationPass.seqViolations(seqFromDocs(s, d),
           ValidationPass.seqConstraints(50000, SeqTableGen.Sources)))),
 
+    // ---- Unicode script-mix profile: planted Cyrillic/CJK-dominant
+    // docs and latin+Greek mixed docs by doc_id arithmetic — the
+    // contamination signal stopword langid misses
+    "q_script_mix" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val txt = when(id % 19 === 0,
+          expr("repeat('привет мир данные ', CAST(doc_id % 5 + 2 AS INT))"))
+        .when(id % 23 === 0,
+          expr("repeat('数据质量检查 ', CAST(doc_id % 4 + 2 AS INT))"))
+        .when(id % 7 === 0,
+          concat(substring(col("text"), 1, 30),
+            lit(" αβγδεζηθικλμνξοπρστυφχψω αβγδεζηθικλμνξο")))
+        .otherwise(col("text"))
+      TextAnalysis.scriptMix(
+        t(s, d, "documents").select(col("doc_id"), txt.as("text")),
+        "doc_id", "text")
+    }),
+
+    // ---- Heaps'-law vocab-growth fit (the q_zipf_fit companion):
+    // cumulative vocab vs cumulative tokens in doc_id order, both
+    // cumulatives on the two-level distributed prefix sum
+    "q_heaps_fit" -> ((s, d) =>
+      TextAnalysis.heapsFit(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- Wald–Wolfowitz runs test on above-median doc length in
+    // doc_id order — "is the pack order actually shuffled?"
+    "q_runs_test" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val med = docs.agg(
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.5D)").as("__med"))
+      val flagged = docs.crossJoin(broadcast(med))
+        .select(col("doc_id"),
+          (col("n_chars").cast("double") > col("__med")).as("__flag"))
+      Profile.runsTest(flagged, "doc_id", "__flag")
+    }),
+
+    // ---- stage conservation audit: length-tier split of documents
+    // must reassemble exactly (counts + char mass + xor id digest;
+    // every residual 0) — the invariant funnel counts can't prove
+    "q_conservation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Funnel.conservation(docs, Seq(
+          "long" -> docs.where(col("n_chars") >= 500),
+          "mid" -> docs.where(col("n_chars") >= 200 && col("n_chars") < 500),
+          "short" -> docs.where(col("n_chars") < 200)),
+        "doc_id", Some("n_chars")).orderBy(col("stage"))
+    }),
+
+    // ---- lag-k autocorrelation of hourly event volume (seasonality /
+    // double-fire QC); pairs via hash self-join on the O(hours) frame
+    "q_autocorr" -> ((s, d) =>
+      Drift.autocorrelation(t(s, d, "events"), "ts",
+        Seq(1, 2, 3, 6, 12, 24))),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -7136,7 +7190,199 @@ object SparkEntry {
         |FROM d LEFT JOIN (
         |  SELECT doc_id, round(entropy(substr(t, CAST(i AS INT), 1)), 4) AS h
         |  FROM c GROUP BY doc_id) h USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // script-mix: identical planted-text CASE, identical RE2 character
+    // classes, identical priority-order dominant tie-break
+    "q_script_mix" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0
+        |           THEN repeat('привет мир данные ',
+        |                       CAST(doc_id % 5 + 2 AS INT))
+        |         WHEN doc_id % 23 = 0
+        |           THEN repeat('数据质量检查 ', CAST(doc_id % 4 + 2 AS INT))
+        |         WHEN doc_id % 7 = 0
+        |           THEN substr(text, 1, 30) ||
+        |                ' αβγδεζηθικλμνξοπρστυφχψω αβγδεζηθικλμνξο'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+        |      AS n_latin,
+        |    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+        |      AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+        |      AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]'))
+        |      AS BIGINT) AS n_greek
+        |  FROM x),
+        |e AS (
+        |  SELECT *, n_latin + n_cyrillic + n_cjk + n_greek
+        |           AS n_script_chars,
+        |         greatest(n_latin, n_cyrillic, n_cjk, n_greek) AS top
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_greek,
+        |  n_script_chars,
+        |  CASE WHEN n_script_chars = 0 THEN 'none'
+        |       WHEN n_latin = top THEN 'latin'
+        |       WHEN n_cyrillic = top THEN 'cyrillic'
+        |       WHEN n_cjk = top THEN 'cjk' ELSE 'greek' END AS dominant,
+        |  CASE WHEN n_script_chars = 0 THEN NULL
+        |       ELSE round(CAST(top AS DOUBLE)
+        |                  / CAST(n_script_chars AS DOUBLE), 6)
+        |  END AS purity,
+        |  CASE WHEN n_script_chars = 0 THEN FALSE
+        |       ELSE round(CAST(top AS DOUBLE)
+        |                  / CAST(n_script_chars AS DOUBLE), 6) < 0.8
+        |  END AS mixed
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // Heaps fit: cumulative tokens / cumulative first-seen vocab in
+    // doc_id order (the oracle's window cumsum replays the engine's
+    // two-level prefix sum), OLS in log-log space
+    "q_heaps_fit" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |pt AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |fs AS (SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY w),
+        |pv AS (SELECT doc_id, count(*) AS nv FROM fs GROUP BY doc_id),
+        |cum AS (
+        |  SELECT pt.doc_id,
+        |         sum(pt.nt) OVER (ORDER BY pt.doc_id) AS cn,
+        |         sum(coalesce(pv.nv, 0)) OVER (ORDER BY pt.doc_id) AS cv
+        |  FROM pt LEFT JOIN pv USING (doc_id))
+        |SELECT round(regr_slope(ln(cv), ln(cn)), 6) AS heaps_beta,
+        |       round(exp(regr_intercept(ln(cv), ln(cn))), 6) AS heaps_k,
+        |       round(regr_r2(ln(cv), ln(cn)), 6) AS heaps_r2,
+        |       count(*) AS n_docs
+        |FROM cum WHERE cn > 0 AND cv > 0""".stripMargin,
+
+    // runs test: transitions by the same pos+1 self-join; moments from
+    // the three integer counts in the identical expression order
+    "q_runs_test" ->
+      """WITH m AS (SELECT median(CAST(n_chars AS DOUBLE)) AS med
+        |           FROM documents),
+        |b AS (SELECT doc_id AS p,
+        |             (CAST(n_chars AS DOUBLE) > m.med) AS f
+        |      FROM documents, m),
+        |c AS (SELECT count(*) AS n,
+        |             CAST(coalesce(sum(CASE WHEN f THEN 1 ELSE 0 END), 0)
+        |                  AS BIGINT) AS n1
+        |      FROM b),
+        |t AS (SELECT count(*) AS n_pairs,
+        |             CAST(coalesce(sum(CASE WHEN a.f <> d.f THEN 1
+        |                                    ELSE 0 END), 0) AS BIGINT)
+        |               AS tr
+        |      FROM b a JOIN b d ON a.p + 1 = d.p)
+        |SELECT c.n, c.n1, c.n - c.n1 AS n2, t.n_pairs,
+        |  CASE WHEN c.n > 0 THEN t.tr + 1 ELSE 0 END AS n_runs,
+        |  CASE WHEN c.n > 0 THEN round(1.0 + 2.0 * CAST(c.n1 AS DOUBLE)
+        |         * CAST(c.n - c.n1 AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+        |       ELSE NULL END AS mu_runs,
+        |  CASE WHEN c.n > 1 AND
+        |            (2.0 * CAST(c.n1 AS DOUBLE)
+        |              * CAST(c.n - c.n1 AS DOUBLE)
+        |              * (2.0 * CAST(c.n1 AS DOUBLE)
+        |                  * CAST(c.n - c.n1 AS DOUBLE)
+        |                  - CAST(c.n AS DOUBLE)))
+        |            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)
+        |               * (CAST(c.n AS DOUBLE) - 1.0)) > 0
+        |       THEN round((CAST(t.tr + 1 AS DOUBLE)
+        |              - (1.0 + 2.0 * CAST(c.n1 AS DOUBLE)
+        |                  * CAST(c.n - c.n1 AS DOUBLE)
+        |                  / CAST(c.n AS DOUBLE)))
+        |            / sqrt((2.0 * CAST(c.n1 AS DOUBLE)
+        |                * CAST(c.n - c.n1 AS DOUBLE)
+        |                * (2.0 * CAST(c.n1 AS DOUBLE)
+        |                    * CAST(c.n - c.n1 AS DOUBLE)
+        |                    - CAST(c.n AS DOUBLE)))
+        |              / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)
+        |                 * (CAST(c.n AS DOUBLE) - 1.0))), 6)
+        |       ELSE NULL END AS z
+        |FROM c, t""".stripMargin,
+
+    // conservation: identical multiplicative id digest (doc_id ≥ 0 so
+    // % == pmod), identical length-tier split; residual deltas all 0
+    "q_conservation" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS hh,
+        |         CASE WHEN n_chars >= 500 THEN 'long'
+        |              WHEN n_chars >= 200 THEN 'mid'
+        |              ELSE 'short' END AS part
+        |  FROM documents),
+        |s AS (
+        |  SELECT 'input' AS stage, count(*) AS n_rows,
+        |         CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS mass,
+        |         coalesce(bit_xor(hh), 0) AS digest FROM h
+        |  UNION ALL
+        |  SELECT 'long', count(*),
+        |         CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+        |         coalesce(bit_xor(hh), 0) FROM h WHERE part = 'long'
+        |  UNION ALL
+        |  SELECT 'mid', count(*),
+        |         CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+        |         coalesce(bit_xor(hh), 0) FROM h WHERE part = 'mid'
+        |  UNION ALL
+        |  SELECT 'short', count(*),
+        |         CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+        |         coalesce(bit_xor(hh), 0) FROM h WHERE part = 'short'),
+        |r AS (
+        |  SELECT '~residual' AS stage,
+        |    CAST((SELECT n_rows FROM s WHERE stage = 'input')
+        |      - (SELECT sum(n_rows) FROM s WHERE stage <> 'input')
+        |      AS BIGINT) AS n_rows,
+        |    CAST((SELECT mass FROM s WHERE stage = 'input')
+        |      - (SELECT sum(mass) FROM s WHERE stage <> 'input')
+        |      AS BIGINT) AS mass,
+        |    (SELECT bit_xor(digest) FROM s) AS digest)
+        |SELECT stage, n_rows, mass, digest
+        |FROM (SELECT * FROM s UNION ALL SELECT * FROM r)
+        |ORDER BY stage""".stripMargin,
+
+    // autocorrelation: integer bucket counts, pairs via bucket+lag
+    // hash join, r from integer sums in the identical IEEE order
+    "q_autocorr" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+        |         count(*) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |             CAST(sum(x * x) AS BIGINT) AS q FROM c),
+        |l AS (SELECT CAST(unnest([1, 2, 3, 6, 12, 24]) AS BIGINT)
+        |        AS lag),
+        |p AS (
+        |  SELECT l.lag, count(*) AS n_pairs,
+        |         CAST(sum(a.x * d.x) AS BIGINT) AS sxy,
+        |         CAST(sum(a.x) AS BIGINT) AS sx,
+        |         CAST(sum(d.x) AS BIGINT) AS sy
+        |  FROM l JOIN c a ON TRUE JOIN c d ON a.b + l.lag = d.b
+        |  GROUP BY l.lag)
+        |SELECT l.lag, coalesce(p.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN p.n_pairs IS NOT NULL
+        |            AND (CAST(g.q AS DOUBLE)
+        |                 - CAST(g.n AS DOUBLE)
+        |                   * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |                   * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))
+        |                > 0
+        |       THEN round((CAST(p.sxy AS DOUBLE)
+        |           - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |             * CAST(p.sx AS DOUBLE)
+        |           - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |             * CAST(p.sy AS DOUBLE)
+        |           + CAST(p.n_pairs AS DOUBLE)
+        |             * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |             * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))
+        |         / (CAST(g.q AS DOUBLE)
+        |            - CAST(g.n AS DOUBLE)
+        |              * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |              * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))), 6)
+        |       ELSE NULL END AS r
+        |FROM l LEFT JOIN p USING (lag), g ORDER BY lag""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

@@ -582,6 +582,59 @@ object Drift {
         lit(k.toLong).as("k"))
   }
 
+  /** Lag-k autocorrelation of event volume — the seasonality /
+    * batch-periodicity QC behind "is ingest volume daily-cyclic?" and
+    * "did a collector start double-firing every other hour?": bucket
+    * timestamps to `bucketSecs`, count rows per bucket, and for each
+    * requested lag compute the sample autocorrelation r_k =
+    * Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² over the pairs k buckets apart
+    * (daily cycle ⇒ r_24 spikes on hourly buckets).
+    *
+    * Scale shape: ONE count aggregate collapses the corpus to the
+    * O(buckets) frame; each lag's pairs come from a hash self-join on
+    * bucket+lag over that frame (identical aggregate subplan on both
+    * sides — ReusedExchange, not a second scan), never a global
+    * ordered window. EMPTY buckets are absent, so pairs spanning a
+    * gap are skipped, not zero-filled (surfaced via n_pairs; lags
+    * with no pairs keep their row with r = NULL). All sums are
+    * integer-exact; r derives from them through fixed IEEE expression
+    * order — bit-exact in SQL. */
+  def autocorrelation(df: DataFrame, timeCol: String, lags: Seq[Int],
+                      bucketSecs: Long = 3600L): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    require(bucketSecs > 0, "bucketSecs must be positive")
+    val spark = df.sparkSession
+    val counts = df.where(col(timeCol).isNotNull)
+      // NTZ-safe epoch seconds: cast through TIMESTAMP (session TZ is
+      // UTC, so NTZ wall-clock == epoch — same as the qqShift spelling)
+      .select((col(timeCol).cast("timestamp").cast("long") /
+        lit(bucketSecs)).cast("long").as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__x"))
+    import spark.implicits._
+    val lagsDf = lags.map(_.toLong).toDF("lag")
+    val pairs = counts.crossJoin(broadcast(lagsDf))
+      .join(counts.select(col("__b").as("__b2"), col("__x").as("__y")),
+        col("__b") + col("lag") === col("__b2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"))
+    val global = counts.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__s"), sum(col("__x") * col("__x")).as("__q"))
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val denom = col("__q").cast("double") -
+      col("__n").cast("double") * mu * mu
+    val num = col("__sxy").cast("double") -
+      mu * col("__sx").cast("double") - mu * col("__sy").cast("double") +
+      col("n_pairs").cast("double") * mu * mu
+    lagsDf.join(pairs, Seq("lag"), "left")
+      .crossJoin(broadcast(global))
+      .select(col("lag"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs").isNotNull && denom > 0, round(num / denom, 6))
+          .otherwise(lit(null).cast("double")).as("r"))
+      .orderBy(col("lag"))
+  }
+
   def qqQuantiles(dfA: DataFrame, dfB: DataFrame, valueCol: String,
                   probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty, "qqQuantiles needs at least one probability")

@@ -70,4 +70,61 @@ object Funnel {
     * mass column to every stage's metrics. */
   def apply(input: DataFrame, massCol: Option[String] = None): Funnel =
     new Funnel(input, massCol, Vector.empty).stage("input", identity)
+
+  /** Pipeline-stage conservation audit — the "no rows silently
+    * dropped or duplicated" invariant a funnel's COUNTS alone cannot
+    * prove (a gate that drops one doc and duplicates another conserves
+    * n_rows): input must equal the disjoint union of its output
+    * `parts` (kept ⊎ rejected, train ⊎ val ⊎ test, shard₀ ⊎ … ⊎
+    * shardₙ) on three measures at once — row count, mass, and an
+    * order-independent id digest (bit_xor of a multiplicative hash,
+    * overflow-free at any row count and exactly replicable in SQL; a
+    * row landing in two parts XORs its id in twice and cancels, so
+    * the digest catches duplication that counts plus sums can miss).
+    *
+    * One narrow (id, mass) scan per frame via a tagged union into ONE
+    * aggregate — never a per-stage rescan. Output: one row per stage
+    * (input first, parts in argument order, zero-rows for empty parts
+    * — "no silent caps") plus a `~residual` row holding input − Σ
+    * parts per measure; conservation holds iff every residual is 0.
+    * The O(stages) aggregate is collected and re-emitted so the
+    * result frame never re-scans the inputs. */
+  def conservation(input: DataFrame, parts: Seq[(String, DataFrame)],
+                   idCol: String,
+                   massCol: Option[String] = None): DataFrame = {
+    require(parts.nonEmpty, "conservation needs at least one part")
+    val names = "input" +: parts.map(_._1)
+    require(names.distinct.length == names.length &&
+      !names.contains("~residual"), "stage names must be unique")
+    val spark = input.sparkSession
+    def narrow(name: String, f: DataFrame): DataFrame = {
+      val mass = massCol
+        .map(c => coalesce(col(c).cast("long"), lit(0L)))
+        .getOrElse(lit(0L))
+      f.select(lit(name).as("stage"),
+        (pmod(col(idCol).cast("long"), lit(1000000007L)) *
+          lit(2654435761L) % lit(1000000007L)).as("__h"),
+        mass.as("__m"))
+    }
+    val tagged = (("input", input) +: parts).map { case (n, f) =>
+      narrow(n, f)
+    }.reduce(_ unionByName _)
+    val got = tagged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__m")).as("mass"),
+        expr("bit_xor(__h)").as("digest"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val stages = names.map(n => (n, got.getOrElse(n, (0L, 0L, 0L))))
+    val (inN, inM, inD) = stages.head._2
+    val partTotals = stages.tail.map(_._2)
+    val residual = ("~residual",
+      (inN - partTotals.map(_._1).sum,
+        inM - partTotals.map(_._2).sum,
+        partTotals.map(_._3).foldLeft(inD)(_ ^ _)))
+    import spark.implicits._
+    (stages :+ residual)
+      .map { case (s, (n, m, d)) => (s, n, m, d) }
+      .toDF("stage", "n_rows", "mass", "digest")
+  }
 }

@@ -724,4 +724,53 @@ object Profile {
           .otherwise(lit(0.0)).as("pct_rank"))
       .orderBy(col("value"))
   }
+
+  /** Wald–Wolfowitz runs test over a dense position order — "is the
+    * training data actually shuffled?": too FEW runs of a binary
+    * property (above/below-median length, source A vs rest) in pack
+    * order means sorted/clumped data (adjacent-batch correlation); too
+    * MANY means an anti-correlated interleave. Under randomness the run
+    * count R is normal with μ = 1 + 2·n1·n2/n and σ² =
+    * 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1)); |z| > 1.96 rejects at 5 %.
+    *
+    * `posCol` must be DENSE consecutive integers (the engine's epoch
+    * order / pack offsets are; a rank pre-pass is the caller's job
+    * otherwise): transitions are counted by a narrow self-join on
+    * pos+1 = pos — a hash join on (pos, flag) pairs, never a global
+    * ordered window. `n_pairs` is surfaced so a gapped position column
+    * is observable (dense ⇒ n_pairs = n − 1), not silently
+    * under-counted. NULL positions/flags are excluded (and visible via
+    * n vs the caller's row count). z is NULL when σ² = 0 (all flags
+    * equal — no test). All moments derive from the three integer
+    * counts through fixed IEEE expression order: bit-exact in SQL. */
+  def runsTest(df: DataFrame, posCol: String, flagCol: String): DataFrame = {
+    val base = df
+      .select(col(posCol).cast("long").as("__p"),
+        col(flagCol).cast("boolean").as("__f"))
+      .where(col("__p").isNotNull && col("__f").isNotNull)
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__f"), 1L).otherwise(0L)).as("n1"))
+    val trans = base.as("a")
+      .join(base.as("b"), col("a.__p") + 1 === col("b.__p"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a.__f") =!= col("b.__f"), 1L).otherwise(0L))
+          .as("__t"))
+    val n = col("n").cast("double")
+    val n1 = col("n1").cast("double")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / n
+    val varR = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n)) /
+      (n * n * (n - lit(1.0)))
+    counts.crossJoin(trans).select(
+      col("n"), col("n1"), (col("n") - col("n1")).as("n2"),
+      coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+      when(col("n") > 0, coalesce(col("__t"), lit(0L)) + 1)
+        .otherwise(lit(0L)).as("n_runs"),
+      when(col("n") > 0, round(mu, 6)).otherwise(lit(null).cast("double"))
+        .as("mu_runs"),
+      when(col("n") > 1 && varR > 0,
+        round(((coalesce(col("__t"), lit(0L)) + 1).cast("double") - mu) /
+          sqrt(varR), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
 }

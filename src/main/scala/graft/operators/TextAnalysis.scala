@@ -1348,4 +1348,99 @@ object TextAnalysis {
       .where(length(col("cand")).between(13, 19))
       .select(col(idCol), col("cand"),
         expr("luhn_check(cand)").as("luhn_ok"))
+
+  /** Unicode script-mix profile per document — the contamination signal
+    * stopword-based language ID misses: a "latin" page with a Cyrillic
+    * spam footer, CJK boilerplate glued onto an English crawl, mixed-
+    * script homoglyph spoofing. Counts letters in four explicit
+    * codepoint ranges (basic Latin letters, Cyrillic U+0400–04FF, CJK
+    * unified U+4E00–9FFF, Greek U+0370–03FF), picks the dominant script
+    * with a fixed priority-order tie-break (latin > cyrillic > cjk >
+    * greek — deterministic, SQL-replicable), and flags docs whose
+    * dominant-script share of tracked letters falls below `minPurity`.
+    *
+    * Pure codegen'd projection (regexp_count per range — the
+    * [[encodingQc]] pattern; the ranges are RE2-compatible so the
+    * oracle runs the IDENTICAL character classes), zero shuffle. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String,
+                minPurity: Double = 0.8): DataFrame = {
+    require(minPurity > 0 && minPurity <= 1, "minPurity in (0, 1]")
+    def nIn(range: String): Column =
+      expr(s"regexp_count(`$textCol`, '$range')").cast("long")
+    val counted = df.select(col(idCol),
+      nIn("[A-Za-z]").as("n_latin"),
+      nIn("[\\\\x{0400}-\\\\x{04FF}]").as("n_cyrillic"),
+      nIn("[\\\\x{4E00}-\\\\x{9FFF}]").as("n_cjk"),
+      nIn("[\\\\x{0370}-\\\\x{03FF}]").as("n_greek"))
+    val total = col("n_latin") + col("n_cyrillic") + col("n_cjk") +
+      col("n_greek")
+    val top = greatest(col("n_latin"), col("n_cyrillic"), col("n_cjk"),
+      col("n_greek"))
+    counted
+      .withColumn("n_script_chars", total)
+      .withColumn("dominant",
+        when(col("n_script_chars") === 0, lit("none"))
+          .when(col("n_latin") === top, lit("latin"))
+          .when(col("n_cyrillic") === top, lit("cyrillic"))
+          .when(col("n_cjk") === top, lit("cjk"))
+          .otherwise(lit("greek")))
+      .withColumn("purity",
+        when(col("n_script_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(top.cast("double") /
+            col("n_script_chars").cast("double"), 6)))
+      .withColumn("mixed",
+        col("n_script_chars") > 0 && col("purity") < minPurity)
+      .orderBy(col(idCol))
+  }
+
+  /** Heaps'-law vocabulary-growth fit — the [[zipfFit]] companion on
+    * the OTHER axis: V(n) ≈ K·n^β over the corpus walk in id order
+    * (natural text: β ≈ 0.4–0.6; template spam flattens β toward 0,
+    * dedup failures too — new docs stop bringing new words; OCR noise
+    * and mojibake push β toward 1). OLS of ln(cumulative vocab) on
+    * ln(cumulative tokens) at every document checkpoint.
+    *
+    * Both cumulatives ride [[Packing.globalOffsets]]'s two-level
+    * distributed prefix sum (never a SinglePartition window): per-doc
+    * token counts and per-doc NEW-word counts (each word attributed to
+    * its min-id first-seen doc) are O(docs)/O(vocab) aggregate frames,
+    * the prefix sums shuffle narrow (id, count) rows only. The fit is
+    * one row; it is computed EAGERLY so both checkpointed offsets
+    * frames are released before returning ([[Packing.releaseOffsets]]
+    * — no pinned blocks outlive the call). */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val tok = df.select(col(idCol).as("__id"),
+      explode(words(col(textCol))).as("__w"))
+    val perDocTok = tok.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nt"))
+    val perDocNew = tok.groupBy(col("__w"))
+      .agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nv"))
+    val perDoc = perDocTok.join(perDocNew, Seq("__id"), "left")
+      .select(col("__id"), col("__nt"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+    val offT = Packing.globalOffsets(perDoc, "__id", "__nt")
+    val offV = Packing.globalOffsets(perDoc, "__id", "__nv")
+    val cum = offT
+      .select(col("__id"), (col("offset") + col("__nt")).as("__cn"))
+      .join(offV.select(col("__id"),
+        (col("offset") + col("__nv")).as("__cv")), Seq("__id"))
+      .where(col("__cn") > 0 && col("__cv") > 0)
+    val fit = cum.agg(
+      round(regr_slope(log(col("__cv")), log(col("__cn"))), 6)
+        .as("heaps_beta"),
+      round(exp(regr_intercept(log(col("__cv")), log(col("__cn")))), 6)
+        .as("heaps_k"),
+      round(regr_r2(log(col("__cv")), log(col("__cn"))), 6).as("heaps_r2"),
+      count(lit(1)).as("n_docs")).head()
+    Packing.releaseOffsets(offT)
+    Packing.releaseOffsets(offV)
+    import spark.implicits._
+    Seq((Option(fit.get(0)).map(_.asInstanceOf[Double]),
+      Option(fit.get(1)).map(_.asInstanceOf[Double]),
+      Option(fit.get(2)).map(_.asInstanceOf[Double]),
+      fit.getLong(3)))
+      .toDF("heaps_beta", "heaps_k", "heaps_r2", "n_docs")
+  }
 }
