@@ -2855,6 +2855,74 @@ object SparkEntry {
       Drift.autocorrelation(t(s, d, "events"), "ts",
         Seq(1, 2, 3, 6, 12, 24))),
 
+    // ---- Aho–Corasick multi-phrase scan: every phrase of the list
+    // counted in ONE automaton pass per doc (k regexp passes → 1);
+    // borderless phrases so the oracle's replace-count is provably
+    // equal to the automaton's all-positions count
+    "q_phrase_scan" -> ((s, d) =>
+      TextAnalysis.phraseScan(t(s, d, "documents"), "doc_id", "text",
+          Seq("table scan", "batch stream", "slow join", "spark",
+            "data quality"))
+        .orderBy("doc_id", "phrase")),
+
+    // ---- Jaro–Winkler linkage similarity: typo'd name pairs by
+    // doc_id arithmetic (identity / head-drop / append / vowel swap
+    // incl. a multibyte é); the oracle is DuckDB's INDEPENDENT
+    // jaro_winkler_similarity implementation — a true cross-engine
+    // differential of two codebases, fuzz-pinned bit-exact
+    "q_jaro_winkler" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val a = concat(lit("user_"), col("source"), lit("_"),
+        (id % 97).cast("string"))
+      val b = when(id % 4 === 0, a)
+        .when(id % 4 === 1, substring(a, 2, 1000))
+        .when(id % 4 === 2, concat(a, lit("x")))
+        .otherwise(translate(a, "aeu", "eaé"))
+      t(s, d, "documents").select(col("doc_id"),
+          round(graft.functions.MatchExpressions.jaroWinkler(a, b), 6)
+            .as("jw"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Spearman rank correlation (n_chars vs word count): average
+    // ranks kept exact by doubling, sufficient stats as decimal(38,0),
+    // the only ordered windows run over the O(distinct) value frames
+    "q_spearman" -> ((s, d) => {
+      TextExpressions.register(s)
+      Profile.spearman(
+        t(s, d, "documents").select(col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_words")),
+        "n_chars", "n_words")
+    }),
+
+    // ---- cross-doc attention waste of the packed windows: per window
+    // the fraction of attention pairs crossing a doc boundary — the
+    // bill of packing without attention masking; placement-only, token
+    // arrays never load
+    "q_attention_waste" -> ((s, d) =>
+      Packing.attentionWaste(
+        decontamCorpus(s, d).select(col("doc_id"), col("n_tok")),
+        "doc_id", "n_tok", windowLen = 512L)),
+
+    // ---- parquet zone map of a range-clustered layout: per-file
+    // (rows, min, max) from ONE input_file_name aggregate — the
+    // metadata a pruning reader consults, measured from the rows
+    "q_zone_map" -> ((s, d) => {
+      Bucketing.writeSortedBy(t(s, d, "documents"), "/tmp/graft_zonemap",
+        "n_chars", nFiles = 8)
+      Bucketing.zoneMap(s, "/tmp/graft_zonemap", "n_chars")
+    }),
+
+    // ---- data-skipping effectiveness for n_chars BETWEEN 100 AND 150
+    // on the same clustered layout: how much of the table a pruning
+    // reader never touches
+    "q_zone_skip" -> ((s, d) => {
+      Bucketing.writeSortedBy(t(s, d, "documents"), "/tmp/graft_zoneskip",
+        "n_chars", nFiles = 8)
+      Bucketing.zoneMapSkipStats(s, "/tmp/graft_zoneskip", "n_chars",
+        lo = 100L, hi = 150L)
+    }),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -7382,7 +7450,150 @@ object SparkEntry {
         |              * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
         |              * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))), 6)
         |       ELSE NULL END AS r
-        |FROM l LEFT JOIN p USING (lag), g ORDER BY lag""".stripMargin)
+        |FROM l LEFT JOIN p USING (lag), g ORDER BY lag""".stripMargin,
+
+    // phrase scan: the phrases are borderless (no proper prefix ==
+    // suffix), so non-overlapping replace-counting provably equals the
+    // automaton's all-positions count
+    "q_phrase_scan" ->
+      """WITH p(phrase) AS (VALUES ('table scan'), ('batch stream'),
+        |                          ('slow join'), ('spark'),
+        |                          ('data quality')),
+        |c AS (
+        |  SELECT doc_id, phrase,
+        |         CAST((length(text) - length(replace(text, phrase, '')))
+        |              // length(phrase) AS BIGINT) AS n
+        |  FROM documents, p)
+        |SELECT doc_id, phrase, n FROM c WHERE n > 0
+        |ORDER BY doc_id, phrase""".stripMargin,
+
+    // Jaro–Winkler: DuckDB's OWN independent implementation is the
+    // oracle — same pair construction, both engines round the same
+    // bit-identical double (byte-level match window, boost>0.7,
+    // 4-byte prefix cap; fuzz-pinned on 30k random pairs)
+    "q_jaro_winkler" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         'user_' || source || '_' ||
+        |           CAST(doc_id % 97 AS VARCHAR) AS a
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, a,
+        |    CASE WHEN doc_id % 4 = 0 THEN a
+        |         WHEN doc_id % 4 = 1 THEN substr(a, 2)
+        |         WHEN doc_id % 4 = 2 THEN a || 'x'
+        |         ELSE translate(a, 'aeu', 'eaé') END AS b
+        |  FROM p)
+        |SELECT doc_id, round(jaro_winkler_similarity(a, b), 6) AS jw
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Spearman: identical doubled average ranks (2·less + n + 1) from
+    // the same O(distinct) cumulative frames, HUGEINT sufficient
+    // statistics, identical IEEE expression order for rho
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |         CAST(len(list_filter(string_split_regex(trim(text),
+        |           '\s+'), s -> s <> '')) AS BIGINT) AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |cx AS (SELECT x AS value, count(*) AS n FROM b GROUP BY 1),
+        |rx AS (SELECT value,
+        |         2 * coalesce(sum(n) OVER (ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0) + n + 1 AS r2
+        |       FROM cx),
+        |cy AS (SELECT y AS value, count(*) AS n FROM b GROUP BY 1),
+        |ry AS (SELECT value,
+        |         2 * coalesce(sum(n) OVER (ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0) + n + 1 AS r2
+        |       FROM cy),
+        |j AS (SELECT CAST(rx.r2 AS HUGEINT) AS rv,
+        |             CAST(ry.r2 AS HUGEINT) AS sv
+        |      FROM b JOIN rx ON b.x = rx.value JOIN ry ON b.y = ry.value),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             sum(rv) AS sx, sum(sv) AS sy, sum(rv * sv) AS sxy,
+        |             sum(rv * rv) AS sxx, sum(sv * sv) AS syy
+        |      FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |            AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+        |                  6)
+        |       ELSE NULL END AS spearman_rho
+        |FROM g""".stripMargin,
+
+    // attention waste: the q_concat_pack placement CTE extended with
+    // per-window segment sums — all integers until the final ratio
+    "q_attention_waste" ->
+      s"""WITH $SeqTableCte,
+        |corpus AS (SELECT did, n_tok FROM s2
+        |           WHERE starts_with(did, 'doc_')),
+        |o AS (SELECT did, n_tok,
+        |        CAST(coalesce(sum(n_tok) OVER (ORDER BY did
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS off
+        |      FROM corpus),
+        |w AS (SELECT off, n_tok,
+        |        unnest(range(off // 512, (off + n_tok - 1) // 512 + 1))
+        |          AS window_id
+        |      FROM o WHERE n_tok > 0),
+        |seg AS (SELECT CAST(window_id AS BIGINT) AS window_id,
+        |          least(off + n_tok, (window_id + 1) * 512)
+        |            - greatest(off, window_id * 512) AS l
+        |        FROM w),
+        |a AS (SELECT window_id, CAST(sum(l) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_segments,
+        |             CAST(sum(l * l) AS BIGINT) AS sumsq
+        |      FROM seg WHERE l > 0 GROUP BY 1)
+        |SELECT window_id, n_tokens, n_segments,
+        |  (n_tokens * n_tokens - sumsq) // 2 AS n_cross_pairs,
+        |  (n_tokens * (n_tokens - 1)) // 2 AS n_pairs,
+        |  CASE WHEN n_tokens > 1
+        |       THEN round(CAST((n_tokens * n_tokens - sumsq) // 2
+        |                       AS DOUBLE)
+        |                  / CAST((n_tokens * (n_tokens - 1)) // 2
+        |                         AS DOUBLE), 6)
+        |       ELSE NULL END AS waste
+        |FROM a ORDER BY window_id""".stripMargin,
+
+    // zone map: DuckDB re-reads the files Spark wrote and rebuilds the
+    // per-file (rows, min, max) triples — file identity dropped, the
+    // zone map is the multiset
+    "q_zone_map" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(n_chars) AS min_val, max(n_chars) AS max_val
+        |FROM read_parquet('/tmp/graft_zonemap/*.parquet', filename=true)
+        |GROUP BY filename
+        |ORDER BY min_val, max_val, n_rows""".stripMargin,
+
+    "q_zone_skip" ->
+      """WITH zm AS (
+        |  SELECT filename, CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM read_parquet('/tmp/graft_zoneskip/*.parquet',
+        |                    filename=true)
+        |  GROUP BY filename)
+        |SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN mx < 100 OR mn > 150 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_files_skipped,
+        |  CAST(sum(CASE WHEN mx < 100 OR mn > 150 THEN n_rows ELSE 0 END)
+        |       AS BIGINT) AS n_rows_skipped,
+        |  CASE WHEN count(*) > 0
+        |       THEN round(CAST(sum(CASE WHEN mx < 100 OR mn > 150
+        |                                THEN 1 ELSE 0 END) AS DOUBLE)
+        |                  / CAST(count(*) AS DOUBLE), 6)
+        |       ELSE NULL END AS skip_fraction,
+        |  CASE WHEN sum(n_rows) > 0
+        |       THEN round(CAST(sum(CASE WHEN mx < 100 OR mn > 150
+        |                                THEN n_rows ELSE 0 END) AS DOUBLE)
+        |                  / CAST(sum(n_rows) AS DOUBLE), 6)
+        |       ELSE NULL END AS row_skip_fraction
+        |FROM zm""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

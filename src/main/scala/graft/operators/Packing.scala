@@ -413,4 +413,54 @@ object Packing {
           .as("n_batches"))
       .orderBy(col("bucket"))
   }
+
+  /** Cross-document attention waste of the [[concatChunk]] packing —
+    * the training-efficiency bill of packing WITHOUT attention
+    * masking: inside a window of T tokens holding segments of lengths
+    * l₁…l_k, the fraction of attention pairs that cross a document
+    * boundary is (T² − Σlᵢ²) / T² — compute spent attending across
+    * unrelated documents (and the contamination surface if the
+    * trainer doesn't reset the mask). Per window:
+    * (window_id, n_tokens, n_segments, n_cross_pairs, n_pairs,
+    * waste) with unordered pair counts (T·(T−1)/2 total,
+    * (T² − Σlᵢ²)/2 cross) — all integer until the final ratio, so
+    * the SQL replica is bit-exact; waste NULL when T < 2 (no pairs).
+    *
+    * Scale shape: placement only — token arrays never load, let alone
+    * move. Rides [[concatChunk]]'s two-level prefix sum (share an
+    * `offsets` frame to run it once), fans each doc to its spanned
+    * windows (≤ cost/windowLen + 1), and aggregates on the dense
+    * window_id key — uniform by construction, no skew possible.
+    * Zero-cost docs contribute no segments (both engines filter
+    * seg > 0). */
+  def attentionWaste(df: DataFrame, idCol: String, costCol: String,
+                     windowLen: Long,
+                     offsets: Option[DataFrame] = None): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    val placed = concatChunk(df, idCol, costCol, windowLen, offsets)
+    val wStart = col("window_id") * lit(windowLen)
+    val seg = least(col("offset") + col(costCol), wStart + lit(windowLen)) -
+      greatest(col("offset"), wStart)
+    placed
+      .where(col(costCol) > 0)
+      .select(col("offset"), col(costCol),
+        explode(sequence(col("first_window"), col("last_window")))
+          .as("window_id"))
+      .select(col("window_id"), seg.as("__seg"))
+      .where(col("__seg") > 0)
+      .groupBy(col("window_id"))
+      .agg(sum(col("__seg")).as("n_tokens"),
+        count(lit(1)).as("n_segments"),
+        sum(col("__seg") * col("__seg")).as("__sumsq"))
+      // `div` keeps the pair counts exact longs (T² − Σl² is always
+      // even: T² = Σl² + 2·Σ_{i<j} lᵢlⱼ); only the final ratio is FP
+      .select(col("window_id"), col("n_tokens"), col("n_segments"),
+        expr("(n_tokens * n_tokens - __sumsq) div 2").as("n_cross_pairs"),
+        expr("(n_tokens * (n_tokens - 1)) div 2").as("n_pairs"))
+      .withColumn("waste",
+        when(col("n_tokens") > 1,
+          round(col("n_cross_pairs").cast("double") /
+            col("n_pairs").cast("double"), 6)))
+      .orderBy(col("window_id"))
+  }
 }

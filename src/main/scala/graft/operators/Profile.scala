@@ -773,4 +773,61 @@ object Profile {
           sqrt(varR), 6))
         .otherwise(lit(null).cast("double")).as("z"))
   }
+
+  /** Spearman rank correlation between two columns — the MONOTONIC
+    * association check Pearson can't give (is the curriculum's
+    * difficulty signal actually ordered by length? did the epoch
+    * shuffle destroy the source ordering?): Pearson over average
+    * ranks, robust to any monotone rescaling and to heavy tails.
+    *
+    * Rank discipline (the [[percentileRanks]] lesson): ranks come from
+    * per-VALUE counts — the only ordered window runs over the
+    * O(distinct) frame, never the corpus, so there is no
+    * SinglePartition sort of 10¹² rows. Ties get textbook average
+    * ranks, kept EXACT by doubling: r2(v) = 2·|{x < v}| + n_v + 1
+    * (twice the average rank — an integer even when the average rank
+    * is x.5), and scaling both rank vectors by 2 leaves Pearson
+    * unchanged. Sufficient statistics accumulate as decimal(38,0)
+    * like [[correlationByGroup]] — exact integers in both engines,
+    * deterministic where FP streaming corr is merge-order-dependent —
+    * and the final ρ derives through one fixed IEEE expression order
+    * (bit-exact in SQL). Rows with a NULL on either side are excluded
+    * (n is surfaced). ρ is NULL when either side is constant.
+    *
+    * Contract: meaningful rank frames need BOUNDED distinct values
+    * (lengths, scores, bucketed signals); for a unique-per-row column
+    * the O(distinct) frame IS the corpus — rank or bucket it upstream
+    * first. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def rankFrame(c: String): DataFrame = {
+      val counts = base.groupBy(col(c).as("value"))
+        .agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts.select(col("value"),
+        (lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L)) +
+          col("__n") + lit(1L)).as("r2"))
+    }
+    val rx = rankFrame("__x").withColumnRenamed("r2", "__rx")
+    val ry = rankFrame("__y").withColumnRenamed("r2", "__ry")
+    val ranked = base
+      .join(broadcast(rx), base("__x") === rx("value")).drop("value")
+      .join(broadcast(ry), base("__y") === ry("value")).drop("value")
+    val x = col("__rx").cast("decimal(38,0)")
+    val y = col("__ry").cast("decimal(38,0)")
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    val n = col("n").cast("decimal(38,0)")
+    val cov = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agg.select(col("n"),
+      when(vx > 0 && vy > 0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("spearman_rho"))
+  }
 }

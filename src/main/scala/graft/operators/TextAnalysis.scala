@@ -1443,4 +1443,34 @@ object TextAnalysis {
       fit.getLong(3)))
       .toDF("heaps_beta", "heaps_k", "heaps_r2", "n_docs")
   }
+
+  /** Multi-phrase occurrence scan — ONE Aho–Corasick automaton pass
+    * per document counting every phrase of `phrases` (overlapping
+    * occurrences included), exploded to sparse (id, phrase, n) rows
+    * with zero-count phrases dropped. The k-phrase generalization of
+    * the single-pattern `regexp_count` tier: banned-phrase blocklists,
+    * PII keyword sweeps, benchmark-canary scans all want thousands of
+    * patterns, where k separate regex passes cost O(k·len) per doc and
+    * the automaton costs O(len + matches) — at 10⁴ phrases × 100 TB
+    * that is the difference between one scan and an impossible one.
+    *
+    * Scale shape: projection + bounded Generate (fan-out ≤ |phrases|,
+    * sparse in practice) — zero shuffles, zero joins; the automaton is
+    * built once on the driver and rides the plan (plan-pinned in
+    * MatchSpec). Matching is byte-level on UTF-8; counts are ALL match
+    * positions, so a phrase with a proper border (e.g. "aa") counts
+    * overlapping hits — the SQL oracle uses borderless phrases, where
+    * overlapping and non-overlapping counts provably coincide. */
+  def phraseScan(df: DataFrame, idCol: String, textCol: String,
+                 phrases: Seq[String]): DataFrame = {
+    val counts = graft.functions.MatchExpressions
+      .phraseCounts(col(textCol), phrases)
+    df.select(col(idCol),
+        explode(arrays_zip(
+          array(phrases.map(lit(_)): _*).as("phrase"),
+          counts.as("n"))).as("__z"))
+      .select(col(idCol), col("__z.phrase").as("phrase"),
+        col("__z.n").as("n"))
+      .where(col("n") > 0)
+  }
 }

@@ -82,4 +82,74 @@ object Bucketing {
         count_distinct(col("__f")).as("n_files"))
       .orderBy(col("part"))
   }
+
+  /** Per-file zone map of `valueCol` — (n_rows, min_val, max_val) for
+    * every parquet file of the dataset, from ONE `input_file_name()`
+    * aggregate scan (the [[partitionAudit]] mechanism pointed at DATA
+    * SKIPPING instead of file counts). This is exactly the metadata a
+    * min/max-pruning reader consults; measuring it from the rows makes
+    * the audit engine-independent. File identity is deliberately
+    * dropped from the output (paths are writer-specific): the zone map
+    * is the multiset of (rows, min, max) triples.
+    *
+    * Why it matters at 100 TB: whether a predicate scan reads 1 % or
+    * 100 % of the table is decided by how well file min/max ranges
+    * separate — the property [[writeSortedBy]]-style layouts buy.
+    * Run this BEFORE trusting a clustered layout, and after every
+    * compaction: overlapping ranges mean the sort rotted. */
+  def zoneMap(spark: SparkSession, path: String,
+              valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_val"),
+        max(col(valueCol)).as("max_val"))
+      .select(col("n_rows"), col("min_val"), col("max_val"))
+      .orderBy(col("min_val"), col("max_val"), col("n_rows"))
+  }
+
+  /** Data-skipping effectiveness of the layout for the predicate
+    * `valueCol BETWEEN lo AND hi`: one summary row (n_files, n_rows,
+    * n_files_skipped, n_rows_skipped, skip_fraction, row_skip_fraction)
+    * where a file is skippable iff its [min, max] zone is disjoint
+    * from [lo, hi] — the exact rule a pruning reader applies. A
+    * well-clustered 100 TB table answers a selective range predicate
+    * from a handful of files; skip_fraction ≈ 0 on a selective
+    * predicate is the "rewrite the layout" signal. Derived from the
+    * [[zoneMap]] frame (O(files) rows), so the audit costs one scan. */
+  def zoneMapSkipStats(spark: SparkSession, path: String, valueCol: String,
+                       lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lo <= hi, s"zoneMapSkipStats: empty predicate range [$lo, $hi]")
+    val zm = zoneMap(spark, path, valueCol)
+    val skipped = col("max_val") < lit(lo) || col("min_val") > lit(hi)
+    zm.agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(skipped, 1L).otherwise(0L)).as("n_files_skipped"),
+        sum(when(skipped, col("n_rows")).otherwise(0L)).as("n_rows_skipped"))
+      .select(col("n_files"), col("n_rows"),
+        col("n_files_skipped"), col("n_rows_skipped"),
+        when(col("n_files") > 0,
+          round(col("n_files_skipped").cast("double") /
+            col("n_files").cast("double"), 6)).as("skip_fraction"),
+        when(col("n_rows") > 0,
+          round(col("n_rows_skipped").cast("double") /
+            col("n_rows").cast("double"), 6)).as("row_skip_fraction"))
+  }
+
+  /** Range-clustered write: global range partition + in-partition sort
+    * on `sortCol` — the layout that makes [[zoneMap]] ranges disjoint
+    * and range predicates prunable. `nFiles` bounds the file count
+    * (one per range partition). The write-once cost that every
+    * subsequent selective scan amortizes — the range-predicate sibling
+    * of [[writeBucketed]]'s equi-join co-location. */
+  def writeSortedBy(df: DataFrame, path: String, sortCol: String,
+                    nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, "writeSortedBy: nFiles must be positive")
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+  }
 }
