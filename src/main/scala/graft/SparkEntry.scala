@@ -2923,6 +2923,64 @@ object SparkEntry {
         lo = 100L, hi = 150L)
     }),
 
+    // ---- Good–Turing count-of-counts: the unseen-probability-mass /
+    // vocabulary-saturation estimate — word counts collapse map-side,
+    // everything after runs on the O(distinct r) frame
+    "q_good_turing" -> ((s, d) =>
+      TextAnalysis.goodTuring(t(s, d, "documents"), "text")),
+
+    // ---- dedup-saturation curve: duplicate rate by crawl position
+    // (planted boilerplate copies at doc_id%10); text hashed in the
+    // scan, cumulative window over the O(buckets) frame
+    "q_dup_saturation" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val txt = when(id % 10 === 0,
+          concat(lit("boilerplate page "), (id % 3).cast("string")))
+        .otherwise(col("text"))
+      Dedup.duplicateSaturation(
+        t(s, d, "documents").select(col("doc_id"), txt.as("text")),
+        "doc_id", "text", bucketWidth = 50L)
+    }),
+
+    // ---- Hill tail index of the price distribution: how heavy is the
+    // heavy tail (α < 2 ⇒ infinite variance ⇒ mean-based sizing is
+    // garbage); one TakeOrdered fold + driver arithmetic on 51 doubles
+    "q_hill_tail" -> ((s, d) =>
+      Profile.hillTailIndex(t(s, d, "lineitem"), "l_extendedprice",
+        k = 50)),
+
+    // ---- join-key containment pre-flight: which customers ever
+    // emitted an event (planted NULL keys at %37) — the "will this
+    // join drop my rows" summary before the join itself
+    "q_key_containment" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(
+        when(col("c_custkey") % 37 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("c_custkey"))
+      Referential.keyContainment(cust, "c_custkey",
+        t(s, d, "events"), "user_id")
+    }),
+
+    // ---- string column type inference: regex-anchored ladder (engines
+    // disagree on numeric coercions; regex classes don't) + calendar
+    // try_cast for dates — one fused aggregate pass over all columns
+    "q_type_infer" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val mixed = when(id % 7 === 0, lit("123"))
+        .when(id % 7 === 1, lit("-4.5e2"))
+        .when(id % 7 === 2, lit("2024-01-15"))
+        .when(id % 7 === 3, lit("2024-13-40"))
+        .when(id % 7 === 4, lit("true"))
+        .when(id % 7 === 5, lit("abc"))
+        .otherwise(lit(null).cast("string"))
+      Profile.typeInference(
+        t(s, d, "documents").select(mixed.as("mixed"),
+          (id % 1000).cast("string").as("ints"),
+          when(id % 2 === 0, lit("1.5")).otherwise(lit("7")).as("dbls"),
+          when(id % 3 === 0, lit("1999-12-31")).otherwise(lit("2000-01-02"))
+            .as("dates")),
+        Seq("dbls", "dates", "ints", "mixed"))
+    }),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -7593,7 +7651,171 @@ object SparkEntry {
         |                                THEN n_rows ELSE 0 END) AS DOUBLE)
         |                  / CAST(sum(n_rows) AS DOUBLE), 6)
         |       ELSE NULL END AS row_skip_fraction
-        |FROM zm""".stripMargin)
+        |FROM zm""".stripMargin,
+
+    // Good–Turing: identical word split, count-of-counts, and the
+    // fixed order (r+1)·N_{r+1} / N_r — all integer inputs
+    "q_good_turing" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r
+        |       FROM tok GROUP BY w),
+        |coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        |        FROM wc GROUP BY r),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS N FROM wc),
+        |obs AS (
+        |  SELECT c.r, c.n_r,
+        |         CAST((c.r + 1) * nx.n_r AS DOUBLE)
+        |           / CAST(c.n_r AS DOUBLE) AS rstar_raw,
+        |         CAST((c.r + 1) * nx.n_r AS DOUBLE)
+        |           / CAST(c.n_r AS DOUBLE) * CAST(c.n_r AS DOUBLE) AS mass
+        |  FROM coc c LEFT JOIN coc nx ON nx.r = c.r + 1),
+        |uns AS (
+        |  SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+        |         CAST(NULL AS DOUBLE) AS rstar_raw,
+        |         CAST(n_r AS DOUBLE) AS mass
+        |  FROM coc WHERE r = 1),
+        |all_r AS (SELECT * FROM obs UNION ALL SELECT * FROM uns)
+        |SELECT r, n_r, round(rstar_raw, 6) AS r_star,
+        |  CASE WHEN r = 0 THEN round(mass / CAST(tot.N AS DOUBLE), 9)
+        |       ELSE round(rstar_raw / CAST(tot.N AS DOUBLE), 9)
+        |  END AS p_gt
+        |FROM all_r, tot ORDER BY r""".stripMargin,
+
+    // dedup saturation: identical planted boilerplate, md5 content
+    // keys, bucket arithmetic and cumulative window
+    "q_dup_saturation" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN 'boilerplate page ' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS hh FROM x),
+        |f AS (SELECT hh, min(doc_id) AS fst FROM h GROUP BY hh),
+        |fl AS (SELECT h.doc_id // 50 AS bucket,
+        |              (h.doc_id > f.fst) AS dup
+        |       FROM h JOIN f USING (hh)),
+        |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_dups
+        |      FROM fl GROUP BY bucket),
+        |c AS (SELECT *,
+        |        CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+        |          AS cum_docs,
+        |        CAST(sum(n_dups) OVER (ORDER BY bucket) AS BIGINT)
+        |          AS cum_dups
+        |      FROM b)
+        |SELECT bucket, n_docs, n_dups,
+        |  round(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS dup_rate,
+        |  cum_dups,
+        |  round(CAST(cum_dups AS DOUBLE) / CAST(cum_docs AS DOUBLE), 6)
+        |    AS cum_rate
+        |FROM c ORDER BY bucket""".stripMargin,
+
+    // Hill tail index: the ln-sum replayed in the SAME descending-value
+    // order via an ordered window cumsum
+    "q_hill_tail" ->
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        |  ORDER BY x DESC LIMIT 51),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM t),
+        |c AS (SELECT rn,
+        |        sum(ln(x / (SELECT min(x) FROM t)))
+        |          OVER (ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS s
+        |      FROM r WHERE rn <= 50)
+        |SELECT CAST(50 AS BIGINT) AS k,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_used,
+        |  CASE WHEN (SELECT count(*) FROM t) >= 51
+        |       THEN (SELECT min(x) FROM t) END AS x_tail,
+        |  CASE WHEN (SELECT count(*) FROM t) >= 51
+        |            AND (SELECT s FROM c WHERE rn = 50) > 0
+        |       THEN round(50.0 / (SELECT s FROM c WHERE rn = 50), 6)
+        |  END AS hill_alpha""".stripMargin,
+
+    // key containment: identical planted NULL keys, distinct-key
+    // frames, and fraction spellings
+    "q_key_containment" ->
+      """WITH lft AS (
+        |  SELECT CASE WHEN c_custkey % 37 = 0 THEN NULL
+        |              ELSE c_custkey END AS k
+        |  FROM customer),
+        |lr AS (SELECT CAST(count(*) AS BIGINT) AS n_left_rows,
+        |              CAST(count(k) AS BIGINT) AS n_left_nonnull
+        |       FROM lft),
+        |lk AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM lft
+        |       WHERE k IS NOT NULL GROUP BY k),
+        |rk AS (SELECT DISTINCT user_id AS k FROM events
+        |       WHERE user_id IS NOT NULL),
+        |sh AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+        |              CAST(coalesce(sum(lk.c), 0) AS BIGINT)
+        |                AS n_left_rows_matched
+        |       FROM lk JOIN rk USING (k)),
+        |ks AS (SELECT CAST(count(*) AS BIGINT) AS n_left_keys FROM lk),
+        |kr AS (SELECT CAST(count(*) AS BIGINT) AS n_right_keys FROM rk)
+        |SELECT lr.n_left_rows, lr.n_left_nonnull, ks.n_left_keys,
+        |  kr.n_right_keys, sh.n_shared_keys, sh.n_left_rows_matched,
+        |  CASE WHEN ks.n_left_keys > 0
+        |       THEN round(CAST(sh.n_shared_keys AS DOUBLE)
+        |                  / CAST(ks.n_left_keys AS DOUBLE), 6)
+        |  END AS key_containment,
+        |  CASE WHEN lr.n_left_nonnull > 0
+        |       THEN round(CAST(sh.n_left_rows_matched AS DOUBLE)
+        |                  / CAST(lr.n_left_nonnull AS DOUBLE), 6)
+        |  END AS row_coverage
+        |FROM lr, ks, kr, sh""".stripMargin,
+
+    // type inference: identical regex ladder (RE2-compatible classes,
+    // anchored) and the same calendar-validity try_cast for dates
+    "q_type_infer" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN '123'
+        |              WHEN doc_id % 7 = 1 THEN '-4.5e2'
+        |              WHEN doc_id % 7 = 2 THEN '2024-01-15'
+        |              WHEN doc_id % 7 = 3 THEN '2024-13-40'
+        |              WHEN doc_id % 7 = 4 THEN 'true'
+        |              WHEN doc_id % 7 = 5 THEN 'abc' END AS mixed,
+        |         CAST(doc_id % 1000 AS VARCHAR) AS ints,
+        |         CASE WHEN doc_id % 2 = 0 THEN '1.5' ELSE '7' END AS dbls,
+        |         CASE WHEN doc_id % 3 = 0 THEN '1999-12-31'
+        |              ELSE '2000-01-02' END AS dates
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'dbls' AS col_name, dbls AS v FROM x UNION ALL
+        |  SELECT 'dates', dates FROM x UNION ALL
+        |  SELECT 'ints', ints FROM x UNION ALL
+        |  SELECT 'mixed', mixed FROM x),
+        |a AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    CAST(sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bigint,
+        |    CAST(sum(CASE WHEN regexp_matches(v,
+        |        '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+        |    CAST(sum(CASE WHEN regexp_matches(v,
+        |        '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |                  AND try_cast(v AS DATE) IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+        |    CAST(sum(CASE WHEN lower(v) IN ('true', 'false')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bool
+        |  FROM u GROUP BY col_name)
+        |SELECT col_name AS "column", n_rows, n_null, n_bigint, n_double,
+        |  n_date, n_bool,
+        |  CASE WHEN n_rows - n_null = 0 THEN 'empty'
+        |       WHEN n_bigint = n_rows - n_null THEN 'bigint'
+        |       WHEN n_double = n_rows - n_null THEN 'double'
+        |       WHEN n_date = n_rows - n_null THEN 'date'
+        |       WHEN n_bool = n_rows - n_null THEN 'boolean'
+        |       ELSE 'string' END AS suggested
+        |FROM a ORDER BY col_name""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

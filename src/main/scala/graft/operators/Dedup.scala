@@ -983,4 +983,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_groups"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Dedup-saturation curve — duplicate rate by CRAWL POSITION: bucket
+    * the corpus by ingest order (`idCol div bucketWidth`) and report,
+    * per bucket, how many documents repeat content already seen at a
+    * LOWER id, plus the running cumulative rate. The "when does the
+    * crawl stop adding new content" view that the flat aggregates
+    * ([[exactDuplicates]] totals, the q_dup_hist histogram) can't give:
+    * a saturating corpus shows the per-bucket rate climbing toward 1 —
+    * the measured stopping rule for a 100 TB crawl extension.
+    *
+    * Scale shape: text is hashed IN THE SCAN (md5 → 16-byte keys;
+    * content never enters an exchange), first-seen ids come from one
+    * map-side-combined min aggregate, the flag join moves (id, hash)
+    * pairs only, and the cumulative window runs over the O(buckets)
+    * frame — never the corpus. `idCol` must be a numeric ingest
+    * order. */
+  def duplicateSaturation(df: DataFrame, idCol: String, textCol: String,
+                          bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val h = df.select(col(idCol).cast("long").as("__id"),
+      md5(col(textCol)).as("__h"))
+    val first = h.groupBy(col("__h")).agg(min(col("__id")).as("__first"))
+    val perBucket = h.join(first, Seq("__h"))
+      .select(expr(s"__id div $bucketWidth").as("bucket"),
+        (col("__id") > col("__first")).as("__dup"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dups"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_dups", sum(col("n_dups")).over(w))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("cum_dups"),
+        round(col("cum_dups").cast("double") /
+          col("cum_docs").cast("double"), 6).as("cum_rate"))
+      .orderBy(col("bucket"))
+  }
 }

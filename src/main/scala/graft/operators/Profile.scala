@@ -830,4 +830,101 @@ object Profile {
       when(vx > 0 && vy > 0,
         round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("spearman_rho"))
   }
+
+  /** Hill tail-index estimator over the top-k order statistics of
+    * `valueCol` — HOW heavy is the heavy tail (the [[graft.operators.TextAnalysis.zipfFit]]
+    * sibling for any numeric column): α̂ = k / Σᵢ₌₁..k ln(xᵢ/x₍k₊₁₎)
+    * over the k largest values. α below ~2 means infinite variance —
+    * mean-based shard/batch sizing is garbage and the
+    * [[massWeightedPercentiles]] view is the one to trust; the number
+    * that tells you BEFORE a 100 TB pack run whether a handful of
+    * giant documents will dominate every shard.
+    *
+    * Scale shape: one TakeOrderedAndProject fold (every task keeps a
+    * local top-(k+1); no global sort) and driver arithmetic on ≤ k+1
+    * doubles — the metadata-sized-collect contract, require-capped.
+    * The ln-sum accumulates in descending-value order; the SQL oracle
+    * replays the same order via an ordered window cumsum, so the
+    * doubles agree. Returns (k, n_used, x_tail, hill_alpha); alpha is
+    * NULL when fewer than k+1 positive values exist or the top k+1
+    * are all equal (no tail information — surfaced, not faked). */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    require(k > 0 && k <= 10000, "hillTailIndex: k in [1, 10000]")
+    val top = df
+      .where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("double").as("__x"))
+      .orderBy(desc("__x")).limit(k + 1)
+      .collect().map(_.getDouble(0))
+    import spark.implicits._
+    if (top.length < k + 1)
+      Seq((k.toLong, top.length.toLong,
+          Option.empty[Double], Option.empty[Double]))
+        .toDF("k", "n_used", "x_tail", "hill_alpha")
+    else {
+      val xTail = top.last
+      var s = 0.0
+      var i = 0
+      while (i < k) { s += math.log(top(i) / xTail); i += 1 }
+      val alpha: Option[Double] = if (s > 0) Some(BigDecimal(k / s)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+      Seq((k.toLong, top.length.toLong, Option(xTail), alpha))
+        .toDF("k", "n_used", "x_tail", "hill_alpha")
+    }
+  }
+
+  /** Column type inference over STRING columns — the discovery half of
+    * the reference's dtype rules (it VALIDATES a declared type; this
+    * proposes one for undocumented ingest): per column, how many
+    * non-null cells parse as bigint / double / date / boolean, and the
+    * type suggested by the strictest ladder rung that covers every
+    * non-null cell. Counts come from ONE aggregate pass over all
+    * columns (the [[keyCandidates]] fused-scan shape, unpivoted by a
+    * stateless explode). Numeric rungs are REGEX-anchored, not
+    * try_cast — engines disagree on coercions (DuckDB truncates
+    * '3.14' to BIGINT 3; Spark refuses), regex classes don't; dates
+    * regex-gate the shape then try_cast for calendar validity
+    * ('2024-13-40' must fail), where both engines agree on NULL.
+    * Returns (column, n_rows, n_null, n_bigint, n_double, n_date,
+    * n_bool, suggested); suggested is 'empty' when no non-null cells
+    * exist. */
+  def typeInference(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "typeInference: no columns given")
+    val intRe = "^[+-]?[0-9]+$"
+    val dblRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    val dateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (name, i) =>
+        val c = col(name).cast("string")
+        Seq(
+          sum(flag(c.isNull)).as(s"__z$i"),
+          sum(flag(c.rlike(intRe))).as(s"__i$i"),
+          sum(flag(c.rlike(dblRe))).as(s"__f$i"),
+          sum(flag(c.rlike(dateRe) &&
+            expr(s"try_cast(`$name` as date)").isNotNull)).as(s"__d$i"),
+          sum(flag(lower(c).isin("true", "false"))).as(s"__b$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.zipWithIndex.map { case (name, i) =>
+      struct(lit(name).as("column"), col(s"__z$i").as("n_null"),
+        col(s"__i$i").as("n_bigint"), col(s"__f$i").as("n_double"),
+        col(s"__d$i").as("n_date"), col(s"__b$i").as("n_bool"))
+    }
+    one.select(col("__n"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column").as("column"), col("__n").as("n_rows"),
+        col("__e.n_null").as("n_null"), col("__e.n_bigint").as("n_bigint"),
+        col("__e.n_double").as("n_double"), col("__e.n_date").as("n_date"),
+        col("__e.n_bool").as("n_bool"))
+      .withColumn("__nn", col("n_rows") - col("n_null"))
+      .withColumn("suggested",
+        when(col("__nn") === 0, lit("empty"))
+          .when(col("n_bigint") === col("__nn"), lit("bigint"))
+          .when(col("n_double") === col("__nn"), lit("double"))
+          .when(col("n_date") === col("__nn"), lit("date"))
+          .when(col("n_bool") === col("__nn"), lit("boolean"))
+          .otherwise(lit("string")))
+      .drop("__nn")
+      .orderBy(col("column"))
+  }
 }

@@ -1473,4 +1473,51 @@ object TextAnalysis {
         col("__z.n").as("n"))
       .where(col("n") > 0)
   }
+
+  /** Good–Turing frequency-of-frequencies profile — the
+    * vocabulary-saturation / unseen-mass estimate: how much
+    * probability mass should the corpus assign to words it has NEVER
+    * seen (r = 0 row: p₀ = N₁/N), and how do raw counts deflate under
+    * the classic Good–Turing adjustment r* = (r+1)·N_{r+1}/N_r? A
+    * corpus whose unseen mass stays high as it grows is still
+    * discovering vocabulary (keep crawling); one where it collapses is
+    * saturated (the [[heapsFit]] companion, from count-of-counts
+    * instead of the growth curve). Returns one row per observed
+    * occurrence count r — (r, n_r, r_star, p_gt) — plus the r = 0
+    * unseen-mass row; r_star/p_gt are NULL where N_{r+1} is absent
+    * (the raw estimator is undefined there — surfaced, not smoothed
+    * over).
+    *
+    * Scale shape: word counts collapse map-side (the one corpus-sized
+    * aggregate); count-of-counts is an O(distinct words) aggregate
+    * into an O(distinct r) frame — ~hundreds of rows at any corpus
+    * size — and the N_{r+1} lookup is a self-join on that tiny frame.
+    * All inputs integers; ratios derive through one fixed IEEE
+    * order, so the SQL replica is bit-exact. */
+  def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    val wc = df.select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__r"))
+    val coc = wc.groupBy(col("__r").as("r")).agg(count(lit(1)).as("n_r"))
+    val total = wc.agg(sum(col("__r")).as("__N"))
+    val next = coc.select((col("r") - 1).as("r"), col("n_r").as("__nn"))
+    val unseen = coc.where(col("r") === 1)
+      .select(lit(0L).as("r"), lit(0L).as("n_r"),
+        lit(null).cast("double").as("__rstar_raw"),
+        col("n_r").cast("double").as("__mass"))
+    val observed = coc.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        ((col("r") + 1) * col("__nn")).cast("double")
+          ./(col("n_r").cast("double")).as("__rstar_raw"))
+      .withColumn("__mass", col("__rstar_raw") * col("n_r").cast("double"))
+    observed.unionByName(unseen)
+      .crossJoin(broadcast(total))
+      .select(col("r"), col("n_r"),
+        round(col("__rstar_raw"), 6).as("r_star"),
+        when(col("r") === 0,
+            round(col("__mass") / col("__N").cast("double"), 9))
+          .otherwise(
+            round(col("__rstar_raw") / col("__N").cast("double"), 9))
+          .as("p_gt"))
+      .orderBy(col("r"))
+  }
 }
