@@ -2981,6 +2981,69 @@ object SparkEntry {
         Seq("dbls", "dates", "ints", "mixed"))
     }),
 
+    // ---- near-time duplicate events: planted +3 s replays of every
+    // %50 event; time-banded candidates (exactly-once pairing), a hot
+    // key never goes quadratic
+    "q_event_dups" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val planted = ev.where(col("event_id") % 50 === 0)
+        .select((col("event_id") + 1000000).as("event_id"),
+          col("user_id"), col("event_type"),
+          (col("ts") + expr("INTERVAL 3 SECONDS")).as("ts"))
+      Sessionize.eventDuplicates(ev.unionByName(planted),
+          Seq("user_id", "event_type"), "ts", "event_id",
+          windowSec = 10L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- CUSUM changepoint scan on daily volume: cumulative deviation
+    // from the mean, extremum = the level-shift estimate; S_i derived
+    // as cum_int − i·mean so both engines' doubles are bit-identical
+    "q_cusum" -> ((s, d) =>
+      Drift.cusum(t(s, d, "events"), "ts", bucketSecs = 86400L)),
+
+    // ---- Cramér's V between lang and source: the "are these labels
+    // redundant" association number; full r×c grid incl. zero cells
+    "q_cramers_v" -> ((s, d) =>
+      Drift.cramersV(t(s, d, "documents"), "lang", "source")),
+
+    // ---- crawl-trap detection: a planted trap host (7 paths, 125
+    // pages, all under /calendar) against healthy source hosts
+    "q_crawl_traps" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val url = when(id % 4 === 0,
+          concat(lit("https://trap.example.com/calendar/p"),
+            (id % 7).cast("string"), lit("?page="), id.cast("string")))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/sec"), (id % 5).cast("string"),
+          lit("/art"), id.cast("string")))
+      WebFilter.crawlTraps(
+        t(s, d, "documents").select(url.as("url")), "url",
+        depth = 1, minPages = 50L)
+    }),
+
+    // ---- magic-byte sniff vs declared MIME: planted lying headers
+    // (JPEG declared as PNG, garbage declared as PNG); pure projection
+    "q_magic_sniff" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val hx = when(id % 5 === 0, lit("89504E470D0A1A0A0000"))
+        .when(id % 5 === 1, lit("FFD8FFE000104A464946"))
+        .when(id % 5 === 2, lit("524946460800000057415645"))
+        .when(id % 5 === 3, lit("504B030414000000"))
+        .otherwise(lit("DEADBEEF00"))
+      val declared = when(id % 5 === 0, lit("image/png"))
+        .when(id % 5 === 1, lit("image/png")) // lying header
+        .when(id % 5 === 2, lit("audio/wav"))
+        .when(id % 5 === 3, lit(null).cast("string")) // undeclared
+        .otherwise(lit("image/png")) // lying about garbage
+      Multimodal.magicSniff(
+        t(s, d, "documents").select(col("doc_id"), unhex(hx).as("bin"),
+          declared.as("mime")),
+        "doc_id", "bin", "mime").orderBy("doc_id")
+    }),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -7815,7 +7878,173 @@ object SparkEntry {
         |       WHEN n_date = n_rows - n_null THEN 'date'
         |       WHEN n_bool = n_rows - n_null THEN 'boolean'
         |       ELSE 'string' END AS suggested
-        |FROM a ORDER BY col_name""".stripMargin)
+        |FROM a ORDER BY col_name""".stripMargin,
+
+    // event dups: identical planted replays; the oracle is the PLAIN
+    // quadratic self-join — banded candidates proven result-identical
+    "q_event_dups" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, ts FROM events),
+        |pl AS (
+        |  SELECT event_id + 1000000 AS event_id, user_id, event_type,
+        |         ts + INTERVAL 3 SECOND AS ts
+        |  FROM base WHERE event_id % 50 = 0),
+        |e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS s
+        |      FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))
+        |SELECT a.user_id, a.event_type,
+        |       a.event_id AS id_a, b.event_id AS id_b,
+        |       abs(a.s - b.s) AS gap_s
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        | AND a.event_id < b.event_id AND abs(a.s - b.s) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // CUSUM: same present-bucket counts, S_i = cum_int − i·(T/d)
+    "q_cusum" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tt,
+        |             CAST(count(*) AS BIGINT) AS d FROM c),
+        |s AS (SELECT bucket, n_events,
+        |        CAST(sum(n_events) OVER (ORDER BY bucket) AS DOUBLE)
+        |          - CAST(row_number() OVER (ORDER BY bucket) AS DOUBLE)
+        |            * (CAST(t.tt AS DOUBLE) / CAST(t.d AS DOUBLE)) AS sv
+        |      FROM c, t),
+        |m AS (SELECT max(abs(sv)) AS mx FROM s),
+        |pb AS (SELECT min(bucket) AS pb FROM s, m WHERE abs(sv) = m.mx)
+        |SELECT bucket, n_events, round(sv, 6) AS cusum,
+        |       (bucket = pb.pb) AS is_peak
+        |FROM s, pb ORDER BY bucket""".stripMargin,
+
+    // Cramér's V: same contingency cells, margins re-aggregated, full
+    // grid with zero-observed cells contributing expected mass
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS a,
+        |         coalesce(CAST(source AS VARCHAR), '<null>') AS b,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+        |       GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+        |       GROUP BY b),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |             CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+        |grid AS (
+        |  SELECT ra.a, cb.b, ra.ra, cb.cb,
+        |         coalesce(cells.o, 0) AS obs
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+        |chi AS (
+        |  SELECT sum(
+        |    (CAST(obs AS DOUBLE)
+        |     - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |       / CAST(n.n AS DOUBLE))
+        |    * (CAST(obs AS DOUBLE)
+        |       - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |         / CAST(n.n AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |       / CAST(n.n AS DOUBLE))) AS chi
+        |  FROM grid, n)
+        |SELECT n.n AS n, n.r AS r, n.c AS c,
+        |  round(chi.chi, 6) AS chi_square,
+        |  CASE WHEN least(n.r, n.c) > 1
+        |       THEN round(sqrt(chi.chi / (CAST(n.n AS DOUBLE)
+        |                  * CAST(least(n.r, n.c) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM chi, n""".stripMargin,
+
+    // crawl traps: identical URL construction, host/path/prefix
+    // regex family, and the two trap signals
+    "q_crawl_traps" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN doc_id % 4 = 0
+        |    THEN 'https://trap.example.com/calendar/p'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '?page='
+        |         || CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://' || source || '.example.com/sec'
+        |         || CAST(doc_id % 5 AS VARCHAR) || '/art'
+        |         || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT coalesce(nullif(regexp_replace(regexp_replace(
+        |      regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+        |      '^[^@]*@', ''), ':[0-9]*$', ''), ''), '<null>') AS host,
+        |    coalesce(nullif(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''),
+        |      '/') AS path
+        |  FROM u),
+        |seg AS (
+        |  SELECT host, path,
+        |    '/' || array_to_string(
+        |      list_filter(string_split(path, '/'), x -> x <> '')[1:1],
+        |      '/') AS prefix
+        |  FROM p),
+        |tot AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+        |               CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        |        FROM seg GROUP BY host),
+        |tp AS (SELECT host, CAST(max(c) AS BIGINT) AS top FROM (
+        |         SELECT host, prefix, count(*) AS c
+        |         FROM seg GROUP BY host, prefix) GROUP BY host)
+        |SELECT tot.host, tot.n_pages, tot.n_paths,
+        |  round(1.0 - CAST(tot.n_paths AS DOUBLE)
+        |              / CAST(tot.n_pages AS DOUBLE), 6)
+        |    AS path_dup_ratio,
+        |  round(CAST(tp.top AS DOUBLE) / CAST(tot.n_pages AS DOUBLE), 6)
+        |    AS top_prefix_share,
+        |  (tot.n_pages >= 50 AND
+        |   (round(1.0 - CAST(tot.n_paths AS DOUBLE)
+        |                / CAST(tot.n_pages AS DOUBLE), 6) > 0.5
+        |    OR round(CAST(tp.top AS DOUBLE)
+        |             / CAST(tot.n_pages AS DOUBLE), 6) > 0.5)) AS trap
+        |FROM tot JOIN tp USING (host) ORDER BY host""".stripMargin,
+
+    // magic sniff: identical hex prefixes (both engines uppercase),
+    // identical lying declared types
+    "q_magic_sniff" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    unhex(CASE WHEN doc_id % 5 = 0 THEN '89504E470D0A1A0A0000'
+        |               WHEN doc_id % 5 = 1 THEN 'FFD8FFE000104A464946'
+        |               WHEN doc_id % 5 = 2
+        |                 THEN '524946460800000057415645'
+        |               WHEN doc_id % 5 = 3 THEN '504B030414000000'
+        |               ELSE 'DEADBEEF00' END) AS bin,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'image/png'
+        |         WHEN doc_id % 5 = 1 THEN 'image/png'
+        |         WHEN doc_id % 5 = 2 THEN 'audio/wav'
+        |         WHEN doc_id % 5 = 3 THEN NULL
+        |         ELSE 'image/png' END AS declared
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, declared, hex(bin) AS hx FROM x),
+        |v AS (
+        |  SELECT doc_id, declared,
+        |    CASE WHEN hx IS NULL THEN NULL
+        |         WHEN substr(hx, 1, 8) = '89504E47' THEN 'image/png'
+        |         WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+        |         WHEN substr(hx, 1, 8) = '47494638' THEN 'image/gif'
+        |         WHEN substr(hx, 1, 8) = '52494646'
+        |              AND substr(hx, 17, 8) = '57415645'
+        |           THEN 'audio/wav'
+        |         WHEN substr(hx, 1, 8) = '52494646'
+        |              AND substr(hx, 17, 8) = '41564920'
+        |           THEN 'video/avi'
+        |         WHEN substr(hx, 1, 8) = '52494646' THEN 'riff/unknown'
+        |         WHEN substr(hx, 1, 8) = '25504446'
+        |           THEN 'application/pdf'
+        |         WHEN substr(hx, 1, 8) = '504B0304'
+        |           THEN 'application/zip'
+        |         ELSE 'unknown' END AS sniffed
+        |  FROM s)
+        |SELECT doc_id, declared, sniffed,
+        |  CASE WHEN declared IS NOT NULL THEN declared <> sniffed
+        |  END AS mismatch
+        |FROM v ORDER BY doc_id""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

@@ -649,4 +649,92 @@ object Drift {
         (col("q_b") - col("q_a")).as("diff"))
       .orderBy("p")
   }
+
+  /** CUSUM changepoint scan over bucketed event volume — WHERE did the
+    * ingest rate shift (the [[volumeAnomalies]] z-score flags a spiky
+    * DAY; CUSUM localizes a LEVEL CHANGE): per bucket the cumulative
+    * deviation from the global mean, Sᵢ = Σ_{j≤i}(xⱼ − x̄), which
+    * drifts near zero under a stable rate and turns into a ramp with
+    * its extremum AT the changepoint. Returns per present bucket
+    * (bucket, n_events, cusum, is_peak) with is_peak marking the
+    * earliest bucket attaining max |S| — the changepoint estimate.
+    * Absent buckets contribute nothing (documented; a zero-volume
+    * outage shows as the ramp itself).
+    *
+    * Determinism: Sᵢ is computed as cum_xᵢ − i·x̄ — ONE integer
+    * cumulative (exact), one multiply, one subtract — never a
+    * sequential double accumulation, so both engines produce
+    * bit-identical doubles and the argmax can't flip. The ordered
+    * window runs over the O(buckets) frame, never the corpus. */
+  def cusum(df: DataFrame, timeCol: String,
+            bucketSecs: Long = 86400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSecs > 0, "bucketSecs must be positive")
+    val counts = df.where(col(timeCol).isNotNull)
+      .select((col(timeCol).cast("timestamp").cast("long") /
+        lit(bucketSecs)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum(col("n_events")).as("__t"),
+      count(lit(1)).as("__d"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.orderBy(col("bucket"))
+    val scored = counts
+      .withColumn("__cum", sum(col("n_events")).over(w))
+      .withColumn("__rn", row_number().over(wr))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_events"),
+        (col("__cum").cast("double") -
+          col("__rn").cast("double") *
+            (col("__t").cast("double") / col("__d").cast("double")))
+          .as("__s"))
+    val peak = scored.agg(max(abs(col("__s"))).as("__m"))
+    val peakBucket = scored.crossJoin(broadcast(peak))
+      .where(abs(col("__s")) === col("__m"))
+      .agg(min(col("bucket")).as("__pb"))
+    scored.crossJoin(broadcast(peakBucket))
+      .select(col("bucket"), col("n_events"),
+        round(col("__s"), 6).as("cusum"),
+        (col("bucket") === col("__pb")).as("is_peak"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Cramér's V association between two categorical columns — the
+    * "are these two labels redundant" check (lang ⇄ source, split ⇄
+    * quality-band) that chi-square alone can't answer because its
+    * magnitude scales with n: V = √(χ²/(n·(min(r,c)−1))) ∈ [0, 1].
+    * One contingency aggregate (map-side combined), margins
+    * re-aggregated from the cells, χ² over the FULL r×c grid
+    * (zero-observed cells contribute their expected mass — skipping
+    * them understates the statistic). NULL categories are the
+    * '<null>' bucket. Returns one row (n, r, c, chi_square,
+    * cramers_v); V is NULL for a degenerate 1×c / r×1 table. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(
+        coalesce(col(aCol).cast("string"), lit("<null>")).as("__a"),
+        coalesce(col(bCol).cast("string"), lit("<null>")).as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"),
+      count_distinct(col("__a")).as("__r"),
+      count_distinct(col("__b")).as("__c"))
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__obs", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(n))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val chi = grid.agg(sum(
+      (col("__obs").cast("double") - e) *
+        (col("__obs").cast("double") - e) / e).as("__chi"))
+    chi.crossJoin(broadcast(n)).select(
+      col("__n").as("n"), col("__r").as("r"), col("__c").as("c"),
+      round(col("__chi"), 6).as("chi_square"),
+      when(least(col("__r"), col("__c")) > 1,
+        round(sqrt(col("__chi") /
+          (col("__n").cast("double") *
+            (least(col("__r"), col("__c")) - 1).cast("double"))), 6))
+        .as("cramers_v"))
+  }
 }

@@ -501,4 +501,43 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** Magic-byte content sniffing vs the declared MIME — the multimodal
+    * ingest-trust check: a crawl's Content-Type header lies constantly
+    * (JPEGs served as image/png, HTML error pages as audio/wav), and a
+    * codec fed the wrong container wastes a decode attempt per row at
+    * best. Sniffs the REAL type from leading magic bytes (PNG, JPEG,
+    * GIF, RIFF with WAVE/AVI subtype, PDF, ZIP) and flags rows whose
+    * declared type disagrees. Returns (idCol, declared, sniffed,
+    * mismatch); mismatch is NULL when no type was declared (nothing to
+    * disagree with).
+    *
+    * Scale shape: a pure codegen'd projection on `hex()` prefixes of
+    * the binary column — zero shuffles, zero decode, zero UDFs; both
+    * engines uppercase hex identically, so the oracle replays the
+    * sniff byte for byte. Run it BEFORE [[extractFeatures]] so the
+    * decode tier only sees containers it can open. */
+  def magicSniff(df: DataFrame, idCol: String, binCol: String,
+                 declaredCol: String): DataFrame = {
+    val hx = hex(col(binCol))
+    val riffSub = substring(hx, 17, 8) // bytes 9-12: the RIFF subtype
+    val sniffed =
+      when(col(binCol).isNull, lit(null).cast("string"))
+        .when(substring(hx, 1, 8) === "89504E47", "image/png")
+        .when(substring(hx, 1, 6) === "FFD8FF", "image/jpeg")
+        .when(substring(hx, 1, 8) === "47494638", "image/gif")
+        .when(substring(hx, 1, 8) === "52494646" &&
+          riffSub === "57415645", "audio/wav")
+        .when(substring(hx, 1, 8) === "52494646" &&
+          riffSub === "41564920", "video/avi")
+        .when(substring(hx, 1, 8) === "52494646", "riff/unknown")
+        .when(substring(hx, 1, 8) === "25504446", "application/pdf")
+        .when(substring(hx, 1, 8) === "504B0304", "application/zip")
+        .otherwise("unknown")
+    df.select(col(idCol), col(declaredCol).as("declared"),
+        sniffed.as("sniffed"))
+      .withColumn("mismatch",
+        when(col("declared").isNotNull,
+          col("declared") =!= col("sniffed")))
+  }
 }

@@ -221,4 +221,47 @@ object Sessionize {
       expr("percentile(CASE WHEN late_s > 0 THEN CAST(late_s AS DOUBLE) END," +
         " 0.9375D)").as("p94_late_s"))
   }
+
+  /** Near-time duplicate events — telemetry double-fire detection: all
+    * pairs of events sharing `keyCols` whose timestamps fall within
+    * `windowSec` seconds (retry storms, at-least-once replays, client
+    * double-submits). The row-level companion of the aggregate-level
+    * [[graft.operators.Drift.autocorrelation]] double-fire signal:
+    * that says "something fires twice", this names the pairs.
+    *
+    * Candidate generation is TIME-BANDED, never per-key all-pairs
+    * (a hot key would go quadratic): events bucket by
+    * `second div windowSec`, a qualifying pair's buckets differ by at
+    * most one, one side fans to {b−1, b, b+1} with the probe pinned
+    * to its OWN bucket — every qualifying pair produced exactly once
+    * (the [[graft.operators.EditDistance.neardupPairs]] banding
+    * argument on the time axis). The join key is (keyCols, bucket),
+    * so co-keyed events in DIFFERENT windows never meet. Seconds are
+    * NTZ-safe integer truncations (the autocorrelation spelling).
+    * Returns (keyCols…, id_a, id_b, gap_s) with id_a < id_b; NULL
+    * keys/timestamps are excluded. */
+  def eventDuplicates(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                      idCol: String, windowSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "eventDuplicates: no key columns")
+    require(windowSec > 0, "windowSec must be positive")
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val narrow = df
+      .where(col(tsCol).isNotNull && col(idCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) ++
+        Seq(col(idCol).as("__id"), sec.as("__s")): _*)
+      .withColumn("__bkt", expr(s"__s div $windowSec"))
+    val fan = narrow.select(keyCols.map(col) ++ Seq(
+      col("__id").as("id_a"), col("__s").as("__sa"),
+      explode(array(col("__bkt") - 1, col("__bkt"), col("__bkt") + 1))
+        .as("__jb")): _*)
+    val probe = narrow.select(keyCols.map(col) ++ Seq(
+      col("__id").as("id_b"), col("__s").as("__sb"),
+      col("__bkt").as("__jb")): _*)
+    fan.join(probe, keyCols :+ "__jb")
+      .where(col("id_a") < col("id_b") &&
+        abs(col("__sa") - col("__sb")) <= windowSec)
+      .select(keyCols.map(col) ++ Seq(col("id_a"), col("id_b"),
+        abs(col("__sa") - col("__sb")).as("gap_s")): _*)
+  }
 }

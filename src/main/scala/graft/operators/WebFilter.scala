@@ -238,4 +238,47 @@ object WebFilter {
         count_distinct(col("__path")).as("n_paths"))
       .orderBy(desc("n_pages"), col("prefix"))
   }
+
+  /** Crawl-trap detection per host — the frontier-hygiene check that
+    * keeps a 100 TB crawl from drowning in calendar pages, faceted
+    * search, and session-id pagination: a trapped host shows MANY
+    * pages but FEW distinct paths (query-string pagination:
+    * `path_dup_ratio` high) and/or its volume concentrated under one
+    * path prefix (infinite sub-tree: `top_prefix_share` high). Per
+    * host: (host, n_pages, n_paths, path_dup_ratio, top_prefix_share,
+    * trap) with `trap` = n_pages ≥ minPages AND (either signal >
+    * 0.5). The [[pathPrefixRollup]] view folded to a per-host verdict
+    * the frontier scheduler can act on.
+    *
+    * Scale shape: three map-side-combinable aggregates over narrow
+    * (host, path/prefix) projections joined on host — page URLs
+    * reduce in the scan, payloads never move; NULL hosts (unparsable
+    * URLs) form their own '<null>' bucket, never dropped. */
+  def crawlTraps(df: DataFrame, urlCol: String, depth: Int = 2,
+                 minPages: Long = 100L): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(minPages >= 1, "minPages must be >= 1")
+    val host = coalesce(hostOf(col(urlCol)), lit("<null>"))
+    val path = pathOf(col(urlCol))
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val prefix = concat(lit("/"), concat_ws("/", slice(segs, 1, depth)))
+    val narrow = df.select(host.as("host"), path.as("__path"),
+      prefix.as("__prefix"))
+    val totals = narrow.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        count_distinct(col("__path")).as("n_paths"))
+    val topPrefix = narrow.groupBy(col("host"), col("__prefix"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("host")).agg(max(col("__c")).as("__top"))
+    totals.join(topPrefix, Seq("host"))
+      .select(col("host"), col("n_pages"), col("n_paths"),
+        round(lit(1.0) - col("n_paths").cast("double") /
+          col("n_pages").cast("double"), 6).as("path_dup_ratio"),
+        round(col("__top").cast("double") /
+          col("n_pages").cast("double"), 6).as("top_prefix_share"))
+      .withColumn("trap",
+        col("n_pages") >= minPages &&
+          (col("path_dup_ratio") > 0.5 || col("top_prefix_share") > 0.5))
+      .orderBy(col("host"))
+  }
 }

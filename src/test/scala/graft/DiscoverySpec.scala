@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Profile, Referential, TextAnalysis}
+import graft.operators.{Dedup, Drift, Multimodal, Profile, Referential, Sessionize, TextAnalysis, WebFilter}
 
-/** Batch-29 operators: Good–Turing unseen-mass estimate, dedup
+/** Batch-29/30 operators: Good–Turing unseen-mass estimate, dedup
   * saturation curve, Hill tail index, join-key containment pre-flight,
-  * and string column type inference. Hand-computed values plus
-  * exchange-payload pins. */
+  * string column type inference, near-time event duplicates, CUSUM
+  * changepoints, Cramér's V, crawl traps, and magic-byte sniffing.
+  * Hand-computed values plus exchange-payload/plan pins. */
 class DiscoverySpec extends SparkSpec {
   import spark.implicits._
 
@@ -140,5 +141,110 @@ class DiscoverySpec extends SparkSpec {
     assert("FileScan parquet|Scan parquet".r.findAllIn(p).size === 1,
       s"type inference must scan once:\n$p")
     assert(p.contains("partial_"), s"no map-side partials:\n$p")
+  }
+
+  // ------------------------------------------ near-time event dups
+
+  test("eventDuplicates: hand-computed pairs, banded == quadratic truth") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq((1L, "k", ts(0)), (2L, "k", ts(5)), (3L, "k", ts(12)),
+      (4L, "k", ts(100)), (5L, "m", ts(3)), (6L, "k", ts(22)))
+      .toDF("id", "key", "ts")
+    val out = Sessionize.eventDuplicates(ev, Seq("key"), "ts", "id", 10L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (1,2) gap 5; (2,3) gap 7; (3,6) gap 10 (boundary, bucket-adjacent)
+    assert(out.toSeq === Seq((1L, 2L, 5L), (2L, 3L, 7L), (3L, 6L, 10L)))
+    // plan: a hash join on (key, bucket) — never a nested loop
+    val p = Sessionize.eventDuplicates(ev, Seq("key"), "ts", "id", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"banded self-join must hash-join:\n$p")
+  }
+
+  // ------------------------------------------------------ CUSUM
+
+  test("cusum: ramp extremum marks the level shift, ties pick earliest") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L + 7000L)
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(2)(1L) ++
+      Seq.fill(6)(2L) ++ Seq.fill(6)(3L)).map(ts).toDF("ts")
+    val out = Drift.cusum(ev, "ts").collect()
+    // counts 2,2,6,6 → mean 4 → S = −2, −4, −2, 0; peak at bucket 1
+    assert(out.map(_.getDouble(2)).toSeq === Seq(-2.0, -4.0, -2.0, 0.0))
+    assert(out.map(_.getBoolean(3)).toSeq ===
+      Seq(false, true, false, false))
+    // all-equal volume → S ≡ 0, earliest bucket flagged
+    val flat = Seq(ts(0), ts(1), ts(2)).toDF("ts")
+    val f = Drift.cusum(flat, "ts").collect()
+    assert(f.forall(_.getDouble(2) === 0.0) &&
+      f.map(_.getBoolean(3)).toSeq === Seq(true, false, false))
+  }
+
+  // -------------------------------------------------- Cramér's V
+
+  test("cramersV: perfect association 1, independence 0, NULL bucket") {
+    val perfect = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
+      .toDF("a", "b")
+    val r = Drift.cramersV(perfect, "a", "b").head()
+    assert(r.getLong(0) === 20L && r.getLong(1) === 2L &&
+      r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 20.0 && r.getDouble(4) === 1.0)
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val r2 = Drift.cramersV(indep, "a", "b").head()
+    assert(r2.getDouble(3) === 0.0 && r2.getDouble(4) === 0.0)
+    // single-category side → V undefined, surfaced as NULL
+    val degen = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    assert(Drift.cramersV(degen, "a", "b").head().isNullAt(4))
+    // NULL categories form their own bucket
+    val withNull = Seq((Some("x"), "u"), (None, "v")).toDF("a", "b")
+    assert(Drift.cramersV(withNull, "a", "b").head().getLong(1) === 2L)
+  }
+
+  // ------------------------------------------------- crawl traps
+
+  test("crawlTraps: duplicated-pagination host flagged, healthy host not") {
+    val urls = ((1 to 6).map(i =>
+        s"https://trap.com/cal/p${i % 2}?page=$i") ++
+      (1 to 6).map(i => s"https://ok.com/s${i % 3}/art$i") ++
+      Seq("not a url")).toDF("url")
+    val out = WebFilter.crawlTraps(urls, "url", depth = 1, minPages = 5L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val trap = out("trap.com")
+    assert(trap.getLong(1) === 6L && trap.getLong(2) === 2L &&
+      trap.getDouble(3) === 0.666667 && trap.getDouble(4) === 1.0 &&
+      trap.getBoolean(5))
+    val ok = out("ok.com")
+    assert(ok.getDouble(3) === 0.0 && !ok.getBoolean(5))
+    assert(out.contains("<null>")) // unparsable URLs stay visible
+  }
+
+  // -------------------------------------------------- magic sniff
+
+  test("magicSniff: magic bytes beat the declared type") {
+    val rows = Seq(
+      (1L, "89504E470D0A1A0A", Some("image/png")),
+      (2L, "FFD8FFE000104A46", Some("image/png")), // lying header
+      (3L, "524946460800000057415645", Some("audio/wav")),
+      (4L, "524946460800000041564920", Some("audio/wav")), // AVI as wav
+      (5L, "5249464608000000DEADBEEF", Some("riff/unknown")),
+      (6L, "25504446", Some("application/pdf")),
+      (7L, "504B0304", None),
+      (8L, "DEADBEEF", Some("image/png")))
+      .toDF("id", "hx", "mime")
+      .select(col("id"), unhex(col("hx")).as("bin"), col("mime"))
+    val out = Multimodal.magicSniff(rows, "id", "bin", "mime")
+      .orderBy("id").collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("image/png",
+      "image/jpeg", "audio/wav", "video/avi", "riff/unknown",
+      "application/pdf", "application/zip", "unknown"))
+    assert(out.map(r => if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      .toSeq === Seq(Some(false), Some(true), Some(false), Some(true),
+        Some(false), Some(false), None, Some(true)))
+    // pure projection: zero exchanges, zero UDFs
+    val p = Multimodal.magicSniff(rows, "id", "bin", "mime")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
+      s"magic sniff must stay a projection:\n$p")
   }
 }
