@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HistogramAgg, Predicates, TextExpressions, VectorExpressions}
 import graft.model.{Requirement, Rule, RuleType}
 import graft.operators._
-import graft.sources.{Bucketing, SeqTableGen}
+import graft.sources.{Bucketing, JsonIngest, SeqTableGen}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-pipeline additions), each with a DuckDB
@@ -3043,6 +3043,62 @@ object SparkEntry {
           declared.as("mime")),
         "doc_id", "bin", "mime").orderBy("doc_id")
     }),
+
+    // ---- Neyman-optimal audit-budget allocation across sources:
+    // n_h ∝ N_h·σ_h from exact decimal moments, largest-remainder
+    // integers summing exactly to the budget, caps surfaced
+    "q_neyman_alloc" -> ((s, d) =>
+      Mixing.neymanAllocation(t(s, d, "documents"), "source", "n_chars",
+        budget = 100L)),
+
+    // ---- winsorization at the dyadic [1/16, 15/16] fence: thresholds
+    // from one exact-percentile aggregate, clip is a stateless scan
+    "q_winsorize" -> ((s, d) =>
+      Profile.winsorize(t(s, d, "documents"), "doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- JSON key discovery over a semi-structured column (planted
+    // extra/utm/ts keys + malformed rows): which keys exist and how
+    // often, before declaring an extraction schema
+    "q_json_keys" -> ((s, d) => {
+      val id = col("doc_id").cast("long")
+      val js = when(id % 13 === 0, lit("{bad"))
+        .when(id % 3 === 0, concat(lit("{\"k\":"), (id % 100).cast("string"),
+          lit(",\"extra\":1}")))
+        .when(id % 5 === 0, concat(lit("{\"k\":"), (id % 100).cast("string"),
+          lit(",\"utm\":\"x\",\"ts\":0}")))
+        .otherwise(concat(lit("{\"k\":"), (id % 100).cast("string"),
+          lit("}")))
+      JsonIngest.topJsonKeys(
+        t(s, d, "documents").select(js.as("props")), "props", k = 10)
+    }),
+
+    // ---- tokenize→detokenize round-trip loss rate: the audit that
+    // the token pipeline is invertible up to OOV — composes the
+    // q_tokenize / q_detokenize surfaces into one corpus number
+    "q_roundtrip_loss" -> ((s, d) => {
+      TextExpressions.register(s)
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", 20)
+      docs.select(
+          TextAnalysis.detokenize(
+            TextAnalysis.tokenize(col("text"), vocab), vocab).as("rt"),
+          array_join(Dedup.words(col("text")), " ").as("canon"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rt") === col("canon"), 1L).otherwise(0L))
+            .as("n_exact"))
+        .select(col("n_docs"), col("n_exact"),
+          round((col("n_docs") - col("n_exact")).cast("double") /
+            col("n_docs").cast("double"), 6).as("loss_rate"))
+    }),
+
+    // ---- per-shard content manifest: order-independent md5-prefix
+    // XOR digest + row/char counts — the copy-integrity record
+    "q_shard_manifest" -> ((s, d) =>
+      Packing.shardManifest(
+        t(s, d, "documents").select((col("doc_id") % 8).as("shard_id"),
+          col("text")),
+        "shard_id", "text")),
 
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -8044,7 +8100,134 @@ object SparkEntry {
         |SELECT doc_id, declared, sniffed,
         |  CASE WHEN declared IS NOT NULL THEN declared <> sniffed
         |  END AS mismatch
-        |FROM v ORDER BY doc_id""".stripMargin)
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Neyman allocation: exact HUGEINT moments, the same fixed sigma /
+    // weight order, ordered-cumsum ΣW, identical largest-remainder
+    // ranking (remainder desc, stratum asc)
+    "q_neyman_alloc" ->
+      """WITH a AS (
+        |  SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |      AS sxx
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT stratum, n,
+        |    CASE WHEN n > 0 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |         THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |              / CAST(n AS DOUBLE)
+        |         ELSE 0.0 END AS sigma
+        |  FROM a),
+        |w AS (SELECT *, CAST(n AS DOUBLE) * sigma AS wt FROM s),
+        |tw AS (
+        |  SELECT max(cw) AS tot FROM (
+        |    SELECT sum(wt) OVER (ORDER BY stratum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |    FROM w)),
+        |r AS (
+        |  SELECT w.*, CASE WHEN tw.tot > 0
+        |                   THEN 100.0 * wt / tw.tot ELSE 0.0 END AS raw
+        |  FROM w, tw),
+        |b AS (SELECT *, CAST(floor(raw) AS BIGINT) AS base,
+        |             raw - floor(raw) AS rem FROM r),
+        |lo AS (SELECT CASE WHEN (SELECT tot FROM tw) > 0
+        |                   THEN 100 - sum(base) ELSE 0 END AS l FROM b),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+        |              AS rn FROM b)
+        |SELECT stratum, n AS n_rows, round(sigma, 6) AS sigma,
+        |  round(wt, 6) AS weight,
+        |  least(base + CASE WHEN rn <= lo.l THEN 1 ELSE 0 END, n)
+        |    AS alloc,
+        |  (base + CASE WHEN rn <= lo.l THEN 1 ELSE 0 END) > n AS capped
+        |FROM rk, lo ORDER BY stratum""".stripMargin,
+
+    // winsorize: identical dyadic quantile_cont thresholds, identical
+    // clip CASE
+    "q_winsorize" ->
+      """WITH t AS (
+        |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.0625) AS lo,
+        |         quantile_cont(CAST(n_chars AS DOUBLE), 0.9375) AS hi
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |       WHEN CAST(n_chars AS DOUBLE) < t.lo THEN t.lo
+        |       WHEN CAST(n_chars AS DOUBLE) > t.hi THEN t.hi
+        |       ELSE CAST(n_chars AS DOUBLE) END AS clipped,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |       ELSE CAST(n_chars AS DOUBLE) < t.lo
+        |            OR CAST(n_chars AS DOUBLE) > t.hi
+        |  END AS was_clipped
+        |FROM documents, t ORDER BY doc_id""".stripMargin,
+
+    // JSON key discovery: identical planted keys; malformed rows are
+    // NULL in both engines and vanish at the explode/unnest
+    "q_json_keys" ->
+      """WITH x AS (
+        |  SELECT CASE
+        |    WHEN doc_id % 13 = 0 THEN '{bad'
+        |    WHEN doc_id % 3 = 0
+        |      THEN '{"k":' || CAST(doc_id % 100 AS VARCHAR)
+        |           || ',"extra":1}'
+        |    WHEN doc_id % 5 = 0
+        |      THEN '{"k":' || CAST(doc_id % 100 AS VARCHAR)
+        |           || ',"utm":"x","ts":0}'
+        |    ELSE '{"k":' || CAST(doc_id % 100 AS VARCHAR) || '}'
+        |  END AS props
+        |  FROM documents),
+        |keys AS (
+        |  SELECT unnest(CASE WHEN json_valid(props)
+        |                     THEN json_keys(props) END) AS key
+        |  FROM x)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n
+        |FROM keys GROUP BY key
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    // round-trip loss: the q_tokenize/q_detokenize CTEs composed into
+    // the one corpus rate; equality iff no OOV word in the doc
+    "q_roundtrip_loss" ->
+      """WITH wl AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(l) AS word,
+        |         CAST(unnest(range(0, len(l))) AS INTEGER) AS pos
+        |  FROM wl),
+        |vocab AS (
+        |  SELECT word FROM (SELECT word, count(*) AS n FROM words
+        |                    GROUP BY 1 ORDER BY n DESC, word LIMIT 20)),
+        |rt AS (
+        |  SELECT w.doc_id, w.pos,
+        |    CASE WHEN v.word IS NOT NULL THEN w.word ELSE '<unk>' END
+        |      AS wout
+        |  FROM words w LEFT JOIN vocab v USING (word)),
+        |r2 AS (
+        |  SELECT d.doc_id,
+        |    coalesce(string_agg(wout, ' ' ORDER BY pos), '') AS rt
+        |  FROM documents d LEFT JOIN rt ON d.doc_id = rt.doc_id
+        |  GROUP BY d.doc_id),
+        |canon AS (SELECT doc_id, array_to_string(l, ' ') AS canon
+        |          FROM wl)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rt = canon THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  round(CAST(count(*) - sum(CASE WHEN rt = canon THEN 1 ELSE 0
+        |                            END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS loss_rate
+        |FROM r2 JOIN canon USING (doc_id)""".stripMargin,
+
+    // shard manifest: identical 60-bit md5-prefix XOR digest — hex
+    // casts agree ('0x…'::BIGINT here, conv(…,16,10) there)
+    "q_shard_manifest" ->
+      """SELECT doc_id % 8 AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS char_mass,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+        |    AS digest
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

@@ -782,4 +782,72 @@ object Mixing {
       }
       .toDF("grp", "n_rows", "alloc")
   }
+
+  /** Neyman-optimal sample allocation — how to SPLIT a labeling /
+    * audit / eval budget across strata so the resulting estimate has
+    * minimum variance: n_h ∝ N_h·σ_h (big AND internally-varied strata
+    * earn samples; a huge but homogeneous stratum needs few). The
+    * design step before [[graft.operators.Mixing.sampleByWeights]] /
+    * stratifiedSample executes the draw: proportional allocation
+    * over-samples uniform strata, and at a 10⁹-row audit budget the
+    * variance difference is the audit's power.
+    *
+    * Mechanics: per-stratum (n, Σx, Σx²) from ONE map-side-combined
+    * aggregate with decimal(38,0) exactness; population σ_h =
+    * √(n·Σx² − (Σx)²)/n through a fixed IEEE order; integer
+    * allocations by largest-remainder (ties broken on stratum name) so
+    * they sum exactly to `budget`; each allocation then capped at the
+    * stratum size N_h with the cap SURFACED (`capped` — Σalloc may
+    * fall below budget after capping; redistribute by re-running on
+    * the uncapped strata if needed, documented rather than silently
+    * iterated). Weight-degenerate inputs (all σ = 0) allocate zero
+    * everywhere, loudly. NULL strata form '<null>'; NULL values are
+    * excluded from the moments. Driver arithmetic is O(strata) —
+    * metadata-sized. Returns (stratum, n_rows, sigma, weight, alloc,
+    * capped) ordered by stratum. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val spark = df.sparkSession
+    val x = col(valueCol).cast("decimal(38,0)")
+    val rows = df.where(col(valueCol).isNotNull)
+      .groupBy(coalesce(col(stratumCol).cast("string"), lit("<null>"))
+        .as("stratum"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val sx = BigDecimal(r.getDecimal(2))
+        val sxx = BigDecimal(r.getDecimal(3))
+        val num = (BigDecimal(n) * sxx - sx * sx).toDouble
+        val sigma =
+          if (n > 0 && num > 0) math.sqrt(num) / n.toDouble else 0.0
+        (r.getString(0), n, sigma, n.toDouble * sigma)
+      }
+      .sortBy(_._1)
+    // Σw in sorted-stratum order — deterministic, SQL-replayable
+    val totalW = rows.foldLeft(0.0)(_ + _._4)
+    val raw = rows.map { case (st, n, sg, w) =>
+      val r = if (totalW > 0) budget.toDouble * w / totalW else 0.0
+      (st, n, sg, w, r, math.floor(r).toLong)
+    }
+    val leftover =
+      if (totalW > 0) budget - raw.map(_._6).sum else 0L
+    val bonus = raw.map(t => (t._1, t._5 - t._6))
+      .sortBy { case (st, rem) => (-rem, st) }
+      .take(leftover.toInt).map(_._1).toSet
+    import spark.implicits._
+    raw.map { case (st, n, sg, w, _, base) =>
+        val want = base + (if (bonus.contains(st)) 1L else 0L)
+        val alloc = math.min(want, n)
+        (st, n,
+          BigDecimal(sg).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          alloc, want > n)
+      }.toSeq
+      .toDF("stratum", "n_rows", "sigma", "weight", "alloc", "capped")
+      .orderBy(col("stratum"))
+  }
 }

@@ -463,4 +463,26 @@ object Packing {
             col("n_pairs").cast("double"), 6)))
       .orderBy(col("window_id"))
   }
+
+  /** Content manifest per shard — the output-integrity record a
+    * dataloader/copy verifies against: per shard, row count, char
+    * mass, and an ORDER-INDEPENDENT content digest (bit_xor of a
+    * 60-bit md5 prefix per row), so "did the copy / re-shard / format
+    * migration corrupt or drop anything" is one manifest compare
+    * instead of a 100 TB byte diff. XOR commutes, so the digest is
+    * stable under any row order or partitioning — exactly what a
+    * distributed rewrite needs; the flip side (a row included TWICE
+    * cancels out) is covered by the row count in the same manifest.
+    * One map-side-combined aggregate; rows with NULL content count in
+    * n_rows but not the digest (surfaced by char_mass). The
+    * [[graft.operators.Funnel.conservation]] digest idea productized
+    * for CONTENT (md5 of the payload) instead of ids. */
+  def shardManifest(df: DataFrame, shardCol: String,
+                    contentCol: String): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(length(col(contentCol)), lit(0))).as("char_mass"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(" + contentCol +
+          " AS STRING)), 1, 15), 16, 10) AS BIGINT))").as("digest"))
+      .orderBy(col(shardCol))
 }

@@ -888,6 +888,42 @@ object Profile {
     * Returns (column, n_rows, n_null, n_bigint, n_double, n_date,
     * n_bool, suggested); suggested is 'empty' when no non-null cells
     * exist. */
+  /** Winsorization — clip `valueCol` to its [pLo, pHi] quantile fence
+    * so downstream means/regressions aren't owned by a handful of
+    * outliers (the TRANSFORM sibling of [[robustOutliers]], which only
+    * flags): returns every row with (idCol, valueCol, clipped,
+    * was_clipped). `exact = true` uses exact `percentile` (the oracle
+    * tier); `exact = false` uses the bounded-memory
+    * `approx_percentile` sketch (the 10¹²-row tier). Thresholds come
+    * from ONE aggregate and ride the projection as literals — the
+    * clip itself is a stateless zero-shuffle scan. Default
+    * probabilities are DYADIC (1/16, 15/16) so exact interpolation on
+    * integer inputs is bit-identical cross-engine. NULL values pass
+    * through with a NULL flag. */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+                pLo: Double = 0.0625, pHi: Double = 0.9375,
+                exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val th = df.where(col(valueCol).isNotNull)
+      .agg(expr(s"$fn(CAST($valueCol AS DOUBLE), ${pLo}D)").as("__lo"),
+        expr(s"$fn(CAST($valueCol AS DOUBLE), ${pHi}D)").as("__hi"))
+      .head()
+    val v = col(valueCol).cast("double")
+    if (th.isNullAt(0)) // empty input: passthrough shape, nothing clips
+      return df.select(col(idCol), col(valueCol),
+        v.as("clipped"), lit(null).cast("boolean").as("was_clipped"))
+    val lo = th.getDouble(0)
+    val hi = th.getDouble(1)
+    df.select(col(idCol), col(valueCol),
+      when(v.isNull, lit(null).cast("double"))
+        .when(v < lo, lit(lo)).when(v > hi, lit(hi))
+        .otherwise(v).as("clipped"),
+      when(v.isNull, lit(null).cast("boolean"))
+        .otherwise(v < lo || v > hi).as("was_clipped"))
+  }
+
   def typeInference(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "typeInference: no columns given")
     val intRe = "^[+-]?[0-9]+$"

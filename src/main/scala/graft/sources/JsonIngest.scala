@@ -64,4 +64,21 @@ object JsonIngest {
       perField
     parsed.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Top-k keys across a semi-structured JSON column — the schema
+    * DISCOVERY step before [[extract]]'s declared field list: which
+    * keys actually occur, and how often (which are worth promoting to
+    * columns, which are tracking junk). `json_object_keys` is a
+    * codegen'd per-row projection (malformed rows and non-objects
+    * yield NULL and vanish at the explode — q_json_qc counts those);
+    * key counts collapse map-side, and the top-k is a
+    * TakeOrderedAndProject on the O(distinct keys) frame under the
+    * (count desc, key asc) total order — never a global sort of the
+    * corpus. Returns (key, n). */
+  def topJsonKeys(df: DataFrame, jsonCol: String, k: Int): DataFrame = {
+    require(k > 0, "topJsonKeys: k must be positive")
+    df.select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("key")).limit(k)
+  }
 }

@@ -247,4 +247,85 @@ class DiscoverySpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
       s"magic sniff must stay a projection:\n$p")
   }
+
+  // ---------------------------------------------- Neyman allocation
+
+  test("neymanAllocation: σ-weighted largest-remainder, caps surfaced") {
+    import graft.operators.Mixing
+    // A: σ=5 (n=2), B: σ=0 (homogeneous), C: σ=3 (n=2) → W=16
+    val df = Seq(("A", 0), ("A", 10), ("B", 4), ("B", 4), ("B", 4),
+      ("C", 0), ("C", 6)).toDF("s", "v")
+    val out = Mixing.neymanAllocation(df, "s", "v", budget = 5L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // raw: A 3.125, B 0, C 1.875 → bases 3/0/1, leftover 1 → C (rem .875)
+    assert(out("A").getDouble(2) === 5.0 && out("A").getDouble(3) === 10.0)
+    assert(out("B").getDouble(2) === 0.0 && out("B").getLong(4) === 0L)
+    assert(out("C").getLong(4) === 2L && !out("C").getBoolean(5))
+    // A wants 3 but only has 2 rows → capped
+    assert(out("A").getLong(4) === 2L && out("A").getBoolean(5))
+  }
+
+  test("neymanAllocation: all-homogeneous strata allocate zero, loudly") {
+    import graft.operators.Mixing
+    val df = Seq(("A", 7), ("A", 7), (null.asInstanceOf[String], 3))
+      .toDF("s", "v")
+    val out = Mixing.neymanAllocation(df, "s", "v", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out === Map("A" -> 0L, "<null>" -> 0L))
+  }
+
+  // ------------------------------------------------------ winsorize
+
+  test("winsorize: dyadic fence clips the tails, flags are null-safe") {
+    val df = ((1 to 16).map(i => (i.toLong, Some(i))) :+
+      (99L, Option.empty[Int])).toDF("id", "v")
+    val out = Profile.winsorize(df, "id", "v").orderBy("id").collect()
+    // p=1/16 on 1..16: lo = 1.9375, hi = 15.0625
+    assert(out(0).getDouble(2) === 1.9375 && out(0).getBoolean(3))
+    assert(out(15).getDouble(2) === 15.0625 && out(15).getBoolean(3))
+    assert(out(7).getDouble(2) === 8.0 && !out(7).getBoolean(3))
+    assert(out(16).isNullAt(2) && out(16).isNullAt(3))
+    assert(out.count(r => !r.isNullAt(3) && r.getBoolean(3)) === 2)
+  }
+
+  // -------------------------------------------------- JSON key scan
+
+  test("topJsonKeys: counts, tie-break, malformed and null vanish") {
+    import graft.sources.JsonIngest
+    val df = Seq(Some("""{"a":1,"b":2}"""), Some("""{"a":3}"""),
+      Some("{bad"), None).toDF("j")
+    val out = JsonIngest.topJsonKeys(df, "j", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a", 2L), ("b", 1L)))
+    val tied = Seq("""{"y":1}""", """{"x":1}""").toDF("j")
+    assert(JsonIngest.topJsonKeys(tied, "j", 1).head().getString(0)
+      === "x") // count ties break on key asc
+  }
+
+  // ------------------------------------------------ shard manifest
+
+  test("shardManifest: order/partitioning-independent digest; count catches doubling") {
+    import graft.operators.Packing
+    val docs = (1 to 40).map(i => (i % 4L, s"content $i")).toDF("s", "t")
+    val a = Packing.shardManifest(docs, "s", "t").collect()
+    val b = Packing.shardManifest(docs.orderBy(desc("t")).repartition(7),
+      "s", "t").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // dropping one row changes that shard's digest
+    val dropped = Packing.shardManifest(docs.where(col("t") =!= "content 8"),
+      "s", "t").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val orig = a.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(dropped(0L) !== orig(0L))
+    assert(dropped(1L) === orig(1L))
+    // XOR blind spot: TWO extra copies cancel back to the original
+    // digest — the row count in the same manifest catches it
+    val extra = docs.where(col("t") === "content 8")
+    val doubled = Packing.shardManifest(
+      docs.unionAll(extra).unionAll(extra), "s", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    val origRows = a.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(doubled(0L)._2 === orig(0L)) // digest blind
+    assert(doubled(0L)._1 === origRows + 2) // count catches it
+  }
 }
