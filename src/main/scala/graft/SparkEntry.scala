@@ -3100,6 +3100,64 @@ object SparkEntry {
           col("text")),
         "shard_id", "text")),
 
+    // ---- Z-order clustered layout: per-dimension data-skipping stats
+    // prove BOTH columns prune on the Morton-interleaved sort (a 1-D
+    // sort buys one dimension and destroys the other)
+    "q_zorder_skip" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("n_chars"), (col("doc_id") % 256).as("bucket2"))
+      Bucketing.writeZOrdered(docs, "/tmp/graft_zorder", "n_chars",
+        "bucket2", nFiles = 8)
+      val d1 = Bucketing.zoneMapSkipStats(s, "/tmp/graft_zorder",
+        "n_chars", 100L, 150L).withColumn("dim", lit("n_chars"))
+      val d2 = Bucketing.zoneMapSkipStats(s, "/tmp/graft_zorder",
+        "bucket2", 0L, 31L).withColumn("dim", lit("bucket2"))
+      d1.unionByName(d2).orderBy("dim")
+    }),
+
+    // ---- per-rule violation triage: counts, distinct docs, bounded
+    // min/max exemplars — O(1) state per rule, never a collect_list
+    "q_rule_examples" -> ((s, d) =>
+      ValidationPass.ruleSummary(
+        ValidationPass.seqViolations(seqFromDocs(s, d),
+          ValidationPass.seqConstraints(50000, SeqTableGen.Sources)))),
+
+    // ---- rare-category tail: planted one-doc 'exotic' source — where
+    // typos and schema drift hide in a 10¹²-row table
+    "q_rare_categories" -> ((s, d) => {
+      val src = when(col("doc_id") === 499, lit("exotic"))
+        .otherwise(col("source"))
+      Profile.rareCategories(
+        t(s, d, "documents").select(src.as("source")), "source",
+        minShare = 0.02)
+    }),
+
+    // ---- score explanation: top-2 weighted-feature contributions of
+    // the q_logistic_quality classifier — "why was this doc rejected"
+    "q_score_explain" -> ((s, d) => {
+      TextExpressions.register(s)
+      val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+        "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.textProfile(col("text")).as("__tp"))
+        .select(col("doc_id"),
+          TextAnalysis.scoreExplanation(col("__tp"), -2.0, w).as("__e"),
+          round(TextAnalysis.logOddsFrom(col("__tp"), -2.0, w), 6)
+            .as("log_odds"))
+        .select(col("doc_id"),
+          element_at(col("__e"), 1).getField("feature")
+            .as("top1_feature"),
+          round(lit(0.0) - element_at(col("__e"), 1).getField("negc"), 6)
+            .as("top1_contrib"),
+          element_at(col("__e"), 2).getField("feature")
+            .as("top2_feature"),
+          round(lit(0.0) - element_at(col("__e"), 2).getField("negc"), 6)
+            .as("top2_contrib"),
+          col("log_odds"))
+        .orderBy("doc_id")
+    }),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -8227,7 +8285,114 @@ object SparkEntry {
         |  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS char_mass,
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
         |    AS digest
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // z-order skipping: DuckDB re-reads the z-clustered files and
+    // replays the per-dimension skip rule
+    "q_zorder_skip" ->
+      """WITH zm AS (
+        |  SELECT filename, CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(n_chars) AS mn1, max(n_chars) AS mx1,
+        |         min(bucket2) AS mn2, max(bucket2) AS mx2
+        |  FROM read_parquet('/tmp/graft_zorder/*.parquet',
+        |                    filename=true)
+        |  GROUP BY filename),
+        |d1 AS (
+        |  SELECT 'n_chars' AS dim, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN mx1 < 100 OR mn1 > 150 THEN 1 ELSE 0
+        |             END) AS BIGINT) AS n_files_skipped,
+        |    CAST(sum(CASE WHEN mx1 < 100 OR mn1 > 150 THEN n_rows
+        |             ELSE 0 END) AS BIGINT) AS n_rows_skipped
+        |  FROM zm),
+        |d2 AS (
+        |  SELECT 'bucket2' AS dim, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN mx2 < 0 OR mn2 > 31 THEN 1 ELSE 0
+        |             END) AS BIGINT) AS n_files_skipped,
+        |    CAST(sum(CASE WHEN mx2 < 0 OR mn2 > 31 THEN n_rows
+        |             ELSE 0 END) AS BIGINT) AS n_rows_skipped
+        |  FROM zm),
+        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |SELECT n_files, n_rows, n_files_skipped, n_rows_skipped,
+        |  CASE WHEN n_files > 0
+        |       THEN round(CAST(n_files_skipped AS DOUBLE)
+        |                  / CAST(n_files AS DOUBLE), 6)
+        |  END AS skip_fraction,
+        |  CASE WHEN n_rows > 0
+        |       THEN round(CAST(n_rows_skipped AS DOUBLE)
+        |                  / CAST(n_rows AS DOUBLE), 6)
+        |  END AS row_skip_fraction,
+        |  dim
+        |FROM u ORDER BY dim""".stripMargin,
+
+    // rule triage: counts + distinct docs + min/max exemplars over the
+    // flagship violation rows
+    "q_rule_examples" ->
+      s"""WITH $SeqTableCte,
+        |v AS ($SeqViolationsSql)
+        |SELECT rule_id, CAST(count(*) AS BIGINT) AS n_violations,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM v GROUP BY rule_id ORDER BY rule_id""".stripMargin,
+
+    // rare categories: identical planted one-doc source, exact shares
+    "q_rare_categories" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN doc_id = 499 THEN 'exotic' ELSE source END
+        |    AS category
+        |  FROM documents),
+        |c AS (SELECT coalesce(category, '<null>') AS category,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM x GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT category, n,
+        |  round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
+        |  round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) < 0.02
+        |    AS rare
+        |FROM c, t ORDER BY category""".stripMargin,
+
+    // score explanation: the q_logistic_quality feature CTE with the
+    // additive terms ranked (contribution desc, feature asc); ±0.0
+    // canonicalized on BOTH sides so ordering and output agree
+    "q_score_explain" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |terms AS (
+        |  SELECT doc_id, f, c + 0.0 AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(['mean_word_len', 'n_words', 'punct_ratio',
+        |              'stopword_ratio']) AS f,
+        |      unnest([mwl * 0.5, n_words * 0.02, punct_ratio * -8.0,
+        |              stop_ratio * 4.0]) AS c
+        |    FROM feat)),
+        |r AS (SELECT doc_id, f, c,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY c DESC, f) AS rn
+        |      FROM terms)
+        |SELECT feat.doc_id,
+        |  max(CASE WHEN rn = 1 THEN f END) AS top1_feature,
+        |  round(max(CASE WHEN rn = 1 THEN c END), 6) AS top1_contrib,
+        |  max(CASE WHEN rn = 2 THEN f END) AS top2_feature,
+        |  round(max(CASE WHEN rn = 2 THEN c END), 6) AS top2_contrib,
+        |  round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
+        |        + stop_ratio * 4.0 + -2.0, 6) AS log_odds
+        |FROM feat JOIN r USING (doc_id)
+        |GROUP BY feat.doc_id, mwl, n_words, punct_ratio, stop_ratio
+        |ORDER BY doc_id""".stripMargin)
 
   /** DuckDB CTE rebuilding [[seqFromDocs]] byte-identically from the
     * documents parquet (shared by the two flagship oracles). */

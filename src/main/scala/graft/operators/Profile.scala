@@ -888,6 +888,31 @@ object Profile {
     * Returns (column, n_rows, n_null, n_bigint, n_double, n_date,
     * n_bool, suggested); suggested is 'empty' when no non-null cells
     * exist. */
+  /** Rare-category detector — the complement of [[heavyHitters]]: the
+    * categories whose share falls below `minShare` are where typos,
+    * schema drift, and injection live (a mis-labeled source with 12
+    * rows hides inside a 10¹²-row table forever unless something looks
+    * at the TAIL of the frequency distribution). One map-side-combined
+    * aggregate; NULL categories form '<null>'; share derives from
+    * exact integer counts. Returns every category with (n, share,
+    * rare) — the full spectrum, flag included, so the caller sees the
+    * boundary instead of a silently-filtered list. */
+  def rareCategories(df: DataFrame, catCol: String,
+                     minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare < 1, "minShare in (0, 1)")
+    val counts = df
+      .groupBy(coalesce(col(catCol).cast("string"), lit("<null>"))
+        .as("category"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("category"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+      .withColumn("rare", col("share") < minShare)
+      .orderBy(col("category"))
+  }
+
   /** Winsorization — clip `valueCol` to its [pLo, pHi] quantile fence
     * so downstream means/regressions aren't owned by a handful of
     * outliers (the TRANSFORM sibling of [[robustOutliers]], which only

@@ -116,6 +116,33 @@ object TextAnalysis {
   def logisticScoreFrom(tp: Column, bias: Double, weights: Map[String, Double]): Column =
     lit(1.0) / (lit(1.0) + exp(-logOddsFrom(tp, bias, weights)))
 
+  /** Per-document score EXPLANATION for the [[logOddsFrom]] classifier
+    * — "WHY was this document rejected": the top-k weighted-feature
+    * contributions (w·f, the exact additive terms of the log-odds),
+    * ranked (contribution desc, feature asc). The rejected-volume
+    * attribution companion of qualityFilterReport's per-rule flags,
+    * for the continuous classifier tier — a quality gate nobody can
+    * interrogate doesn't survive its first false-positive review.
+    *
+    * Pure projection from ONE projected TextProfile eval (`tp` must be
+    * a projected attribute — same no-CSE contract as
+    * [[repetitionRatioFrom]]): the term array is |weights| structs
+    * sorted in-row, zero shuffle. Contributions and ordering use the
+    * identical rounded features as the log-odds, so the SQL oracle
+    * replays both; ±0.0 is canonicalized (+0.0) on output so the
+    * engines agree bit-for-bit. */
+  def scoreExplanation(tp: Column, bias: Double,
+                       weights: Map[String, Double]): Column = {
+    require(weights.size >= 2, "explanation needs at least two features")
+    val entries = weights.toSeq.sortBy(_._1).map { case (f, w) =>
+      val c = round(tp.getField(f).cast("double"), 4) * w
+      // 0.0 − c (not unary minus) keeps the zero positive; sorting
+      // ascending on (−c, feature) = (contribution desc, feature asc)
+      struct((lit(0.0) - c).as("negc"), lit(f).as("feature"))
+    }
+    sort_array(array(entries: _*))
+  }
+
   /** Gopher-style word-repetition ratio from one TextProfile pass:
     * 1 − n_distinct_words / n_words (0 for empty docs). High values
     * flag boilerplate/spam — the standard cheap repetition filter.

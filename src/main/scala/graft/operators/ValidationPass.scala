@@ -449,4 +449,21 @@ object ValidationPass {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("rule_a"), col("rule_b"))
   }
+
+  /** Per-rule violation triage summary — the first thing an on-call
+    * data engineer asks of a failed validation run: how many rows per
+    * rule, how many DISTINCT documents (one doc tripping a rule 50
+    * times is a different bug than 50 docs once each), and bounded
+    * exemplars (lexicographic first/last doc ids — enough to pull two
+    * concrete cases without collecting the violation set). One
+    * map-side-combined aggregate over the (doc_id, rule_id, …)
+    * violations frame; exemplars are min/max, never a collect_list,
+    * so state stays O(1) per rule at any violation volume. */
+  def ruleSummary(violations: DataFrame): DataFrame =
+    violations.groupBy(col("rule_id"))
+      .agg(count(lit(1)).as("n_violations"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("rule_id"))
 }

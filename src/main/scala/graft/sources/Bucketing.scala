@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Bucketed-table layout for shuffle-free co-located joins — the
   * storage-side half of the engine's shuffle discipline. A join or
@@ -150,6 +150,50 @@ object Bucketing {
     require(nFiles > 0, "writeSortedBy: nFiles must be positive")
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton bit-spread: the 32 low bits of `c` spaced out to even bit
+    * positions of a 64-bit value — five magic-mask shift/or rounds, all
+    * codegen'd integer arithmetic (no UDF, no loop). Inputs must be in
+    * [0, 2³⁰) so the interleaved value stays positive (sign-extension
+    * would corrupt the range sort); [[zValue]] requires it. */
+  def mortonSpread(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    var x = c.cast("long").bitwiseAND(lit(0xffffffffL))
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000ffff0000ffffL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Z-order (Morton) interleave of two non-negative int columns —
+    * the MULTI-dimensional clustering key: sorting by zValue keeps
+    * rows close in BOTH dimensions close on disk, so per-file min/max
+    * zones stay tight on BOTH columns and a pruning reader skips on
+    * either predicate. A 1-D sort buys skipping on one column and
+    * destroys it on the other; Z-order splits the budget — the
+    * standard answer for a 100 TB table queried by more than one key.
+    * Both inputs must be in [0, 2³⁰); rescale/bucket wider domains
+    * first (bit-interleaving is rank-based, so any monotone bucketing
+    * preserves the property). */
+  def zValue(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    mortonSpread(a).bitwiseOR(shiftleft(mortonSpread(b), 1))
+  }
+
+  /** Z-order-clustered write: range partition + sort on the Morton
+    * interleave of two columns. Audit the result with [[zoneMap]] /
+    * [[zoneMapSkipStats]] on EACH dimension — both should prune. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, "writeZOrdered: nFiles must be positive")
+    df.withColumn("__z", zValue(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -328,4 +328,77 @@ class DiscoverySpec extends SparkSpec {
     assert(doubled(0L)._2 === orig(0L)) // digest blind
     assert(doubled(0L)._1 === origRows + 2) // count catches it
   }
+
+  // ------------------------------------------------------- Z-order
+
+  test("zValue: hand-computed Morton interleave") {
+    import graft.sources.Bucketing
+    val df = Seq((5L, 3L), (0L, 0L), (1L, 0L), (0L, 1L)).toDF("a", "b")
+    val z = df.select(Bucketing.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    // a=101, b=011 → even bits 1,0,1 + odd bits 1,1,0 = 0b11011 = 27
+    assert(z.toSeq === Seq(27L, 0L, 1L, 2L))
+  }
+
+  test("z-ordered layout prunes on BOTH dimensions") {
+    import graft.sources.Bucketing
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    Bucketing.writeZOrdered(grid, "/tmp/graft_test_zorder", "x", "y", 16)
+    val sx = Bucketing.zoneMapSkipStats(spark, "/tmp/graft_test_zorder",
+      "x", 0L, 7L).head()
+    val sy = Bucketing.zoneMapSkipStats(spark, "/tmp/graft_test_zorder",
+      "y", 0L, 7L).head()
+    // a 1-D sort would give one of these zero skip; Z-order gives both
+    assert(sx.getLong(2) > 0, s"x dim must prune: ${sx.mkString(",")}")
+    assert(sy.getLong(2) > 0, s"y dim must prune: ${sy.mkString(",")}")
+  }
+
+  // ---------------------------------------------------- rule triage
+
+  test("ruleSummary: counts, distinct docs, bounded exemplars") {
+    import graft.operators.ValidationPass
+    val v = Seq(("d1", "R1", "x"), ("d1", "R1", "y"), ("d2", "R1", "z"),
+      ("d3", "R2", "w")).toDF("doc_id", "rule_id", "offending_value")
+    val out = ValidationPass.ruleSummary(v).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("R1").getLong(1) === 3L && out("R1").getLong(2) === 2L)
+    assert(out("R1").getString(3) === "d1" &&
+      out("R1").getString(4) === "d2")
+    assert(out("R2").getLong(1) === 1L && out("R2").getString(3) === "d3")
+  }
+
+  // ------------------------------------------------ rare categories
+
+  test("rareCategories: tail flagged, NULL bucketed, exact shares") {
+    val df = (Seq.fill(9)(Some("a")) ++ Seq(Some("b"), None)).toDF("c")
+    val out = Profile.rareCategories(df, "c", minShare = 0.15)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(2) === 0.818182 && !out("a").getBoolean(3))
+    assert(out("b").getBoolean(3) && out("<null>").getBoolean(3))
+  }
+
+  // --------------------------------------------- score explanation
+
+  test("scoreExplanation: ranked contributions, ±0 canonical, ties on name") {
+    graft.functions.TextExpressions.register(spark)
+    val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+      "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+    val df = Seq("the the aa", "xy").toDF("text")
+      .select(TextAnalysis.textProfile(col("text")).as("__tp"))
+      .select(TextAnalysis.scoreExplanation(col("__tp"), -2.0, w)
+        .as("e"))
+    val rows = df.collect().map(_.getSeq[org.apache.spark.sql.Row](0))
+    // doc 1: stop 0.6667·4 = 2.6668 > mwl 2.6667·0.5 = 1.33335
+    assert(rows(0)(0).getString(1) === "stopword_ratio")
+    assert(rows(0)(0).getDouble(0) === -2.6668) // negc
+    assert(rows(0)(1).getString(1) === "mean_word_len")
+    // doc 2 "xy": punct and stop both contribute 0 — the −8·0 term
+    // must canonicalize to +0.0 and the tie breaks on feature name
+    val zeros = rows(1).drop(2)
+    assert(zeros.map(_.getString(1)).toSeq ===
+      Seq("punct_ratio", "stopword_ratio"))
+    assert(zeros.forall(r => r.getDouble(0) == 0.0 &&
+      !(1.0 / r.getDouble(0)).isNegInfinity)) // +0.0, not −0.0
+  }
 }
