@@ -312,6 +312,134 @@ object SparkEntry {
     "q_psi_source" -> ((s, d) => sourceDriftStat(s, d, "psi", Drift.psi(_, _))),
     "q_jsd_source" -> ((s, d) => sourceDriftStat(s, d, "jsd", Drift.jsd)),
 
+    // directional categorical drift: KL(observed ‖ baseline) with the
+    // PSI eps floor — the quantity importance weighting / cross-entropy
+    // monitoring actually bound; rides the same merged O(categories)
+    // profiles as psi/jsd
+    "q_kl_source" -> ((s, d) => sourceDriftStat(s, d, "kl", Drift.kl(_, _))),
+
+    // which slice moved the mean: Welch's unequal-variance t of each
+    // source's n_chars vs its complement — ONE sufficient-stats
+    // aggregate, complements free (grand − group), stats driver-side
+    "q_welch_t" -> ((s, d) =>
+      Drift.welchT(t(s, d, "documents"), "source", "n_chars")
+        .orderBy("source")),
+
+    // nonparametric location drift: Mann–Whitney U (tie-corrected z)
+    // of English vs non-English n_chars — exact global ranks from a
+    // value-keyed aggregate (O(distinct values)), never a global sort
+    "q_mannwhitney" -> ((s, d) =>
+      Drift.mannWhitneyU(t(s, d, "documents"), "n_chars",
+        col("lang") === "en")),
+
+    // dispersion drift: Brown–Forsythe (median-centered Levene) F for
+    // n_chars variance equality across sources — a source fanning out
+    // at constant mean trips this and nothing else in the battery
+    "q_levene" -> ((s, d) =>
+      Drift.brownForsythe(t(s, d, "documents"), "source", "n_chars")),
+
+    // sustained-shift ingest monitor: EWMA control chart over daily
+    // event volume (closed-form statistic + time-varying limits) —
+    // CUSUM's companion: CUSUM localizes a changepoint, EWMA flags
+    // persistent low-level drift
+    "q_ewma_chart" -> ((s, d) =>
+      Drift.ewmaChart(t(s, d, "events"), "ts").orderBy("day")),
+
+    // co-missingness triage: which columns are NULL together (an
+    // upstream join dropping fields on the same rows vs independent
+    // holes) — nulls planted by deterministic doc_id/value arithmetic
+    // since the synthetic tables ship without them; one pattern-keyed
+    // aggregate, ≤ 2^k patterns reach the shuffle
+    "q_missing_pattern" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        when(col("lang") === "zh", lit(null: String))
+          .otherwise(col("lang")).as("lang"),
+        when(col("source") === "src3", lit(null: String))
+          .otherwise(col("source")).as("source"),
+        when(col("doc_id") % 11 === 0, lit(null: java.lang.Long))
+          .otherwise(col("n_chars")).as("n_chars"))
+      Profile.missingnessPatterns(docs, Seq("lang", "source", "n_chars"))
+    }),
+
+    // per-column diversity: Shannon entropy / evenness / Simpson of the
+    // categorical mix — catches mass collapsing to one value at
+    // constant cardinality; O(categories) aggregates, rows seen once
+    "q_entropy_profile" -> ((s, d) =>
+      Profile.entropyProfile(t(s, d, "documents"), Seq("lang", "source"))),
+
+    // KMV bottom-k distinct sketch vs the exact count — the mergeable
+    // set-size estimator with its error surfaced; overflow-safe Knuth
+    // hash so the SQL replica is exact
+    "q_kmv_distinct" -> ((s, d) =>
+      Profile.kmvDistinct(t(s, d, "lineitem"), "l_partkey", 64)),
+
+    // redundant-signal detector: pairwise Pearson matrix over the four
+    // lineitem numerics from ONE sufficient-stats aggregate
+    "q_corr_matrix" -> ((s, d) =>
+      Profile.corrMatrix(t(s, d, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
+
+    // multi-format timestamp ingestion QC: strings synthesized from ts
+    // in three formats (+ one malformed slice), re-parsed by the
+    // ordered try_to_timestamp chain, tallied per winning format
+    "q_date_parse" -> ((s, d) => {
+      val raw = when(col("event_id") % 4 === 0,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .when(col("event_id") % 4 === 1,
+          date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
+        .when(col("event_id") % 4 === 2,
+          date_format(col("ts"), "MM-dd-yyyy HH:mm:ss"))
+        .otherwise(lit("not a timestamp"))
+      val withRaw = t(s, d, "events").select(col("event_id"), raw.as("raw_ts"))
+      graft.norm.Normalize.parseTimestamps(withRaw, "raw_ts",
+          Seq("yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss",
+            "MM-dd-yyyy HH:mm:ss"))
+        .groupBy(col("parsed_format").as("fmt"))
+        .agg(count(lit(1)).as("n"), min(col("parsed")).as("min_parsed"),
+          max(col("parsed")).as("max_parsed"))
+        .orderBy("fmt")
+    }),
+
+    // retrieval eval, first-hit regime: MRR@10 per source over a
+    // length ranking with planted relevance (doc_id % 17) — the
+    // dedup-candidate-lookup metric NDCG's graded gain obscures
+    "q_mrr" -> ((s, d) =>
+      Profile.mrrAtK(
+        t(s, d, "documents").withColumn("rel", col("doc_id") % 17 === 0),
+        "source", "doc_id", "n_chars", "rel", k = 10)),
+
+    // retrieval eval, coverage regime: precision/recall@10 per source
+    // under the same planted relevance and total-order ranking
+    "q_precision_at_k" -> ((s, d) =>
+      Profile.precisionRecallAtK(
+        t(s, d, "documents").withColumn("rel", col("doc_id") % 17 === 0),
+        "source", "doc_id", "n_chars", "rel", k = 10)),
+
+    // heuristic-gate acceptance: confusion matrix + derived metrics of
+    // a cheap length gate vs a planted noisy truth label — ONE
+    // aggregate, NULL-denominator metrics stay NULL
+    "q_confusion_gate" -> ((s, d) =>
+      Profile.confusionStats(
+        t(s, d, "documents")
+          .withColumn("pred", col("n_chars") >= 300)
+          .withColumn("label", col("n_chars") + col("doc_id") % 97 >= 320),
+        "pred", "label")),
+
+    // effect size at corpus scale: Cohen's d / Hedges' g of each
+    // source's n_chars vs its complement — the "how big is the shift"
+    // companion to q_welch_t's "is there a shift"
+    "q_cohens_d" -> ((s, d) =>
+      Drift.effectSizes(t(s, d, "documents"), "source", "n_chars")
+        .orderBy("source")),
+
+    // association rules lang → source: support / confidence / lift
+    // from one pair-count aggregate with re-aggregated margins — the
+    // "real pairing or two big marginals" read over q_rule_cooccur's
+    // raw counts
+    "q_assoc_rules" -> ((s, d) =>
+      Profile.associationRules(t(s, d, "documents"), "lang", "source",
+        minSupport = 0.004)),
+
     // ---- windowed event analytics (streaming plan shape, batch run) ----
 
     // heavy hitters via the DataSketches frequent-items aggregate
@@ -3575,6 +3703,330 @@ object SparkEntry {
         |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
         |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS psi
         |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_kl_source" ->
+      """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |           FROM documents GROUP BY 1),
+        |b AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ot AS (SELECT sum(n) AS t FROM o), bt AS (SELECT sum(n) AS t FROM b)
+        |SELECT round(sum(
+        |    greatest(coalesce(o.n, 0) / ot.t, 0.0001)
+        |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
+        |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS kl
+        |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_welch_t" ->
+      """WITH st AS (
+        |  SELECT coalesce(source, '<null>') AS g, count(*) AS n,
+        |         sum(n_chars)::DOUBLE AS s,
+        |         sum(n_chars * n_chars)::DOUBLE AS ss
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
+        |               sum(ss) AS ss FROM st),
+        |w AS (
+        |  SELECT st.g, st.n AS na, tot.n - st.n AS nb,
+        |         st.s / st.n AS ma,
+        |         (tot.s - st.s) / (tot.n - st.n) AS mb,
+        |         (st.ss - st.s * st.s / st.n) / (st.n - 1) AS va,
+        |         ((tot.ss - st.ss)
+        |          - (tot.s - st.s) * (tot.s - st.s) / (tot.n - st.n))
+        |           / (tot.n - st.n - 1) AS vb
+        |  FROM st, tot)
+        |SELECT g AS source, na AS n_a, nb AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 THEN NULL
+        |       ELSE round((ma - mb) / sqrt(va / na + vb / nb), 6)
+        |  END AS t_stat,
+        |  CASE WHEN na < 2 OR nb < 2 THEN NULL
+        |       ELSE round((va / na + vb / nb) * (va / na + vb / nb)
+        |              / ((va / na) * (va / na) / (na - 1)
+        |               + (vb / nb) * (vb / nb) / (nb - 1)), 6)
+        |  END AS welch_df
+        |FROM w ORDER BY 1""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT n_chars::DOUBLE AS x,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na_v,
+        |         count(*) AS n_v
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT na_v, n_v,
+        |    coalesce(sum(n_v) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (n_v + 1) / 2.0 AS ar
+        |  FROM v),
+        |agg AS (
+        |  SELECT sum(na_v * ar) AS ra,
+        |         CAST(sum(na_v) AS BIGINT) AS na,
+        |         CAST(sum(n_v) AS BIGINT) AS n,
+        |         sum(n_v::DOUBLE * n_v * n_v - n_v) AS tie
+        |  FROM r)
+        |SELECT na AS n_a, n - na AS n_b,
+        |  round(ra - na * (na + 1) / 2.0, 6) AS u_stat,
+        |  round((ra - na * (na + 1) / 2.0 - na::DOUBLE * (n - na) / 2.0)
+        |    / sqrt(na::DOUBLE * (n - na) / 12.0
+        |         * (n + 1.0 - tie / (n::DOUBLE * (n - 1)))), 6) AS z_stat
+        |FROM agg""".stripMargin,
+
+    "q_levene" ->
+      """WITH ctr AS (
+        |  SELECT coalesce(source, '<null>') AS g,
+        |         median(n_chars::DOUBLE) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |z AS (
+        |  SELECT ctr.g, abs(d.n_chars::DOUBLE - ctr.c) AS z
+        |  FROM documents d
+        |  JOIN ctr ON coalesce(d.source, '<null>') = ctr.g
+        |  WHERE d.n_chars IS NOT NULL),
+        |st AS (SELECT g, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+        |       FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS k, sum(s) AS s FROM st),
+        |parts AS (
+        |  SELECT sum(st.n * (st.s / st.n - tot.s / tot.n)
+        |              * (st.s / st.n - tot.s / tot.n)) AS ssb,
+        |         sum(st.ss - st.s * st.s / st.n) AS ssw
+        |  FROM st, tot)
+        |SELECT tot.n AS n, CAST(tot.k AS INT) AS k,
+        |  CASE WHEN parts.ssw <= 0 THEN NULL
+        |       ELSE round((parts.ssb / (tot.k - 1))
+        |                  / (parts.ssw / (tot.n - tot.k)), 6) END AS f_stat,
+        |  CAST(tot.k - 1 AS INT) AS df1,
+        |  CAST(tot.n - tot.k AS BIGINT) AS df2
+        |FROM parts, tot""".stripMargin,
+
+    "q_ewma_chart" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d),
+        |base AS (
+        |  SELECT sum(x)::DOUBLE / count(*) AS z0,
+        |         sqrt((sum(x::DOUBLE * x)
+        |               - sum(x)::DOUBLE * sum(x) / count(*))
+        |              / (count(*) - 1)) AS sg
+        |  FROM d),
+        |e AS (
+        |  SELECT a.day, a.x, a.t, base.z0, base.sg,
+        |    base.z0 * pow(1.0::DOUBLE - 0.2::DOUBLE, a.t)
+        |      + sum(b.x * 0.2::DOUBLE
+        |            * pow(1.0::DOUBLE - 0.2::DOUBLE, a.t - b.t)) AS ew,
+        |    3.0 * base.sg * sqrt(0.2::DOUBLE / (2.0::DOUBLE - 0.2::DOUBLE)
+        |      * (1.0 - pow(1.0::DOUBLE - 0.2::DOUBLE, 2.0 * a.t))) AS band
+        |  FROM idx a JOIN idx b ON b.t <= a.t, base
+        |  GROUP BY a.day, a.x, a.t, base.z0, base.sg)
+        |SELECT day, x, round(ew, 6) AS ewma,
+        |  round(z0 - band, 6) AS lcl, round(z0 + band, 6) AS ucl,
+        |  (ew < z0 - band OR ew > z0 + band) AS out_of_control
+        |FROM e ORDER BY day""".stripMargin,
+
+    "q_missing_pattern" ->
+      """WITH planted AS (
+        |  SELECT CASE WHEN lang = 'zh' THEN NULL ELSE lang END AS lang,
+        |         CASE WHEN source = 'src3' THEN NULL ELSE source END AS source,
+        |         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |pat AS (
+        |  SELECT (CASE WHEN lang IS NULL THEN '1' ELSE '0' END
+        |       || CASE WHEN source IS NULL THEN '1' ELSE '0' END
+        |       || CASE WHEN n_chars IS NULL THEN '1' ELSE '0' END) AS pattern
+        |  FROM planted),
+        |cnt AS (SELECT pattern, count(*) AS n FROM pat GROUP BY 1),
+        |tot AS (SELECT sum(n)::DOUBLE AS t FROM cnt)
+        |SELECT pattern, n, round(n::DOUBLE / tot.t, 6) AS share
+        |FROM cnt, tot ORDER BY n DESC, pattern""".stripMargin,
+
+    "q_entropy_profile" ->
+      """WITH c1 AS (SELECT coalesce(lang, '<null>') AS k, count(*) AS n
+        |            FROM documents GROUP BY 1),
+        |c2 AS (SELECT coalesce(source, '<null>') AS k, count(*) AS n
+        |       FROM documents GROUP BY 1),
+        |e1 AS (
+        |  SELECT 'lang' AS "column", CAST(sum(n) AS BIGINT) AS n,
+        |         count(*) AS n_distinct,
+        |         sum(n::DOUBLE * ln(n::DOUBLE)) AS nln,
+        |         sum(n::DOUBLE * n::DOUBLE) AS n2
+        |  FROM c1),
+        |e2 AS (
+        |  SELECT 'source' AS "column", CAST(sum(n) AS BIGINT) AS n,
+        |         count(*) AS n_distinct,
+        |         sum(n::DOUBLE * ln(n::DOUBLE)) AS nln,
+        |         sum(n::DOUBLE * n::DOUBLE) AS n2
+        |  FROM c2),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT "column", n, n_distinct,
+        |  round(ln(n::DOUBLE) - nln / n::DOUBLE, 6) AS entropy,
+        |  CASE WHEN n_distinct > 1
+        |       THEN round((ln(n::DOUBLE) - nln / n::DOUBLE)
+        |                  / ln(n_distinct::DOUBLE), 6) END AS evenness,
+        |  round(1.0 - n2 / (n::DOUBLE * n::DOUBLE), 6) AS simpson
+        |FROM u ORDER BY "column"""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ((((l_partkey % 4294967296) * 40503) % 4294967296)
+        |           * 65536 + (l_partkey % 4294967296) * 31153)
+        |          % 4294967296 AS h
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |b AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |kth AS (SELECT max(h) AS kh FROM b),
+        |ex AS (SELECT count(*) AS exact FROM h)
+        |SELECT 64 AS k, kth.kh AS kth_hash,
+        |  round(63.0 * 4294967296.0 / kth.kh, 6) AS est_distinct,
+        |  ex.exact AS exact_distinct,
+        |  round(abs(63.0 * 4294967296.0 / kth.kh - ex.exact::DOUBLE)
+        |        / ex.exact::DOUBLE, 6) AS rel_error
+        |FROM kth, ex""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val pairs = Seq(
+        ("l_discount", "l_extendedprice"), ("l_discount", "l_quantity"),
+        ("l_discount", "l_tax"), ("l_extendedprice", "l_quantity"),
+        ("l_extendedprice", "l_tax"), ("l_quantity", "l_tax"))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, count(*) AS n,
+           |  round((count(*) * sum($a * $b) - sum($a) * sum($b))
+           |    / (sqrt(count(*) * sum($a * $a) - sum($a) * sum($a))
+           |     * sqrt(count(*) * sum($b * $b) - sum($b) * sum($b))), 6)
+           |    AS pearson_r
+           |FROM lineitem
+           |WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+
+    "q_date_parse" ->
+      """WITH raw AS (
+        |  SELECT CASE
+        |    WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    WHEN event_id % 4 = 1 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+        |    WHEN event_id % 4 = 2 THEN strftime(ts, '%m-%d-%Y %H:%M:%S')
+        |    ELSE 'not a timestamp' END AS raw_ts
+        |  FROM events),
+        |p AS (
+        |  SELECT
+        |    coalesce(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+        |             try_strptime(raw_ts, '%Y/%m/%d %H:%M:%S'),
+        |             try_strptime(raw_ts, '%m-%d-%Y %H:%M:%S')) AS parsed,
+        |    CASE
+        |      WHEN try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S') IS NOT NULL
+        |        THEN 'yyyy-MM-dd HH:mm:ss'
+        |      WHEN try_strptime(raw_ts, '%Y/%m/%d %H:%M:%S') IS NOT NULL
+        |        THEN 'yyyy/MM/dd HH:mm:ss'
+        |      WHEN try_strptime(raw_ts, '%m-%d-%Y %H:%M:%S') IS NOT NULL
+        |        THEN 'MM-dd-yyyy HH:mm:ss'
+        |      WHEN raw_ts IS NULL THEN '<null>'
+        |      ELSE '<unparsed>' END AS fmt
+        |  FROM raw)
+        |SELECT fmt, count(*) AS n, min(parsed) AS min_parsed,
+        |       max(parsed) AS max_parsed
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mrr" ->
+      """WITH r AS (
+        |  SELECT source, (doc_id % 17 = 0) AS rel,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    max(CASE WHEN rel AND rk <= 10 THEN 1.0::DOUBLE / rk END) AS rr
+        |  FROM r GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |       round(avg(coalesce(rr, 0.0)), 6) AS mrr FROM g""".stripMargin,
+
+    "q_precision_at_k" ->
+      """WITH r AS (
+        |  SELECT source, (doc_id % 17 = 0) AS rel,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |    CAST(sum(CASE WHEN rel AND rk <= 10 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS hits
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_rel, hits,
+        |  round(hits::DOUBLE / 10, 6) AS precision_at_k,
+        |  CASE WHEN n_rel > 0
+        |       THEN round(hits::DOUBLE / n_rel::DOUBLE, 6) END AS recall_at_k
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q_confusion_gate" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT l THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN p IS NULL OR l IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null
+        |  FROM (SELECT n_chars >= 300 AS p,
+        |               n_chars + doc_id % 97 >= 320 AS l
+        |        FROM documents)),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS pr,
+        |    CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS rc
+        |  FROM c)
+        |SELECT tp, fp, fn, tn, n_null,
+        |  round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 6) AS accuracy,
+        |  round(pr, 6) AS precision, round(rc, 6) AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+        |       THEN round(2.0 * pr * rc / (pr + rc), 6) END AS f1
+        |FROM m""".stripMargin,
+
+    "q_cohens_d" ->
+      """WITH st AS (
+        |  SELECT coalesce(source, '<null>') AS g, count(*) AS n,
+        |         sum(n_chars)::DOUBLE AS s,
+        |         sum(n_chars * n_chars)::DOUBLE AS ss
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
+        |               sum(ss) AS ss FROM st),
+        |w AS (
+        |  SELECT st.g, st.n AS na, tot.n - st.n AS nb,
+        |         st.s / st.n AS ma,
+        |         (tot.s - st.s) / (tot.n - st.n) AS mb,
+        |         (st.ss - st.s * st.s / st.n) / (st.n - 1) AS va,
+        |         ((tot.ss - st.ss)
+        |          - (tot.s - st.s) * (tot.s - st.s) / (tot.n - st.n))
+        |           / (tot.n - st.n - 1) AS vb
+        |  FROM st, tot),
+        |sp AS (
+        |  SELECT g, na, nb, ma, mb,
+        |    ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2) AS sp2
+        |  FROM w)
+        |SELECT g AS source, na AS n_a, nb AS n_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0
+        |       THEN round((ma - mb) / sqrt(sp2), 6) END AS cohens_d,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0
+        |       THEN round((ma - mb) / sqrt(sp2)
+        |              * (1.0 - 3.0::DOUBLE / (4.0::DOUBLE * (na + nb)
+        |                                      - 9.0::DOUBLE)), 6)
+        |  END AS hedges_g
+        |FROM sp ORDER BY 1""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH pairs AS (
+        |  SELECT coalesce(lang, '<null>') AS a,
+        |         coalesce(source, '<null>') AS b,
+        |         count(*) AS n_ab
+        |  FROM documents GROUP BY 1, 2),
+        |na AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1),
+        |nb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM pairs)
+        |SELECT pairs.a, pairs.b, pairs.n_ab,
+        |  round(pairs.n_ab::DOUBLE / tot.n::DOUBLE, 6) AS support,
+        |  round(pairs.n_ab::DOUBLE / na.n_a::DOUBLE, 6) AS confidence,
+        |  round(pairs.n_ab::DOUBLE * tot.n::DOUBLE
+        |        / (na.n_a::DOUBLE * nb.n_b::DOUBLE), 6) AS lift
+        |FROM pairs JOIN na USING (a) JOIN nb USING (b), tot
+        |WHERE round(pairs.n_ab::DOUBLE / tot.n::DOUBLE, 6) >= 0.004
+        |ORDER BY a, b""".stripMargin,
 
     "q_ks_by_flag" ->
       """WITH binned AS (

@@ -46,4 +46,32 @@ object Normalize {
     * (app.py:770-847 `apply_fill_choice` ∘ compute_missing_mask). */
   def fillMissing(c: Column, fill: String): Column =
     when(missingMask(c), lit(fill)).otherwise(c)
+
+  /** Multi-format timestamp ingestion QC: try each format IN ORDER with
+    * `try_to_timestamp` (never ANSI-throwing `to_timestamp` — a single
+    * malformed cell must not kill a 10^12-row job), record which format
+    * won, leave unparseable cells NULL with the format label
+    * '<unparsed>' (and true nulls '<null>') so the failure volume is
+    * first-class rather than silently folded into missing. Engine
+    * extension (reference loads pre-typed frames and never parses
+    * dates); the declared-order precedence mirrors how pandas
+    * `to_datetime(format=...)` pipelines are stacked.
+    *
+    * Pure codegen'd projection — a coalesce chain of k parses per row,
+    * zero shuffle/UDF; the per-format tally downstream is one
+    * O(formats) aggregate. Appends `<out>` (timestamp) and
+    * `<out>_format` (winning pattern) columns. */
+  def parseTimestamps(df: DataFrame, colName: String,
+                      formats: Seq[String],
+                      outCol: String = "parsed"): DataFrame = {
+    require(formats.nonEmpty, "at least one format")
+    val c = col(colName)
+    val parses = formats.map(f => try_to_timestamp(c, lit(f)))
+    val parsed = coalesce(parses: _*)
+    val label = formats.zip(parses).foldRight(
+      when(c.isNull, lit("<null>")).otherwise(lit("<unparsed>"))) {
+      case ((f, p), rest) => when(p.isNotNull, lit(f)).otherwise(rest)
+    }
+    df.withColumn(outCol, parsed).withColumn(s"${outCol}_format", label)
+  }
 }

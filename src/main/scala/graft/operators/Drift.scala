@@ -737,4 +737,287 @@ object Drift {
             (least(col("__r"), col("__c")) - 1).cast("double"))), 6))
         .as("cramers_v"))
   }
+
+  /** Kullback–Leibler divergence KL(observed ‖ baseline) between two
+    * categorical profiles, with the same eps proportion floor as
+    * [[psi]] so categories on only one side stay finite. The
+    * DIRECTIONAL companion to [[psi]]/[[jsd]]: KL is what importance
+    * weighting (DSIR) and cross-entropy monitoring actually bound, so
+    * drift dashboards report it alongside the symmetric stats.
+    * Driver-side arithmetic over the merged O(categories) profiles;
+    * key order fixed (sorted) for bit-stable sums. */
+  def kl(observed: CategoricalProfile, baseline: CategoricalProfile,
+         eps: Double = 1e-4): Double = {
+    val no = observed.total.toDouble.max(1.0)
+    val nb = baseline.total.toDouble.max(1.0)
+    val keys = (observed.freq.keySet ++ baseline.freq.keySet).toSeq.sorted
+    keys.map { k =>
+      val po = math.max(observed.freq.getOrElse(k, 0L) / no, eps)
+      val pb = math.max(baseline.freq.getOrElse(k, 0L) / nb, eps)
+      po * math.log(po / pb)
+    }.sum
+  }
+
+  /** Welch's unequal-variance t-test of each group's numeric
+    * distribution against its complement (all other rows) — the
+    * "which slice moved the mean" verdict the KS family can't give
+    * because KS answers shape, not location, and pooled-variance t
+    * assumes homoscedasticity that per-source corpora never satisfy.
+    *
+    * ONE map-side-combined aggregate computes per-group sufficient
+    * statistics (n, Σx, Σx²); the grand totals and every group-vs-rest
+    * statistic are O(groups) driver arithmetic — rows never shuffle,
+    * and the complement needs no second scan because its stats are
+    * grand − group. On integer-valued columns the sums are exact in
+    * double (order-independent), so the t statistic is bit-stable and
+    * SQL-replicable with the identical expression order:
+    * var = (Σx² − (Σx)²/n)/(n−1), t = (μa−μb)/√(va/na + vb/nb),
+    * df by Welch–Satterthwaite. Groups (or complements) with n < 2
+    * yield NULL t/df rather than ±Inf. NULL group keys bucket to
+    * '<null>'; NULL values are excluded (count surfaced upstream by
+    * the profile pass). */
+  /** Per-group (n, Σx, Σx²) sufficient statistics — ONE map-side
+    * combined aggregate, collected (O(groups)) in sorted group order
+    * for bit-stable driver arithmetic. Shared by [[welchT]] /
+    * [[effectSizes]]. */
+  private def groupSufficientStats(
+      df: DataFrame, groupCol: String,
+      valueCol: String): Array[(String, Long, Double, Double)] = {
+    val v = col(valueCol).cast("double")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("<null>")).as("g"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+  }
+
+  private def sampleVariance(n: Long, s: Double, ss: Double): Double =
+    (ss - s * s / n) / (n - 1).toDouble
+
+  def welchT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val stats = groupSufficientStats(df, groupCol, valueCol)
+    val gn = stats.map(_._2).sum
+    val gs = stats.map(_._3).sum
+    val gss = stats.map(_._4).sum
+    def variance(n: Long, s: Double, ss: Double): Double =
+      sampleVariance(n, s, ss)
+    import spark.implicits._
+    stats.toSeq.map { case (g, na, sa, ssa) =>
+      val nb = gn - na; val sb = gs - sa; val ssb = gss - ssa
+      if (na < 2 || nb < 2) (g, na, nb, None: Option[Double], None: Option[Double])
+      else {
+        val ma = sa / na; val mb = sb / nb
+        val va = variance(na, sa, ssa); val vb = variance(nb, sb, ssb)
+        val se2 = va / na + vb / nb
+        val t = (ma - mb) / math.sqrt(se2)
+        val dfw = se2 * se2 /
+          ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+        (g, na, nb,
+          Some(BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+          Some(BigDecimal(dfw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toDF(groupCol, "n_a", "n_b", "t_stat", "welch_df")
+  }
+
+  /** Cohen's d / Hedges' g effect size of each group vs its complement
+    * — the magnitude companion [[welchT]] needs at corpus scale, where
+    * n is so large that EVERY slice is "statistically significant" and
+    * the only actionable question is how BIG the shift is (the
+    * standard t-test-at-scale failure mode). d = (μa−μb)/s_pooled with
+    * s_pooled² = ((na−1)va + (nb−1)vb)/(na+nb−2); g applies Hedges'
+    * small-sample correction (1 − 3/(4(na+nb)−9)). Same ONE
+    * sufficient-stats aggregate as [[welchT]] (shared helper),
+    * complements free, driver arithmetic in sorted group order.
+    * Degenerate groups (n < 2 on either side, zero pooled variance)
+    * yield NULL. */
+  def effectSizes(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val stats = groupSufficientStats(df, groupCol, valueCol)
+    val gn = stats.map(_._2).sum
+    val gs = stats.map(_._3).sum
+    val gss = stats.map(_._4).sum
+    import spark.implicits._
+    stats.toSeq.map { case (g, na, sa, ssa) =>
+      val nb = gn - na; val sb = gs - sa; val ssb = gss - ssa
+      if (na < 2 || nb < 2)
+        (g, na, nb, None: Option[Double], None: Option[Double])
+      else {
+        val ma = sa / na; val mb = sb / nb
+        val va = sampleVariance(na, sa, ssa)
+        val vb = sampleVariance(nb, sb, ssb)
+        val sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2).toDouble
+        if (sp2 <= 0.0) (g, na, nb, None: Option[Double], None: Option[Double])
+        else {
+          val d = (ma - mb) / math.sqrt(sp2)
+          val gHedges = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+          def r6(x: Double): Double =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (g, na, nb, Some(r6(d)), Some(r6(gHedges)))
+        }
+      }
+    }.toDF(groupCol, "n_a", "n_b", "cohens_d", "hedges_g")
+  }
+
+  /** Mann–Whitney U test (two-sided normal approximation, tie-corrected,
+    * no continuity correction) of the `isA` subset against the rest on
+    * a numeric column — the NONPARAMETRIC location test for the heavy
+    * tails and outliers that make [[welchT]]'s mean shift unreliable on
+    * raw web-corpus lengths.
+    *
+    * Exact global ranks without a global sort: ONE value-keyed
+    * aggregate collapses the column to O(distinct values) rows of
+    * (value, n_A, n_total); average ranks, the rank sum, and the tie
+    * correction are then driver arithmetic over that metadata-sized
+    * frame in ascending value order — the right shape for integer-ish
+    * signals (lengths, token counts) where distinct ≪ rows. Counts and
+    * half-integer average ranks are exact in double, so U and the rank
+    * sum are bit-stable and SQL-replicable:
+    * U = R_A − n_A(n_A+1)/2, σ² = (n_A n_B/12)(N+1 − Σ(t³−t)/(N(N−1))),
+    * z = (U − n_A n_B/2)/σ. Degenerate inputs (either side empty, or
+    * all values tied so σ = 0) yield NULL z. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("na"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nA = rows.map(_._2).sum
+    val nTot = rows.map(_._3).sum
+    val nB = nTot - nA
+    var cum = 0L
+    var rankSumA = 0.0
+    var tieTerm = 0.0
+    rows.foreach { case (_, na, n) =>
+      val avgRank = cum + (n + 1) / 2.0
+      rankSumA += na * avgRank
+      tieTerm += n.toDouble * n * n - n
+      cum += n
+    }
+    import spark.implicits._
+    if (nA == 0L || nB == 0L)
+      return Seq((nA, nB, None: Option[Double], None: Option[Double]))
+        .toDF("n_a", "n_b", "u_stat", "z_stat")
+    val u = rankSumA - nA.toDouble * (nA + 1) / 2.0
+    val mu = nA.toDouble * nB / 2.0
+    val sigma2 = nA.toDouble * nB / 12.0 *
+      (nTot + 1.0 - tieTerm / (nTot.toDouble * (nTot - 1)))
+    val z =
+      if (sigma2 <= 0.0) None
+      else Some(BigDecimal((u - mu) / math.sqrt(sigma2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((nA, nB,
+      Some(BigDecimal(u).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      z)).toDF("n_a", "n_b", "u_stat", "z_stat")
+  }
+
+  /** Brown–Forsythe test (Levene's test with the median center) for
+    * equality of VARIANCES across groups — the dispersion drift that
+    * mean/rank tests miss: a source whose lengths keep their mean but
+    * fan out (template mixing, truncation bugs) trips this and nothing
+    * else. The median center is the published robust choice
+    * (Brown & Forsythe 1974) for skewed corpus signals.
+    *
+    * Two bounded passes: (1) per-group centers — exact `median` when
+    * `exact` (the oracle mode), `approx_percentile` otherwise (the
+    * bounded-memory scale mode, same trade documented on
+    * Profile.robustOutliers); (2) per-group sufficient stats (n, Σz,
+    * Σz²) of z = |x − center_g| after an O(groups) broadcast join.
+    * The one-way ANOVA F on z is driver arithmetic in sorted group
+    * order: F = [Σnᵍ(z̄ᵍ−z̄)²/(k−1)] / [Σ(zᵢⱼ−z̄ᵍ)²/(N−k)]. On
+    * integer-valued columns z has at worst .5 fractions, so Σz / Σz²
+    * are exact in double and the statistic is SQL-replicable. Returns
+    * one row (n, k, f_stat, df1, df2); NULL F when k < 2 or N ≤ k. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    exact: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val g = coalesce(col(groupCol).cast("string"), lit("<null>"))
+    val v = col(valueCol).cast("double")
+    val base = df.where(col(valueCol).isNotNull)
+    val centers = base.groupBy(g.as("__bf_g")).agg(
+      (if (exact) median(v) else percentile_approx(v, lit(0.5), lit(10000)))
+        .as("__bf_center"))
+    val z = abs(v - col("__bf_center"))
+    val stats = base
+      .join(broadcast(centers), g === col("__bf_g"))
+      .groupBy(col("__bf_g"))
+      .agg(count(lit(1)).as("n"), sum(z).as("s"), sum(z * z).as("ss"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val k = stats.length
+    val n = stats.map(_._2).sum
+    import spark.implicits._
+    if (k < 2 || n <= k)
+      return Seq((n, k, None: Option[Double], k - 1, n - k))
+        .toDF("n", "k", "f_stat", "df1", "df2")
+    val grandMean = stats.map(_._3).sum / n
+    val ssb = stats.map { case (_, ng, sg, _) =>
+      val d = sg / ng - grandMean; ng * d * d
+    }.sum
+    val ssw = stats.map { case (_, ng, sg, ssg) => ssg - sg * sg / ng }.sum
+    val f =
+      if (ssw <= 0.0) None
+      else Some(BigDecimal((ssb / (k - 1)) / (ssw / (n - k)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((n, k, f, k - 1, n - k)).toDF("n", "k", "f_stat", "df1", "df2")
+  }
+
+  /** EWMA control chart over daily event volume (Roberts 1959; the
+    * standard small-persistent-shift monitor — CUSUM's companion:
+    * CUSUM localizes a changepoint, EWMA flags sustained low-level
+    * drift in ingest volume before a threshold alert would fire).
+    *
+    * One calendar-day count aggregate (map-side combined, O(days)
+    * result), then closed-form driver arithmetic in ascending day
+    * order over the metadata-sized series — the recursion
+    * z_t = λx_t + (1−λ)z_{t−1} is expanded to its closed form
+    * z_t = z₀(1−λ)^t + Σᵢ₌₁..t xᵢλ(1−λ)^(t−i) so an SQL replica can
+    * compute the identical terms. Center z₀ and σ come from the
+    * series' own mean / textbook sample stddev (exact integer sums).
+    * Control limits are the time-varying exact-variance form:
+    * z₀ ± Lσ√(λ/(2−λ)·(1−(1−λ)^{2t})). Flags rows where the EWMA
+    * statistic exits the band. */
+  def ewmaChart(df: DataFrame, tsCol: String, lambda: Double = 0.2,
+                l: Double = 3.0): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    val spark = df.sparkSession
+    val daily = df
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val t = daily.length
+    import spark.implicits._
+    if (t == 0)
+      return Seq.empty[(java.sql.Date, Long, Double, Double, Double, Boolean)]
+        .toDF("day", "x", "ewma", "lcl", "ucl", "out_of_control")
+    val xs = daily.map(_._2.toDouble)
+    val z0 = xs.sum / t
+    val sigma =
+      if (t < 2) 0.0
+      else math.sqrt((xs.map(x => x * x).sum - xs.sum * xs.sum / t) / (t - 1))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = daily.zipWithIndex.map { case ((day, x), i0) =>
+      val ti = i0 + 1
+      var acc = z0 * math.pow(1.0 - lambda, ti.toDouble)
+      var i = 1
+      while (i <= ti) {
+        acc += xs(i - 1) * lambda * math.pow(1.0 - lambda, (ti - i).toDouble)
+        i += 1
+      }
+      val band = l * sigma *
+        math.sqrt(lambda / (2.0 - lambda) *
+          (1.0 - math.pow(1.0 - lambda, 2.0 * ti)))
+      (day, x, r6(acc), r6(z0 - band), r6(z0 + band),
+        acc < z0 - band || acc > z0 + band)
+    }
+    rows.toSeq.toDF("day", "x", "ewma", "lcl", "ucl", "out_of_control")
+  }
 }

@@ -988,4 +988,267 @@ object Profile {
       .drop("__nn")
       .orderBy(col("column"))
   }
+
+  /** Co-missingness patterns: which columns are null TOGETHER. Per-column
+    * null counts (the A1/A7 profile) can't distinguish "two independent
+    * 5% holes" from "one upstream join dropping both fields on the same
+    * rows" — the pattern histogram can, and it is the standard MCAR/MAR
+    * triage view. Each row's pattern is a '0'/'1' string in the given
+    * column order (1 = NULL); ONE map-side-combined aggregate groups by
+    * it — at most 2^k patterns reach the shuffle, and the share
+    * denominator is re-aggregated from the already-collapsed counts
+    * frame, never a second scan. Keep k modest (≤ 20 columns) — the
+    * pattern space, not the row count, bounds the output. */
+  def missingnessPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 20,
+      "missingnessPatterns wants 1..20 columns (pattern space is 2^k)")
+    val pattern = concat(
+      cols.map(c => when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+    val cnt = df.groupBy(pattern.as("pattern")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("__t"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("pattern"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col("pattern"))
+  }
+
+  /** Per-column categorical diversity profile: distinct count, Shannon
+    * entropy (nats), evenness H/ln(distinct), and the Simpson index
+    * 1 − Σp² — the "is this column collapsing to one value / is the mix
+    * balanced" verdict that count-distinct alone can't give (a column
+    * can keep its cardinality while 99.9% of mass moves to one value).
+    * One O(categories) count aggregate per column, then the identities
+    * H = ln N − (Σ nᵢ ln nᵢ)/N and Σp² = (Σ nᵢ²)/N² keep everything a
+    * second tiny aggregate over the collapsed frame — rows are touched
+    * once per column, statistics never see row-level data. NULL buckets
+    * to '<null>'. */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val frames = cols.map { c =>
+      val cnt = df
+        .groupBy(coalesce(col(c).cast("string"), lit("<null>")).as("k"))
+        .agg(count(lit(1)).as("n"))
+      val nd = col("__n").cast("double")
+      cnt.agg(sum(col("n")).as("__n"),
+          count(lit(1)).as("__k"),
+          sum(col("n").cast("double") * log(col("n").cast("double")))
+            .as("__nln"),
+          sum(col("n").cast("double") * col("n").cast("double")).as("__n2"))
+        .select(lit(c).as("column"), col("__n").as("n"),
+          col("__k").as("n_distinct"),
+          round(log(nd) - col("__nln") / nd, 6).as("entropy"),
+          when(col("__k") > 1,
+            round((log(nd) - col("__nln") / nd) /
+              log(col("__k").cast("double")), 6)).as("evenness"),
+          round(lit(1.0) - col("__n2") / (nd * nd), 6).as("simpson"))
+    }
+    frames.reduce(_.union(_)).orderBy("column")
+  }
+
+  /** KMV (k-minimum-values) distinct estimate: keep the k smallest
+    * hash values of the column; the k-th smallest normalized hash R
+    * estimates distinct ≈ (k−1)/R (Bar-Yossef et al. 2002) — the
+    * mergeable bottom-k sketch behind set-size/overlap estimation,
+    * surfaced next to the exact count so the error is observable.
+    * The sketch is a TakeOrdered over DISTINCT hashes — O(k) driver
+    * state, no global sort materialized; partial top-k runs map-side.
+    * The hash is the repo's overflow-safe Knuth mix mod 2^32 (the
+    * weightedSample oracle spelling) so plain SQL replicates it
+    * exactly; keys are pre-reduced mod 2^32 first. */
+  def kmvDistinct(df: DataFrame, colName: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val spark = df.sparkSession
+    val m = 4294967296L
+    val aHi = 40503L; val aLo = 31153L // 2654435761 = aHi*65536 + aLo
+    val u = pmod(col(colName).cast("long"), lit(m))
+    val h = pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo, lit(m))
+    val hashes = df.where(col(colName).isNotNull)
+      .select(h.as("h")).distinct()
+    val bottom = hashes.orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0))
+    val exact = hashes.count() // distinct hashes == KMV's own universe
+    import spark.implicits._
+    if (bottom.length < k)
+      // fewer distinct hashes than k: the sketch IS the exact set
+      return Seq((k, None: Option[Long], exact.toDouble, exact, 0.0))
+        .toDF("k", "kth_hash", "est_distinct", "exact_distinct", "rel_error")
+    val kth = bottom.last
+    val est = (k - 1).toDouble * m.toDouble / kth.toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((k, Some(kth), r6(est), exact,
+      r6(math.abs(est - exact.toDouble) / exact.toDouble)))
+      .toDF("k", "kth_hash", "est_distinct", "exact_distinct", "rel_error")
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns from ONE
+    * sufficient-statistics aggregate — the redundant-feature /
+    * derived-column detector for quality-signal panels (a 0.99 pair
+    * means one signal is a rescaling of the other and its weight in a
+    * filter ensemble is an illusion). Per pair (i<j): n, Σx, Σy, Σxy,
+    * Σx², Σy² restricted to rows where BOTH sides are non-null
+    * (pairwise deletion), all in one map-side-combined pass — 6·C(k,2)
+    * agg expressions, zero extra scans. The textbook spelling
+    * r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is computed
+    * driver-side so SQL replicates it term for term; degenerate pairs
+    * (zero variance, n < 2) yield NULL. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val exprs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, col(a).cast("double")).otherwise(lit(0.0))
+      val y = when(both, col(b).cast("double")).otherwise(lit(0.0))
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"__n$p"),
+        sum(x).as(s"__sx$p"), sum(y).as(s"__sy$p"),
+        sum(x * y).as(s"__sxy$p"),
+        sum(x * x).as(s"__sxx$p"), sum(y * y).as(s"__syy$p"))
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    pairs.zipWithIndex.map { case ((a, b), p) =>
+      val n = row.getAs[Long](s"__n$p")
+      val sx = row.getAs[Double](s"__sx$p"); val sy = row.getAs[Double](s"__sy$p")
+      val sxy = row.getAs[Double](s"__sxy$p")
+      val sxx = row.getAs[Double](s"__sxx$p"); val syy = row.getAs[Double](s"__syy$p")
+      val corr =
+        if (n < 2) None
+        else {
+          val vx = n * sxx - sx * sx
+          val vy = n * syy - sy * sy
+          if (vx <= 0.0 || vy <= 0.0) None
+          else Some(r6((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))))
+        }
+      (a, b, n, corr)
+    }.toSeq.toDF("col_a", "col_b", "n", "pearson_r")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Mean reciprocal rank at k — the retrieval-eval companion to
+    * [[ndcgAtK]] for the "first relevant hit" regime (dedup candidate
+    * lookup, hard-negative mining audits) where graded gain is
+    * irrelevant and ONLY the first hit's position matters. Per group:
+    * rank by (score desc, id) — a TOTAL order, so ranks are
+    * deterministic under ties — and take max(1/rank) over relevant
+    * rows in the top k (the first relevant row has the largest
+    * reciprocal). Groups with no relevant hit in the top k contribute
+    * 0 (the standard convention). One window + one aggregate; the
+    * window partitions by group, never SinglePartition. */
+  def mrrAtK(df: DataFrame, groupCol: String, idCol: String,
+             scoreCol: String, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(max(when(col(relCol) && col("__rk") <= k,
+        lit(1.0) / col("__rk"))).as("__rr"))
+      .agg(count(lit(1)).as("n_groups"),
+        round(avg(coalesce(col("__rr"), lit(0.0))), 6).as("mrr"))
+  }
+
+  /** Precision@k / recall@k per group — the coverage half of the
+    * retrieval-eval pair ([[mrrAtK]] scores the first hit, this scores
+    * the whole cut-off). hits = relevant rows ranked ≤ k under the
+    * same total order; recall is NULL for groups with zero relevant
+    * rows (0/0, not 0). Same plan shape: one group-partitioned window,
+    * one aggregate. */
+  def precisionRecallAtK(df: DataFrame, groupCol: String, idCol: String,
+                         scoreCol: String, relCol: String,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col(relCol), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col(relCol) && col("__rk") <= k, 1L).otherwise(0L))
+          .as("hits"))
+      .select(col(groupCol), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("precision_at_k"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast("double") / col("n_rel").cast("double"), 6))
+          .as("recall_at_k"))
+      .orderBy(groupCol)
+  }
+
+  /** Binary-classifier confusion matrix + derived metrics from ONE
+    * map-side-combined aggregate — the acceptance gate for any
+    * heuristic filter that claims to approximate a ground-truth label
+    * (quality classifier vs curated label, cheap langid vs expensive
+    * model). Rows where either side is NULL are counted out separately
+    * (n_null) rather than silently folded into a cell. Precision /
+    * recall / F1 are NULL when their denominator is 0. */
+  def confusionStats(df: DataFrame, predCol: String,
+                     labelCol: String): DataFrame = {
+    val p = col(predCol); val l = col(labelCol)
+    val both = p.isNotNull && l.isNotNull
+    df.agg(
+        sum(when(both && p && l, 1L).otherwise(0L)).as("tp"),
+        sum(when(both && p && !l, 1L).otherwise(0L)).as("fp"),
+        sum(when(both && !p && l, 1L).otherwise(0L)).as("fn"),
+        sum(when(both && !p && !l, 1L).otherwise(0L)).as("tn"),
+        sum(when(both, 0L).otherwise(1L)).as("n_null"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"), col("n_null"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)
+          .as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          col("tp") > 0,
+          round(lit(2.0) * (col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double")) *
+            (col("tp").cast("double") /
+              (col("tp") + col("fn")).cast("double")) /
+            (col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double") +
+              col("tp").cast("double") /
+                (col("tp") + col("fn")).cast("double")), 6)).as("f1"))
+  }
+
+  /** One-hop association rules a → b between two categorical columns:
+    * support P(a∧b), confidence P(b|a), lift P(a∧b)/(P(a)P(b)) — the
+    * "is this pairing real or just two big marginals" read that raw
+    * co-occurrence counts (q_rule_cooccur) can't give. Pair counts are
+    * ONE map-side-combined aggregate; both margins and the total are
+    * re-aggregated from the collapsed O(|a|·|b|) pairs frame, never a
+    * second scan; margins broadcast back onto the pairs. NULLs bucket
+    * to '<null>'; rules below `minSupport` are pruned AFTER the
+    * margins are built so the denominators stay exact. */
+  def associationRules(df: DataFrame, aCol: String, bCol: String,
+                       minSupport: Double = 0.0): DataFrame = {
+    val pairs = df.select(
+        coalesce(col(aCol).cast("string"), lit("<null>")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("<null>")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val na = pairs.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val nb = pairs.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val tot = pairs.agg(sum("n_ab").as("n"))
+    pairs
+      .join(broadcast(na), "a").join(broadcast(nb), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .where(col("support") >= minSupport)
+      .orderBy("a", "b")
+  }
 }

@@ -1,0 +1,263 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, Profile}
+import graft.norm.Normalize
+
+/** Hand-computed verification of the round-5 statistical-QC battery:
+  * the two-sample drift tests (Welch t / Mann–Whitney U / Brown–
+  * Forsythe / KL / EWMA chart / effect sizes), the validation-discovery
+  * profilers (missingness patterns, entropy profile, KMV sketch,
+  * correlation matrix, multi-format timestamp parsing), and the
+  * retrieval/rule evaluators (MRR, P/R@k, confusion stats, association
+  * rules). Every expected number is derived off-engine (pure-python
+  * arithmetic, cross-checked against the published formulas). */
+class StatBatterySpec extends AnyFunSuite {
+
+  private def ds(pairs: (String, Double)*) = {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    pairs.toSeq.toDF("g", "v")
+  }
+
+  test("welchT: textbook two-sample case, complement stats exact") {
+    // a=[1,2,3,4] vs complement b=[2,4,6,8,10]:
+    // t = -2.251436, Welch df = 5.520788 (hand-computed)
+    val df = ds(Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("b", v.toDouble)): _*)
+    val rows = Drift.welchT(df, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("a") === ((4L, 5L, -2.251436, 5.520788)))
+    // symmetric direction: b vs complement a flips the sign, same df
+    assert(rows("b") === ((5L, 4L, 2.251436, 5.520788)))
+  }
+
+  test("welchT: group of one yields NULL t, not a crash or ±Inf") {
+    val df = ds(("a", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0))
+    val a = Drift.welchT(df, "g", "v").where(col("g") === "a").collect()(0)
+    assert(a.isNullAt(3) && a.isNullAt(4))
+  }
+
+  test("mannWhitneyU: tied example U=2, tie-corrected z=-1.123666") {
+    // A=[1,2,3] vs B=[2,3,4]: avg ranks 1, 2.5, 4.5 → R_A=8, U=2,
+    // sigma^2 = (9/12)(7 - 12/30) = 4.95
+    val df = ds(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 3.0), ("B", 4.0))
+    val r = Drift.mannWhitneyU(df, "v", col("g") === "A").collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === -1.123666)
+  }
+
+  test("mannWhitneyU: all values tied → NULL z; empty side → NULL stats") {
+    val tied = ds(("A", 5.0), ("A", 5.0), ("B", 5.0))
+    val r1 = Drift.mannWhitneyU(tied, "v", col("g") === "A").collect()(0)
+    assert(r1.isNullAt(3), "zero variance must yield NULL z")
+    val oneSided = ds(("A", 1.0), ("A", 2.0))
+    val r2 = Drift.mannWhitneyU(oneSided, "v", col("g") === "B").collect()(0)
+    assert(r2.getLong(0) === 0L && r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
+  test("brownForsythe: hand-computed F=2.424675 on median-centered groups") {
+    // a=[1,2,3,4] (median 2.5), b=[10,20,60] (median 20)
+    val df = ds(Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(10, 20, 60).map(v => ("b", v.toDouble)): _*)
+    val r = Drift.brownForsythe(df, "g", "v").collect()(0)
+    assert(r.getLong(0) === 7L && r.getInt(1) === 2)
+    assert(r.getDouble(2) === 2.424675)
+    assert(r.getInt(3) === 1 && r.getLong(4) === 5L)
+    // approx (scale) mode: approx_percentile does NOT interpolate even
+    // groups — median(a)=2.0 not 2.5 → hand-recomputed F = 2.421884;
+    // the bounded-memory trade documented on the operator
+    val ra = Drift.brownForsythe(df, "g", "v", exact = false).collect()(0)
+    assert(ra.getDouble(2) === 2.421884)
+  }
+
+  test("effectSizes: pooled-sd Cohen's d and Hedges' g, hand-computed") {
+    val df = ds(Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("b", v.toDouble)): _*)
+    val rows = Drift.effectSizes(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("a") === ((-1.380419, -1.227039)))
+    assert(rows("b") === ((1.380419, 1.227039)))
+  }
+
+  test("KL divergence: hand value, zero on identical, asymmetric") {
+    val obs = Drift.CategoricalProfile(Map("a" -> 3L, "b" -> 1L))
+    val base = Drift.CategoricalProfile(Map("a" -> 1L, "b" -> 1L))
+    assert(math.abs(Drift.kl(obs, base) - 0.130812) < 1e-6)
+    assert(Drift.kl(base, base) === 0.0)
+    assert(Drift.kl(obs, base) !== Drift.kl(base, obs))
+  }
+
+  test("ewmaChart: closed form equals the recursion, limits widen to steady state") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // 10 events day 1, 20 day 2, 30 day 3 → z0=20, sigma=10
+    // recursion: z1=18, z2=18.4, z3=20.72; bands 6 / 7.683749 / 8.589854
+    val rows = (1 to 10).map(i => ("2024-03-01 00:00:" + f"$i%02d")) ++
+      (1 to 20).map(i => ("2024-03-02 00:00:" + f"$i%02d")) ++
+      (1 to 30).map(i => ("2024-03-03 00:00:" + f"$i%02d"))
+    val df = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val got = Drift.ewmaChart(df, "ts").orderBy("day").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
+    assert(got.map(_.getDouble(2)).toSeq === Seq(18.0, 18.4, 20.72))
+    assert(got(0).getDouble(4) === 26.0 && got(0).getDouble(3) === 14.0)
+    assert(got(1).getDouble(4) === 27.683749)
+    assert(got(2).getDouble(4) === 28.589854)
+    assert(got.forall(!_.getBoolean(5)), "all three points inside the band")
+  }
+
+  test("missingnessPatterns: joint-null pattern counted once, shares sum to 1") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq[(Option[Int], Option[String])](
+      (Some(1), Some("x")), (None, None), (None, None),
+      (Some(2), None), (None, Some("y"))).toDF("a", "b")
+    val got = Profile.missingnessPatterns(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("11") === ((2L, 0.4)))
+    assert(got("01") === ((1L, 0.2)))
+    assert(got("10") === ((1L, 0.2)))
+    assert(got("00") === ((1L, 0.2)))
+  }
+
+  test("entropyProfile: uniform pair ln2/evenness 1/simpson .5; constant column") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq(("x", "k"), ("x", "k"), ("y", "k"), ("y", "k"))
+      .toDF("bal", "const")
+    val got = Profile.entropyProfile(df, Seq("bal", "const")).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getDouble(5)))).toMap
+    assert(got("bal") === ((4L, 2L, 0.693147, Some(1.0), 0.5)))
+    assert(got("const") === ((4L, 1L, 0.0, None, 0.0)))
+  }
+
+  test("kmvDistinct: fewer distincts than k → exact; k=64 estimate lands near truth") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val tiny = Seq(1L, 1L, 2L, 3L).toDF("id")
+    val r = Profile.kmvDistinct(tiny, "id", 5).collect()(0)
+    assert(r.isNullAt(1) && r.getDouble(2) === 3.0 &&
+      r.getLong(3) === 3L && r.getDouble(4) === 0.0)
+    val big = spark.range(2000).toDF("id")
+    val r2 = Profile.kmvDistinct(big, "id", 64).collect()(0)
+    assert(r2.getLong(3) === 2000L)
+    assert(r2.getDouble(4) < 0.35,
+      s"KMV k=64 should estimate 2000 within ~35%: got ${r2.getDouble(2)}")
+  }
+
+  test("corrMatrix: perfect linear +1/-1, constant column NULL, pairwise n") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0)).toDF("x", "y2x", "neg", "c")
+    val got = Profile.corrMatrix(df, Seq("x", "y2x", "neg", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(("x", "y2x")) === ((3L, Some(1.0))))
+    assert(got(("x", "neg")) === ((3L, Some(-1.0))))
+    assert(got(("x", "c")) === ((3L, None)), "zero variance → NULL r")
+  }
+
+  test("parseTimestamps: ordered formats win, unparsed and null labeled") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq(Some("2024-01-02 03:04:05"), Some("2024/01/02 03:04:05"),
+      Some("garbage"), None).toDF("raw")
+    val got = Normalize.parseTimestamps(df, "raw",
+      Seq("yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss")).collect()
+    assert(got(0).getString(2) === "yyyy-MM-dd HH:mm:ss")
+    assert(got(1).getString(2) === "yyyy/MM/dd HH:mm:ss")
+    assert(got(0).getTimestamp(1) === got(1).getTimestamp(1),
+      "both formats decode the same instant")
+    assert(got(2).isNullAt(1) && got(2).getString(2) === "<unparsed>")
+    assert(got(3).isNullAt(1) && got(3).getString(2) === "<null>")
+  }
+
+  test("mrrAtK and precisionRecallAtK: hand-built ranking") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // group g1: scores 9,8,7 — relevant at rank 2 → rr 0.5
+    // group g2: no relevant in top-2 (k=2), relevant at rank 3 → rr 0
+    val df = Seq(
+      ("g1", 1L, 9.0, false), ("g1", 2L, 8.0, true), ("g1", 3L, 7.0, true),
+      ("g2", 4L, 9.0, false), ("g2", 5L, 8.0, false), ("g2", 6L, 7.0, true)
+    ).toDF("g", "id", "score", "rel")
+    val mrr = Profile.mrrAtK(df, "g", "id", "score", "rel", k = 2).collect()(0)
+    assert(mrr.getLong(0) === 2L)
+    assert(mrr.getDouble(1) === 0.25) // (0.5 + 0)/2
+    val pr = Profile.precisionRecallAtK(df, "g", "id", "score", "rel", k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(pr("g1") === ((2L, 1L, 0.5, Some(0.5))))
+    assert(pr("g2") === ((1L, 0L, 0.0, Some(0.0))))
+  }
+
+  test("precisionRecallAtK: zero relevant in group → recall NULL, not 0/0") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq(("g", 1L, 1.0, false)).toDF("g", "id", "score", "rel")
+    val r = Profile.precisionRecallAtK(df, "g", "id", "score", "rel", 5)
+      .collect()(0)
+    assert(r.getLong(1) === 0L && r.isNullAt(4))
+  }
+
+  test("confusionStats: hand counts, metrics, null rows counted out") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq[(Option[Boolean], Option[Boolean])](
+      (Some(true), Some(true)), (Some(true), Some(true)),   // tp 2
+      (Some(true), Some(false)),                            // fp 1
+      (Some(false), Some(true)),                            // fn 1
+      (Some(false), Some(false)), (Some(false), Some(false)), // tn 2
+      (None, Some(true)), (Some(true), None)                // null 2
+    ).toDF("p", "l")
+    val r = Profile.confusionStats(df, "p", "l").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((2L, 1L, 1L, 2L, 2L)))
+    assert(r.getDouble(5) === 0.666667) // accuracy 4/6
+    assert(r.getDouble(6) === 0.666667) // precision 2/3
+    assert(r.getDouble(7) === 0.666667) // recall 2/3
+    assert(r.getDouble(8) === 0.666667) // f1 (p==r)
+  }
+
+  test("confusionStats: degenerate all-negative predictions → NULL precision/f1") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((false, true), (false, false)).toDF("p", "l")
+    val r = Profile.confusionStats(df, "p", "l").collect()(0)
+    assert(r.isNullAt(6) && r.isNullAt(8))
+    assert(r.getDouble(7) === 0.0) // recall 0/1 = 0
+  }
+
+  test("associationRules: independence → lift 1, perfect pairing → lift k") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // independent: every (a,b) combination equally likely → lift 1
+    val ind = (for { a <- Seq("a1", "a2"); b <- Seq("b1", "b2") }
+      yield (a, b)).toDF("x", "y")
+    val li = Profile.associationRules(ind, "x", "y").collect()
+    assert(li.forall(_.getDouble(5) === 1.0))
+    // perfectly paired: a1↔b1, a2↔b2 → lift 2, confidence 1
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val ld = Profile.associationRules(dep, "x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(ld(("a1", "b1")) === ((2L, 0.5, 1.0, 2.0)))
+    assert(ld(("a2", "b2")) === ((2L, 0.5, 1.0, 2.0)))
+    // minSupport prunes but denominators stay whole-frame
+    val pruned = Profile.associationRules(dep, "x", "y", minSupport = 0.6)
+    assert(pruned.count() === 0)
+  }
+}
