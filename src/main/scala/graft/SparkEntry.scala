@@ -440,6 +440,68 @@ object SparkEntry {
       Profile.associationRules(t(s, d, "documents"), "lang", "source",
         minSupport = 0.004)),
 
+    // leakage-safe split: assignment hashes the CONTENT GROUP (md5 of
+    // text), so planted exact-dup families (%5 docs collapsed onto 7
+    // shared texts) can never span train/val/test — audited by the
+    // splitLeakage pass inside the same query: n_leaked_docs must be 0
+    // BY ARITHMETIC in both engines, not by luck
+    "q_group_split" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("duplicated page "),
+              (col("doc_id") % 7).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.splitLeakage(
+          Mixing.groupAwareSplit(docs, "text"), "text", "split")
+        .orderBy("split")
+    }),
+
+    // temporal split with an embargo gap: train < cutoff−1d, test ≥
+    // cutoff, the day between labeled 'embargo' (returned, not silently
+    // dropped) — boundary-leak hygiene for time-ordered corpora
+    "q_temporal_split" -> ((s, d) =>
+      Mixing.temporalSplit(t(s, d, "events"), "ts",
+          "2024-01-24 00:00:00", embargoSecs = 86400)
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy("split")),
+
+    // schema drift between two feed snapshots: url added, source
+    // removed, n_chars bigint→double (%7 rows gain a '.5'), lang nulls
+    // appear (%11) → null_shift, id stays — the upstream-contract diff
+    // over string-typed feeds, one fused regex-profile aggregate/side
+    "q_schema_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.select(
+        col("doc_id").cast("string").as("id"), col("lang"), col("source"),
+        col("n_chars").cast("string").as("n_chars"))
+      val newSnap = docs.where(col("doc_id") % 3 =!= 0).select(
+        col("doc_id").cast("string").as("id"),
+        when(col("doc_id") % 11 === 0, lit(null: String))
+          .otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("n_chars").cast("string"), lit(".5")))
+          .otherwise(col("n_chars").cast("string")).as("n_chars"),
+        concat(lit("https://"), col("source"), lit(".example.com"))
+          .as("url"))
+      Profile.schemaDrift(oldSnap, newSnap)
+    }),
+
+    // per-source boilerplate prefix: even-numbered sources get a cookie
+    // banner prepended to 2/3 of their docs (share ≥ 0.5 → flagged),
+    // odd sources keep natural texts (unique prefixes, tie broken
+    // lexicographically in both engines) — (source, 32-char prefix)
+    // counts combine map-side, full text never shuffles
+    "q_prefix_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("source"),
+        when(expr("try_cast(substr(source, 4) AS INT)") % 2 === 0 &&
+            col("doc_id") % 3 =!= 2,
+          concat(lit("We use cookies to improve your experience. "),
+            col("text"))).otherwise(col("text")).as("text"))
+      TextAnalysis.prefixBoilerplate(docs, "source", "text",
+        k = 32, minShare = 0.5)
+    }),
+
     // ---- windowed event analytics (streaming plan shape, batch run) ----
 
     // heavy hitters via the DataSketches frequent-items aggregate
@@ -4028,6 +4090,154 @@ object SparkEntry {
         |WHERE round(pairs.n_ab::DOUBLE / tot.n::DOUBLE, 6) >= 0.004
         |ORDER BY a, b""".stripMargin,
 
+    "q_group_split" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'duplicated page ' || CAST(doc_id % 7 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |lab AS (
+        |  SELECT md5(coalesce(text, '<null>')) AS h,
+        |    CASE WHEN CAST(('0x' || substr(md5(coalesce(text, '<null>')),
+        |                    1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(coalesce(text, '<null>')),
+        |                    1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM docs WHERE text IS NOT NULL),
+        |psh AS (SELECT split, h, count(*) AS n FROM lab GROUP BY 1, 2),
+        |spn AS (SELECT h, count(*) AS ns FROM psh GROUP BY 1)
+        |SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_distinct_texts,
+        |  CAST(sum(CASE WHEN ns > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_leaked_docs,
+        |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked_texts,
+        |  round(sum(CASE WHEN ns > 1 THEN n ELSE 0 END)::DOUBLE
+        |        / sum(n)::DOUBLE, 6) AS leak_rate
+        |FROM psh JOIN spn USING (h)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_temporal_split" ->
+      """SELECT split, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM (
+        |  SELECT ts,
+        |    CASE WHEN ts IS NULL THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 'train'
+        |         WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+        |         ELSE 'embargo' END AS split
+        |  FROM events)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_schema_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, lang, source,
+        |         CAST(n_chars AS VARCHAR) AS n_chars
+        |  FROM documents),
+        |n AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN CAST(n_chars AS VARCHAR) || '.5'
+        |         ELSE CAST(n_chars AS VARCHAR) END AS n_chars,
+        |    'https://' || source || '.example.com' AS url
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |ocols AS (
+        |  SELECT 'id' AS c, id AS v FROM o UNION ALL
+        |  SELECT 'lang', lang FROM o UNION ALL
+        |  SELECT 'source', source FROM o UNION ALL
+        |  SELECT 'n_chars', n_chars FROM o),
+        |ncols AS (
+        |  SELECT 'id' AS c, id AS v FROM n UNION ALL
+        |  SELECT 'lang', lang FROM n UNION ALL
+        |  SELECT 'n_chars', n_chars FROM n UNION ALL
+        |  SELECT 'url', url FROM n),
+        |oprof AS (
+        |  SELECT c, count(*) AS n_rows,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+        |        THEN 1 ELSE 0 END) AS n_int,
+        |    sum(CASE WHEN regexp_matches(v,
+        |        '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |        THEN 1 ELSE 0 END) AS n_dbl,
+        |    sum(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |          AND try_cast(v AS DATE) IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS n_date,
+        |    sum(CASE WHEN lower(v) IN ('true', 'false')
+        |        THEN 1 ELSE 0 END) AS n_bool
+        |  FROM ocols GROUP BY 1),
+        |nprof AS (
+        |  SELECT c, count(*) AS n_rows,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+        |        THEN 1 ELSE 0 END) AS n_int,
+        |    sum(CASE WHEN regexp_matches(v,
+        |        '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |        THEN 1 ELSE 0 END) AS n_dbl,
+        |    sum(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |          AND try_cast(v AS DATE) IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS n_date,
+        |    sum(CASE WHEN lower(v) IN ('true', 'false')
+        |        THEN 1 ELSE 0 END) AS n_bool
+        |  FROM ncols GROUP BY 1),
+        |os AS (
+        |  SELECT c,
+        |    CASE WHEN n_rows - n_null = 0 THEN 'empty'
+        |         WHEN n_int = n_rows - n_null THEN 'bigint'
+        |         WHEN n_dbl = n_rows - n_null THEN 'double'
+        |         WHEN n_date = n_rows - n_null THEN 'date'
+        |         WHEN n_bool = n_rows - n_null THEN 'boolean'
+        |         ELSE 'string' END AS old_type,
+        |    round(n_null::DOUBLE / greatest(n_rows, 1)::DOUBLE, 6)
+        |      AS old_null_rate
+        |  FROM oprof),
+        |ns AS (
+        |  SELECT c,
+        |    CASE WHEN n_rows - n_null = 0 THEN 'empty'
+        |         WHEN n_int = n_rows - n_null THEN 'bigint'
+        |         WHEN n_dbl = n_rows - n_null THEN 'double'
+        |         WHEN n_date = n_rows - n_null THEN 'date'
+        |         WHEN n_bool = n_rows - n_null THEN 'boolean'
+        |         ELSE 'string' END AS new_type,
+        |    round(n_null::DOUBLE / greatest(n_rows, 1)::DOUBLE, 6)
+        |      AS new_null_rate
+        |  FROM nprof)
+        |SELECT coalesce(os.c, ns.c) AS "column",
+        |  CASE WHEN old_type IS NULL THEN 'added'
+        |       WHEN new_type IS NULL THEN 'removed'
+        |       WHEN old_type <> new_type THEN 'type_changed'
+        |       WHEN abs(new_null_rate - old_null_rate) > 0.05
+        |         THEN 'null_shift'
+        |       ELSE 'unchanged' END AS status,
+        |  old_type, new_type, old_null_rate, new_null_rate
+        |FROM os FULL JOIN ns ON os.c = ns.c
+        |ORDER BY 1""".stripMargin,
+
+    "q_prefix_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |              AND doc_id % 3 <> 2
+        |         THEN 'We use cookies to improve your experience. ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT coalesce(source, '<null>') AS source,
+        |         coalesce(substr(text, 1, 32), '<null>') AS prefix,
+        |         count(*) AS n_docs
+        |  FROM docs GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tt
+        |      FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT source, prefix, n_docs,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_docs DESC, prefix ASC) AS rk
+        |  FROM c)
+        |SELECT r.source, prefix, n_docs,
+        |  round(n_docs::DOUBLE / tt::DOUBLE, 6) AS share,
+        |  round(n_docs::DOUBLE / tt::DOUBLE, 6) >= 0.5 AS boilerplate
+        |FROM r JOIN t ON r.source = t.source
+        |WHERE rk = 1 ORDER BY r.source""".stripMargin,
+
     "q_ks_by_flag" ->
       """WITH binned AS (
         |  SELECT l_returnflag AS g,
@@ -7265,8 +7475,11 @@ object SparkEntry {
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings)
+        |-- + 0 folds IEEE -0.0 to 0.0: the Spark side rounds through
+        |-- BigDecimal (no signed zero), so a tiny negative covariance
+        |-- rounding to zero would otherwise print '-0.0' here only
         |SELECT a.i AS i, b.i AS j,
-        |  round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
+        |  round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) + 0 AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,

@@ -850,4 +850,63 @@ object Mixing {
       .toDF("stratum", "n_rows", "sigma", "weight", "alloc", "capped")
       .orderBy(col("stratum"))
   }
+
+  /** Leakage-safe train/val/test assignment: the split of every
+    * document is a deterministic hash of its CONTENT GROUP key, not of
+    * its row id — so exact duplicates (same text ⇒ same md5 ⇒ same
+    * bucket) can NEVER span splits. Hashing the row id instead is the
+    * classic leak [[Dedup.splitLeakage]] exists to catch: two copies of
+    * one page land in train and test and the eval number is fiction.
+    * This is the CONSTRUCTIVE half — assign so the audit passes by
+    * arithmetic, don't audit after the damage.
+    *
+    * `fractions` are cumulative percent fences over a 100-bucket hash
+    * (e.g. `("train",80),("val",90),("test",100)`): bucket = (first 15
+    * hex chars of md5(content) as a 60-bit int) % 100, the repo's
+    * SQL-replicable content-hash spelling (DuckDB:
+    * `CAST('0x' || substr(md5(text),1,15) AS BIGINT)`). NULL content
+    * groups under the literal '<null>' key — one split, never dropped.
+    *
+    * Scale shape: ONE codegen'd projection (md5 + conv + CASE), zero
+    * shuffle, zero driver state — the same stateless-predicate
+    * guarantees as [[sampleByWeights]] (retry-stable, append-stable:
+    * tomorrow's recrawl of the same page lands in the same split). */
+  def groupAwareSplit(df: DataFrame, contentCol: String,
+                      fractions: Seq[(String, Int)] =
+                        Seq(("train", 80), ("val", 90), ("test", 100)))
+      : DataFrame = {
+    require(fractions.nonEmpty && fractions.last._2 == 100 &&
+        fractions.map(_._2) == fractions.map(_._2).sorted &&
+        fractions.forall(f => f._2 > 0 && f._2 <= 100),
+      "fractions must be ascending cumulative percents ending at 100")
+    val key = md5(coalesce(col(contentCol).cast("string"), lit("<null>")))
+    val bucket = conv(substring(key, 1, 15), 16, 10).cast("long") % 100
+    val split = fractions.init.foldRight(
+        lit(fractions.last._1): Column) { case ((name, hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Temporal train/test split with an EMBARGO gap: train strictly
+    * before `cutoff − embargo`, test at/after `cutoff`, and the rows in
+    * between assigned to 'embargo' — excluded from both sides so that
+    * near-boundary leakage (a test-period page crawled seconds earlier,
+    * sessions straddling the fence, label lookahead) cannot ride the
+    * boundary. Dropping the gap rows SILENTLY would violate the repo's
+    * no-silent-caps rule — they are returned labeled instead, and the
+    * caller filters. One stateless projection; `cutoff` is an ISO
+    * timestamp literal, `embargoSecs ≥ 0`. */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String,
+                    embargoSecs: Long): DataFrame = {
+    require(embargoSecs >= 0, "embargoSecs must be non-negative")
+    val ts = col(tsCol)
+    val hi = to_timestamp(lit(cutoff))
+    val lo = hi - expr(s"INTERVAL $embargoSecs SECONDS")
+    df.withColumn("split",
+      when(ts.isNull, lit(null).cast("string"))
+        .when(ts < lo, lit("train"))
+        .when(ts >= hi, lit("test"))
+        .otherwise(lit("embargo")))
+  }
 }

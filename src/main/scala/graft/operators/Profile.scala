@@ -1251,4 +1251,48 @@ object Profile {
       .where(col("support") >= minSupport)
       .orderBy("a", "b")
   }
+
+  /** Schema drift between two snapshots of the same feed: for every
+    * column present in either frame, is it added / removed /
+    * type_changed / null_shift / unchanged — the upstream-contract
+    * check that catches "the exporter started writing floats into the
+    * count field" BEFORE a week of data is ingested under the wrong
+    * type. Built on [[typeInference]] (ONE fused regex-count aggregate
+    * per side over string-cast values — so it works on raw CSV/JSON
+    * string feeds where the Spark schema itself says nothing), joined
+    * full-outer on column name: O(columns) rows move, never data.
+    *
+    * `type_changed` = the suggested type differs; `null_shift` = same
+    * type but the null RATE moved by more than `nullShiftTol` (an
+    * upstream join starting to drop a field shows here first);
+    * rates are round-6 so the comparison — and the SQL replica — is
+    * bit-stable. Columns empty on both sides are 'unchanged' (empty =
+    * empty). */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame,
+                  nullShiftTol: Double = 0.05): DataFrame = {
+    require(nullShiftTol >= 0, "nullShiftTol must be non-negative")
+    val o = typeInference(oldDf, oldDf.columns.toIndexedSeq)
+      .select(col("column"),
+        col("suggested").as("old_type"),
+        round(col("n_null").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("old_null_rate"))
+    val n = typeInference(newDf, newDf.columns.toIndexedSeq)
+      .select(col("column"),
+        col("suggested").as("new_type"),
+        round(col("n_null").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("new_null_rate"))
+    o.join(n, Seq("column"), "full_outer")
+      .withColumn("status",
+        when(col("old_type").isNull, lit("added"))
+          .when(col("new_type").isNull, lit("removed"))
+          .when(col("old_type") =!= col("new_type"), lit("type_changed"))
+          .when(abs(col("new_null_rate") - col("old_null_rate"))
+            > nullShiftTol, lit("null_shift"))
+          .otherwise(lit("unchanged")))
+      .select("column", "status", "old_type", "new_type",
+        "old_null_rate", "new_null_rate")
+      .orderBy("column")
+  }
 }

@@ -1547,4 +1547,48 @@ object TextAnalysis {
           .as("p_gt"))
       .orderBy(col("r"))
   }
+
+  /** Per-source boilerplate-prefix detector: when a large share of a
+    * source's documents open with the SAME first-`k` characters (cookie
+    * banner, "Subscribe to continue", scraper header), that prefix is
+    * template chrome the extractor failed to strip — the site-level
+    * complement of [[graft.operators.LineDedup]]'s corpus-frequent
+    * lines, caught per SOURCE so one noisy site can't hide inside a
+    * clean global distribution. Returns per source the modal prefix,
+    * its document count and share, and the boilerplate verdict
+    * (`share ≥ minShare`).
+    *
+    * Scale shape: rows collapse map-side to (source, k-char prefix)
+    * counts — full text never enters an exchange — and the modal pick
+    * is a row_number window over the ALREADY-AGGREGATED counts frame
+    * (cardinality ≤ distinct prefixes per source, not documents), with
+    * deterministic (count desc, prefix asc) tie-breaking so both
+    * engines choose the same winner. NULL/short texts count toward the
+    * source's denominator under their literal prefix (a site serving
+    * empty pages IS boilerplate-suspect). */
+  def prefixBoilerplate(df: DataFrame, srcCol: String, textCol: String,
+                        k: Int = 32, minShare: Double = 0.25): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minShare > 0 && minShare <= 1, "minShare in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(coalesce(col(srcCol).cast("string"), lit("<null>"))
+          .as("source"),
+        coalesce(substring(col(textCol), 1, k), lit("<null>"))
+          .as("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_docs").desc, col("prefix").asc)
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("__t"))
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .join(totals, Seq("source"))
+      .select(col("source"), col("prefix"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+      .withColumn("boilerplate", col("share") >= minShare)
+      .orderBy(col("source"))
+  }
 }
