@@ -487,6 +487,51 @@ object SparkEntry {
       Profile.schemaDrift(oldSnap, newSnap)
     }),
 
+    // inter-annotator agreement with MISSING ratings and 3 raters —
+    // Krippendorff's alpha (nominal), the regime Cohen's kappa can't
+    // touch: item = doc_id div 3, raters 0..2, value item-determined
+    // (agreement) except rater 2 dissents on %5 docs; %7 ratings
+    // missing, so some items fall to one rating and are excluded BY
+    // DEFINITION (n_items vs n_items_used surfaces the exclusion)
+    "q_krippendorff" -> ((s, d) => {
+      val item = expr("doc_id div 3")
+      val rater = col("doc_id") % 3
+      val base = when(item % 4 === 0, lit("A"))
+        .when(item % 4 === 1, lit("B")).otherwise(lit("C"))
+      val ratings = t(s, d, "documents")
+        .where(col("doc_id") % 7 =!= 0)
+        .select(item.as("item"), rater.as("rater"),
+          when(col("doc_id") % 5 === 0 && rater === 2, lit("X"))
+            .otherwise(base).as("value"))
+      Drift.krippendorffAlpha(ratings, "item", "rater", "value")
+    }),
+
+    // online Poisson bootstrap of mean(n_chars): 32 deterministic
+    // hash-weighted replicates in ONE pass (the 10^12-row CI machinery
+    // — classic index-resampling is undistributable); hashKey=false is
+    // the overflow-safe multiplicative draw the SQL oracle replays on
+    // the same integer lattice
+    "q_bootstrap_ci" -> ((s, d) =>
+      Profile.bootstrapMeans(t(s, d, "documents"), "doc_id", "n_chars",
+        nBoot = 32, seed = 7L, hashKey = false)),
+
+    // empirical-Bayes host quality: the q_host_reputation fixture with
+    // beta-binomial shrinkage toward the global keep rate (k = 20
+    // pseudo-counts) — the ranking fix for tiny-host noise
+    "q_host_shrunk" -> ((s, d) => {
+      val host0 = when(col("doc_id") % 3 === 0,
+          concat(lower(col("source")), lit(".example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("www."), lower(col("source")), lit(".example.com")))
+        .otherwise(concat(lower(col("source")), lit(".net")))
+      val withUrl = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("http://"), host0, lit("/p/"), col("doc_id")).as("url"),
+        col("n_chars").between(200, 3000).as("keep"))
+      graft.operators.WebFilter
+        .hostQualityShrunk(withUrl, "url", "keep", priorStrength = 20.0)
+        .orderBy("host")
+    }),
+
     // per-source boilerplate prefix: even-numbered sources get a cookie
     // banner prepended to 2/3 of their docs (share ≥ 0.5 → flagged),
     // odd sources keep natural texts (unique prefixes, tie broken
@@ -4211,6 +4256,80 @@ object SparkEntry {
         |  old_type, new_type, old_null_rate, new_null_rate
         |FROM os FULL JOIN ns ON os.c = ns.c
         |ORDER BY 1""".stripMargin,
+
+    "q_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id // 3 AS it, doc_id % 3 AS ra,
+        |    CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN 'X'
+        |         WHEN (doc_id // 3) % 4 = 0 THEN 'A'
+        |         WHEN (doc_id // 3) % 4 = 1 THEN 'B'
+        |         ELSE 'C' END AS v
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |m AS (SELECT it, count(*) AS m FROM r GROUP BY 1),
+        |rr AS (SELECT r.it, r.ra, r.v, m.m
+        |       FROM r JOIN m USING (it) WHERE m.m >= 2),
+        |coin AS (
+        |  SELECT a.v AS c1, b.v AS c2, sum(1.0 / (a.m - 1)) AS o
+        |  FROM rr a JOIN rr b ON a.it = b.it AND a.ra <> b.ra
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT c1, sum(o) AS n_c FROM coin GROUP BY 1),
+        |tot AS (SELECT sum(n_c) AS n FROM marg),
+        |itc AS (SELECT count(DISTINCT it) AS k FROM r),
+        |itu AS (SELECT count(DISTINCT it) AS k FROM rr),
+        |dd AS (SELECT sum(CASE WHEN c1 <> c2 THEN o ELSE 0 END) AS don
+        |       FROM coin),
+        |de AS (SELECT sum(a.n_c * b.n_c) AS den
+        |       FROM marg a JOIN marg b ON a.c1 <> b.c1)
+        |SELECT itc.k AS n_items, itu.k AS n_items_used,
+        |  CAST(round(tot.n) AS BIGINT) AS n_pairable_ratings,
+        |  round(dd.don / tot.n, 6) AS d_observed,
+        |  round(de.den / (tot.n * (tot.n - 1)), 6) AS d_expected,
+        |  round(1 - (dd.don / tot.n)
+        |          / (de.den / (tot.n * (tot.n - 1))), 6) AS alpha
+        |FROM itc, itu, tot, dd, de""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH f AS (
+        |  SELECT b, n_chars::DOUBLE AS x,
+        |    ((doc_id % 2147483648) * 4096 + b + 7 * 81) % 4294967296 AS k0
+        |  FROM documents, (SELECT unnest(range(0, 32)) AS b)
+        |  WHERE n_chars IS NOT NULL),
+        |h1 AS (SELECT b, x,
+        |  (xor(k0, k0 >> 16) * 569557677) % 4294967296 AS ha FROM f),
+        |h2 AS (SELECT b, x,
+        |  (xor(ha, ha >> 15) * 1935933847) % 4294967296 AS hb FROM h1),
+        |hh AS (SELECT b, x, xor(hb, hb >> 15) AS u FROM h2),
+        |w AS (SELECT b, x,
+        |  CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |       WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |       WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+        |       WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+        |       WHEN u < 4294962463 THEN 8 ELSE 9 END AS w
+        |  FROM hh)
+        |SELECT CAST(b AS INTEGER) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  round(sum(w * x) / sum(w), 6) AS boot_mean
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
+
+    "q_host_shrunk" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.example.com'
+        |         WHEN doc_id % 3 = 1
+        |           THEN 'www.' || lower(source) || '.example.com'
+        |         ELSE lower(source) || '.net' END AS host,
+        |    n_chars BETWEEN 200 AND 3000 AS keep
+        |  FROM documents),
+        |h AS (
+        |  SELECT host, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nn,
+        |             CAST(sum(n_keep) AS DOUBLE) AS kk FROM h)
+        |SELECT host, n_docs, n_keep,
+        |  round(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate,
+        |  round((CAST(n_keep AS DOUBLE) + 20.0 * (g.kk / g.nn))
+        |        / (CAST(n_docs AS DOUBLE) + 20.0), 6) AS shrunk_rate
+        |FROM h, g ORDER BY host""".stripMargin,
 
     "q_prefix_boilerplate" ->
       """WITH docs AS (

@@ -1020,4 +1020,73 @@ object Drift {
     }
     rows.toSeq.toDF("day", "x", "ewma", "lcl", "ucl", "out_of_control")
   }
+
+  /** Krippendorff's alpha (nominal data) — the inter-annotator
+    * agreement statistic that, unlike [[cohenKappa]], handles ANY
+    * number of raters AND missing ratings (every real labeling job has
+    * both: pools of annotators, nobody rates everything). Ratings are
+    * (item, rater, value) rows; items with fewer than 2 non-null
+    * ratings carry no agreement information and are excluded (that is
+    * the statistic's definition, not a silent drop — `n_items_used` is
+    * returned beside the total).
+    *
+    * Computation (Krippendorff 2004, the coincidence-matrix form):
+    * within each item, every ordered pair of ratings by DISTINCT raters
+    * contributes weight 1/(m_i − 1) to coincidence cell (c, c'); then
+    * with marginals n_c and n = Σ n_c,
+    *   D_o = Σ_{c≠c'} o_{cc'} / n,
+    *   D_e = Σ_{c≠c'} n_c·n_{c'} / (n(n−1)),
+    *   α = 1 − D_o / D_e.
+    * Perfect agreement → 1; chance level → 0; D_e = 0 (a single
+    * category everywhere) → NULL α, not a division blow-up.
+    *
+    * Scale shape: the within-item pair join fans out m_i² rows per item
+    * — m_i is the RATER count per item (a panel of dozens at most, by
+    * contract), never the corpus; coincidences collapse map-side to the
+    * O(categories²) matrix, which is collected (metadata-sized, like
+    * every sketch in this file) for the driver-side ratio. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val r = df.where(col(valueCol).isNotNull)
+      .select(col(itemCol).as("__it"), col(raterCol).as("__ra"),
+        col(valueCol).cast("string").as("__v"))
+    val mPer = r.groupBy(col("__it")).agg(count(lit(1)).as("__m"))
+    val nItemsTotal = mPer.count()
+    val rr = r.join(mPer.where(col("__m") >= 2), Seq("__it"))
+    val coin = rr.as("a").join(rr.as("b"),
+        col("a.__it") === col("b.__it") && col("a.__ra") =!= col("b.__ra"))
+      .groupBy(col("a.__v").as("c1"), col("b.__v").as("c2"),
+        col("a.__m").as("m"))
+      .agg(count(lit(1)).as("k")) // exact integer pair counts first
+      .select(col("c1"), col("c2"),
+        (col("k").cast("double") / (col("m") - 1).cast("double")).as("o"))
+      .groupBy("c1", "c2").agg(sum(col("o")).as("o"))
+      .collect().map(row =>
+        (row.getString(0), row.getString(1), row.getDouble(2)))
+      .sortBy(t => (t._1, t._2)) // fixed order → bit-stable driver sums
+    val nItemsUsed = rr.select(col("__it")).distinct().count()
+    val margins = coin.groupBy(_._1).map { case (c, ts) =>
+      c -> ts.map(_._3).sum
+    }.toSeq.sortBy(_._1)
+    val n = margins.map(_._2).sum
+    val doNum = coin.collect { case (c1, c2, o) if c1 != c2 => o }.sum
+    val deNum = (for {
+      (c1, n1) <- margins; (c2, n2) <- margins if c1 != c2
+    } yield n1 * n2).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (dObs, dExp, alpha) =
+      if (n < 2 || deNum == 0.0)
+        (if (n > 0) Some(r6(doNum / n)) else None, None, None)
+      else {
+        val dO = doNum / n
+        val dE = deNum / (n * (n - 1.0))
+        (Some(r6(dO)), Some(r6(dE)), Some(r6(1.0 - dO / dE)))
+      }
+    import spark.implicits._
+    Seq((nItemsTotal, nItemsUsed, math.round(n), dObs, dExp, alpha))
+      .toDF("n_items", "n_items_used", "n_pairable_ratings",
+        "d_observed", "d_expected", "alpha")
+  }
 }

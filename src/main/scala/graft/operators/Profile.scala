@@ -1295,4 +1295,107 @@ object Profile {
         "old_null_rate", "new_null_rate")
       .orderBy("column")
   }
+
+  /** Poisson(1) cumulative thresholds on a 2^32 integer lattice:
+    * floor(P(X ≤ k) · 2^32) for k = 0..8 — the online-bootstrap weight
+    * quantizer shared by [[bootstrapMeans]] and its SQL oracle (integer
+    * compares, so the two engines cannot disagree in the last ulp). */
+  private val poissonCdf32: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  /** Online (Poisson) bootstrap of the mean — the confidence-interval
+    * machinery that works at 10¹² rows: classic resampling indexes into
+    * the dataset B times (impossible distributed), but Poisson(1)
+    * weights per (row, replicate) are i.i.d. ≈ multinomial resampling
+    * (Oza & Russell 2001's online bootstrap), need ONE pass, and here
+    * the weight is a deterministic hash of (id, replicate, seed) — so
+    * the "resamples" are reproducible on any cluster size, under
+    * retries, and in a SQL oracle. Returns per replicate b:
+    * (b, n_eff = Σw, boot_mean = Σw·x / Σw, round-6) — the caller (or
+    * [[bootstrapCI]]) turns the B means into a CI.
+    *
+    * Scale shape: explode ×B (B ≈ 32–200, the bootstrap literature's
+    * range), ONE map-side-combined aggregate to B groups — B×partitions
+    * shuffle rows total. Weights: u = overflow-safe multiplicative hash
+    * of (id, b, seed) on the 2^32 lattice (`hashKey = false`, the
+    * SQL-replicable mode) or xxhash64 (`hashKey = true`, production);
+    * u → w by the [[poissonCdf32]] integer fence (w capped at 9,
+    * P ≈ 10⁻⁷). Integer-valued x keeps Σw·x exact in double, so
+    * boot_mean is bit-stable regardless of summation order. NULL
+    * values are excluded (their id still draws — absence changes no
+    * other row's weight). */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     nBoot: Int = 32, seed: Long = 0L,
+                     hashKey: Boolean = true): DataFrame = {
+    require(nBoot > 0 && nBoot <= 4096, "nBoot in 1..4096")
+    val m = 4294967296L
+    val fanned = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("b", explode(sequence(lit(0), lit(nBoot - 1))))
+    val u: Column =
+      if (hashKey) pmod(xxhash64(col("__id"), col("b"), lit(seed)), lit(m))
+      else {
+        // a bare multiplicative mix is NOT enough here: replicate b
+        // enters the low bits, and Lehmer-style lattices map nearby
+        // inputs to nearby outputs — all B "resamples" come out nearly
+        // identical. A 32-bit xor-shift finalizer (lowbias32-family
+        // constants, every intermediate < 2^63 so the arithmetic is
+        // exact in BIGINT on both engines) breaks the lattice; SQL
+        // replica: xor(h, h >> s) and the same two odd multipliers.
+        val k0 = pmod(
+          pmod(col("__id").cast("long"), lit(2147483648L)) * lit(4096L) +
+            col("b").cast("long") + lit(java.lang.Math.floorMod(seed, m)) *
+            lit(81L), lit(m))
+        def xs(h: Column, s: Int): Column = h.bitwiseXOR(shiftright(h, s))
+        val h1 = pmod(xs(k0, 16) * lit(569557677L), lit(m))
+        val h2 = pmod(xs(h1, 15) * lit(1935933847L), lit(m))
+        xs(h2, 15)
+      }
+    val w = poissonCdf32.zipWithIndex.foldRight(
+        lit(poissonCdf32.size): Column) { case ((t, k), rest) =>
+      when(u < t, lit(k)).otherwise(rest)
+    }.cast("long")
+    fanned.withColumn("__w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("__w")).as("n_eff"),
+        round(sum(col("__w") * col("__x")) /
+          sum(col("__w")).cast("double"), 6).as("boot_mean"))
+      .orderBy(col("b"))
+  }
+
+  /** Percentile CI from [[bootstrapMeans]]: collect the B means
+    * (B rows — driver-bounded by construction), sort, and interpolate
+    * the (lo, hi) percentile fence the classic way (linear between
+    * order statistics). Returns one row: (n_boot, mean_of_means,
+    * ci_lo, ci_hi). */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                  nBoot: Int = 32, lo: Double = 0.025, hi: Double = 0.975,
+                  seed: Long = 0L, hashKey: Boolean = true): DataFrame = {
+    require(lo >= 0 && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val spark = df.sparkSession
+    val means = bootstrapMeans(df, idCol, valueCol, nBoot, seed, hashKey)
+      .where(col("boot_mean").isNotNull)
+      .select("boot_mean").collect().map(_.getDouble(0)).sorted
+    def pct(p: Double): Option[Double] =
+      if (means.isEmpty) None
+      else {
+        val pos = p * (means.length - 1)
+        val i = pos.toInt
+        val frac = pos - i
+        val v = if (i + 1 < means.length)
+          means(i) * (1 - frac) + means(i + 1) * frac
+        else means(i)
+        Some(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+    val avg =
+      if (means.isEmpty) None
+      else Some(BigDecimal(means.sum / means.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    import spark.implicits._
+    Seq((means.length, avg, pct(lo), pct(hi)))
+      .toDF("n_boot", "mean_of_means", "ci_lo", "ci_hi")
+  }
 }

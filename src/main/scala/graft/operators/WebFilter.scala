@@ -189,6 +189,30 @@ object WebFilter {
         round(col("n_keep").cast("double") / col("n_docs").cast("double"),
           6))
 
+  /** [[hostQuality]] with empirical-Bayes shrinkage: a host with 3 docs
+    * and keep_rate 1.0 is NOISE, not a great site — rank hosts by the
+    * raw rate and the long tail of tiny hosts owns both ends of the
+    * list. Beta-binomial shrinkage toward the global rate fixes the
+    * ranking: shrunk = (n_keep + k·p₀) / (n_docs + k) with p₀ the
+    * corpus-wide keep rate and `priorStrength` k the pseudo-count (a
+    * host needs ≳ k docs before its own evidence dominates). One extra
+    * O(1) total aggregate broadcast into the projection; fixed
+    * expression order keeps it SQL-replicable bit-for-bit. */
+  def hostQualityShrunk(df: DataFrame, urlCol: String, keepCol: String,
+                        priorStrength: Double = 20.0): DataFrame = {
+    require(priorStrength > 0, "priorStrength must be positive")
+    val raw = hostQuality(df, urlCol, keepCol)
+    val tot = raw.agg(sum(col("n_docs")).as("__N"),
+      sum(col("n_keep")).as("__K"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("host"), col("n_docs"), col("n_keep"), col("keep_rate"),
+        round((col("n_keep").cast("double") +
+            lit(priorStrength) * (col("__K").cast("double") /
+              col("__N").cast("double"))) /
+          (col("n_docs").cast("double") + lit(priorStrength)), 6)
+          .as("shrunk_rate"))
+  }
+
   /** Structural URL features for crawl-frontier scoring and quality
     * filtering — scheme, host, path depth, query-parameter count,
     * fragment flag: deep paths and parameter-heavy URLs correlate with
