@@ -487,6 +487,33 @@ object SparkEntry {
       Profile.schemaDrift(oldSnap, newSnap)
     }),
 
+    // clustering quality for the IVF/SemDeDup tier: simplified
+    // silhouette against 4 fixed axis-pattern centroids — one codegen'd
+    // pass (k cosines/row), aggregate to k groups; the oracle replays
+    // the identical double arithmetic via list_cosine_similarity
+    "q_silhouette" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val cents = Array.tabulate(4)(c =>
+        (c, Array.tabulate(64)(i => if (i % 4 == c) 1f else 0f)))
+      Similarity.simplifiedSilhouette(t(s, d, "embeddings"),
+        "vec_id", "embedding", cents)
+    }),
+
+    // reciprocal-rank fusion of two candidate lists (length proxy +
+    // deterministic pseudo-relevance hash), top-50 heads, k=60 — the
+    // BM25⊕ANN merge step; ranks fuse where raw scores don't share a
+    // scale
+    "q_rrf_fuse" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val byLen = docs.select(col("doc_id"),
+        col("n_chars").cast("double").as("score"))
+      val byHash = docs.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").cast("double").as("score"))
+      Mixing.rrfFuse(Seq(byLen, byHash), "doc_id", "score",
+        topN = 50, k = 60)
+    }),
+
     // inter-annotator agreement with MISSING ratings and 3 raters —
     // Krippendorff's alpha (nominal), the regime Cohen's kappa can't
     // touch: item = doc_id div 3, raters 0..2, value item-determined
@@ -4256,6 +4283,58 @@ object SparkEntry {
         |  old_type, new_type, old_null_rate, new_null_rate
         |FROM os FULL JOIN ns ON os.c = ns.c
         |ORDER BY 1""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH cents AS (
+        |  SELECT c, list_transform(range(0, 64),
+        |      i -> CASE WHEN i % 4 = c THEN 1.0 ELSE 0.0 END)::DOUBLE[]
+        |    AS cv
+        |  FROM (SELECT unnest(range(0, 4)) AS c)),
+        |scored AS (
+        |  SELECT e.vec_id, cents.c AS cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], cents.cv)
+        |      AS score
+        |  FROM embeddings e CROSS JOIN cents),
+        |rk AS (
+        |  SELECT vec_id, cid, score, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS r
+        |  FROM scored),
+        |pair AS (
+        |  SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
+        |    1 - a.score AS ad, 1 - b.score AS bd
+        |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+        |  WHERE a.r = 1 AND b.r = 2),
+        |s AS (
+        |  SELECT cluster_id,
+        |    CASE WHEN greatest(ad, bd) <= 0 THEN 0.0
+        |         ELSE (bd - ad) / greatest(ad, bd) END AS sil
+        |  FROM pair)
+        |SELECT cluster_id, count(*) AS n_vectors,
+        |  round(avg(sil), 6) AS mean_silhouette
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rrf_fuse" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars::DOUBLE AS sc FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      AS DOUBLE) AS sc
+        |  FROM documents WHERE text IS NOT NULL),
+        |ar AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+        |  FROM a QUALIFY r <= 50),
+        |br AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+        |  FROM b QUALIFY r <= 50),
+        |u AS (SELECT * FROM ar UNION ALL SELECT * FROM br)
+        |SELECT doc_id, count(*) AS n_lists,
+        |  round(sum(1.0 / (r + 60)), 6) AS rrf_score
+        |FROM u GROUP BY 1
+        |ORDER BY rrf_score DESC, doc_id""".stripMargin,
 
     "q_krippendorff" ->
       """WITH r AS (

@@ -439,6 +439,44 @@ object Mixing {
       round(ranks.reduce(_ + _) / lit(signalCols.length), 6))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several CANDIDATE
+    * lists: score(d) = Σ_lists 1/(k + rank_d), the de-facto standard
+    * for merging heterogeneous retrieval signals (BM25 beside ANN
+    * beside recency) because ranks fuse where raw scores don't share a
+    * scale — the retrieval-side complement of [[rankEnsemble]] (which
+    * averages percent-ranks over the WHOLE corpus; RRF fuses the HEADS
+    * of rankings, where 1/(k+r) mass lives).
+    *
+    * Contract: each input list is pruned to its top-`topN` first —
+    * that is the operator's scale story (RRF is a candidate-fusion
+    * step; beyond the head the contribution is ≤ 1/(k+topN) ≈ noise).
+    * The prune is a TakeOrderedAndProject (per-partition top-N, no
+    * global sort); only the ≤ topN survivors meet the single-partition
+    * rank window, so the window is bounded by the candidate budget,
+    * never by the corpus. Ties break on the id (total order, both
+    * engines agree). NULL scores are dropped from that list (absence
+    * from a candidate list is the semantics, not worst-rank). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              topN: Int = 100, k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topN > 0, "topN must be positive")
+    require(k >= 0, "k must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankings.map { r =>
+      r.select(col(idCol), col(scoreCol).cast("double").as("__sc"))
+        .where(col("__sc").isNotNull)
+        .orderBy(col("__sc").desc, col(idCol)).limit(topN)
+        .withColumn("__r", row_number().over(
+          Window.orderBy(col("__sc").desc, col(idCol))))
+        .select(col(idCol), col("__r"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        round(sum(lit(1.0) / (col("__r") + lit(k))), 6).as("rrf_score"))
+      .orderBy(desc("rrf_score"), col(idCol))
+  }
+
   /** Token-budget epoch table: given a total training budget and a
     * target mixture weight per source, how many EPOCHS of each source
     * the budget implies (the LLaMA-style data-mix accounting — epochs

@@ -861,4 +861,47 @@ object Similarity {
     import spark.implicits._
     picked.toSeq.toDF("step", "center_id", "dist")
   }
+
+  /** Simplified silhouette per cluster — the clustering-quality score
+    * the SemDeDup/IVF tier needs before anyone trusts its cells: full
+    * silhouette is O(n²) (pairwise distances), but the SIMPLIFIED form
+    * (Hruschka et al.'s standard reduction) replaces mean-to-members
+    * with distance-to-centroid: a = cosine distance to the assigned
+    * (nearest) centroid, b = distance to the second-nearest, s =
+    * (b − a)/max(a, b) ∈ [−1, 1]. Near 1: tight, well-separated cell
+    * (a SemDeDup pairwise pass inside it is well-spent); near 0: the
+    * cell boundary is arbitrary (expect near-dups split across cells —
+    * raise nProbe); negative: mis-assignment (a stale index after
+    * drift — rebuild). One codegen'd pass over the corpus (k cosines
+    * per row against the broadcast-literal centroid matrix, the
+    * [[nearestCentroid]] shape), ONE map-side-combined aggregate to k
+    * groups. Ties in the per-centroid score break toward the larger
+    * cid (struct sort, replicated by the SQL oracle's ORDER BY score
+    * DESC, cid DESC); a degenerate pair of coincident centroids
+    * (a = b = 0) scores 0, not NaN. Returns per cluster:
+    * (cluster_id, n_vectors, mean_silhouette). */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[(Int, Array[Float])])
+      : DataFrame = {
+    require(centroids.length >= 2,
+      "simplifiedSilhouette needs at least 2 centroids")
+    val scored: Column = sort_array(array(centroids.map { case (cid, cv) =>
+      struct(
+        VectorExpressions.cosine(col(vecCol), typedLit(cv.toSeq))
+          .as("score"),
+        lit(cid).as("cid"))
+    }: _*), asc = false)
+    val best = scored.getItem(0)
+    val second = scored.getItem(1)
+    val aDist = lit(1.0) - best.getField("score")
+    val bDist = lit(1.0) - second.getField("score")
+    val sil = when(greatest(aDist, bDist) <= 0.0, lit(0.0))
+      .otherwise((bDist - aDist) / greatest(aDist, bDist))
+    df.where(col(vecCol).isNotNull)
+      .select(best.getField("cid").as("cluster_id"), sil.as("__s"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__s")), 6).as("mean_silhouette"))
+      .orderBy(col("cluster_id"))
+  }
 }
