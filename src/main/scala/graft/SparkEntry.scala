@@ -51,6 +51,22 @@ object SparkEntry {
   private def decontamCorpus(s: SparkSession, d: String): DataFrame =
     seqFromDocs(s, d).where(col("doc_id").startsWith("doc_"))
 
+  /** Multi-annotator ratings fixture shared by q_krippendorff /
+    * q_label_consensus / q_rater_agreement: item = doc_id div 3, raters
+    * 0..2, value item-determined (agreement) except rater 2 dissents on
+    * %5 docs ('X'); %7 ratings missing. */
+  private def krippRatings(s: SparkSession, d: String): DataFrame = {
+    val item = expr("doc_id div 3")
+    val rater = col("doc_id") % 3
+    val base = when(item % 4 === 0, lit("A"))
+      .when(item % 4 === 1, lit("B")).otherwise(lit("C"))
+    t(s, d, "documents")
+      .where(col("doc_id") % 7 =!= 0)
+      .select(item.as("item"), rater.as("rater"),
+        when(col("doc_id") % 5 === 0 && rater === 2, lit("X"))
+          .otherwise(base).as("value"))
+  }
+
   /** Deterministic planted benchmark: the suffix (positions 1..len-1) of
     * every mod-89 doc's CLEAN token formula — each bench row shares all
     * its 3-grams with its corpus doc, so contamination is guaranteed and
@@ -520,18 +536,21 @@ object SparkEntry {
     // (agreement) except rater 2 dissents on %5 docs; %7 ratings
     // missing, so some items fall to one rating and are excluded BY
     // DEFINITION (n_items vs n_items_used surfaces the exclusion)
-    "q_krippendorff" -> ((s, d) => {
-      val item = expr("doc_id div 3")
-      val rater = col("doc_id") % 3
-      val base = when(item % 4 === 0, lit("A"))
-        .when(item % 4 === 1, lit("B")).otherwise(lit("C"))
-      val ratings = t(s, d, "documents")
-        .where(col("doc_id") % 7 =!= 0)
-        .select(item.as("item"), rater.as("rater"),
-          when(col("doc_id") % 5 === 0 && rater === 2, lit("X"))
-            .otherwise(base).as("value"))
-      Drift.krippendorffAlpha(ratings, "item", "rater", "value")
-    }),
+    "q_krippendorff" -> ((s, d) =>
+      Drift.krippendorffAlpha(krippRatings(s, d), "item", "rater",
+        "value")),
+
+    // gold-label consolidation over the SAME ratings fixture: majority
+    // vote per item (ties → lexicographically smallest), vote share,
+    // unanimity — the step krippendorff's alpha should gate
+    "q_label_consensus" -> ((s, d) =>
+      Drift.consolidateLabels(krippRatings(s, d), "item", "rater",
+        "value")),
+
+    // per-rater reliability vs that consensus: rater 2's planted %5
+    // dissents make them the outlier annotator by construction
+    "q_rater_agreement" -> ((s, d) =>
+      Drift.raterAgreement(krippRatings(s, d), "item", "rater", "value")),
 
     // online Poisson bootstrap of mean(n_chars): 32 deterministic
     // hash-weighted replicates in ONE pass (the 10^12-row CI machinery
@@ -4366,6 +4385,50 @@ object SparkEntry {
         |  round(1 - (dd.don / tot.n)
         |          / (de.den / (tot.n * (tot.n - 1))), 6) AS alpha
         |FROM itc, itu, tot, dd, de""".stripMargin,
+
+    "q_label_consensus" ->
+      """WITH r AS (
+        |  SELECT doc_id // 3 AS item, doc_id % 3 AS rater,
+        |    CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN 'X'
+        |         WHEN (doc_id // 3) % 4 = 0 THEN 'A'
+        |         WHEN (doc_id // 3) % 4 = 1 THEN 'B'
+        |         ELSE 'C' END AS v
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |c AS (SELECT item, v AS label, count(*) AS k FROM r GROUP BY 1, 2),
+        |w AS (
+        |  SELECT item, label, k,
+        |    row_number() OVER (PARTITION BY item
+        |                       ORDER BY k DESC, label ASC) AS rk,
+        |    CAST(sum(k) OVER (PARTITION BY item) AS BIGINT) AS n,
+        |    count(*) OVER (PARTITION BY item) AS d
+        |  FROM c)
+        |SELECT item, label, n AS n_ratings, k AS n_votes,
+        |  round(k::DOUBLE / n::DOUBLE, 6) AS vote_share,
+        |  d = 1 AS unanimous
+        |FROM w WHERE rk = 1 ORDER BY item""".stripMargin,
+
+    "q_rater_agreement" ->
+      """WITH r AS (
+        |  SELECT doc_id // 3 AS item, doc_id % 3 AS rater,
+        |    CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN 'X'
+        |         WHEN (doc_id // 3) % 4 = 0 THEN 'A'
+        |         WHEN (doc_id // 3) % 4 = 1 THEN 'B'
+        |         ELSE 'C' END AS v
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |c AS (SELECT item, v AS label, count(*) AS k FROM r GROUP BY 1, 2),
+        |w AS (
+        |  SELECT item, label,
+        |    row_number() OVER (PARTITION BY item
+        |                       ORDER BY k DESC, label ASC) AS rk
+        |  FROM c),
+        |g AS (SELECT item, label AS gold FROM w WHERE rk = 1)
+        |SELECT rater, count(*) AS n_rated,
+        |  CAST(sum(CASE WHEN v = gold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  round(sum(CASE WHEN v = gold THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*)::DOUBLE, 6) AS agree_rate
+        |FROM r JOIN g USING (item)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH f AS (

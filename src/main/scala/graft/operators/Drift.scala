@@ -1089,4 +1089,65 @@ object Drift {
       .toDF("n_items", "n_items_used", "n_pairable_ratings",
         "d_observed", "d_expected", "alpha")
   }
+
+  /** Consolidate multi-annotator ratings into one gold label per item —
+    * the majority-vote step every SFT/preference labeling pipeline runs
+    * after collection (and [[krippendorffAlpha]] should gate BEFORE:
+    * consolidating hopeless disagreement just launders noise into
+    * "gold"). Per item: the modal label (ties break to the
+    * lexicographically smallest — deterministic, engine-agnostic),
+    * its vote share, and whether the vote was unanimous. NULL ratings
+    * are excluded up front (an abstention is not a vote).
+    *
+    * Scale shape: (item, value) counts combine map-side; the modal pick
+    * is a row_number window over the aggregated counts — partitioned by
+    * item, bounded by labels-per-item, never a corpus-wide sort. */
+  def consolidateLabels(df: DataFrame, itemCol: String, raterCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(itemCol).as("item"),
+        col(valueCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("__k"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("__k").desc, col("label").asc)
+    val per = counts
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", sum(col("__k")).over(Window.partitionBy(col("item"))))
+      .withColumn("__d",
+        count(lit(1)).over(Window.partitionBy(col("item"))))
+    per.where(col("__rk") === 1)
+      .select(col("item"), col("label"),
+        col("__n").as("n_ratings"), col("__k").as("n_votes"),
+        round(col("__k").cast("double") / col("__n").cast("double"), 6)
+          .as("vote_share"),
+        (col("__d") === 1).as("unanimous"))
+      .orderBy(col("item"))
+  }
+
+  /** Per-rater reliability against the [[consolidateLabels]] consensus:
+    * n_rated, n_agree, agree_rate — the cheap Dawid–Skene stand-in that
+    * catches the annotator who disagrees with everyone (or the bot that
+    * answers 'A' to everything) before their labels enter training.
+    * Consensus INCLUDES the rater's own vote (the standard first-pass
+    * convention; with many raters the self-contribution is 1/m).
+    * Scale shape: the consensus frame is (item, label) — narrow — and
+    * the re-join keys on the item; ratings never move twice. */
+  def raterAgreement(df: DataFrame, itemCol: String, raterCol: String,
+                     valueCol: String): DataFrame = {
+    val consensus = consolidateLabels(df, itemCol, raterCol, valueCol)
+      .select(col("item"), col("label").as("__gold"))
+    df.where(col(valueCol).isNotNull)
+      .select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(valueCol).cast("string").as("__v"))
+      .join(consensus, Seq("item"))
+      .groupBy(col("rater"))
+      .agg(count(lit(1)).as("n_rated"),
+        sum(when(col("__v") === col("__gold"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree").cast("double") / col("n_rated").cast("double"),
+          6))
+      .orderBy(col("rater"))
+  }
 }

@@ -62,6 +62,33 @@ class AgreementBootstrapSpec extends AnyFunSuite {
     assert(r.isNullAt(4) && r.isNullAt(5), "degenerate De → NULL, not Inf")
   }
 
+  test("consolidateLabels: majority, tie-break, unanimity, abstentions") {
+    val df = ratings((1, 0, "a"), (1, 1, "a"), (1, 2, "b"), // majority a
+      (2, 0, "b"), (2, 1, "a"),                             // tie → 'a'
+      (3, 0, "c"), (3, 1, "c"),                             // unanimous
+      (4, 0, "d"), (4, 1, null))                            // null = abstain
+    val got = Drift.consolidateLabels(df, "item", "rater", "value")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(got(1) === (("a", 3L, 2L, 0.666667, false)))
+    assert(got(2) === (("a", 2L, 1L, 0.5, false)), "tie → lexicographic")
+    assert(got(3) === (("c", 2L, 2L, 1.0, true)))
+    assert(got(4) === (("d", 1L, 1L, 1.0, true)), "abstention excluded")
+  }
+
+  test("raterAgreement: the dissenter scores below the conformists") {
+    // rater 2 disagrees with the consensus on both items
+    val df = ratings((1, 0, "a"), (1, 1, "a"), (1, 2, "b"),
+      (2, 0, "c"), (2, 1, "c"), (2, 2, "d"))
+    val got = Drift.raterAgreement(df, "item", "rater", "value")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0) === ((2L, 2L, 1.0)))
+    assert(got(1) === ((2L, 2L, 1.0)))
+    assert(got(2) === ((2L, 0L, 0.0)))
+  }
+
   test("bootstrapMeans: replicates vary, weights average ~1, " +
     "deterministic across repartition") {
     val spark = SparkSpec.session

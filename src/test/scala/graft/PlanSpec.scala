@@ -826,4 +826,71 @@ class PlanSpec extends SparkSpec {
         s"anchor exchanges must carry (src, dst, anchor, counts) only: $names")
     }
   }
+
+  private def shuffles(df: DataFrame) = {
+    df.collect()
+    new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+  }
+
+  test("groupAwareSplit is a pure projection: zero exchanges, no UDF") {
+    import graft.operators.Mixing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Mixing.groupAwareSplit(docs, "text")
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"no UDFs on the split path:\n$p")
+  }
+
+  test("prefixBoilerplate: full text never enters an exchange — " +
+    "bounded prefixes and counts do") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.prefixBoilerplate(docs, "source", "text",
+      k = 32, minShare = 0.5)
+    val exchanges = shuffles(out)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"boilerplate exchanges must carry (source, prefix, counts): $names")
+    }
+  }
+
+  test("bootstrapMeans: ONE aggregate exchange to B groups — values " +
+    "pre-reduced map-side, never raw rows") {
+    import graft.operators.Profile
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Profile.bootstrapMeans(docs, "doc_id", "n_chars",
+      nBoot = 8, hashKey = false)
+    val exchanges = shuffles(out)
+    // one hash exchange for the groupBy(b) (plus AQE may add a sort for
+    // the orderBy); the aggregate exchange must carry only b + partials
+    val agg = exchanges.filter(_.output.exists(_.name == "b"))
+    assert(agg.nonEmpty, "expected the groupBy(b) exchange")
+    agg.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n.contains("__x") || n.contains("__id")),
+        s"bootstrap exchange must carry partial aggregates, not rows: $names")
+    }
+  }
+
+  test("simplifiedSilhouette: embeddings never enter an exchange") {
+    import graft.operators.Similarity
+    graft.functions.VectorExpressions.register(spark)
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Array.tabulate(4)(c =>
+      (c, Array.tabulate(64)(i => if (i % 4 == c) 1f else 0f)))
+    val out = Similarity.simplifiedSilhouette(embs, "vec_id", "embedding",
+      cents)
+    val exchanges = shuffles(out)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("embedding"),
+        s"silhouette exchanges must carry (cluster_id, partials): $names")
+    }
+  }
 }

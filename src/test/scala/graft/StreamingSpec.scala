@@ -386,4 +386,38 @@ class StreamingSpec extends SparkSpec {
     // not yet finalized and correctly held back
     assert(exact.keySet === Set("09:00", "10:00", "11:00", "12:00", "13:00"))
   }
+
+  test("watermark-bounded streaming dedup: duplicates across micro-" +
+    "batches dropped, state expires with the watermark") {
+    // dropDuplicatesWithinWatermark is the at-scale streaming dedup:
+    // unlike dropDuplicates (state grows forever) its keys age out once
+    // the watermark passes them — the only viable exact-dedup shape on
+    // an unbounded ingest stream. Duplicate event_ids are planted both
+    // WITHIN a micro-batch and ACROSS the two batches, all within the
+    // 1-hour watermark, so cross-batch state must catch them.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_wmdedup").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((1L, ts(0)), (2L, ts(1)), (1L, ts(2)), (3L, ts(3)))
+      .toDF("event_id", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq((2L, ts(10)), (4L, ts(11)), (3L, ts(12)), (5L, ts(13)))
+      .toDF("event_id", "ts").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    StreamingValidation.runToMemorySink(deduped, "wm_dedup",
+      OutputMode.Append())
+    val got = spark.table("wm_dedup").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val batchTruth = spark.read.parquet(dir)
+      .dropDuplicates("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === batchTruth)
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
