@@ -506,6 +506,17 @@ object Main {
     Packing.releaseOffsets(shardOffs)
     println(s"""{"op":"package",$diffStr,"max_abs_z":${f"$zOut%.3f"},""" +
       s""""difficulty_buckets":$buckets,"shards":8,"max_shard_cost":$maxShard}""")
+
+    // split hygiene close-out: content-group-hashed train/val/test over
+    // the curated survivors (exact duplicates CANNOT span splits by
+    // construction), with the leakage audit run anyway — the belt AND
+    // the suspenders, logged per split
+    val split = Mixing.groupAwareSplit(kept.select("doc_id", "text"), "text")
+    val leakStr = graft.operators.Dedup.splitLeakage(split, "text", "split")
+      .collect().map(r =>
+        s""""${r.getString(0)}":[${r.getLong(1)},${r.getLong(3)}]""")
+      .sorted.mkString(",")
+    println(s"""{"op":"splits",$leakStr}""")
     kept.unpersist(); docs.unpersist()
   }
 
