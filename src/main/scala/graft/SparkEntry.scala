@@ -383,6 +383,32 @@ object SparkEntry {
     "q_entropy_profile" -> ((s, d) =>
       Profile.entropyProfile(t(s, d, "documents"), Seq("lang", "source"))),
 
+    // HBOS outlier score (Goldstein & Dengel 2012) over three lineitem
+    // numerics: equi-width histograms from one fused min/max pass,
+    // per-row Σ ln(n / binCount) in declared column order (bit-stable
+    // doubles), top-20 sparse-bin rows — the linear-time unsupervised
+    // outlier baseline; corpus never shuffles (broadcast occupancy)
+    "q_hbos" -> ((s, d) =>
+      Profile.hbos(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        bins = 10, k = 20)),
+
+    // RAKE keyphrases (Rose et al. 2010): stopword-delimited candidate
+    // phrases from ONE native RakePhrases eval per row (no token-level
+    // shuffle); word degree/freq over the phrase multiset, phrase score
+    // = Σ degree/freq of member words — top-20 distinct phrases
+    "q_rake" -> ((s, d) =>
+      TextAnalysis.rakeKeyphrases(t(s, d, "documents"), "text",
+        TextAnalysis.StopwordProfiles("en"), maxLen = 4, k = 20)),
+
+    // cross-source unigram cross-entropy matrix: the domain-similarity
+    // observable mixture design reads (low off-diagonal = redundant
+    // sources, high = a domain the mix would starve); add-one smoothing
+    // over the shared vocab, everything after tokenization vocab-bounded
+    "q_source_xent" -> ((s, d) =>
+      TextAnalysis.crossSourceXent(t(s, d, "documents"), "source", "text")),
+
     // KMV bottom-k distinct sketch vs the exact count — the mergeable
     // set-size estimator with its error surfaced; overflow-safe Knuth
     // hash so the SQL replica is exact
@@ -4016,6 +4042,108 @@ object SparkEntry {
         |                  / ln(n_distinct::DOUBLE), 6) END AS evenness,
         |  round(1.0 - n2 / (n::DOUBLE * n::DOUBLE), 6) AS simpson
         |FROM u ORDER BY "column"""".stripMargin,
+
+    "q_hbos" ->
+      """WITH st AS (
+        |  SELECT min(l_quantity * 1.0) AS q0, max(l_quantity * 1.0) AS q1,
+        |         min(l_extendedprice * 1.0) AS e0,
+        |         max(l_extendedprice * 1.0) AS e1,
+        |         min(l_discount * 1.0) AS d0, max(l_discount * 1.0) AS d1,
+        |         count(l_quantity) AS nq, count(l_extendedprice) AS ne,
+        |         count(l_discount) AS nd
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber, nq, ne, nd,
+        |    CASE WHEN l_quantity IS NULL THEN NULL WHEN q1 <= q0 THEN 0
+        |         ELSE least(floor((l_quantity * 1.0 - q0)
+        |                          / ((q1 - q0) / 10)), 9) END AS bq,
+        |    CASE WHEN l_extendedprice IS NULL THEN NULL WHEN e1 <= e0 THEN 0
+        |         ELSE least(floor((l_extendedprice * 1.0 - e0)
+        |                          / ((e1 - e0) / 10)), 9) END AS be,
+        |    CASE WHEN l_discount IS NULL THEN NULL WHEN d1 <= d0 THEN 0
+        |         ELSE least(floor((l_discount * 1.0 - d0)
+        |                          / ((d1 - d0) / 10)), 9) END AS bd
+        |  FROM lineitem, st),
+        |cq AS (SELECT bq AS bin, count(*) AS c FROM b
+        |       WHERE bq IS NOT NULL GROUP BY 1),
+        |ce AS (SELECT be AS bin, count(*) AS c FROM b
+        |       WHERE be IS NOT NULL GROUP BY 1),
+        |cd AS (SELECT bd AS bin, count(*) AS c FROM b
+        |       WHERE bd IS NOT NULL GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(coalesce(ln(nq * 1.0 / cq.c), 0)
+        |        + coalesce(ln(ne * 1.0 / ce.c), 0)
+        |        + coalesce(ln(nd * 1.0 / cd.c), 0), 6) AS hbos
+        |FROM b LEFT JOIN cq ON cq.bin = b.bq
+        |       LEFT JOIN ce ON ce.bin = b.be
+        |       LEFT JOIN cd ON cd.bin = b.bd
+        |ORDER BY hbos DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "q_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS word,
+        |         unnest(range(len(ws))) AS pos
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, pos, word,
+        |    CASE WHEN word IN ('the','and','of','to','in','is','that',
+        |                       'it','was','for')
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM tok),
+        |runs AS (
+        |  SELECT doc_id, pos, word, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |  FROM m),
+        |phr AS (
+        |  SELECT doc_id, run,
+        |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS len
+        |  FROM runs WHERE st = 0 GROUP BY doc_id, run),
+        |cand AS (SELECT phrase, len FROM phr WHERE len <= 4),
+        |wrd AS (SELECT unnest(string_split(phrase, ' ')) AS w, len
+        |        FROM cand),
+        |wstat AS (SELECT w, count(*) AS freq, sum(len) AS deg
+        |          FROM wrd GROUP BY 1),
+        |dp AS (SELECT DISTINCT phrase FROM cand),
+        |pw AS (SELECT dp.phrase, unnest(string_split(dp.phrase, ' ')) AS w
+        |       FROM dp)
+        |SELECT pw.phrase,
+        |  round(sum(wstat.deg * 1.0 / wstat.freq), 6) AS rake_score,
+        |  count(*) AS n_words
+        |FROM pw JOIN wstat USING (w)
+        |GROUP BY pw.phrase
+        |ORDER BY rake_score DESC, phrase
+        |LIMIT 20""".stripMargin,
+
+    "q_source_xent" ->
+      """WITH tok AS (
+        |  SELECT coalesce(source, '<null>') AS g,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c) AS n FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vs FROM c),
+        |p AS (
+        |  SELECT d.g AS data_source, m.g AS model_source, d.c,
+        |         mc.c AS cm, m.n AS nm
+        |  FROM c d
+        |  CROSS JOIN t m
+        |  LEFT JOIN c mc ON mc.g = m.g AND mc.w = d.w)
+        |SELECT p.data_source, p.model_source,
+        |  round(-sum(p.c * 1.0 * ln((coalesce(p.cm, 0) * 1.0 + 1.0)
+        |                            / (p.nm * 1.0 + v.vs))) / dt.n, 6)
+        |    AS cross_entropy
+        |FROM p, v, t dt
+        |WHERE dt.g = p.data_source
+        |GROUP BY p.data_source, p.model_source, dt.n, v.vs
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_kmv_distinct" ->
       """WITH h AS (

@@ -784,6 +784,66 @@ case class CharEntropy(child: Expression)
   override def prettyName: String = "graft_char_entropy"
 }
 
+/** RAKE candidate phrases (Rose et al. 2010, "Automatic keyword
+  * extraction from individual documents"): maximal runs of
+  * non-stopword tokens between stopword/document boundaries
+  * (whitespace tokenization + Locale.ROOT lowercase — the [[WordIds]]
+  * convention), with runs LONGER than `maxLen` words discarded, not
+  * truncated (the standard RAKE cap — an over-long run is a failed
+  * delimiter split, not a keyphrase). Returns array<string> of phrase
+  * instances in document order (duplicates preserved — the scorer
+  * needs instance multiplicity for word freq/degree).
+  *
+  * Native expression for the [[WordIds]] reason: the declarative
+  * spelling of this gaps-and-islands fold is a per-document window
+  * over EXPLODED tokens — a token-granularity shuffle of the whole
+  * corpus — when it is really one in-row loop. */
+case class RakePhrases(child: Expression, stopwords: Seq[String], maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxLen >= 1, "maxLen must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_rake_phrases requires string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val stops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = {
+      if (cur.nonEmpty && cur.length <= maxLen)
+        out += UTF8String.fromString(cur.mkString(" "))
+      cur.clear()
+    }
+    var i = 0
+    while (i < words.length) {
+      if (stops.contains(words(i))) flush() else cur += words(i)
+      i += 1
+    }
+    flush()
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RakePhrases =
+    copy(child = c)
+  override def prettyName: String = "graft_rake_phrases"
+}
+
 object TextExpressions {
   /** Idempotent registration (quiet re-entry: no "replaced function"
     * warnings on repeat calls). The Column builders below self-register
@@ -854,6 +914,14 @@ object TextExpressions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toObjectArray(StringType).map(_.toString).toSeq,
         es(2).eval(InternalRow.empty).toString.toInt))
+    reg.registerFunction(FunctionIdentifier("graft_rake_phrases"),
+      new ExpressionInfo(classOf[RakePhrases].getName, "graft_rake_phrases"),
+      (es: Seq[Expression]) => RakePhrases(
+        es.head,
+        es(1).eval(InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType).map(_.toString).toSeq,
+        es(2).eval(InternalRow.empty).toString.toInt))
   }
 
   /** Best-effort self-registration on the active session (no-op when no
@@ -917,5 +985,12 @@ object TextExpressions {
     ensure()
     call_function("graft_word_ids", text,
       array(vocab.map(lit(_)): _*), lit(unkId))
+  }
+  def rakePhrases(text: Column, stopwords: Seq[String],
+                  maxLen: Int = 4): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    ensure()
+    call_function("graft_rake_phrases", text,
+      array(stopwords.map(lit(_)): _*), lit(maxLen))
   }
 }

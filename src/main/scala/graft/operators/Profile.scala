@@ -93,6 +93,65 @@ object Profile {
     }.toDF("field", "cnt", "min", "max", "avg")
   }
 
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
+    * per numeric column, an equi-width histogram of `bins` bins over
+    * [min, max]; a row's score is Σ over columns of
+    * ln(nNonNull(column) / binCount(column, row)) — rows whose values
+    * sit in sparse bins across many columns float to the top. The
+    * linear-time unsupervised outlier detector (the tree/ensemble
+    * methods' sanity baseline): O(n) per pass, no pairwise distances,
+    * no iterations. Returns the top-k rows by (hbos DESC, keyCols ASC).
+    * A NULL value contributes 0 to its row's score (missingness is
+    * [[missingnessPatterns]]'s job, not an outlier signal), and each
+    * column's density normalizes by its OWN non-null count — so a
+    * constant column contributes ln(c/c) = 0 for every row regardless
+    * of the null mix; degenerate columns self-neutralize.
+    *
+    * Scale shape: one fused min/max/count aggregate (1-row broadcast
+    * back), bin occupancy via posexplode → map-side-combined count to
+    * ≤ cols × bins rows (broadcast back per column), score is a pure
+    * projection, final cut a TakeOrderedAndProject — the corpus never
+    * shuffles. Summation over columns is in declared column order, so
+    * the doubles are bit-stable and SQL-replayable. */
+  def hbos(df: DataFrame, keyCols: Seq[String], cols: Seq[String],
+           bins: Int = 10, k: Int = 20): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(cols.nonEmpty, "need at least one score column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c"),
+      count(col(c)).as(s"__cnt_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    def binOf(c: String): Column = {
+      val lo = col(s"__min_$c"); val hi = col(s"__max_$c")
+      when(col(c).isNull, lit(null))
+        .when(hi <= lo, lit(0L))
+        .otherwise(least(
+          floor((col(c).cast("double") - lo) / ((hi - lo) / bins)),
+          lit(bins - 1L)))
+    }
+    val binned = withStats.select(
+      keyCols.map(col) ++ cols.map(c => col(s"__cnt_$c")) ++
+        cols.map(c => binOf(c).as(s"__bin_$c")): _*)
+    val occupancy = binned.select(posexplode(
+        array(cols.map(c => col(s"__bin_$c")): _*))
+        .as(Seq("__ci", "__bin")))
+      .groupBy(col("__ci"), col("__bin")).agg(count(lit(1)).as("__bc"))
+    val joined = cols.zipWithIndex.foldLeft(binned) { case (acc, (c, i)) =>
+      acc.join(broadcast(occupancy.where(col("__ci") === i)
+        .select(col("__bin").as(s"__bin_$c"), col("__bc").as(s"__bc_$c"))),
+        Seq(s"__bin_$c"), "left")
+    }
+    val score = cols.map(c =>
+        coalesce(log(col(s"__cnt_$c").cast("double") / col(s"__bc_$c")),
+          lit(0.0)))
+      .reduce(_ + _)
+    joined.select(keyCols.map(col) :+ round(score, 6).as("hbos"): _*)
+      .orderBy(desc("hbos") +: keyCols.map(col): _*)
+      .limit(k)
+  }
+
   /** MERGEABLE numeric profile: `(field, cnt, min, max, sum)` — the
     * incremental-corpus profile algebra. Unlike [[exactNumericProfileDf]]
     * (which rounds the average away), every column here merges exactly:

@@ -578,6 +578,90 @@ object TextAnalysis {
       count(lit(1)).as("vocab_size"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-delimited runs of ≤ `maxLen` words (one
+    * native [[graft.functions.RakePhrases]] eval per row — the corpus
+    * never shuffles at token granularity); each word scores
+    * degree/freq over the candidate-phrase multiset (degree = summed
+    * length of phrases containing the word, counting multiplicity,
+    * word included), and a phrase scores the sum of its member words'
+    * scores. Returns the top-k DISTINCT phrases by
+    * (rake_score DESC, phrase ASC) with their word counts.
+    *
+    * Scale shape: phrase instances explode to bare strings (narrow);
+    * word stats aggregate to a vocab-bounded frame and BROADCAST back
+    * onto the distinct-phrase word list; the final cut is a
+    * TakeOrderedAndProject. Document text never moves — only phrases
+    * (≤ maxLen words each) cross an exchange. */
+  def rakeKeyphrases(df: DataFrame, textCol: String,
+                     stopwords: Seq[String], maxLen: Int = 4,
+                     k: Int = 20): DataFrame = {
+    TextExpressions.register(df.sparkSession)
+    val phrases = df.select(explode(
+      TextExpressions.rakePhrases(col(textCol), stopwords, maxLen))
+      .as("phrase"))
+    val wordStats = phrases
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("__len"))
+      .select(explode(split(col("phrase"), " ")).as("__w"), col("__len"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    phrases.distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("__w"))
+      .join(broadcast(wordStats), Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(round(sum(col("__deg").cast("double") / col("__freq")), 6)
+          .as("rake_score"),
+        count(lit(1)).as("n_words"))
+      .orderBy(desc("rake_score"), col("phrase"))
+      .limit(k)
+  }
+
+  /** Cross-source unigram cross-entropy matrix — the domain-similarity
+    * observable mixture design runs on (the DSIR/DoGE-family signal at
+    * its order-1 floor): for every (data, model) source pair,
+    * H(P_d, P̂_m) = −Σ_w P_d(w) · ln P̂_m(w), with P̂_m add-one smoothed
+    * over the SHARED corpus vocabulary so out-of-source words score at
+    * the smoothing floor instead of −∞. The diagonal is each source's
+    * own entropy(+smoothing); a LOW off-diagonal cell means the model
+    * source's vocabulary already covers the data source (near-redundant
+    * mixture components); a HIGH cell flags a domain the mix would
+    * starve. NULL group values fold to "<null>" (their own row/column —
+    * unattributed text is a domain, not a gap).
+    *
+    * Scale shape: everything after tokenization is vocab-bounded — the
+    * (source, word) count frame aggregates map-side (shuffle =
+    * O(partitions × vocab)), the model side re-joins BROADCAST, and
+    * the matrix is sources² rows. Document text never moves. */
+  def crossSourceXent(df: DataFrame, groupCol: String,
+                      textCol: String): DataFrame = {
+    val tok = df.select(
+      coalesce(col(groupCol).cast("string"), lit("<null>")).as("__g"),
+      explode(words(col(textCol))).as("__w"))
+    val counts = tok.groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__N"))
+    // shared-vocab size: one count over the vocab-bounded frame
+    val vocabSize = counts.select(col("__w")).distinct().count()
+    val data = counts.select(col("__g").as("data_source"), col("__w"),
+      col("__c"))
+    val model = counts.select(col("__g").as("model_source"), col("__w"),
+      col("__c").as("__cm"))
+    val modelTotals = totals.select(col("__g").as("model_source"),
+      col("__N").as("__Nm"))
+    val dataTotals = totals.select(col("__g").as("data_source"),
+      col("__N").as("__Nd"))
+    data.crossJoin(broadcast(modelTotals))
+      .join(broadcast(model), Seq("model_source", "__w"), "left")
+      .groupBy(col("data_source"), col("model_source"))
+      .agg(sum(col("__c").cast("double") *
+        log((coalesce(col("__cm"), lit(0L)).cast("double") + 1.0) /
+            (col("__Nm").cast("double") + vocabSize))).as("__s"))
+      .join(broadcast(dataTotals), Seq("data_source"))
+      .select(col("data_source"), col("model_source"),
+        round(-col("__s") / col("__Nd"), 6).as("cross_entropy"))
+      .orderBy(col("data_source"), col("model_source"))
+  }
+
   /** Per-document encoding/mojibake QC — the byte-sanity gate that runs
     * right after ingest decode: U+FFFD replacement chars (a decoder
     * already gave up), C0 control chars (binary mixed into text; tab/
