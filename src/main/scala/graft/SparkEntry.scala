@@ -321,6 +321,40 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // value-unit drift: Wasserstein-1 (earth mover) of each return
+    // flag's quantity distribution vs the whole-corpus baseline — KS's
+    // integral companion on the SAME aligned histogram sketches (KS
+    // reads the worst CDF gap, W1 the area between the CDFs, i.e. how
+    // far mass actually moved in value units)
+    "q_wasserstein" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
+      Drift.wasserstein1ByGroup(li, "l_returnflag", "l_quantity", base)
+        .orderBy("l_returnflag")
+    }),
+
+    // trend-aware ingest forecast: Holt linear smoothing over daily
+    // event volume (EWMA's trend-carrying sibling — a steady ramp reads
+    // as trend, not a perpetual level alarm) + the one-step horizon row
+    // tomorrow's volume-anomaly gate compares against; recursion folds
+    // driver-side over the O(days) frame, replayed by a recursive CTE
+    "q_holt_forecast" -> ((s, d) =>
+      Drift.holtLinear(t(s, d, "events"), "ts")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day").asc_nulls_last)),
+
+    // bivariate consistency outliers: OLS residuals of n_chars on the
+    // whitespace token count — documents far off the corpus's
+    // chars~tokens line (mis-tokenized / non-text) even when both
+    // marginals look normal; one sufficient-stats pass, closed-form
+    // slope broadcast into a stateless projection, TakeOrdered top-20
+    "q_ols_residuals" -> ((s, d) =>
+      Profile.olsResiduals(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          col("n_chars")),
+        Seq("doc_id"), "n_words", "n_chars", k = 20)),
+
     // categorical drift of documents.source vs a half-sample baseline —
     // PSI (eps-floored) and its floor-free bounded companion JSD, both
     // recomputed exactly in SQL (sketches are metadata-sized; the
@@ -4663,6 +4697,95 @@ object SparkEntry {
         |                * sqrt((ns.n + tot.n) / (ns.n * tot.n)) AS ks_drifted
         |FROM stats s JOIN ns USING (g), tot
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_wasserstein" ->
+      """WITH binned AS (
+        |  SELECT l_returnflag AS g,
+        |         CASE WHEN l_quantity < 0 THEN 0
+        |              WHEN l_quantity >= 55.0 THEN 63
+        |              ELSE least(63, CAST(floor((l_quantity / 55.0) * 64)
+        |                                  AS INT)) END AS b
+        |  FROM lineitem),
+        |bins AS (SELECT unnest(range(0, 64)) AS b),
+        |grps AS (SELECT DISTINCT g FROM binned),
+        |cnt AS (SELECT g, b, count(*) AS n FROM binned GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT grps.g, bins.b, coalesce(cnt.n, 0) AS n
+        |  FROM grps CROSS JOIN bins
+        |  LEFT JOIN cnt ON cnt.g = grps.g AND cnt.b = bins.b),
+        |base AS (SELECT bins.b, coalesce(t.n, 0) AS n FROM bins
+        |         LEFT JOIN (SELECT b, count(*) AS n FROM binned GROUP BY 1) t
+        |           ON bins.b = t.b),
+        |ec AS (
+        |  SELECT f.g, f.b,
+        |    sum(f.n) OVER (PARTITION BY f.g ORDER BY f.b)
+        |      / (sum(f.n) OVER (PARTITION BY f.g))::DOUBLE AS cg,
+        |    sum(bf.n) OVER (PARTITION BY f.g ORDER BY f.b)
+        |      / (SELECT sum(n) FROM base)::DOUBLE AS cb
+        |  FROM filled f JOIN base bf USING (b)),
+        |stats AS (SELECT g, sum(abs(cg - cb)) AS s FROM ec
+        |          WHERE b < 63 GROUP BY g),
+        |ns AS (SELECT g, count(*) AS n FROM binned GROUP BY 1)
+        |SELECT s.g AS l_returnflag, CAST(ns.n AS BIGINT) AS n,
+        |       round(s.s * (55.0 / 64), 6) AS w1
+        |FROM stats s JOIN ns USING (g)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT day, y, row_number() OVER (ORDER BY day) AS t
+        |        FROM daily),
+        |nmax AS (SELECT max(t) AS tmax FROM idx),
+        |h AS (
+        |  SELECT i.t, i.day, i.y, i.y::DOUBLE AS level,
+        |         coalesce((SELECT y::DOUBLE FROM idx WHERE t = 2) - i.y,
+        |                  0.0::DOUBLE) AS trend,
+        |         i.y::DOUBLE AS fitted
+        |  FROM idx i WHERE i.t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.y,
+        |    0.5::DOUBLE * i.y + 0.5::DOUBLE * (h.level + h.trend) AS level,
+        |    0.25::DOUBLE * ((0.5::DOUBLE * i.y
+        |                     + 0.5::DOUBLE * (h.level + h.trend)) - h.level)
+        |      + 0.75::DOUBLE * h.trend AS trend,
+        |    h.level + h.trend AS fitted
+        |  FROM idx i JOIN h ON i.t = h.t + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, y,
+        |       round(level, 6) AS level, round(trend, 6) AS trend,
+        |       round(fitted, 6) AS fitted
+        |FROM h
+        |UNION ALL
+        |SELECT NULL, NULL, NULL, NULL, round(level + trend, 6)
+        |FROM h, nmax WHERE t = tmax
+        |ORDER BY day NULLS LAST""".stripMargin,
+
+    "q_ols_residuals" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS n_words,
+        |    n_chars
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n, sum(n_words * 1.0) AS sx,
+        |         sum(n_chars * 1.0) AS sy,
+        |         sum(n_words * 1.0 * n_chars) AS sxy,
+        |         sum(n_words * 1.0 * n_words) AS sxx
+        |  FROM d WHERE n_words IS NOT NULL AND n_chars IS NOT NULL),
+        |co AS (
+        |  SELECT n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx <= 0 THEN 0.0
+        |         ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+        |  FROM st),
+        |c2 AS (SELECT n, b, (sy - b * sx) / n AS a FROM co)
+        |SELECT doc_id, n_words, n_chars,
+        |  round(n_chars * 1.0 - (a + b * n_words), 6) AS residual,
+        |  round(abs(n_chars * 1.0 - (a + b * n_words)), 6) AS abs_residual
+        |FROM d, c2
+        |ORDER BY abs_residual DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     "q_jsd_source" ->
       """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n

@@ -77,6 +77,114 @@ object Drift {
     }.toSeq.toDF(groupCol, "n", "ks_stat", "ks_critical", "ks_drifted")
   }
 
+  /** Per-group Wasserstein-1 (earth-mover) drift vs a baseline
+    * histogram — [[ksByGroup]]'s integral companion: KS reads the WORST
+    * vertical CDF gap (sharp location shifts), W1 reads the AREA
+    * between the CDFs in VALUE units (how far mass actually moved — a
+    * fat tail that barely moves the sup-norm integrates here, and the
+    * number is directly interpretable: "mean token count moved ~W1").
+    * Same aligned [[graft.functions.HistogramAgg]] sketches as
+    * [[ksByGroup]] (one grouped aggregate; the shuffle carries
+    * O(partitions × groups) count arrays, never rows; statistics
+    * driver-side over metadata-sized sketches). With underflow mass
+    * folded to the first interior bin and overflow to the last (the
+    * sketch clamps support to [lo, hi]),
+    * W1 = binWidth · Σ_{j ≤ nBins−2} |cumG_j − cumB_j| — exact for the
+    * binned distributions, error ≤ binWidth vs the unbinned statistic.
+    * Cumulative masses divide ONCE from exact integer cumulative
+    * counts, so the SQL window-cumsum replica is bit-compatible.
+    * Returns (group, n, w1). */
+  def wasserstein1ByGroup(df: DataFrame, groupCol: String, field: String,
+                          baseline: HistogramProfile): DataFrame = {
+    val spark = df.sparkSession
+    HistogramAgg.register(spark)
+    val nBins = baseline.counts.length - 2
+    require(nBins >= 2, "need at least 2 interior bins")
+    val w = (baseline.hi - baseline.lo) / nBins
+    def folded(counts: Array[Long]): Array[Long] = {
+      val m = counts.slice(1, nBins + 1)
+      m(0) += counts(0); m(nBins - 1) += counts(nBins + 1); m
+    }
+    val bm = folded(baseline.counts)
+    val bTot = math.max(bm.sum, 1L).toDouble
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(HistogramAgg.histogram(col(field), baseline.lo, baseline.hi,
+        nBins).as("h"))
+      .collect()
+    import spark.implicits._
+    perGroup.toSeq.map { r =>
+      val gm = folded(r.getAs[scala.collection.Seq[Long]]("h").toArray)
+      val gTot = math.max(gm.sum, 1L).toDouble
+      var cgL = 0L; var cbL = 0L; var acc = 0.0; var j = 0
+      while (j < nBins - 1) {
+        cgL += gm(j); cbL += bm(j)
+        acc += math.abs(cgL / gTot - cbL / bTot)
+        j += 1
+      }
+      (Option(r.getString(0)).getOrElse("<null>"), gm.sum,
+        BigDecimal(acc * w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF(groupCol, "n", "w1")
+  }
+
+  /** Holt linear (double-exponential) smoothing over a daily count
+    * series — [[ewmaChart]]'s trend-aware sibling: EWMA tracks a LEVEL
+    * and flags sustained shifts, Holt additionally carries a TREND
+    * state, so a steady ingest ramp reads as trend (expected) instead
+    * of a perpetual out-of-control level. Standard recursions
+    * (Holt 1957): ŷ_t = ℓ_{t−1} + b_{t−1},
+    * ℓ_t = α·y_t + (1−α)·(ℓ_{t−1} + b_{t−1}),
+    * b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}, initialized ℓ₁ = y₁,
+    * b₁ = y₂ − y₁ (b₁ = 0 for a one-day series), ŷ₁ = y₁. Returns per
+    * day (day, y, level, trend, fitted) plus ONE horizon row
+    * (day = null, y = null, fitted = ℓ_T + b_T) — the one-step
+    * forecast the volume-anomaly gate compares tomorrow against.
+    *
+    * The recursion is inherently sequential, so it folds driver-side
+    * over the aggregated daily frame (the [[ewmaChart]] convention:
+    * O(days) rows — metadata-sized at any corpus scale; the corpus
+    * itself is touched by exactly one count aggregate). Expression
+    * shapes mirror the SQL recursive-CTE replica term for term, so
+    * the doubles are bit-compatible. */
+  def holtLinear(df: DataFrame, tsCol: String, alpha: Double = 0.5,
+                 beta: Double = 0.25): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    val spark = df.sparkSession
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    if (daily.isEmpty)
+      return Seq.empty[(Option[java.sql.Date], Option[Long], Option[Double],
+          Option[Double], Option[Double])]
+        .toDF("day", "y", "level", "trend", "fitted")
+    val ys = daily.map(_._2.toDouble)
+    var level = ys(0)
+    var trend = if (ys.length >= 2) ys(1) - ys(0) else 0.0
+    val rows = daily.zipWithIndex.map { case ((day, y), i) =>
+      if (i == 0)
+        (Option(day), Option(y), Option(r6(level)), Option(r6(trend)),
+          Option(r6(ys(0))))
+      else {
+        val fitted = level + trend
+        val lNew = alpha * ys(i) + (1 - alpha) * (level + trend)
+        trend = beta * (lNew - level) + (1 - beta) * trend
+        level = lNew
+        (Option(day), Option(y), Option(r6(level)), Option(r6(trend)),
+          Option(r6(fitted)))
+      }
+    }
+    val horizon = (Option.empty[java.sql.Date], Option.empty[Long],
+      Option.empty[Double], Option.empty[Double], Option(r6(level + trend)))
+    (rows :+ horizon).toSeq.toDF("day", "y", "level", "trend", "fitted")
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

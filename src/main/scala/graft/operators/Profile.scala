@@ -152,6 +152,43 @@ object Profile {
       .limit(k)
   }
 
+  /** OLS residual anomalies: fit y = a + b·x by ordinary least squares
+    * from ONE sufficient-stats aggregate (n, Σx, Σy, Σxy, Σx² — exact
+    * order-independent doubles on integer-valued columns), broadcast
+    * the 1-row stats back, and return the top-k rows by |residual| —
+    * the BIVARIATE consistency check the univariate fences can't
+    * express (e.g. chars-vs-tokens: a document far off the corpus's
+    * chars~tokens line is mis-tokenized, mis-counted, or not text,
+    * even when both marginals look normal). Closed forms
+    * b = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), a = (Σy − bΣx)/n, evaluated
+    * per row from the broadcast literals in fixed expression order
+    * (SQL-replicable); degenerate x (zero variance) yields b = 0,
+    * a = ȳ. Rows with a NULL x or y are excluded from the fit and
+    * sort with NULL residuals (last) — never silently scored.
+    *
+    * Scale shape: one aggregate pass + a stateless residual projection
+    * + TakeOrderedAndProject — zero corpus shuffle. */
+  def olsResiduals(df: DataFrame, keyCols: Seq[String], xCol: String,
+                   yCol: String, k: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val stats = df.where(x.isNotNull && y.isNotNull).agg(
+      count(lit(1)).as("__n"), sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    val denom = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = when(denom <= 0, lit(0.0))
+      .otherwise((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        / denom)
+    val intercept = (col("__sy") - slope * col("__sx")) / col("__n")
+    df.crossJoin(broadcast(stats))
+      .select(keyCols.map(col) ++ Seq(
+        col(xCol), col(yCol),
+        round(y - (intercept + slope * x), 6).as("residual"),
+        round(abs(y - (intercept + slope * x)), 6).as("abs_residual")): _*)
+      .orderBy(desc("abs_residual") +: keyCols.map(col): _*)
+      .limit(k)
+  }
+
   /** MERGEABLE numeric profile: `(field, cnt, min, max, sum)` — the
     * incremental-corpus profile algebra. Unlike [[exactNumericProfileDf]]
     * (which rounds the average away), every column here merges exactly:

@@ -260,4 +260,79 @@ class StatBatterySpec extends AnyFunSuite {
     val pruned = Profile.associationRules(dep, "x", "y", minSupport = 0.6)
     assert(pruned.count() === 0)
   }
+
+  test("wasserstein1ByGroup: hand-computed masses, identity is zero") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // values 0..10 in 5 bins (width 2): a = [1,1,9], b = [5];
+    // baseline = all 4. Cumulative gaps: a → (1/3 + 1/6)·2 = 1.0,
+    // b → (0.5·2 + 0.25·2)·2 = 3.0 (hand-computed)
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 9.0), ("b", 5.0))
+      .toDF("g", "v")
+    val base = Drift.numericHistogram(df, "v", 0.0, 10.0, 5)
+    val m = Drift.wasserstein1ByGroup(df, "g", "v", base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("a") === ((3L, 1.0)))
+    assert(m("b") === ((1L, 3.0)))
+    // a single group IS the baseline → W1 = 0
+    val one = Seq(("x", 1.0), ("x", 9.0)).toDF("g", "v")
+    val b1 = Drift.numericHistogram(one, "v", 0.0, 10.0, 5)
+    val r1 = Drift.wasserstein1ByGroup(one, "g", "v", b1).collect()(0)
+    assert(r1.getDouble(2) === 0.0)
+  }
+
+  test("holtLinear: hand-computed recursion and horizon row") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // daily counts [2,4,5,3] with alpha=0.5, beta=0.25:
+    // levels [2,4,5.5,5.1875], trends [2,2,1.875,1.328125],
+    // fitted [2,4,6,7.375], horizon 6.515625 (hand-computed)
+    val ts = Seq("2024-01-01" -> 2, "2024-01-02" -> 4,
+      "2024-01-03" -> 5, "2024-01-04" -> 3)
+      .flatMap { case (d, n) => Seq.fill(n)(d + " 12:00:00") }
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val rows = Drift.holtLinear(ts, "ts").collect()
+    assert(rows.length === 5)
+    val byDay = rows.filter(!_.isNullAt(0))
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(byDay("2024-01-01") === ((2L, 2.0, 2.0, 2.0)))
+    assert(byDay("2024-01-02") === ((4L, 4.0, 2.0, 4.0)))
+    assert(byDay("2024-01-03") === ((5L, 5.5, 1.875, 6.0)))
+    assert(byDay("2024-01-04") === ((3L, 5.1875, 1.328125, 7.375)))
+    val horizon = rows.filter(_.isNullAt(0))
+    assert(horizon.length === 1 && horizon(0).getDouble(4) === 6.515625)
+    // single-day series: trend init 0, horizon = the level
+    val single = Seq("2024-01-01 12:00:00", "2024-01-01 13:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val sr = Drift.holtLinear(single, "ts").collect()
+    assert(sr.length === 2 && sr(0).getDouble(3) === 0.0 &&
+      sr(1).getDouble(4) === 2.0)
+  }
+
+  test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // (1,2),(2,4),(3,7): slope 2.5, intercept -2/3 → residuals
+    // [1/6, -1/3, 1/6]; top |residual| is x=2 (hand-computed)
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 7.0))
+      .toDF("id", "x", "y")
+    val out = Profile.olsResiduals(df, Seq("id"), "x", "y", k = 3).collect()
+    assert(out(0).getLong(0) === 2L && out(0).getDouble(3) === -0.333333)
+    val m = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) === 0.166667 && m(3L) === 0.166667)
+    // constant x → slope 0, intercept = mean(y); residuals y - ȳ
+    val const = Seq((1L, 5.0, 1.0), (2L, 5.0, 3.0)).toDF("id", "x", "y")
+    val co = Profile.olsResiduals(const, Seq("id"), "x", "y", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(co(1L) === -1.0 && co(2L) === 1.0)
+    // null x: excluded from the fit, NULL residual sorts last
+    val wNull = Seq((1L, Option(1.0), 2.0), (2L, Option(2.0), 4.0),
+      (3L, Option(3.0), 7.0), (4L, Option.empty[Double], 9.0))
+      .toDF("id", "x", "y")
+    val nr = Profile.olsResiduals(wNull, Seq("id"), "x", "y", k = 4).collect()
+    assert(nr.last.getLong(0) === 4L && nr.last.isNullAt(3))
+    assert(nr(0).getLong(0) === 2L) // fit unchanged by the null row
+  }
 }
