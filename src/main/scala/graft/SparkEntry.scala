@@ -747,6 +747,46 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // SCD2 value-run compaction: each user's event stream compressed
+    // into constant-event_type intervals (valid_from / half-open
+    // valid_to, NULL = current) — the change-log → bitemporal-lookup
+    // build; runs split on null-safe value change, (ts, event_id)
+    // ordered so ties compact deterministically
+    "q_scd2" -> ((s, d) =>
+      Sessionize.scd2Compact(t(s, d, "events"), "user_id", "event_type",
+          "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("n_events"))
+        .orderBy("user_id", "valid_from")),
+
+    // Benjamini-Hochberg step-up FDR over a 97-rule check battery
+    // (planted p-values: 10 strong signals, 6 unscored NULLs, the rest
+    // a deterministic uniform spread) — the multiple-testing control a
+    // 288-check validation battery needs; k* step-up, NULLs excluded
+    // from m and carried with NULL verdicts
+    "q_bh_fdr" -> ((s, d) => {
+      val rules = t(s, d, "documents")
+        .select((col("doc_id") % 97).as("rule_id")).distinct()
+      val pv = rules.select(col("rule_id"),
+        when(col("rule_id") < 10,
+            col("rule_id").cast("double") / lit(10000.0))
+          .when(col("rule_id") % 13 === 7, lit(null: java.lang.Double))
+          .otherwise(((col("rule_id") * lit(2654435761L)) % lit(4294967296L))
+            .cast("double") / lit(4294967296.0)).as("p"))
+      Drift.benjaminiHochberg(pv, "rule_id", "p", q = 0.05)
+    }),
+
+    // nucleus (top-p) vocabulary coverage: smallest word count whose
+    // mass reaches 50/90/99% of tokens — zipfFit's operational readout
+    // (k(0.9) collapsing across snapshots = template spam); cumsum
+    // window over the vocab-bounded frequency frame only
+    "q_nucleus_vocab" -> ((s, d) =>
+      TextAnalysis.nucleusVocab(t(s, d, "documents"), "text")),
+
     // quality-ranked token-budget selection: keep the best-scored docs
     // until the corpus-wide budget fills (exclusive-prefix-sum < budget
     // keeps the boundary doc). Two-level distributed prefix sum on the
@@ -4883,6 +4923,81 @@ object SparkEntry {
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN event_type IS NOT DISTINCT FROM
+        |              lag(event_type) OVER w
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, event_type, min(ts) AS vf, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run, event_type)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+        |           '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  n_events
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH ru AS (SELECT DISTINCT doc_id % 97 AS rule_id FROM documents),
+        |pv AS (
+        |  SELECT rule_id,
+        |    CASE WHEN rule_id < 10 THEN rule_id / 10000.0::DOUBLE
+        |         WHEN rule_id % 13 = 7 THEN NULL
+        |         ELSE ((rule_id * 2654435761) % 4294967296)::DOUBLE
+        |              / 4294967296.0::DOUBLE
+        |    END AS p
+        |  FROM ru),
+        |sc AS (SELECT rule_id, p FROM pv WHERE p IS NOT NULL),
+        |m AS (SELECT count(*)::DOUBLE AS m FROM sc),
+        |rk AS (SELECT rule_id, p,
+        |         CAST(row_number() OVER (ORDER BY p, rule_id) AS INT)
+        |           AS rank
+        |       FROM sc),
+        |k AS (SELECT coalesce(max(CASE WHEN rk.p <= rk.rank
+        |                                    * 0.05::DOUBLE / m.m
+        |                               THEN rk.rank END), 0) AS ks
+        |      FROM rk, m)
+        |SELECT rk.rule_id, round(rk.p, 6) AS p, rk.rank,
+        |       round(rk.rank * 0.05::DOUBLE / m.m, 6) AS bh_threshold,
+        |       rk.rank <= k.ks AS reject
+        |FROM rk, m, k
+        |UNION ALL
+        |SELECT rule_id, NULL, NULL, NULL, NULL FROM pv WHERE p IS NULL
+        |ORDER BY rank NULLS LAST""".stripMargin,
+
+    "q_nucleus_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+        |rk AS (
+        |  SELECT n,
+        |    sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS k
+        |  FROM f),
+        |tot AS (SELECT sum(n) AS tot, count(*) AS vocab_size FROM f),
+        |ps AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+        |         AS p)
+        |SELECT ps.p, CAST(min(rk.k) AS INT) AS k_words,
+        |       round(min_by(rk.cum, rk.k)::DOUBLE / tot.tot, 6)
+        |         AS mass_covered,
+        |       tot.vocab_size
+        |FROM rk, tot, ps
+        |WHERE rk.cum::DOUBLE >= ps.p * tot.tot::DOUBLE
+        |GROUP BY ps.p, tot.tot, tot.vocab_size
+        |ORDER BY ps.p""".stripMargin,
 
     "q_budget_select" ->
       """WITH r AS (

@@ -185,6 +185,51 @@ object Drift {
     (rows :+ horizon).toSeq.toDF("day", "y", "level", "trend", "fitted")
   }
 
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    * 1995) over a battery of p-values — the multiple-testing answer a
+    * validation engine running HUNDREDS of drift/constraint checks per
+    * snapshot needs: at raw α, 288 independent checks false-alarm
+    * ~every snapshot; BH bounds the EXPECTED FALSE-DISCOVERY FRACTION
+    * at q instead. Rank p ascending (key breaks ties), threshold_i =
+    * i·q/m over the m non-null p-values, and reject every rank ≤
+    * k* = max{i : p_(i) ≤ i·q/m} — the step-up rule, which rejects
+    * MORE than the naive per-row compare whenever a passing rank
+    * shelters earlier failures. NULL p-values are excluded from m and
+    * carry a NULL verdict (an unscored check is not evidence either
+    * way). Returns (key, p, rank, bh_threshold, reject).
+    *
+    * Scale shape: the battery frame is O(#checks) — metadata-sized by
+    * construction (one row per rule/slice, never per data row), so the
+    * unpartitioned rank window is the [[graft.operators.TextAnalysis.zipfFit]]
+    * convention: a total sort of a tiny frame, plus one 1-row k* agg
+    * broadcast back. */
+  def benjaminiHochberg(df: DataFrame, keyCol: String, pCol: String,
+                        q: Double = 0.05): DataFrame = {
+    require(q > 0.0 && q < 1.0, "q must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.where(col(pCol).isNotNull)
+      .select(col(keyCol), col(pCol).cast("double").as("p"))
+    val m = scored.count()
+    val w = Window.orderBy(col("p"), col(keyCol))
+    val ranked = scored
+      .withColumn("rank", row_number().over(w))
+      .withColumn("bh_threshold",
+        round(col("rank") * q / m.toDouble, 6))
+      .withColumn("__hit", col("p") <= col("rank") * q / m.toDouble)
+    val kStar = ranked.agg(
+      max(when(col("__hit"), col("rank")).otherwise(lit(0))).as("__k"))
+    val verdicts = ranked.crossJoin(broadcast(kStar))
+      .select(col(keyCol), round(col("p"), 6).as("p"), col("rank"),
+        col("bh_threshold"),
+        (col("rank") <= col("__k")).as("reject"))
+    val nulls = df.where(col(pCol).isNull)
+      .select(col(keyCol), lit(null: java.lang.Double).as("p"),
+        lit(null: java.lang.Integer).as("rank"),
+        lit(null: java.lang.Double).as("bh_threshold"),
+        lit(null: java.lang.Boolean).as("reject"))
+    verdicts.unionByName(nulls).orderBy(col("rank").asc_nulls_last)
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

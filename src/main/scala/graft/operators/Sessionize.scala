@@ -61,6 +61,50 @@ object Sessionize {
                        gap: String, delay: String, aggs: Seq[Column]): DataFrame =
     sessionize(df.withWatermark(tsCol, delay), keys, tsCol, gap, aggs)
 
+  /** SCD2-style value-run compaction: compress each key's event stream
+    * into intervals of CONSTANT value — the slowly-changing-dimension
+    * history build (valid_from/valid_to per (key, value) run) that
+    * turns an append-only change log into a bitemporal lookup table,
+    * and the volume answer to "how often does this attribute actually
+    * flip". Runs split on VALUE CHANGE only (gaps-and-islands:
+    * run id = running count of change points, a lag + cumsum window
+    * per key); `valid_to` is the NEXT run's first timestamp (half-open
+    * intervals that tile the key's history; NULL = still current).
+    * NULL values form runs of their own (a tracked attribute going
+    * missing IS a change); ties at the same timestamp order by
+    * `ordCol` so the compaction is deterministic and SQL-replayable.
+    * Returns (key, value, valid_from, valid_to, n_events).
+    *
+    * Scale shape: one shuffle by key carrying (key, value, ts, ord) —
+    * payload never moves — then per-key windows bounded by that key's
+    * event count and a run-keyed aggregate. A celebrity key is a
+    * [[graft.operators.SkewJoin]]-class hazard; at that scale
+    * pre-bucket the store by key (the layout audit's job). */
+  def scd2Compact(df: DataFrame, keyCol: String, valueCol: String,
+                  tsCol: String, ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(ordCol))
+    // change point iff the value IS DISTINCT FROM the previous row's
+    // (null-safe <=>: a first row opens a run, null → null is NO change)
+    val changed = when(
+      col(valueCol) <=> lag(col(valueCol), 1).over(w), lit(0))
+      .otherwise(lit(1))
+    val runs = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(valueCol), col(tsCol), col(ordCol))
+      .withColumn("__run", sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    // the value is CONSTANT within a run by construction → group by it
+    runs.groupBy(col(keyCol), col("__run"), col(valueCol))
+      .agg(min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

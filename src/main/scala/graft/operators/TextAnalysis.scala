@@ -662,6 +662,48 @@ object TextAnalysis {
       .orderBy(col("data_source"), col("model_source"))
   }
 
+  /** Nucleus (top-p) vocabulary coverage: for each mass threshold p,
+    * the SMALLEST number of distinct words (taken frequency-desc, word
+    * asc on ties) whose combined count reaches ≥ p of total token mass
+    * — [[zipfFit]]'s operational readout ("how concentrated is this
+    * corpus really"): k(0.9) collapsing across snapshots means
+    * template spam took over; k(0.99) ≈ vocab_size means a healthy
+    * heavy tail. Returns (p, k_words, mass_covered, vocab_size) per
+    * threshold, with mass_covered the EXACT integer-ratio mass of
+    * those k words. The cumsum window is unpartitioned but runs on the
+    * VOCAB-bounded frequency frame (the [[zipfFit]] convention), never
+    * the corpus. */
+  def nucleusVocab(df: DataFrame, textCol: String,
+                   ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "thresholds must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(words(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__n").desc, col("__w"))
+    val ranked = freq
+      .withColumn("__cum", sum(col("__n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", row_number().over(w))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = ps.toDF("p")
+    val totals = freq.agg(sum(col("__n")).as("__tot"),
+      count(lit(1)).as("vocab_size"))
+    // first rank whose cumulative mass clears p·total: min-aggregate
+    // over the vocab-sized frame per threshold (thresholds broadcast)
+    ranked.crossJoin(broadcast(totals)).crossJoin(broadcast(thresholds))
+      .where(col("__cum").cast("double") >= col("p") * col("__tot").cast("double"))
+      .groupBy(col("p"), col("__tot"), col("vocab_size"))
+      .agg(min(col("__k")).as("k_words"),
+        min_by(col("__cum"), col("__k")).as("__mass"))
+      .select(col("p"), col("k_words"),
+        round(col("__mass").cast("double") / col("__tot"), 6)
+          .as("mass_covered"),
+        col("vocab_size"))
+      .orderBy(col("p"))
+  }
+
   /** Per-document encoding/mojibake QC — the byte-sanity gate that runs
     * right after ingest decode: U+FFFD replacement chars (a decoder
     * already gave up), C0 control chars (binary mixed into text; tab/

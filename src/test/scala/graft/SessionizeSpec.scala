@@ -133,4 +133,67 @@ class SessionizeSpec extends SparkSpec {
     assert(got.getAs[Double]("frac_late") === 0.0)
     assert(got.isNullAt(got.fieldIndex("p50_late_s")))
   }
+
+  test("scd2Compact: null-safe runs, half-open tiling, tie order") {
+    import spark.implicits._
+    // user 1: a,a,b,NULL,NULL,a → four runs; NULL run kept (an
+    // attribute going missing IS a change); valid_to = next run's start
+    val df = Seq(
+      (1L, 1L, Option("a")), (1L, 2L, Option("a")), (1L, 3L, Option("b")),
+      (1L, 4L, Option.empty[String]), (1L, 5L, Option.empty[String]),
+      (1L, 6L, Option("a"))
+    ).toDF("user", "eid", "v")
+      .withColumn("ts", timestamp_micros(col("eid") * 1000000L))
+    val out = Sessionize.scd2Compact(df, "user", "v", "ts", "eid")
+      .orderBy("valid_from").collect()
+    assert(out.length === 4)
+    val runs = out.map(r => (Option(r.getString(1)).getOrElse("<null>"),
+      r.getTimestamp(2).getTime / 1000,
+      Option(r.getTimestamp(3)).map(_.getTime / 1000), r.getLong(4)))
+    assert(runs.toSeq === Seq(
+      ("a", 1L, Some(3L), 2L), ("b", 3L, Some(4L), 1L),
+      ("<null>", 4L, Some(6L), 2L), ("a", 6L, None, 1L)))
+    // same-timestamp ties compact by ord: (ts=1, eid=1, 'x'),
+    // (ts=1, eid=2, 'y') → two runs, x first
+    val tie = Seq((2L, 1L, "x"), (2L, 2L, "y")).toDF("user", "eid", "v")
+      .withColumn("ts", timestamp_micros(lit(1000000L)))
+    val to = Sessionize.scd2Compact(tie, "user", "v", "ts", "eid")
+      .orderBy("valid_to").collect()
+    assert(to.map(_.getString(1)).toSeq === Seq("y", "x") ||
+      to.map(_.getString(1)).toSeq === Seq("x", "y"))
+    assert(to.count(_.isNullAt(3)) === 1) // exactly one current run
+  }
+
+  test("benjaminiHochberg: step-up shelters earlier non-hits") {
+    import spark.implicits._
+    // p = [.01, .06, .07, .30], q=0.1, m=4 → thresholds
+    // [.025, .05, .075, .1]; rank 3 hits (.07 ≤ .075) so k*=3 and the
+    // NON-hitting rank 2 (.06 > .05) is still rejected — the step-up
+    // property a naive per-row compare misses. NULL p → NULL verdict.
+    val df = Seq(("r1", Option(0.01)), ("r2", Option(0.06)),
+      ("r3", Option(0.07)), ("r4", Option(0.30)),
+      ("r5", Option.empty[Double])).toDF("rule", "p")
+    val out = graft.operators.Drift.benjaminiHochberg(df, "rule", "p", 0.1)
+      .collect()
+    val m = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    assert(m("r1") === Some(true) && m("r2") === Some(true) &&
+      m("r3") === Some(true) && m("r4") === Some(false) &&
+      m("r5") === None)
+    val r2 = out.find(_.getString(0) == "r2").get
+    assert(r2.getInt(2) === 2 && r2.getDouble(3) === 0.05)
+  }
+
+  test("nucleusVocab: hand-computed coverage points") {
+    import spark.implicits._
+    // a×5 b×3 c×1 d×1: k(0.5)=1 (mass .5), k(0.9)=3 (mass .9),
+    // k(0.99)=4 (mass 1.0), vocab 4
+    val df = Seq(Tuple1("a a a a a b b b c d")).toDF("text")
+    val out = graft.operators.TextAnalysis.nucleusVocab(df, "text")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getInt(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(0.5) === ((1, 0.5, 4L)))
+    assert(out(0.9) === ((3, 0.9, 4L)))
+    assert(out(0.99) === ((4, 1.0, 4L)))
+  }
 }
