@@ -2174,6 +2174,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // column-level change attribution: for every changed key, WHICH
+    // columns differ and how (old/new as strings, null-safe so a
+    // value<->NULL transition attributes) — payloads semi-joined down
+    // to changed keys BEFORE the wide join; fixture mutates text on
+    // %7 keys and nulls lang on %11 keys so both columns attribute
+    "q_diff_columns" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 11 === 0, lit(null: String))
+            .otherwise(col("lang")).as("lang"))
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      SnapshotDiff.changedColumns(oldSnap, newSnap, "doc_id",
+          Seq("text", "lang"))
+        .orderBy("doc_id", "column")
+    }),
+
+    // per-source robust fences: each source judged against ITS OWN
+    // median +- 3.5*1.4826*MAD (a shifted-but-healthy source is not an
+    // outlier factory); three grouped aggregates, medians re-attached
+    // by broadcast, exact-median oracle mode
+    "q_group_fence" -> ((s, d) =>
+      Profile.groupRobustFence(t(s, d, "documents"), "source", "n_chars",
+        k = 3.5, exact = true)),
+
+    // active-learning margin sampler: the 20 documents the quality
+    // classifier is LEAST sure about (|log-odds| closest to 0) — where
+    // a labeling budget buys the most; projection + TakeOrdered
+    "q_active_margin" -> ((s, d) =>
+      TextAnalysis.uncertaintySample(t(s, d, "documents"), "doc_id",
+        "text", bias = -2.0,
+        Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+          "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0), k = 20)),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -5295,6 +5332,66 @@ object SparkEntry {
         |  round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
         |        + stop_ratio * 4.0 + -2.0, 6) AS log_odds
         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_active_margin" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |lo AS (
+        |  SELECT doc_id,
+        |    round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
+        |          + stop_ratio * 4.0 + -2.0, 6) AS log_odds
+        |  FROM feat)
+        |SELECT doc_id, log_odds, abs(log_odds) AS margin
+        |FROM lo ORDER BY margin, doc_id LIMIT 20""".stripMargin,
+
+    "q_diff_columns" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |newsnap AS (SELECT doc_id, text, lang FROM documents
+        |            WHERE doc_id % 5 <> 0),
+        |j AS (SELECT o.doc_id, o.text AS ot, n.text AS nt,
+        |             o.lang AS ol, n.lang AS nl
+        |      FROM oldsnap o JOIN newsnap n USING (doc_id))
+        |SELECT doc_id, 'text' AS "column", ot AS old_value,
+        |       nt AS new_value
+        |FROM j WHERE ot IS DISTINCT FROM nt
+        |UNION ALL
+        |SELECT doc_id, 'lang', ol, nl FROM j WHERE ol IS DISTINCT FROM nl
+        |ORDER BY doc_id, "column"""".stripMargin,
+
+    "q_group_fence" ->
+      """WITH m AS (SELECT source AS g, median(n_chars) AS med
+        |           FROM documents GROUP BY 1),
+        |md AS (SELECT d.source AS g, m.med,
+        |         median(abs(d.n_chars - m.med)) AS mad
+        |       FROM documents d JOIN m ON m.g = d.source GROUP BY 1, 2),
+        |c AS (SELECT d.source AS g, count(d.n_chars) AS n_rows,
+        |        sum(CASE WHEN d.n_chars < md.med - 3.5 * 1.4826 * md.mad
+        |                   OR d.n_chars > md.med + 3.5 * 1.4826 * md.mad
+        |                 THEN 1 ELSE 0 END) AS n_outliers
+        |      FROM documents d JOIN md ON md.g = d.source GROUP BY 1)
+        |SELECT c.g AS source, c.n_rows, round(md.med, 4) AS median,
+        |  round(md.mad, 4) AS mad,
+        |  round(md.med - 3.5 * 1.4826 * md.mad, 4) AS lo,
+        |  round(md.med + 3.5 * 1.4826 * md.mad, 4) AS hi, c.n_outliers
+        |FROM c JOIN md USING (g) ORDER BY source""".stripMargin,
 
     "q_mixing" ->
       """WITH sampled AS (

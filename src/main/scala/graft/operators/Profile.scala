@@ -278,6 +278,44 @@ object Profile {
         col("n_outliers"), col("n_rows"))
   }
 
+  /** Per-group robust outlier fences — [[robustOutliers]] stratified:
+    * each group's median ± k·1.4826·MAD and its outlier count, so a
+    * source whose own distribution is healthy but shifted (which a
+    * GLOBAL fence either swallows whole or flags whole) is judged
+    * against itself. Returns (group, n_rows, median, mad, lo, hi,
+    * n_outliers) per group, '<null>' bucketed.
+    *
+    * Scale shape: three grouped aggregates over the corpus (median →
+    * MAD → fence counts), each collapsing map-side to O(groups) rows,
+    * with the intermediate medians re-attached by BROADCAST joins
+    * (groups are dimension-like by contract). `exact = true` uses
+    * exact `median` (the oracle mode); false uses
+    * `approx_percentile`'s bounded-memory t-digest (the 10^12-row
+    * path, same trade as [[robustOutliers]]). */
+  def groupRobustFence(df: DataFrame, groupCol: String, field: String,
+                       k: Double = 3.5, exact: Boolean = true): DataFrame = {
+    val c = col(field).cast("double")
+    def med(x: Column): Column =
+      if (exact) median(x) else percentile_approx(x, lit(0.5), lit(10000))
+    val g = coalesce(col(groupCol).cast("string"), lit("<null>")).as("__g")
+    val base = df.select(g, c.as("__v"))
+    val meds = base.groupBy(col("__g")).agg(med(col("__v")).as("__m"))
+    val mads = base.join(broadcast(meds), Seq("__g"))
+      .groupBy(col("__g"), col("__m"))
+      .agg(med(abs(col("__v") - col("__m"))).as("__mad"))
+    val lo = col("__m") - lit(k * 1.4826) * col("__mad")
+    val hi = col("__m") + lit(k * 1.4826) * col("__mad")
+    base.join(broadcast(mads), Seq("__g"))
+      .groupBy(col("__g"), col("__m"), col("__mad"))
+      .agg(count(col("__v")).as("n_rows"),
+        sum(when(col("__v") < lo || col("__v") > hi, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("__g").as(groupCol), col("n_rows"),
+        round(col("__m"), 4).as("median"), round(col("__mad"), 4).as("mad"),
+        round(lo, 4).as("lo"), round(hi, 4).as("hi"), col("n_outliers"))
+      .orderBy(col(groupCol))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

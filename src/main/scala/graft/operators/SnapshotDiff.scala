@@ -74,6 +74,40 @@ object SnapshotDiff {
     newDf.join(delta, Seq(idCol), "left_semi")
   }
 
+  /** Column-level change attribution: for every `changed` key, WHICH
+    * compare columns differ and how — (key, column, old_value,
+    * new_value), one row per differing column. The audit-trail
+    * companion of [[diff]] ("what changed" → "what exactly changed"):
+    * a refresh where 98 % of changes touch one boilerplate column is a
+    * template rollout, not new content — route it past re-embedding.
+    *
+    * Scale shape: the narrow hash [[diff]] runs first and BOTH sides
+    * semi-join down to the changed keys, so full-width rows move only
+    * for keys that actually changed (the [[changedRows]] discipline);
+    * the per-column explode is in-row. Values are surfaced as strings
+    * (a diff report column must hold every source type); null-safe
+    * compare, so value ↔ NULL transitions attribute correctly. */
+  def changedColumns(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                     compareCols: Seq[String]): DataFrame = {
+    val changedKeys = diff(oldDf, newDf, idCol, compareCols)
+      .where(col("status") === "changed")
+      .select(col(idCol))
+    val o = oldDf.join(changedKeys, Seq(idCol), "left_semi")
+      .select(col(idCol) +:
+        compareCols.map(c => col(c).cast("string").as(s"__o_$c")): _*)
+    val n = newDf.join(changedKeys, Seq(idCol), "left_semi")
+      .select(col(idCol) +:
+        compareCols.map(c => col(c).cast("string").as(s"__n_$c")): _*)
+    o.join(n, Seq(idCol))
+      .select(col(idCol), explode(array(compareCols.map(c =>
+        struct(lit(c).as("column"), col(s"__o_$c").as("old_value"),
+          col(s"__n_$c").as("new_value"))): _*)).as("__d"))
+      .where(!(col("__d.old_value") <=> col("__d.new_value")))
+      .select(col(idCol), col("__d.column").as("column"),
+        col("__d.old_value").as("old_value"),
+        col("__d.new_value").as("new_value"))
+  }
+
   // ------------------------------------------------ partition digests
 
   /** Production row hash for [[partitionDigests]]: xxhash64 over the

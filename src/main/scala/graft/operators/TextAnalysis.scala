@@ -110,6 +110,27 @@ object TextAnalysis {
       .reduce(_ + _) + bias
   }
 
+  /** Active-learning uncertainty sampler: the k documents whose
+    * [[logOddsFrom]] classifier score sits CLOSEST to the decision
+    * boundary (smallest |log-odds| — the margin criterion; the sigmoid
+    * is monotone, so |log-odds| ordering IS |p − 0.5| ordering) — the
+    * rows a labeling budget should buy first, because the classifier
+    * already knows what it's confident about. Returns (idCol,
+    * log_odds, margin) with (margin ASC, id) tie-break; one projected
+    * TextProfile eval per row + TakeOrderedAndProject, zero shuffle. */
+  def uncertaintySample(df: DataFrame, idCol: String, textCol: String,
+                        bias: Double, weights: Map[String, Double],
+                        k: Int): DataFrame = {
+    TextExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+        round(logOddsFrom(textProfile(col(textCol)), bias, weights), 6)
+          .as("log_odds"))
+      .select(col(idCol), col("log_odds"),
+        abs(col("log_odds")).as("margin"))
+      .orderBy(col("margin"), col(idCol))
+      .limit(k)
+  }
+
   /** Sigmoid of [[logOddsFrom]] — the calibrated keep-probability.
     * Filtering on a score threshold is equivalent to filtering on the
     * (exactly reproducible) log-odds, which is what the oracle checks. */

@@ -311,6 +311,59 @@ class StatBatterySpec extends AnyFunSuite {
       sr(1).getDouble(4) === 2.0)
   }
 
+  test("changedColumns: per-column attribution incl. value<->NULL") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val oldDf = Seq((1L, Option("a"), Option("x")),
+      (2L, Option("b"), Option.empty[String]),
+      (3L, Option("c"), Option("z"))).toDF("id", "u", "v")
+    val newDf = Seq((1L, Option("a"), Option("x")),   // unchanged
+      (2L, Option("b"), Option("y")),                 // v: NULL -> y
+      (3L, Option("C"), Option("z")),                 // u: c -> C
+      (4L, Option("d"), Option("w"))).toDF("id", "u", "v") // added (no rows)
+    val out = graft.operators.SnapshotDiff
+      .changedColumns(oldDf, newDf, "id", Seq("u", "v"))
+      .orderBy("id", "column").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(out.toSeq === Seq(
+      (2L, "v", None, Some("y")),
+      (3L, "u", Some("c"), Some("C"))))
+  }
+
+  test("groupRobustFence: per-group fences, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // g=a: [1,2,3,4,100] → med 3, mad 1.4826... abs devs [2,1,0,1,97]
+    //   → mad 1; fence 3 ± 3.5·1.4826·1 = [−2.1891, 8.1891] → 1 outlier
+    // g=b: [10,10] → med 10, mad 0 → degenerate fence flags any dev
+    val df = ds(Seq(1, 2, 3, 4, 100).map(v => ("a", v.toDouble)) ++
+      Seq(10, 10).map(v => ("b", v.toDouble)): _*)
+    val m = Profile.groupRobustFence(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(6))).toMap
+    assert(m("a") === ((5L, 3.0, 1.0, 1L)))
+    assert(m("b") === ((2L, 10.0, 0.0, 0L)))
+    // exact and approx agree at tiny n
+    val ap = Profile.groupRobustFence(df, "g", "v", exact = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ap("a") === 3.0 && ap("b") === 10.0)
+  }
+
+  test("uncertaintySample: margin ordering matches |log-odds|") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1L, "the the the the"), (2L, "zz zz zz"),
+      (3L, "a b c d e f g h")).toDF("id", "text")
+    val w = Map("n_words" -> 0.5)
+    val out = graft.operators.TextAnalysis
+      .uncertaintySample(df, "id", "text", bias = -2.0, w, k = 3).collect()
+    // log-odds = 0.5·n_words − 2: id1/id3 → 0 margin... n_words 4 → 0,
+    // 3 → −0.5, 8 → 2: order by |lo| = [id1(0), id2(0.5), id3(2)]
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getDouble(2) === 0.0 && out(1).getDouble(2) === 0.5)
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
