@@ -1260,6 +1260,32 @@ object SparkEntry {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("event_type", "day")),
 
+    // rolling 7-day distinct users from MERGEABLE per-day HLL sketches
+    // (hll_union_agg over a gap-correct RANGE window on the day
+    // number) — N-day distincts from stored kilobyte sketches, no
+    // corpus rescan; DataSketches HLL is exact in coupon mode, which
+    // the exact-distinct oracle exploits at test scale
+    "q_rolling_distinct" -> ((s, d) =>
+      Profile.rollingDistinct(t(s, d, "events"), "ts", "user_id",
+          windowDays = 7)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
+
+    // growth accounting: DAU decomposed into new / retained /
+    // resurrected (+ churned = yesterday's actives minus retained) —
+    // the feed-health diagnosis behind a flat daily-active line
+    "q_growth_accounting" -> ((s, d) =>
+      Sessionize.growthAccounting(t(s, d, "events"), "user_id", "ts")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
+
+    // curation-gate significance: two-proportion z of each source's
+    // length-gate pass rate vs its complement (pooled variance, NULL z
+    // on degenerate pools) — "3 points below the rest: noise or signal"
+    "q_gate_ztest" -> ((s, d) =>
+      Drift.twoProportionZ(t(s, d, "documents"), "source",
+        col("n_chars") >= 200)),
+
     // BPE tokenizer-vocabulary training, first 4 merges: corpus touched
     // once (word-frequency agg); each merge runs on the vocab-bounded
     // frame. The oracle replays all 4 rounds as chained CTEs — both
@@ -6266,6 +6292,65 @@ object SparkEntry {
         |       round(n * 1.0 / lag(n) OVER (
         |         PARTITION BY event_type ORDER BY day), 6) AS ratio
         |FROM c ORDER BY event_type, day""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |daily AS (SELECT day, count(*) AS n_events,
+        |                 count(DISTINCT user_id) AS day_distinct
+        |          FROM d GROUP BY 1),
+        |r AS (SELECT a.day, count(DISTINCT b.user_id) AS rolling_distinct
+        |      FROM (SELECT DISTINCT day FROM d) a
+        |      JOIN d b ON b.day BETWEEN a.day - 6 AND a.day
+        |      GROUP BY 1)
+        |SELECT strftime(daily.day, '%Y-%m-%d') AS day, daily.n_events,
+        |       daily.day_distinct, r.rolling_distinct
+        |FROM daily JOIN r USING (day) ORDER BY day""".stripMargin,
+
+    "q_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cl AS (SELECT u, d, lag(d) OVER (PARTITION BY u ORDER BY d)
+        |         AS prev FROM ud),
+        |c2 AS (SELECT d, CASE WHEN prev IS NULL THEN 'new'
+        |                      WHEN d - prev = 1 THEN 'retained'
+        |                      ELSE 'resurrected' END AS cls FROM cl),
+        |daily AS (SELECT d AS day, count(*) AS n_active,
+        |  sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |  sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+        |  sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS n_resurrected
+        |  FROM c2 GROUP BY 1),
+        |w AS (SELECT *, lag(n_active) OVER (ORDER BY day) AS pa,
+        |        lag(day) OVER (ORDER BY day) AS pd FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+        |  n_retained, n_resurrected,
+        |  CASE WHEN pd IS NULL THEN NULL
+        |       WHEN day - pd = 1 THEN pa - n_retained
+        |       ELSE pa END AS n_churned
+        |FROM w ORDER BY day""".stripMargin,
+
+    "q_gate_ztest" ->
+      """WITH per AS (
+        |  SELECT coalesce(source, '<null>') AS g, count(*) AS n,
+        |         sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS k
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM per)
+        |SELECT per.g AS source, per.n, per.k AS n_success,
+        |  round(per.k::DOUBLE / per.n, 6) AS rate,
+        |  CASE WHEN (tot.nn - per.n) = 0 OR tot.kk::DOUBLE / tot.nn <= 0
+        |         OR tot.kk::DOUBLE / tot.nn >= 1 THEN NULL
+        |       ELSE round((per.k::DOUBLE / per.n
+        |                   - (tot.kk - per.k)::DOUBLE / (tot.nn - per.n))
+        |            / sqrt(tot.kk::DOUBLE / tot.nn
+        |                   * (1 - tot.kk::DOUBLE / tot.nn)
+        |                   * (1.0::DOUBLE / per.n
+        |                      + 1.0::DOUBLE / (tot.nn - per.n))), 6)
+        |  END AS z
+        |FROM per, tot ORDER BY source""".stripMargin,
 
     // BPE: generated chained-CTE oracle (see bpeOracle above)
     "q_bpe_merges" -> bpeOracle,

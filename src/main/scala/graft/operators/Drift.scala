@@ -230,6 +230,41 @@ object Drift {
     verdicts.unionByName(nulls).orderBy(col("rank").asc_nulls_last)
   }
 
+  /** Two-proportion z-test of each group's SUCCESS RATE vs its
+    * complement — [[welchT]]'s categorical-outcome sibling, and the
+    * significance readout for curation-gate pass rates ("src7's keep
+    * rate is 3 points below the rest — noise or signal?"): with
+    * pooled p̂ = K/N, z = (p₁ − p₂)/√(p̂(1−p̂)(1/n₁ + 1/n₂)). ONE
+    * sufficient-stats aggregate (per-group n and successes), grand
+    * totals from their sum — complements are free (grand − group, the
+    * welchT discipline) — and the z arithmetic runs on the O(groups)
+    * frame. Degenerate cases keep NULL z (single group → empty
+    * complement; pooled rate 0 or 1 → zero variance): a gate that
+    * passes everything is not "insignificant", it is untestable.
+    * Returns (group, n, n_success, rate, z). */
+  def twoProportionZ(df: DataFrame, groupCol: String,
+                     success: Column): DataFrame = {
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+    val tot = per.agg(sum(col("n")).as("__N"), sum(col("k")).as("__K"))
+    val n2 = col("__N") - col("n")
+    val k2 = col("__K") - col("k")
+    val p1 = col("k").cast("double") / col("n")
+    val p2 = k2.cast("double") / n2
+    val pool = col("__K").cast("double") / col("__N")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n") + lit(1.0) / n2))
+    per.crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("n"), col("k").as("n_success"),
+        round(p1, 6).as("rate"),
+        when(n2 === 0 || pool <= 0.0 || pool >= 1.0,
+          lit(null: java.lang.Double))
+          .otherwise(round((p1 - p2) / se, 6)).as("z"))
+      .orderBy(col(groupCol))
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

@@ -316,6 +316,40 @@ object Profile {
       .orderBy(col(groupCol))
   }
 
+  /** Rolling-window distinct counts over MERGEABLE HLL sketches — the
+    * sketch-algebra answer to "distinct users over any trailing
+    * window" that [[mergeableProfile]] gives min/max/sum: per-day
+    * DataSketches HLL sketches (one grouped aggregate, two-level
+    * partial merge — the corpus collapses to O(days) sketch rows),
+    * then `hll_union_agg` over a RANGE window keyed on the day NUMBER
+    * (gap-correct: missing days shrink the window, a ROWS frame would
+    * silently stretch it) — so N-day distincts come from stored daily
+    * sketches with NO corpus rescan, and a 100 TB history rolls up
+    * from kilobytes of sketches. DataSketches HLL is EXACT while a
+    * sketch is still in coupon (list/set) mode, which is what the
+    * exact-distinct oracle exploits at test scale; at true scale the
+    * estimate carries the usual ~1.6 % HLL error. Returns
+    * (day, n_events, day_distinct, rolling_distinct). */
+  def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(keyCol)).as("__sk"),
+        count(lit(1)).as("n_events"))
+      .withColumn("__dn", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy(col("__dn"))
+      .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+    daily
+      .withColumn("day_distinct", hll_sketch_estimate(col("__sk")))
+      .withColumn("rolling_distinct",
+        hll_sketch_estimate(hll_union_agg(col("__sk")).over(w)))
+      .select(col("day"), col("n_events"), col("day_distinct"),
+        col("rolling_distinct"))
+      .orderBy(col("day"))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

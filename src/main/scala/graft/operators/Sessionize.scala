@@ -105,6 +105,59 @@ object Sessionize {
         col("valid_to"), col("n_events"))
   }
 
+  /** Growth accounting — each day's active users decomposed into
+    * `new` (first day ever), `retained` (also active the previous
+    * day) and `resurrected` (active before, but not yesterday), plus
+    * `churned` = yesterday's actives who did not return =
+    * active(d−1) − retained(d) — the standard four-way decomposition
+    * that turns a flat DAU line into a diagnosis (flat because
+    * acquisition offsets churn is a different problem from flat-and-
+    * stable), and for an ingest stream the per-source feed-health
+    * readout (a `new`-collapse is an upstream signup/crawl stall; a
+    * `churned` spike is a feed dropping producers).
+    *
+    * Scale shape: distinct (user, day) first (map-side combine crushes
+    * event fan-in — the [[retentionCohorts]] discipline), one narrow
+    * per-user lag window over (user, day) pairs, then a day-keyed
+    * count rollup; the churn join is a lag over the O(days) daily
+    * frame. Returns (day, n_active, n_new, n_retained, n_resurrected,
+    * n_churned). */
+  def growthAccounting(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val wu = Window.partitionBy(col("__u")).orderBy(col("__d"))
+    val classed = ud
+      .withColumn("__prev", lag(col("__d"), 1).over(wu))
+      .withColumn("__class",
+        when(col("__prev").isNull, lit("new"))
+          .when(datediff(col("__d"), col("__prev")) === 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val daily = classed.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__class") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__class") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__class") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val wd = Window.orderBy(col("__dn"))
+    daily
+      .withColumn("__dn", datediff(col("day"), lit("1970-01-01")))
+      .withColumn("__prev_active", lag(col("n_active"), 1).over(wd))
+      .withColumn("__prev_dn", lag(col("__dn"), 1).over(wd))
+      .withColumn("n_churned",
+        when(col("__prev_dn").isNull, lit(null: java.lang.Long))
+          .when(col("__dn") - col("__prev_dn") === 1,
+            col("__prev_active") - col("n_retained"))
+          // a gap day: EVERYONE active on the last seen day churned
+          .otherwise(col("__prev_active")))
+      .select(col("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy(col("day"))
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

@@ -134,6 +134,24 @@ class SessionizeSpec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("p50_late_s")))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned, gap day") {
+    import spark.implicits._
+    // u1 active d1,d2,d4; u2 active d2 only:
+    // d1: active 1 (new). d2: active 2 (u1 retained, u2 new),
+    //   churned = active(d1) − retained(d2) = 0.
+    // d4 (after a gap): u1 resurrected, churned = ALL of d2's actives.
+    val df = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (2L, "2024-01-02"), (1L, "2024-01-04"))
+      .toDF("u", "s").select(col("u"), to_timestamp(col("s")).as("ts"))
+    val rows = Sessionize.growthAccounting(df, "u", "ts").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(rows("2024-01-01") === ((1L, 1L, 0L, 0L, -1L))) // churn undefined
+    assert(rows("2024-01-02") === ((2L, 1L, 1L, 0L, 0L)))
+    assert(rows("2024-01-04") === ((1L, 0L, 0L, 1L, 2L)))
+  }
+
   test("scd2Compact: null-safe runs, half-open tiling, tie order") {
     import spark.implicits._
     // user 1: a,a,b,NULL,NULL,a → four runs; NULL run kept (an

@@ -364,6 +364,42 @@ class StatBatterySpec extends AnyFunSuite {
     assert(out(0).getDouble(2) === 0.0 && out(1).getDouble(2) === 0.5)
   }
 
+  test("rollingDistinct: gap-correct RANGE window, sketch exact at test scale") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // d1 {1,2}, d2 {2,3}, d4 {1} with window 2: d4's window is d3..d4,
+    // so d2 must NOT leak in (a ROWS frame would stretch across the gap)
+    val df = Seq(("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 2L), ("2024-01-02", 3L), ("2024-01-04", 1L))
+      .toDF("s", "u").select(to_timestamp(col("s")).as("ts"), col("u"))
+    val m = Profile.rollingDistinct(df, "ts", "u", windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m("2024-01-01") === ((2L, 2L)))
+    assert(m("2024-01-02") === ((2L, 3L)))
+    assert(m("2024-01-04") === ((1L, 1L))) // gap-correct: NOT 3
+  }
+
+  test("twoProportionZ: pooled z vs complement, degenerate pool NULL") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: 2/4, b: 4/4 → pool .75, se = sqrt(.75·.25·.5) = .306186,
+    // z_a = -1.632993, z_b = +1.632993 (hand-computed)
+    val df = Seq(("a", 150L), ("a", 250L), ("a", 100L), ("a", 300L),
+      ("b", 201L), ("b", 202L), ("b", 203L), ("b", 204L))
+      .toDF("g", "n_chars")
+    val m = Drift.twoProportionZ(df, "g", col("n_chars") >= 200).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("a") === ((4L, 2L, 0.5, -1.632993)))
+    assert(m("b") === ((4L, 4L, 1.0, 1.632993)))
+    // pool = 1 (every row passes) → untestable, NULL z
+    val all = Seq(("a", 300L), ("b", 300L)).toDF("g", "n_chars")
+    val rows = Drift.twoProportionZ(all, "g", col("n_chars") >= 200)
+      .collect()
+    assert(rows.forall(_.isNullAt(4)))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
