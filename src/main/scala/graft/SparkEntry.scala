@@ -1286,6 +1286,40 @@ object SparkEntry {
       Drift.twoProportionZ(t(s, d, "documents"), "source",
         col("n_chars") >= 200)),
 
+    // per-node triangle counts + local clustering on a deterministic
+    // ring-with-chords graph (chord absent on %17 nodes, so triangle
+    // closure varies) — the community-density readout PageRank can't
+    // see; canonical a<b<c two-join enumeration
+    "q_clustering" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .unionByName(docs.where(id % 17 =!= 0)
+          .select(id.as("src"), ((id + 2) % n).as("dst")))
+      LinkGraph.triangleStats(edges)
+    }),
+
+    // degree assortativity (Newman 2002) of the same graph: Pearson of
+    // endpoint degrees over symmetrized edges, from EXACT integer
+    // sufficient sums (never two engines' streaming corr)
+    "q_assortativity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val id = col("doc_id").cast("long")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .unionByName(docs.where(id % 17 =!= 0)
+          .select(id.as("src"), ((id + 2) % n).as("dst")))
+      LinkGraph.assortativity(edges)
+    }),
+
+    // pairwise audience overlap from the per-group HLL sketches:
+    // inclusion-exclusion |A|+|B|-|A union B| on kilobyte sketches —
+    // the shared-users matrix without O(pairs) intersection scans;
+    // coupon-mode exactness drives the exact oracle at test scale
+    "q_audience_overlap" -> ((s, d) =>
+      Profile.sketchOverlap(t(s, d, "events"), "event_type", "user_id")),
+
     // BPE tokenizer-vocabulary training, first 4 merges: corpus touched
     // once (word-frequency agg); each merge runs on the vocab-bounded
     // frame. The oracle replays all 4 rounds as chained CTEs — both
@@ -6351,6 +6385,85 @@ object SparkEntry {
         |                      + 1.0::DOUBLE / (tot.nn - per.n))), 6)
         |  END AS z
         |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q_clustering" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+        |  WHERE doc_id % 17 <> 0),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM e0 WHERE src <> dst),
+        |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e2.u = e1.v),
+        |tri AS (SELECT w.a, w.b, w.c FROM w
+        |        JOIN e ON e.u = w.a AND e.v = w.c),
+        |pn AS (SELECT node, count(*) AS n_tri FROM (
+        |         SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1)
+        |SELECT deg.node, deg.degree, coalesce(pn.n_tri, 0) AS n_triangles,
+        |  round(CASE WHEN deg.degree >= 2
+        |    THEN 2.0::DOUBLE * coalesce(pn.n_tri, 0)
+        |         / (deg.degree * (deg.degree - 1))
+        |    ELSE 0 END, 6) AS clustering
+        |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+        |  WHERE doc_id % 17 <> 0),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |sym AS (
+        |  SELECT du.degree AS x, dv.degree AS y FROM e
+        |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        |  UNION ALL
+        |  SELECT dv.degree, du.degree FROM e
+        |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |st AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM sym)
+        |SELECT n // 2 AS n_edges,
+        |  CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+        |       THEN NULL
+        |       ELSE round((n * sxy - sx * sy)::DOUBLE
+        |            / sqrt((n * sxx - sx * sx)::DOUBLE
+        |                   * (n * syy - sy * sy)::DOUBLE), 6)
+        |  END AS assortativity
+        |FROM st""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH base AS (
+        |  SELECT DISTINCT event_type AS g, user_id AS k FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |d AS (SELECT g, count(*) AS nd FROM base GROUP BY 1),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM d a
+        |          JOIN d b ON a.g < b.g),
+        |ov AS (SELECT p.ga, p.gb, count(*) AS ovl
+        |       FROM pairs p JOIN base x ON x.g = p.ga
+        |       JOIN base y ON y.g = p.gb AND y.k = x.k
+        |       GROUP BY 1, 2)
+        |SELECT p.ga AS group_a, p.gb AS group_b, da.nd AS distinct_a,
+        |  db.nd AS distinct_b,
+        |  da.nd + db.nd - coalesce(ov.ovl, 0) AS distinct_union,
+        |  coalesce(ov.ovl, 0) AS est_overlap,
+        |  round(coalesce(ov.ovl, 0)::DOUBLE
+        |        / (da.nd + db.nd - coalesce(ov.ovl, 0)), 6) AS jaccard
+        |FROM pairs p JOIN d da ON da.g = p.ga JOIN d db ON db.g = p.gb
+        |LEFT JOIN ov ON ov.ga = p.ga AND ov.gb = p.gb
+        |ORDER BY group_a, group_b""".stripMargin,
 
     // BPE: generated chained-CTE oracle (see bpeOracle above)
     "q_bpe_merges" -> bpeOracle,

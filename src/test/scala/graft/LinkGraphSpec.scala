@@ -181,4 +181,39 @@ class LinkGraphSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out === Array((-1L, 1L), (0L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
   }
+
+  test("triangleStats: K4-minus-an-edge, dup/reverse/self edges collapse") {
+    // edges (1,2)(1,3)(2,3)(2,4)(3,4) + noise (2,1) dup-reverse, (1,1)
+    // self: triangles (1,2,3) and (2,3,4); hand-computed clustering
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    val m = LinkGraph.triangleStats(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(m(1L) === ((2L, 1L, 1.0)))
+    assert(m(2L) === ((3L, 2L, 0.666667)))
+    assert(m(3L) === ((3L, 2L, 0.666667)))
+    assert(m(4L) === ((2L, 1L, 1.0)))
+  }
+
+  test("assortativity: star is -1, regular ring is NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = LinkGraph.assortativity(star).collect()(0)
+    assert(s.getLong(0) === 3L && s.getDouble(1) === -1.0)
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = LinkGraph.assortativity(ring).collect()(0)
+    assert(r.getLong(0) === 3L && r.isNullAt(1)) // zero degree variance
+  }
+
+  test("sketchOverlap: inclusion-exclusion exact in coupon mode") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("c", 9L)).toDF("g", "k")
+    val m = Profile.sketchOverlap(df, "g", "k").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(m(("a", "b")) === ((3L, 3L, 4L, 2L, 0.5)))
+    assert(m(("a", "c")) === ((3L, 1L, 4L, 0L, 0.0)))
+    assert(m(("b", "c")) === ((3L, 1L, 4L, 0L, 0.0)))
+  }
 }
