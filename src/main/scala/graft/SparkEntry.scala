@@ -368,6 +368,30 @@ object SparkEntry {
     // profiles as psi/jsd
     "q_kl_source" -> ((s, d) => sourceDriftStat(s, d, "kl", Drift.kl(_, _))),
 
+    // total variation distance — the tight, floor-free drift bound
+    // ("no downstream rate can move by more than TV"); same merged
+    // O(categories) profiles as psi/jsd/kl
+    "q_tv_source" -> ((s, d) =>
+      sourceDriftStat(s, d, "tv", Drift.totalVariation)),
+
+    // information-theoretic column association: MI + BOTH uncertainty
+    // coefficients (Theil's U is asymmetric — "source determines lang
+    // but not back" is a droppable-column finding); exact integer
+    // counts, driver arithmetic in sorted key order
+    "q_mutual_info" -> ((s, d) =>
+      Profile.mutualInformation(t(s, d, "documents"), "lang", "source")),
+
+    // capture-recapture corpus-size estimate (Chapman): two overlapping
+    // snapshot key sets as two "captures" — what fraction of the
+    // reachable corpus does the crawl actually cover; three narrow
+    // distinct-key aggregates, payloads never move
+    "q_capture_recapture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profile.captureRecapture(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id")
+    }),
+
     // which slice moved the mean: Welch's unequal-variance t of each
     // source's n_chars vs its complement — ONE sufficient-stats
     // aggregate, complements free (grand − group), stats driver-side
@@ -4065,6 +4089,56 @@ object SparkEntry {
         |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
         |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS kl
         |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_tv_source" ->
+      """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |           FROM documents GROUP BY 1),
+        |b AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ot AS (SELECT sum(n) AS t FROM o), bt AS (SELECT sum(n) AS t FROM b)
+        |SELECT round(sum(
+        |    abs(coalesce(o.n, 0) / ot.t - coalesce(b.n, 0) / bt.t)) / 2, 6)
+        |  AS tv
+        |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH j AS (
+        |  SELECT coalesce(lang, '<null>') AS x,
+        |         coalesce(source, '<null>') AS y, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |px AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1),
+        |py AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1),
+        |hx AS (SELECT sum(-(cx / n.n) * ln(cx / n.n)) AS h FROM px, n),
+        |hy AS (SELECT sum(-(cy / n.n) * ln(cy / n.n)) AS h FROM py, n),
+        |mi AS (SELECT sum((c / n.n)
+        |         * ln((c / n.n) / ((cx / n.n) * (cy / n.n)))) AS mi
+        |       FROM j JOIN px USING (x) JOIN py USING (y), n)
+        |SELECT CAST((SELECT sum(c) FROM j) AS BIGINT) AS n,
+        |  round(mi.mi, 6) AS mi, round(hx.h, 6) AS h_x,
+        |  round(hy.h, 6) AS h_y,
+        |  CASE WHEN hx.h > 0 THEN round(mi.mi / hx.h, 6) END
+        |    AS u_x_given_y,
+        |  CASE WHEN hy.h > 0 THEN round(mi.mi / hy.h, 6) END
+        |    AS u_y_given_x
+        |FROM mi, hx, hy""".stripMargin,
+
+    "q_capture_recapture" ->
+      """WITH a AS (SELECT DISTINCT doc_id FROM documents
+        |           WHERE doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 <> 0),
+        |st AS (SELECT (SELECT count(*) FROM a) AS na,
+        |              (SELECT count(*) FROM b) AS nb,
+        |              (SELECT count(*) FROM a JOIN b USING (doc_id)) AS m)
+        |SELECT na AS n_a, nb AS n_b, m AS n_overlap,
+        |  round((na + 1.0::DOUBLE) * (nb + 1.0::DOUBLE)
+        |        / (m + 1.0::DOUBLE) - 1.0::DOUBLE, 6) AS est_population,
+        |  round(CASE WHEN ((na + 1.0::DOUBLE) * (nb + 1.0::DOUBLE)
+        |                   / (m + 1.0::DOUBLE) - 1.0::DOUBLE) > 0
+        |             THEN na / ((na + 1.0::DOUBLE) * (nb + 1.0::DOUBLE)
+        |                        / (m + 1.0::DOUBLE) - 1.0::DOUBLE)
+        |             ELSE 1.0::DOUBLE END, 6) AS coverage_a
+        |FROM st""".stripMargin,
 
     "q_welch_t" ->
       """WITH st AS (

@@ -341,6 +341,24 @@ object Drift {
     }.sum
   }
 
+  /** Total variation distance — ½·Σ|p_k − q_k| over the category
+    * union: the TIGHT drift bound the PSI/JSD pair lacks an
+    * interpretation for (TV is exactly the largest possible difference
+    * in probability either distribution assigns to ANY event — "no
+    * downstream rate can move by more than TV"), and the metric that
+    * stays finite and floor-free on novel/vanished categories. Same
+    * metadata-sized [[CategoricalProfile]] inputs as [[psi]]/[[jsd]];
+    * sorted key order keeps the fp sum stable. */
+  def totalVariation(a: CategoricalProfile,
+                     b: CategoricalProfile): Double = {
+    val na = a.total.toDouble.max(1.0)
+    val nb = b.total.toDouble.max(1.0)
+    val keys = (a.freq.keySet ++ b.freq.keySet).toSeq.sorted
+    keys.iterator.map { k =>
+      math.abs(a.freq.getOrElse(k, 0L) / na - b.freq.getOrElse(k, 0L) / nb)
+    }.sum / 2.0
+  }
+
   /** PSI over aligned histogram sketches (numeric flavor: bins are the
     * categories). Same proportion floor as the categorical form. */
   def psiHistogram(observed: HistogramProfile, baseline: HistogramProfile,

@@ -384,6 +384,80 @@ object Profile {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** Mutual information + uncertainty coefficients between two
+    * categorical columns — the information-theoretic association
+    * reading next to the chi-square family (Cramér's V says "these
+    * columns are associated"; Theil's U(X|Y) = MI/H(X) says "knowing Y
+    * removes this FRACTION of X's uncertainty", and it is asymmetric,
+    * which is the point: U(lang|source) ≈ 1 with U(source|lang) ≈ 0.3
+    * means source determines lang but not back — a redundancy you can
+    * drop a column over). MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), exact
+    * from integer counts; NULLs fold to "<null>" (missingness is
+    * jointly informative). One (x, y) count aggregate (map-side
+    * combined, O(|X|·|Y|) rows — dimension-like by contract), marginals
+    * and the sums driver-side in sorted key order (the [[Drift.jsd]]
+    * fp discipline). Returns one row (n, mi, h_x, h_y, u_x_given_y,
+    * u_y_given_x); degenerate entropies yield NULL coefficients. */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val rows = df.groupBy(
+        coalesce(col(xCol).cast("string"), lit("<null>")).as("__x"),
+        coalesce(col(yCol).cast("string"), lit("<null>")).as("__y"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val joint = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val n = joint.values.sum.toDouble.max(1.0)
+    val px = joint.toSeq.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val py = joint.toSeq.groupBy(_._1._2).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    def entropy(m: Map[String, Long]): Double =
+      m.toSeq.sortBy(_._1).iterator.map { case (_, c) =>
+        val p = c / n; if (p > 0.0) -p * math.log(p) else 0.0
+      }.sum
+    val hx = entropy(px); val hy = entropy(py)
+    val mi = joint.toSeq.sortBy(_._1).iterator.map { case ((x, y), c) =>
+      val pxy = c / n
+      val d = (px(x) / n) * (py(y) / n)
+      if (pxy > 0.0 && d > 0.0) pxy * math.log(pxy / d) else 0.0
+    }.sum
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((joint.values.sum, r6(mi), r6(hx), r6(hy),
+      if (hx > 0.0) Option(r6(mi / hx)) else None,
+      if (hy > 0.0) Option(r6(mi / hy)) else None))
+      .toDF("n", "mi", "h_x", "h_y", "u_x_given_y", "u_y_given_x")
+  }
+
+  /** Capture–recapture corpus-size estimate (Chapman's bias-corrected
+    * Lincoln–Petersen): treat two overlapping crawls/snapshots as two
+    * "captures" of the same underlying population and estimate how
+    * many documents EXIST from how often the crawls re-find each
+    * other: N̂ = (n_A+1)(n_B+1)/(m+1) − 1 with m the key overlap —
+    * the standard answer to "what fraction of the reachable corpus
+    * are we actually covering", straight from ecology into crawl
+    * analytics. Three narrow distinct-key aggregates (the overlap is
+    * a semi-join of key projections — payloads never move). Returns
+    * (n_a, n_b, n_overlap, est_population, coverage_a = n_A/N̂);
+    * disjoint captures (m = 0) keep the defined Chapman value — its
+    * bias correction exists exactly so that case stays finite. */
+  def captureRecapture(dfA: DataFrame, dfB: DataFrame,
+                       keyCol: String): DataFrame = {
+    val a = dfA.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val b = dfB.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val nA = a.count(); val nB = b.count()
+    val m = a.join(b, Seq(keyCol), "left_semi").count()
+    val est = (nA + 1.0) * (nB + 1.0) / (m + 1.0) - 1.0
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    Seq((nA, nB, m, r6(est), r6(if (est > 0.0) nA / est else 1.0)))
+      .toDF("n_a", "n_b", "n_overlap", "est_population", "coverage_a")
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

@@ -400,6 +400,47 @@ class StatBatterySpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(4)))
   }
 
+  test("totalVariation: hand-computed, novel category floor-free") {
+    import graft.operators.Drift.CategoricalProfile
+    // p = (.75, .25, 0) vs q = (.25, .25, .5) → TV = (.5 + 0 + .5)/2
+    val a = CategoricalProfile(Map("x" -> 3L, "y" -> 1L))
+    val b = CategoricalProfile(Map("x" -> 1L, "y" -> 1L, "z" -> 2L))
+    assert(Drift.totalVariation(a, b) === 0.5)
+    assert(Drift.totalVariation(a, a) === 0.0)
+  }
+
+  test("mutualInformation: dependence ln2, independence 0, degenerate NULL") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // x == y deterministic → MI = H(X) = H(Y) = ln 2, both U = 1
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val d = Profile.mutualInformation(dep, "x", "y").collect()(0)
+    assert(d.getLong(0) === 4L && d.getDouble(1) === 0.693147)
+    assert(d.getDouble(4) === 1.0 && d.getDouble(5) === 1.0)
+    // full independence → MI 0
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val i = Profile.mutualInformation(ind, "x", "y").collect()(0)
+    assert(i.getDouble(1) === 0.0 && i.getDouble(4) === 0.0)
+    // constant x → H(X) = 0 → U(X|Y) undefined (NULL), U(Y|X) = 0
+    val const = Seq(("k", "a"), ("k", "b")).toDF("x", "y")
+    val c = Profile.mutualInformation(const, "x", "y").collect()(0)
+    assert(c.isNullAt(4) && c.getDouble(5) === 0.0)
+  }
+
+  test("captureRecapture: Chapman estimate, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6} → N̂ = 5·5/3 − 1 = 7.333333,
+    // coverage_a = 4/7.333333 = 0.545455
+    val a = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("k")
+    val r = Profile.captureRecapture(a, b, "k").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 4L, 2L)))
+    assert(r.getDouble(3) === 7.333333 && r.getDouble(4) === 0.545455)
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
