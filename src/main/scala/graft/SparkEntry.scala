@@ -381,6 +381,36 @@ object SparkEntry {
     "q_mutual_info" -> ((s, d) =>
       Profile.mutualInformation(t(s, d, "documents"), "lang", "source")),
 
+    // guaranteed-balance stratified k-folds: within-stratum rank by the
+    // overflow-safe multiplicative key, fold = (rank-1) mod k — every
+    // (source, fold) cell within 1 of n_s/k BY CONSTRUCTION (hash-mod
+    // only balances in expectation); output is the balance audit
+    "q_stratified_folds" -> ((s, d) =>
+      Mixing.foldBalance(
+        Mixing.stratifiedFolds(t(s, d, "documents"), "doc_id", "source",
+          k = 5, seed = 7L), "source")),
+
+    // recency-weighted source volume: each event decays by half per 7
+    // days back from the corpus's own newest day (never wall-clock) —
+    // ranks what is STILL PRODUCING, not what has the biggest archive
+    "q_decayed_volume" -> ((s, d) =>
+      Drift.decayedVolume(t(s, d, "events"), "ts", "event_type",
+        halfLifeDays = 7.0)),
+
+    // normalization gain for exact dedup: planted disguised copies
+    // (upper-case + trailing whitespace on %13 keys) invisible to raw
+    // hashing, caught after lower+trim+ws-collapse — "does the exact
+    // tier need to normalize before hashing" as one number
+    "q_norm_dups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val variants = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+      Dedup.normalizationGain(
+        docs.select("doc_id", "text").unionByName(variants),
+        "doc_id", "text")
+    }),
+
     // capture-recapture corpus-size estimate (Chapman): two overlapping
     // snapshot key sets as two "captures" — what fraction of the
     // reachable corpus does the crawl actually cover; three narrow
@@ -4122,6 +4152,51 @@ object SparkEntry {
         |  CASE WHEN hy.h > 0 THEN round(mi.mi / hy.h, 6) END
         |    AS u_y_given_x
         |FROM mi, hx, hy""".stripMargin,
+
+    "q_stratified_folds" ->
+      """WITH kdf AS (
+        |  SELECT doc_id, source,
+        |    (doc_id * 2654435761 + 7) % 4294967296 AS key
+        |  FROM documents),
+        |f AS (SELECT source,
+        |        (row_number() OVER (PARTITION BY source
+        |                            ORDER BY key, doc_id) - 1) % 5
+        |          AS fold
+        |      FROM kdf)
+        |SELECT source, CAST(fold AS INT) AS fold, count(*) AS n_rows
+        |FROM f GROUP BY 1, 2 ORDER BY source, fold""".stripMargin,
+
+    "q_decayed_volume" ->
+      """WITH base AS (
+        |  SELECT coalesce(event_type, '<null>') AS g,
+        |         CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT max(d) AS ref FROM base)
+        |SELECT g AS event_type, count(*) AS n_events,
+        |  round(sum(pow(0.5::DOUBLE, (r.ref - d)::DOUBLE / 7.0::DOUBLE)),
+        |        6) AS decayed_mass,
+        |  round(sum(pow(0.5::DOUBLE, (r.ref - d)::DOUBLE / 7.0::DOUBLE))
+        |        / count(*), 6) AS freshness
+        |FROM base, r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_norm_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |raw AS (SELECT coalesce(sum(n), 0) AS d FROM (
+        |  SELECT count(*) AS n FROM aug WHERE text IS NOT NULL
+        |  GROUP BY text HAVING count(*) > 1)),
+        |nrm AS (SELECT coalesce(sum(n), 0) AS d FROM (
+        |  SELECT count(*) AS n FROM aug WHERE text IS NOT NULL
+        |  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  HAVING count(*) > 1)),
+        |nn AS (SELECT count(*) AS n FROM aug WHERE text IS NOT NULL)
+        |SELECT nn.n AS n_rows, CAST(raw.d AS BIGINT) AS raw_dup_rows,
+        |  CAST(nrm.d AS BIGINT) AS norm_dup_rows,
+        |  CAST(nrm.d - raw.d AS BIGINT) AS gain_rows
+        |FROM nn, raw, nrm""".stripMargin,
 
     "q_capture_recapture" ->
       """WITH a AS (SELECT DISTINCT doc_id FROM documents

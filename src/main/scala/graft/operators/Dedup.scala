@@ -60,6 +60,40 @@ object Dedup {
         slice(sort_array(collect_list(col(idCol))), 1, maxIdsPerGroup).as("doc_ids"))
       .where(col("n_docs") > 1)
 
+  /** Normalization gain audit for the exact-dedup tier: how many
+    * duplicate rows does dedup find on RAW text vs on canonicalized
+    * text (Locale-free lowercase + trim + whitespace collapse — the
+    * byte-level noise crawls actually carry: casing variants, NBSP/
+    * tab runs, trailing blank padding)? A large gap means the corpus
+    * is full of trivially-disguised copies and the exact tier MUST
+    * normalize before hashing; a near-zero gap means normalization is
+    * free to skip. Returns one row (n_rows, raw_dup_rows,
+    * norm_dup_rows, gain_rows) where *_dup_rows counts rows in groups
+    * of size > 1 (the rows a keep-one pass would inspect).
+    *
+    * Scale shape: two hash-keyed aggregates (the [[exactDuplicates]]
+    * shuffle discipline — 8-byte keys, map-side combine, text never
+    * moves) + an O(distinct) rollup each. Unicode NFC is deliberately
+    * [[graft.functions.NormalizeText]]'s separate job — compose
+    * upstream when the corpus needs it. */
+  def normalizationGain(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    def dupRows(text: Column): DataFrame =
+      df.where(col(textCol).isNotNull)
+        .select(xxhash64(text).as("__h"))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("__dups"))
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val n = df.where(col(textCol).isNotNull).count()
+    val raw = dupRows(col(textCol)).head().getLong(0)
+    val nrm = dupRows(norm).head().getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, raw, nrm, nrm - raw))
+      .toDF("n_rows", "raw_dup_rows", "norm_dup_rows", "gain_rows")
+  }
+
   /** Keep one representative per exact-duplicate group (min id wins) —
     * the dedup *apply* step. One aggregate keyed by the 8-byte content
     * hash with `min_by` carrying the surviving row: partial aggregation

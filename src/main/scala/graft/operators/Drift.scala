@@ -265,6 +265,36 @@ object Drift {
       .orderBy(col(groupCol))
   }
 
+  /** Recency-weighted (exponentially decayed) volume per group: each
+    * event contributes 0.5^(age_days / halfLifeDays) with age measured
+    * back from the CORPUS'S OWN newest day (deterministic — never
+    * wall-clock `now()`, which would make the metric unreproducible
+    * and the oracle impossible). The freshness-honest source ranking:
+    * raw counts rank a dead feed with a big archive above a live one —
+    * decayed mass ranks what is ACTUALLY still producing. Returns
+    * (group, n_events, decayed_mass, freshness = decayed/n) with
+    * freshness ∈ (0, 1]: 1.0 = everything arrived today, → 0 = dead
+    * archive. One max-day aggregate broadcast back + one grouped
+    * sum — O(groups) result rows, corpus seen once. */
+  def decayedVolume(df: DataFrame, tsCol: String, groupCol: String,
+                    halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val base = df.where(col(tsCol).isNotNull)
+      .select(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("__g"), to_date(col(tsCol)).as("__d"))
+    val ref = base.agg(max(col("__d")).as("__ref"))
+    base.crossJoin(broadcast(ref))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(pow(lit(0.5),
+          datediff(col("__ref"), col("__d")).cast("double")
+            / halfLifeDays)).as("__mass"))
+      .select(col("__g").as(groupCol), col("n_events"),
+        round(col("__mass"), 6).as("decayed_mass"),
+        round(col("__mass") / col("n_events"), 6).as("freshness"))
+      .orderBy(col(groupCol))
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

@@ -947,4 +947,44 @@ object Mixing {
         .when(ts >= hi, lit("test"))
         .otherwise(lit("embargo")))
   }
+
+  /** Stratified k-fold assignment with GUARANTEED balance: within each
+    * stratum, rows rank by a deterministic pseudo-random key and fold
+    * = (rank − 1) mod k — so every (stratum, fold) cell holds
+    * ⌊n_s/k⌋ or ⌈n_s/k⌉ rows BY CONSTRUCTION, where hash-mod
+    * assignment (`fold = hash % k`) only balances in expectation and
+    * at small strata reliably delivers the 60/40 folds that make
+    * cross-validation variance estimates lie. Deterministic: same
+    * input → same folds on any cluster size, retry, or row order
+    * (rank ties broken by id).
+    *
+    * Scale shape: one narrow (id, stratum) projection shuffled by
+    * stratum for the rank window — per-stratum window state is one
+    * counter; a mega-stratum is bounded by its own row count, the
+    * [[quantileBuckets]]-class hazard note applies. The
+    * overflow-safe multiplicative key keeps the SQL oracle exact (the
+    * [[weightedSample]] spelling). Returns (idCol, strataCol, fold). */
+  def stratifiedFolds(df: DataFrame, idCol: String, strataCol: String,
+                      k: Int, seed: Long = 7L): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val m = 4294967296L
+    val key = moduloLong(df, idCol, "stratifiedFolds") { c =>
+      val aHi = 40503L; val aLo = 31153L
+      val u = pmod(c, lit(m))
+      pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo +
+        lit(((seed % m) + m) % m), lit(m))
+    }
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
+  /** The balance audit for [[stratifiedFolds]]: (stratum, fold,
+    * n_rows) — every cell within 1 of n_s/k or the assignment is
+    * broken. O(strata × k) rows. */
+  def foldBalance(folds: DataFrame, strataCol: String): DataFrame =
+    folds.groupBy(col(strataCol), col("fold"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col(strataCol), col("fold"))
 }

@@ -152,4 +152,28 @@ class SplitHygieneSpec extends AnyFunSuite {
     assert(r.getString(1) === "ab" && r.getLong(2) === 2L)
     assert(r.getDouble(3) === 0.5)
   }
+
+  test("stratifiedFolds: exact balance by construction, deterministic") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // strata of 7 and 5 rows, k=3 → cell sizes {3,2,2} and {2,2,1}
+    val df = ((1L to 7L).map(i => (i, "a")) ++ (8L to 12L).map(i => (i, "b")))
+      .toDF("id", "g")
+    val folds = Mixing.stratifiedFolds(df, "id", "g", k = 3)
+    val bal = Mixing.foldBalance(folds, "g").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(Seq(bal(("a", 0)), bal(("a", 1)), bal(("a", 2))).sorted ===
+      Seq(2L, 2L, 3L))
+    assert(Seq(bal(("b", 0)), bal(("b", 1)), bal(("b", 2))).sorted ===
+      Seq(1L, 2L, 2L))
+    // deterministic under repartition
+    val again = Mixing.stratifiedFolds(df.repartition(7), "id", "g", k = 3)
+    assert(folds.orderBy("id").collect().toSeq ===
+      again.orderBy("id").collect().toSeq)
+    // fractional key type guard fires
+    val frac = Seq((1.5, "a")).toDF("id", "g")
+    val e = intercept[IllegalArgumentException](
+      Mixing.stratifiedFolds(frac, "id", "g", k = 2))
+    assert(e.getMessage.contains("fractional"))
+  }
 }

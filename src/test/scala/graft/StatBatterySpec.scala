@@ -441,6 +441,33 @@ class StatBatterySpec extends AnyFunSuite {
     assert(r.getDouble(3) === 7.333333 && r.getDouble(4) === 0.545455)
   }
 
+  test("decayedVolume: half-life weighting from the corpus's own newest day") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // group a: 2 events on the ref day + 1 event 7 days back →
+    // mass 2 + 0.5 = 2.5, freshness 2.5/3 = 0.833333
+    val df = Seq(("a", "2024-01-08"), ("a", "2024-01-08"),
+      ("a", "2024-01-01"), ("b", "2024-01-01"))
+      .toDF("g", "s").select(col("g"), to_timestamp(col("s")).as("ts"))
+    val m = Drift.decayedVolume(df, "ts", "g", halfLifeDays = 7.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("a") === ((3L, 2.5, 0.833333)))
+    assert(m("b") === ((1L, 0.5, 0.5))) // dead-archive group decays
+  }
+
+  test("normalizationGain: disguised copies caught only after canonicalization") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1L, "Hello World"), (2L, "hello   world "),
+      (3L, "unique"), (4L, "unique")).toDF("id", "text")
+    val r = graft.operators.Dedup.normalizationGain(df, "id", "text")
+      .collect()(0)
+    // raw: only the exact "unique" pair; normalized adds the case/ws pair
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2L, 4L, 2L)))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
