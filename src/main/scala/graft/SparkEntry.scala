@@ -2325,6 +2325,43 @@ object SparkEntry {
         Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
           "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0), k = 20)),
 
+    // UCB1 source allocation: mean quality + sqrt(2 ln N / n) per
+    // source — the exploration bonus keeps barely-measured sources in
+    // the curation budget until they've been SEEN (pure mean-ranking
+    // starves them); one sufficient-stats aggregate
+    "q_ucb_alloc" -> ((s, d) => {
+      TextExpressions.register(s)
+      val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+        "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+      val scored = t(s, d, "documents").select(col("source"),
+        round(TextAnalysis.logOddsFrom(
+          TextAnalysis.textProfile(col("text")), -2.0, w), 6)
+          .as("reward"))
+      Mixing.ucbAllocation(scored, "source", "reward")
+    }),
+
+    // 2-D Pareto frontier over (length, quality): the best document at
+    // every length budget — the whole selection menu, not one blended
+    // trade-off point; O(distinct lengths) window, corpus never sorts
+    "q_pareto_front" -> ((s, d) => {
+      TextExpressions.register(s)
+      val w = Map("mean_word_len" -> 0.5, "n_words" -> 0.02,
+        "punct_ratio" -> -8.0, "stopword_ratio" -> 4.0)
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        col("n_chars"),
+        round(TextAnalysis.logOddsFrom(
+          TextAnalysis.textProfile(col("text")), -2.0, w), 6)
+          .as("log_odds"))
+      Selection.paretoFrontier(scored, "doc_id", "n_chars", "log_odds")
+    }),
+
+    // sequence predictability: order-1 transition entropy of per-user
+    // event streams vs the marginal — the scripted-traffic detector
+    // (a bot's state machine has near-1 predictability at any volume)
+    "q_transition_entropy" -> ((s, d) =>
+      Sessionize.transitionEntropy(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id")),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -5565,6 +5602,92 @@ object SparkEntry {
         |  FROM feat)
         |SELECT doc_id, log_odds, abs(log_odds) AS margin
         |FROM lo ORDER BY margin, doc_id LIMIT 20""".stripMargin,
+
+    "q_ucb_alloc" ->
+      """WITH feat AS (
+        |  SELECT doc_id, source,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, source, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |lo AS (
+        |  SELECT doc_id, coalesce(source, '<null>') AS g,
+        |    round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
+        |          + stop_ratio * 4.0 + -2.0, 6) AS reward
+        |  FROM feat),
+        |per AS (SELECT g, count(reward) AS n, sum(reward) AS s
+        |        FROM lo GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM per)
+        |SELECT per.g AS source, per.n,
+        |  round(per.s / per.n, 6) AS mean_reward,
+        |  round(per.s / per.n
+        |        + sqrt(2.0::DOUBLE * ln(tot.nn::DOUBLE) / per.n), 6)
+        |    AS ucb
+        |FROM per, tot ORDER BY ucb DESC, source""".stripMargin,
+
+    "q_pareto_front" ->
+      """WITH feat AS (
+        |  SELECT doc_id, n_chars,
+        |    len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS punct_ratio,
+        |    CASE WHEN len(ws) > 0
+        |      THEN round(len(list_filter(ws, x -> x IN
+        |        ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / len(ws), 4)
+        |      ELSE 0.0 END AS stop_ratio
+        |  FROM (SELECT doc_id, n_chars, text,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |base AS (
+        |  SELECT doc_id, n_chars,
+        |    round(mwl * 0.5 + n_words * 0.02 + punct_ratio * -8.0
+        |          + stop_ratio * 4.0 + -2.0, 6) AS log_odds
+        |  FROM feat WHERE n_chars IS NOT NULL),
+        |grp AS (SELECT n_chars, max(log_odds) AS gy FROM base GROUP BY 1),
+        |pref AS (SELECT n_chars, gy,
+        |           max(gy) OVER (ORDER BY n_chars DESC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS strict
+        |         FROM grp)
+        |SELECT b.doc_id, b.n_chars, b.log_odds
+        |FROM base b JOIN pref p USING (n_chars)
+        |WHERE (p.strict IS NULL OR p.strict < b.log_odds)
+        |  AND b.log_odds = p.gy
+        |ORDER BY n_chars DESC, log_odds DESC, doc_id""".stripMargin,
+
+    "q_transition_entropy" ->
+      """WITH p AS (
+        |  SELECT event_type AS y,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |j AS (SELECT x, y, count(*) AS c FROM p WHERE x IS NOT NULL
+        |      GROUP BY 1, 2),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |cx AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1),
+        |cy AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1),
+        |hc AS (SELECT sum(-(j.c / n.n) * ln(j.c::DOUBLE / cx.cx)) AS h
+        |       FROM j JOIN cx USING (x), n),
+        |hm AS (SELECT sum(-(cy.cy / n.n) * ln(cy.cy / n.n)) AS h
+        |       FROM cy, n)
+        |SELECT CAST((SELECT sum(c) FROM j) AS BIGINT) AS n_transitions,
+        |  round(hc.h, 6) AS h_conditional, round(hm.h, 6) AS h_marginal,
+        |  CASE WHEN hm.h > 0 THEN round(1.0::DOUBLE - hc.h / hm.h, 6) END
+        |    AS predictability
+        |FROM hc, hm""".stripMargin,
 
     "q_diff_columns" ->
       """WITH oldsnap AS (

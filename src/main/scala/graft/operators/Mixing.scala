@@ -987,4 +987,35 @@ object Mixing {
     folds.groupBy(col(strataCol), col("fold"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col(strataCol), col("fold"))
+
+  /** UCB1 exploration scores for adaptive source allocation (Auer et
+    * al. 2002): ucb = mean reward + √(2·ln N / n) per arm — the
+    * principled answer to "which under-sampled source should the next
+    * curation budget probe", where pure exploitation (rank by mean
+    * quality) starves every arm it has barely measured: the bonus
+    * term decays as an arm accumulates observations, so a
+    * 10-document source with mediocre mean still outranks a
+    * million-document source with a slightly better one until it has
+    * been SEEN. One sufficient-stats aggregate (n, Σreward per
+    * group), N = Σn from the same frame, arithmetic on the O(groups)
+    * result. NULL rewards are excluded from both n and the mean (an
+    * unscored doc is not evidence); a group with no scored rows keeps
+    * NULL mean/ucb. Returns (group, n, mean_reward, ucb) ordered ucb
+    * DESC (the allocation order), NULLs last. */
+  def ucbAllocation(df: DataFrame, groupCol: String,
+                    rewardCol: String): DataFrame = {
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(col(rewardCol)).as("n"),
+        sum(col(rewardCol).cast("double")).as("__s"))
+    val tot = per.agg(sum(col("n")).as("__N"))
+    val mean = col("__s") / col("n")
+    val ucb = mean + sqrt(lit(2.0) * log(col("__N").cast("double"))
+      / col("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("n"),
+        when(col("n") > 0, round(mean, 6)).as("mean_reward"),
+        when(col("n") > 0, round(ucb, 6)).as("ucb"))
+      .orderBy(col("ucb").desc_nulls_last, col(groupCol))
+  }
 }

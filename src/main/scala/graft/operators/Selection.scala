@@ -66,4 +66,37 @@ object Selection {
     // hash join — the payload shuffles at most once
     df.join(kept, Seq(idCol))
   }
+
+  /** 2-D Pareto frontier (skyline), maximizing both columns: a row
+    * survives iff NO other row is ≥ in both dimensions and > in one —
+    * "the best document at every length budget", the selection view a
+    * single blended score can't give (a blend picks ONE trade-off
+    * point; the frontier hands the data buyer the whole menu).
+    * Dominance decomposed into two window-free checks: per distinct x,
+    * the group max of y (dominates same-x rows with smaller y), and
+    * the strict-prefix running max of those group maxes in x-desc
+    * order (dominates rows with any larger-x, ≥-y witness). Returns
+    * the frontier rows (idCol, xCol, yCol) ordered x DESC, y DESC, id.
+    *
+    * Scale shape: the corpus aggregates to O(distinct x) group maxes;
+    * the running-max window runs on THAT frame only (the zipfFit
+    * bound — at web scale distinct doc lengths are bounded by the max
+    * doc length, never by corpus size), and the verdict re-attaches by
+    * broadcast join, so the corpus itself never total-sorts. NULL x or
+    * y rows cannot be compared and are excluded (not silently kept). */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol), col(xCol), col(yCol))
+    val grp = base.groupBy(col(xCol)).agg(max(col(yCol)).as("__gy"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = grp.withColumn("__strict", max(col("__gy")).over(w))
+    base.join(broadcast(pref), Seq(xCol))
+      .where((col("__strict").isNull || col("__strict") < col(yCol)) &&
+        col(yCol) === col("__gy"))
+      .select(col(idCol), col(xCol), col(yCol))
+      .orderBy(col(xCol).desc, col(yCol).desc, col(idCol))
+  }
 }

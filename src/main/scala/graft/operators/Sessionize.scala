@@ -158,6 +158,59 @@ object Sessionize {
       .orderBy(col("day"))
   }
 
+  /** Order-1 transition entropy of a per-key event-type stream:
+    * H(next | current) over the lagged-pair distribution, against the
+    * marginal H(next) — predictability = 1 − H(next|cur)/H(next) is
+    * the scripted-traffic detector (a bot's state machine has near-1
+    * predictability at any volume; organic users don't), and the
+    * sequence-level signal the per-event frequency battery can't see
+    * (identical event MIX, totally different ORDER). Pairs form per
+    * key in (ts, ord) order; the first event of each key has no
+    * predecessor and contributes no pair. Counts aggregate to
+    * O(types²) rows; entropies evaluate driver-side in sorted key
+    * order (the [[graft.operators.Profile.mutualInformation]] fp
+    * discipline). Returns one row (n_transitions, h_conditional,
+    * h_marginal, predictability); degenerate marginals (one type)
+    * yield NULL predictability. */
+  def transitionEntropy(df: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(ordCol))
+    val pairs = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(ordCol),
+        col(typeCol).cast("string").as("__y"))
+      .withColumn("__x", lag(col("__y"), 1).over(w))
+      .where(col("__x").isNotNull)
+    val rows = pairs.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val joint = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getLong(2)).toMap
+    val n = joint.values.sum.toDouble.max(1.0)
+    val cx = joint.toSeq.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val cy = joint.toSeq.groupBy(_._1._2).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val hCond = joint.toSeq.sortBy(_._1).iterator.map { case ((x, _), c) =>
+      val p = c / n
+      if (p > 0.0) -p * math.log(c.toDouble / cx(x)) else 0.0
+    }.sum
+    val hMarg = cy.toSeq.sortBy(_._1).iterator.map { case (_, c) =>
+      val p = c / n
+      if (p > 0.0) -p * math.log(p) else 0.0
+    }.sum
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((joint.values.sum, r6(hCond), r6(hMarg),
+      if (hMarg > 0.0) Option(r6(1.0 - hCond / hMarg)) else None))
+      .toDF("n_transitions", "h_conditional", "h_marginal",
+        "predictability")
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

@@ -468,6 +468,54 @@ class StatBatterySpec extends AnyFunSuite {
       ((4L, 2L, 4L, 2L)))
   }
 
+  test("ucbAllocation: exploration bonus outranks a barely-seen arm") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: [1,1], b: [2], N=3 → ucb_a = 1 + √(2ln3/2) = 2.048147,
+    // ucb_b = 2 + √(2ln3) = 3.482304 (hand-computed)
+    val df = Seq(("a", Option(1.0)), ("a", Option(1.0)),
+      ("b", Option(2.0)), ("c", Option.empty[Double])).toDF("g", "r")
+    val out = graft.operators.Mixing.ucbAllocation(df, "g", "r").collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(m("a") === ((2L, Some(2.048147))))
+    assert(m("b") === ((1L, Some(3.482304))))
+    assert(m("c") === ((0L, None))) // unscored arm: no evidence, NULL
+    assert(out.map(_.getString(0)).take(2).toSeq === Seq("b", "a"))
+  }
+
+  test("paretoFrontier: dominance incl. same-x and duplicate points") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 8L, 7.0),
+      (4L, 6L, 9.0), (5L, 5L, 1.0), (6L, 10L, 7.0)).toDF("id", "x", "y")
+    val out = graft.operators.Selection.paretoFrontier(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    // id3 (8,7) dominated by (10,7); id1 by same-x (10,7); id5 by all;
+    // duplicates (2,6) both survive (neither strictly dominates)
+    assert(out === Set(2L, 4L, 6L))
+  }
+
+  test("transitionEntropy: deterministic state machine is predictability 1") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a→b→a→b: H(next|cur)=0, H(next) = H(2/3,1/3) = 0.636514
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b")).toDF("u", "eid", "t")
+      .withColumn("ts", timestamp_micros(col("eid") * 1000000L))
+    val r = graft.operators.Sessionize
+      .transitionEntropy(df, "u", "ts", "t", "eid").collect()(0)
+    assert(r.getLong(0) === 3L && r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.636514 && r.getDouble(3) === 1.0)
+    // single event type → degenerate marginal → NULL predictability
+    val one = Seq((1L, 1L, "a"), (1L, 2L, "a")).toDF("u", "eid", "t")
+      .withColumn("ts", timestamp_micros(col("eid") * 1000000L))
+    val o = graft.operators.Sessionize
+      .transitionEntropy(one, "u", "ts", "t", "eid").collect()(0)
+    assert(o.isNullAt(3))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
