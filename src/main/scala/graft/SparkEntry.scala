@@ -2362,6 +2362,27 @@ object SparkEntry {
       Sessionize.transitionEntropy(t(s, d, "events"), "user_id", "ts",
         "event_type", "event_id")),
 
+    // within-session market baskets: which event types happen in the
+    // SAME VISIT (30-min gap sessions), lift over session baskets —
+    // associationRules smears a month into one basket; this doesn't
+    "q_session_baskets" -> ((s, d) =>
+      Sessionize.sessionBaskets(t(s, d, "events"), "user_id", "ts",
+        "event_type", gapMinutes = 30)),
+
+    // Markov stationarity: the long-run mix implied by the observed
+    // transition matrix (3 power steps from uniform) vs the observed
+    // mix — a gap means the stream is still drifting toward a
+    // different regime, which no frequency snapshot can see
+    "q_stationary_mix" -> ((s, d) =>
+      Sessionize.stationaryMix(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id", iters = 3)),
+
+    // Kish effective sample size under length-weighting: (Σw)²/Σw²
+    // per source — how much data the weights ACTUALLY keep; the
+    // honesty number every weighted-sampling scheme owes its user
+    "q_kish_ess" -> ((s, d) =>
+      Profile.kishEss(t(s, d, "documents"), "source", "n_chars")),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -5688,6 +5709,89 @@ object SparkEntry {
         |  CASE WHEN hm.h > 0 THEN round(1.0::DOUBLE - hc.h / hm.h, 6) END
         |    AS predictability
         |FROM hc, hm""".stripMargin,
+
+    "q_session_baskets" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, event_type,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o),
+        |b AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+        |ns AS (SELECT count(*) AS s FROM
+        |        (SELECT DISTINCT user_id, sid FROM b)),
+        |tc AS (SELECT event_type, count(*) AS c FROM b GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, bb.event_type AS tb,
+        |        count(*) AS n
+        |      FROM b a JOIN b bb ON a.user_id = bb.user_id
+        |        AND a.sid = bb.sid AND a.event_type < bb.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.ta AS type_a, p.tb AS type_b, p.n AS n_together,
+        |  round(ns.s::DOUBLE * p.n / (ca.c * cb.c), 6) AS lift
+        |FROM p JOIN tc ca ON ca.event_type = p.ta
+        |       JOIN tc cb ON cb.event_type = p.tb, ns
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_stationary_mix" ->
+      """WITH p AS (
+        |  SELECT event_type AS y,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |obs AS (SELECT y, count(*) AS n FROM p GROUP BY 1),
+        |tr AS (SELECT x, y, count(*) AS c FROM p WHERE x IS NOT NULL
+        |       GROUP BY 1, 2),
+        |ct AS (SELECT x, sum(c) AS ct FROM tr GROUP BY 1),
+        |ty AS (SELECT y AS t FROM obs),
+        |tcount AS (SELECT count(*)::DOUBLE AS tn FROM ty),
+        |pm AS (
+        |  SELECT s.t AS s, y.t AS yy,
+        |    CASE WHEN ct.ct IS NULL OR ct.ct = 0
+        |         THEN CASE WHEN s.t = y.t THEN 1.0::DOUBLE
+        |                   ELSE 0.0::DOUBLE END
+        |         ELSE coalesce(tr.c, 0)::DOUBLE / ct.ct END AS p
+        |  FROM ty s CROSS JOIN ty y
+        |  LEFT JOIN ct ON ct.x = s.t
+        |  LEFT JOIN tr ON tr.x = s.t AND tr.y = y.t),
+        |x0 AS (SELECT t, 1.0::DOUBLE / tcount.tn AS v FROM ty, tcount),
+        |x1 AS (SELECT pm.yy AS t, sum(x0.v * pm.p) AS v FROM pm
+        |       JOIN x0 ON x0.t = pm.s GROUP BY 1),
+        |x2 AS (SELECT pm.yy AS t, sum(x1.v * pm.p) AS v FROM pm
+        |       JOIN x1 ON x1.t = pm.s GROUP BY 1),
+        |x3 AS (SELECT pm.yy AS t, sum(x2.v * pm.p) AS v FROM pm
+        |       JOIN x2 ON x2.t = pm.s GROUP BY 1),
+        |tot AS (SELECT sum(n)::DOUBLE AS n FROM obs)
+        |SELECT obs.y AS event_type,
+        |  round(obs.n / tot.n, 6) AS observed_share,
+        |  round(x3.v, 6) AS stationary_share,
+        |  round(abs(obs.n / tot.n - x3.v), 6) AS delta
+        |FROM obs JOIN x3 ON x3.t = obs.y, tot
+        |ORDER BY event_type""".stripMargin,
+
+    "q_kish_ess" ->
+      """WITH per AS (
+        |  SELECT coalesce(source, '<null>') AS g, count(*) AS n_rows,
+        |    sum(CASE WHEN n_chars IS NULL OR n_chars <= 0
+        |             THEN 1 ELSE 0 END) AS n_invalid,
+        |    sum(CASE WHEN n_chars > 0
+        |             THEN n_chars * 1.0::DOUBLE END) AS sw,
+        |    sum(CASE WHEN n_chars > 0
+        |             THEN n_chars * 1.0::DOUBLE * n_chars END) AS sw2,
+        |    sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END) AS nv
+        |  FROM documents GROUP BY 1)
+        |SELECT g AS source, n_rows,
+        |  CAST(n_invalid AS BIGINT) AS n_invalid,
+        |  CASE WHEN nv > 0 THEN round(sw * sw / sw2, 6) END AS ess,
+        |  CASE WHEN nv > 0 THEN round(sw * sw / sw2 / nv, 6) END
+        |    AS ess_ratio
+        |FROM per ORDER BY source""".stripMargin,
 
     "q_diff_columns" ->
       """WITH oldsnap AS (

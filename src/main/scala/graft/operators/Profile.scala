@@ -458,6 +458,38 @@ object Profile {
       .toDF("n_a", "n_b", "n_overlap", "est_population", "coverage_a")
   }
 
+  /** Kish effective sample size under weighting — ESS = (Σw)²/Σw² per
+    * group: the honest "how much data do my importance weights
+    * actually keep" number every weighted-sampling scheme (DSIR,
+    * temperature mixing, inverse-propensity) owes its user — a source
+    * with n = 10⁶ docs but ess_ratio 0.02 contributes TWENTY THOUSAND
+    * docs' worth of signal, and treating it as a million is how
+    * weighted pipelines silently overfit their heavy tail. One
+    * sufficient-stats aggregate (n, Σw, Σw² map-side combined to
+    * O(groups) rows). NULL and non-positive weights are EXCLUDED and
+    * counted (`n_invalid` — a negative weight is an upstream bug, not
+    * a small contribution); a group with no valid weights keeps NULL
+    * ess. Returns (group, n_rows, n_invalid, ess, ess_ratio). */
+  def kishEss(df: DataFrame, groupCol: String,
+              weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val valid = w.isNotNull && w > 0.0
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(!valid, 1L).otherwise(0L)).as("n_invalid"),
+        sum(when(valid, w)).as("__sw"),
+        sum(when(valid, w * w)).as("__sw2"),
+        sum(when(valid, 1L).otherwise(0L)).as("__nv"))
+    per.select(col("__g").as(groupCol), col("n_rows"), col("n_invalid"),
+        when(col("__nv") > 0,
+          round(col("__sw") * col("__sw") / col("__sw2"), 6)).as("ess"),
+        when(col("__nv") > 0,
+          round(col("__sw") * col("__sw") / col("__sw2") / col("__nv"), 6))
+          .as("ess_ratio"))
+      .orderBy(col(groupCol))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

@@ -211,6 +211,117 @@ object Sessionize {
         "predictability")
   }
 
+  /** Market-basket co-occurrence of event types WITHIN sessions:
+    * which behaviors happen in the same visit — lift(a, b) =
+    * S·c_ab/(c_a·c_b) over session baskets, where the whole-corpus
+    * [[graft.operators.Profile.associationRules]] answers a different
+    * question (co-occurrence per user EVER, which smears a month of
+    * visits into one basket). Sessions form by the `gapMinutes`
+    * inactivity rule (the [[sessionize]] semantics, spelled as a
+    * lag/cumsum window so the session ID is joinable); baskets are
+    * DISTINCT (session, type); pairs are type_a < type_b.
+    *
+    * Scale shape: one narrow (user, ts, type) shuffle for the session
+    * window, map-side-combined basket distinct, then a per-session
+    * self-join whose fan-out is bounded by (types per session)² —
+    * event-type vocabularies are dimension-like by contract. Returns
+    * (type_a, type_b, n_sessions_together, lift) ordered. */
+  def sessionBaskets(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapMinutes > 0, "gapMinutes must be positive")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"))
+    val sessions = df
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(typeCol).cast("string").as("__t"))
+      .withColumn("__brk",
+        when(lag(col("__ts"), 1).over(w).isNull ||
+          col("__ts") > lag(col("__ts"), 1).over(w) +
+            expr(s"INTERVAL $gapMinutes MINUTES"), 1).otherwise(0))
+      .withColumn("__sid", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val baskets = sessions.select(col("__u"), col("__sid"), col("__t"))
+      .distinct()
+    val nSessions = baskets.select(col("__u"), col("__sid")).distinct()
+      .count()
+    val typeCounts = baskets.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__sid") === col("b.__sid")
+          && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_together"))
+    pairs
+      .join(broadcast(typeCounts.select(col("__t").as("type_a"),
+        col("__c").as("__ca"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("__t").as("type_b"),
+        col("__c").as("__cb"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_together"),
+        round(lit(nSessions.toDouble) * col("n_together")
+          / (col("__ca") * col("__cb")), 6).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Markov stationarity check: the long-run event mix implied by the
+    * observed order-1 transition matrix (power iteration from the
+    * uniform start) against the ACTUALLY observed mix — agreement
+    * means the stream is stationary (the mix you see is the mix you
+    * will keep seeing); a gap means the chain is still drifting
+    * toward a different regime (ingest ramp, bot onset), which no
+    * per-day frequency snapshot can distinguish from noise. Transition
+    * counts as in [[transitionEntropy]] (O(types²) rows); `iters`
+    * power steps run driver-side over the types-sized matrix in
+    * sorted key order. Rows without an outgoing transition keep their
+    * mass in place (self-loop — the standard absorbing patch).
+    * Returns (event_type, observed_share, stationary_share, delta). */
+  def stationaryMix(df: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, ordCol: String,
+                    iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(ordCol))
+    val pairs = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(ordCol),
+        col(typeCol).cast("string").as("__y"))
+      .withColumn("__x", lag(col("__y"), 1).over(w))
+    val obs = pairs.groupBy(col("__y")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trans = pairs.where(col("__x").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = obs.keys.toSeq.sorted
+    val outTotals = types.map(t =>
+      t -> trans.collect { case ((x, _), c) if x == t => c }.sum).toMap
+    var x = types.map(t => t -> 1.0 / types.size).toMap
+    (1 to iters).foreach { _ =>
+      x = types.map { y =>
+        y -> types.iterator.map { s =>
+          val ct = outTotals(s)
+          val p =
+            if (ct == 0L) (if (s == y) 1.0 else 0.0) // absorbing patch
+            else trans.getOrElse((s, y), 0L).toDouble / ct
+          x(s) * p
+        }.sum
+      }.toMap
+    }
+    val nObs = obs.values.sum.toDouble.max(1.0)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    types.map { t =>
+      val o = obs(t) / nObs
+      (t, r6(o), r6(x(t)), r6(math.abs(o - x(t))))
+    }.toDF("event_type", "observed_share", "stationary_share", "delta")
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

@@ -152,6 +152,35 @@ class SessionizeSpec extends SparkSpec {
     assert(rows("2024-01-04") === ((1L, 0L, 0L, 1L, 2L)))
   }
 
+  test("sessionBaskets: per-visit co-occurrence, not per-user-ever") {
+    import spark.implicits._
+    // u1: (0min a, 10min b | 60min a, 61min c) → two sessions;
+    // u2: (0min a) → one. Baskets {a,b},{a,c},{a}; S=3, c_a=3,c_b=c_c=1
+    val df = Seq((1L, 0L, "a"), (1L, 10L, "b"), (1L, 60L, "a"),
+      (1L, 61L, "c"), (2L, 0L, "a")).toDF("u", "min", "t")
+      .withColumn("ts", timestamp_micros(col("min") * 60000000L))
+    val out = Sessionize.sessionBaskets(df, "u", "ts", "t", 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) === ((1L, 1.0))) // 3·1/(3·1)
+    assert(out(("a", "c")) === ((1L, 1.0)))
+    assert(!out.contains(("b", "c"))) // never share a session
+  }
+
+  test("stationaryMix: absorbing chain converges away from observed mix") {
+    import spark.implicits._
+    // a,b,b,b,b: P(a→b)=1, P(b→b)=1 → stationary (0,1) after 1 step;
+    // observed (0.2, 0.8) → deltas (0.2, 0.2)
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"),
+      (1L, 4L, "b"), (1L, 5L, "b")).toDF("u", "eid", "t")
+      .withColumn("ts", timestamp_micros(col("eid") * 1000000L))
+    val m = Sessionize.stationaryMix(df, "u", "ts", "t", "eid", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("a") === ((0.2, 0.0, 0.2)))
+    assert(m("b") === ((0.8, 1.0, 0.2)))
+  }
+
   test("scd2Compact: null-safe runs, half-open tiling, tie order") {
     import spark.implicits._
     // user 1: a,a,b,NULL,NULL,a → four runs; NULL run kept (an

@@ -516,6 +516,23 @@ class StatBatterySpec extends AnyFunSuite {
     assert(o.isNullAt(3))
   }
 
+  test("kishEss: effective n under weights, invalid weights counted") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: [1,1,1] → ess 3, ratio 1; b: [3,1] → 16/10 = 1.6, ratio 0.8;
+    // c: [2, 0, null] → invalid 2, ess over the single valid weight
+    val df = Seq(("a", Option(1.0)), ("a", Option(1.0)), ("a", Option(1.0)),
+      ("b", Option(3.0)), ("b", Option(1.0)),
+      ("c", Option(2.0)), ("c", Option(0.0)), ("c", Option.empty[Double]))
+      .toDF("g", "w")
+    val m = Profile.kishEss(df, "g", "w").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("a") === ((3L, 0L, 3.0, 1.0)))
+    assert(m("b") === ((2L, 0L, 1.6, 0.8)))
+    assert(m("c") === ((3L, 2L, 1.0, 1.0)))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
