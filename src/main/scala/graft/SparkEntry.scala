@@ -2383,6 +2383,27 @@ object SparkEntry {
     "q_kish_ess" -> ((s, d) =>
       Profile.kishEss(t(s, d, "documents"), "source", "n_chars")),
 
+    // Simpson's-paradox screen: per-flag OLS slope vs the pooled slope
+    // with sign-opposition flags — the aggregation trap detector (a
+    // pooled trend that reverses within every stratum is a mix
+    // artifact, and a gate tuned on it does the opposite of intended)
+    "q_simpsons" -> ((s, d) =>
+      Profile.simpsonsCheck(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
+    // lead-lag discovery: corr(clicks(t), purchases(t+lag)) for lag
+    // -3..3 over zero-filled aligned days — which series leads and by
+    // how much; exact integer sums, driver arithmetic over O(days)
+    "q_lead_lag" -> ((s, d) =>
+      Sessionize.leadLagCorr(t(s, d, "events"), "ts", "event_type",
+        "click", "purchase", maxLag = 3)),
+
+    // weekday-seasonality strength: eta-squared of day-of-week over the
+    // zero-filled daily series + peak/trough ISO weekday — how much of
+    // the stream is just a weekly rhythm
+    "q_weekday_effect" -> ((s, d) =>
+      Sessionize.weekdayEffect(t(s, d, "events"), "ts")),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -5792,6 +5813,86 @@ object SparkEntry {
         |  CASE WHEN nv > 0 THEN round(sw * sw / sw2 / nv, 6) END
         |    AS ess_ratio
         |FROM per ORDER BY source""".stripMargin,
+
+    "q_simpsons" ->
+      """WITH per AS (
+        |  SELECT coalesce(l_returnflag, '<null>') AS g, count(*) AS n,
+        |    sum(l_quantity * 1.0) AS sx, sum(l_extendedprice * 1.0) AS sy,
+        |    sum(l_quantity * 1.0 * l_extendedprice) AS sxy,
+        |    sum(l_quantity * 1.0 * l_quantity) AS sxx
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+        |        sum(sxy) AS tsxy, sum(sxx) AS tsxx FROM per)
+        |SELECT per.g AS l_returnflag, per.n,
+        |  round(CASE WHEN per.n * sxx - sx * sx <= 0 THEN NULL
+        |        ELSE (per.n * sxy - sx * sy) / (per.n * sxx - sx * sx)
+        |        END, 6) AS slope,
+        |  round(CASE WHEN tn * tsxx - tsx * tsx <= 0 THEN NULL
+        |        ELSE (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+        |        END, 6) AS pooled_slope,
+        |  CASE WHEN per.n * sxx - sx * sx <= 0
+        |         OR tn * tsxx - tsx * tsx <= 0 THEN false
+        |       ELSE ((per.n * sxy - sx * sy) / (per.n * sxx - sx * sx))
+        |            * ((tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx))
+        |            < 0 END AS opposes
+        |FROM per, tot ORDER BY l_returnflag""".stripMargin,
+
+    "q_lead_lag" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         event_type AS t
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |days AS (SELECT unnest(generate_series(d0, d1,
+        |           INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |a AS (SELECT days.d, coalesce(c.n, 0) AS v FROM days LEFT JOIN
+        |      (SELECT d, count(*) AS n FROM e WHERE t = 'click'
+        |       GROUP BY 1) c USING (d)),
+        |b AS (SELECT days.d, coalesce(c.n, 0) AS v FROM days LEFT JOIN
+        |      (SELECT d, count(*) AS n FROM e WHERE t = 'purchase'
+        |       GROUP BY 1) c USING (d)),
+        |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |pairs AS (SELECT lags.lag, a.v AS x, b.v AS y
+        |          FROM lags JOIN a ON true
+        |          JOIN b ON b.d = a.d + lags.lag::INT),
+        |st AS (SELECT lag, count(*) AS n, sum(x * 1.0) AS sx,
+        |         sum(y * 1.0) AS sy, sum(x * 1.0 * y) AS sxy,
+        |         sum(x * 1.0 * x) AS sxx, sum(y * 1.0 * y) AS syy
+        |       FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |       THEN NULL
+        |       ELSE round((n * sxy - sx * sy)
+        |            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END AS corr
+        |FROM st ORDER BY lag""".stripMargin,
+
+    "q_weekday_effect" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |days AS (SELECT unnest(generate_series(d0, d1,
+        |           INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |f AS (SELECT days.d, isodow(days.d) AS dow,
+        |        coalesce(e.n, 0) * 1.0 AS v
+        |      FROM days LEFT JOIN e USING (d)),
+        |t AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM f),
+        |g AS (SELECT dow, count(*) * 1.0 AS gn, sum(v) AS gs
+        |      FROM f GROUP BY 1),
+        |bt AS (SELECT sum(gs * gs / gn) AS sb FROM g),
+        |pk AS (SELECT dow FROM g ORDER BY gs / gn DESC, dow LIMIT 1),
+        |tr AS (SELECT dow FROM g ORDER BY gs / gn ASC, dow LIMIT 1)
+        |SELECT t.n AS n_days,
+        |  CASE WHEN t.ss - t.s * t.s / t.n <= 0 THEN NULL
+        |       ELSE round((bt.sb - t.s * t.s / t.n)
+        |                  / (t.ss - t.s * t.s / t.n), 6) END
+        |    AS eta_squared,
+        |  CAST(pk.dow AS INT) AS peak_dow, CAST(tr.dow AS INT) AS trough_dow
+        |FROM t, bt, pk, tr""".stripMargin,
 
     "q_diff_columns" ->
       """WITH oldsnap AS (

@@ -490,6 +490,48 @@ object Profile {
       .orderBy(col(groupCol))
   }
 
+  /** Simpson's-paradox screen: the pooled OLS slope of y on x next to
+    * every stratum's own slope, flagging strata whose sign OPPOSES the
+    * pooled sign — the aggregation trap ("quality rises with length"
+    * corpus-wide while falling within every source means the pooled
+    * trend is a source-mix artifact, and any gate tuned on it will do
+    * the opposite of what its designer read off the scatter plot).
+    * One grouped sufficient-stats aggregate (n, Σx, Σy, Σxy, Σx² per
+    * stratum — exact order-independent doubles on integer-valued
+    * columns); pooled sums are the column sums of the O(strata) frame.
+    * Slopes use the [[olsResiduals]] closed form; a zero-variance
+    * stratum keeps a NULL slope and never counts as opposing. Returns
+    * (stratum, n, slope, pooled_slope, opposes) ordered by stratum. */
+  def simpsonsCheck(df: DataFrame, strataCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val per = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(coalesce(col(strataCol).cast("string"), lit("<null>"))
+        .as("__g"))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    val tot = per.agg(sum(col("n")).as("__tn"), sum(col("__sx")).as("__tsx"),
+      sum(col("__sy")).as("__tsy"), sum(col("__sxy")).as("__tsxy"),
+      sum(col("__sxx")).as("__tsxx"))
+    def slopeOf(n: Column, sx: Column, sy: Column, sxy: Column,
+                sxx: Column): Column = {
+      val denom = n * sxx - sx * sx
+      when(denom <= 0, lit(null: java.lang.Double))
+        .otherwise((n * sxy - sx * sy) / denom)
+    }
+    val slope = slopeOf(col("n"), col("__sx"), col("__sy"), col("__sxy"),
+      col("__sxx"))
+    val pooled = slopeOf(col("__tn"), col("__tsx"), col("__tsy"),
+      col("__tsxy"), col("__tsxx"))
+    per.crossJoin(broadcast(tot))
+      .select(col("__g").as(strataCol), col("n"),
+        round(slope, 6).as("slope"),
+        round(pooled, 6).as("pooled_slope"),
+        when(slope.isNull || pooled.isNull, lit(false))
+          .otherwise(slope * pooled < 0).as("opposes"))
+      .orderBy(col(strataCol))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

@@ -322,6 +322,108 @@ object Sessionize {
     }.toDF("event_type", "observed_share", "stationary_share", "delta")
   }
 
+  /** Lead–lag cross-correlation of two event-type daily series:
+    * Pearson corr(A(t), B(t+lag)) for lag ∈ [−maxLag, +maxLag] over
+    * ZERO-FILLED aligned days (gap days are real zeros — skipping them
+    * would silently shift the alignment) — the "purchases follow
+    * clicks by one day" discovery, i.e. which series is the leading
+    * indicator and by how much. A positive-lag peak means A leads B.
+    * Daily counts aggregate to O(days) rows; the per-lag correlations
+    * run driver-side from exact integer sums in day order (the
+    * [[graft.operators.Drift.ewmaChart]] convention). Returns
+    * (lag, n_days, corr) — NULL corr when either aligned slice is
+    * constant. */
+  def leadLagCorr(df: DataFrame, tsCol: String, typeCol: String,
+                  typeA: String, typeB: String,
+                  maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val daily = df.where(col(tsCol).isNotNull &&
+        col(typeCol).isin(typeA, typeB))
+      .groupBy(to_date(col(tsCol)).as("__d"), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__n")).collect()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (daily.isEmpty)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("lag", "n_days", "corr")
+    val byDay = daily.map(r =>
+      (r.getDate(0).toLocalDate.toEpochDay, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val d0 = byDay.keys.map(_._1).min
+    val d1 = byDay.keys.map(_._1).max
+    val days = (d0 to d1).toArray
+    val a = days.map(d => byDay.getOrElse((d, typeA), 0L).toDouble)
+    val b = days.map(d => byDay.getOrElse((d, typeB), 0L).toDouble)
+    val rows = (-maxLag to maxLag).map { lag =>
+      // pair A(t) with B(t + lag) over the overlap window
+      val idx = days.indices.filter(i =>
+        i + lag >= 0 && i + lag < days.length)
+      val n = idx.length.toDouble
+      var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      idx.foreach { i =>
+        val xa = a(i); val yb = b(i + lag)
+        sx += xa; sy += yb; sxy += xa * yb; sxx += xa * xa; syy += yb * yb
+      }
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val corr =
+        if (vx <= 0.0 || vy <= 0.0) None
+        else Option(r6((n * sxy - sx * sy) / math.sqrt(vx * vy)))
+      (lag, idx.length.toLong, corr)
+    }
+    rows.toDF("lag", "n_days", "corr")
+  }
+
+  /** Weekday-seasonality strength of the daily event volume: η² =
+    * SS_between(day-of-week) / SS_total over the zero-filled daily
+    * series — the fraction of daily variance the weekly cycle
+    * explains (η² ≈ 0.8 means "this stream is mostly a weekly
+    * rhythm"; a collapse across snapshots means the traffic source
+    * changed character, not just volume). Exact integer sums
+    * (SS via Σy² − (Σy)²/n per group and overall, ISO weekday 1–7);
+    * peak/trough by (mean, dow) so ties are deterministic. O(days)
+    * frame, arithmetic driver-side. Returns one row (n_days,
+    * eta_squared, peak_dow, trough_dow); NULL η² for a constant
+    * series. */
+  def weekdayEffect(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__n")).collect()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (daily.isEmpty)
+      return Seq.empty[(Long, Option[Double], Option[Int], Option[Int])]
+        .toDF("n_days", "eta_squared", "peak_dow", "trough_dow")
+    val byDay = daily.map(r =>
+      r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    val d0 = byDay.keys.min; val d1 = byDay.keys.max
+    val series = (d0 to d1).map { d =>
+      // epoch day 0 = 1970-01-01, a Thursday → ISO dow 4
+      val dow = (((d + 3) % 7 + 7) % 7 + 1).toInt
+      (dow, byDay.getOrElse(d, 0L).toDouble)
+    }
+    val n = series.length.toDouble
+    val s = series.map(_._2).sum
+    val ss = series.map(v => v._2 * v._2).sum
+    val ssTotal = ss - s * s / n
+    val groups = series.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (dow, vs) =>
+        val gn = vs.length.toDouble; val gs = vs.map(_._2).sum
+        (dow, gn, gs, gs / gn)
+    }
+    val ssBetween = groups.map { case (_, gn, gs, _) =>
+      gs * gs / gn }.sum - s * s / n
+    val eta = if (ssTotal <= 0.0) None else Option(r6(ssBetween / ssTotal))
+    val peak = groups.maxBy(g => (g._4, -g._1))._1
+    val trough = groups.minBy(g => (g._4, g._1))._1
+    Seq((series.length.toLong, eta, Option(peak), Option(trough)))
+      .toDF("n_days", "eta_squared", "peak_dow", "trough_dow")
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

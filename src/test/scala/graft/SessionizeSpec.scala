@@ -181,6 +181,39 @@ class SessionizeSpec extends SparkSpec {
     assert(m("b") === ((0.8, 1.0, 0.2)))
   }
 
+  test("leadLagCorr: shifted series peaks at its true lag") {
+    import spark.implicits._
+    // clicks per day [1,3,2,5]; purchases = clicks shifted one day
+    // later [0,1,3,2] → corr at lag +1 is exactly 1.0
+    val rows = Seq((1, 1), (2, 3), (3, 2), (4, 5)).flatMap {
+      case (day, n) => Seq.fill(n)(("click", day)) } ++
+      Seq((2, 1), (3, 3), (4, 2)).flatMap {
+        case (day, n) => Seq.fill(n)(("purchase", day)) }
+    val df = rows.toDF("t", "day")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2024-01-0"), col("day"), lit(" 12:00:00"))))
+    val out = Sessionize.leadLagCorr(df, "ts", "t", "click", "purchase",
+      maxLag = 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1) === ((3L, Some(1.0))))
+    assert(out(0)._2.get < 1.0) // unshifted alignment is weaker
+  }
+
+  test("weekdayEffect: perfect weekly rhythm scores eta 1") {
+    import spark.implicits._
+    // 14 days from Mon 2024-01-01; Mondays carry 5 events, others 1
+    val rows = (1 to 14).flatMap { day =>
+      val n = if (day == 1 || day == 8) 5 else 1
+      Seq.fill(n)(day)
+    }
+    val df = rows.toDF("day").withColumn("ts", to_timestamp(
+      concat(lit("2024-01-"), lpad(col("day"), 2, "0"), lit(" 12:00:00"))))
+    val r = Sessionize.weekdayEffect(df, "ts").collect()(0)
+    assert(r.getLong(0) === 14L && r.getDouble(1) === 1.0)
+    assert(r.getInt(2) === 1 && r.getInt(3) === 2) // peak Mon, trough tie→Tue
+  }
+
   test("scd2Compact: null-safe runs, half-open tiling, tie order") {
     import spark.implicits._
     // user 1: a,a,b,NULL,NULL,a → four runs; NULL run kept (an

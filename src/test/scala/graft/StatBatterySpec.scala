@@ -533,6 +533,26 @@ class StatBatterySpec extends AnyFunSuite {
     assert(m("c") === ((3L, 2L, 1.0, 1.0)))
   }
 
+  test("simpsonsCheck: planted paradox — every stratum opposes the pool") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // A: (1,10),(2,9); B: (11,20),(12,19): each slope −1, pooled
+    // slope 396/404 = +0.980198 → both strata oppose
+    val df = Seq(("A", 1.0, 10.0), ("A", 2.0, 9.0),
+      ("B", 11.0, 20.0), ("B", 12.0, 19.0)).toDF("g", "x", "y")
+    val out = Profile.simpsonsCheck(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out("A") === ((-1.0, 0.980198, true)))
+    assert(out("B") === ((-1.0, 0.980198, true)))
+    // zero-variance stratum: NULL slope, never opposes
+    val dg = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0),
+      ("C", 5.0, 1.0), ("C", 5.0, 9.0)).toDF("g", "x", "y")
+    val c = Profile.simpsonsCheck(dg, "g", "x", "y").collect()
+      .find(_.getString(0) == "C").get
+    assert(c.isNullAt(2) && !c.getBoolean(4))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
