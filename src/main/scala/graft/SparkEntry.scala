@@ -2404,6 +2404,32 @@ object SparkEntry {
     "q_weekday_effect" -> ((s, d) =>
       Sessionize.weekdayEffect(t(s, d, "events"), "ts")),
 
+    // in-batch negative collision audit: same-source pairs landing in
+    // the same hash-assigned contrastive batch (the "negatives" that
+    // are secretly positives) — realized rate of THIS batching, not
+    // the i.i.d. approximation
+    "q_inbatch_collisions" -> ((s, d) =>
+      Mixing.inBatchCollisions(t(s, d, "documents"), "doc_id", "source",
+        nBatches = 16, seed = 11L)),
+
+    // per-label embedding centroids vs the corpus centroid: which
+    // labels occupy their own region of embedding space — the
+    // semantic-geometry mixture readout; vectors never shuffle whole
+    "q_label_centroids" -> ((s, d) =>
+      EmbeddingStats.groupCentroids(t(s, d, "embeddings"), "label",
+        "embedding")),
+
+    // deterministic MLM mask planning over the derived seq table:
+    // position i masks iff (i*A + key*31) % 100 < 15 — a function of
+    // the row, so the plan replays identically on any cluster; per-seq
+    // loss-mass accounting
+    "q_mask_plan" -> ((s, d) =>
+      Packing.maskPlan(
+        decontamCorpus(s, d)
+          .withColumn("__idn", substring(col("doc_id"), 5, 12)
+            .cast("long")),
+        "doc_id", "__idn", "n_tok", ratePct = 15, seed = 0L)),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -5893,6 +5919,58 @@ object SparkEntry {
         |    AS eta_squared,
         |  CAST(pk.dow AS INT) AS peak_dow, CAST(tr.dow AS INT) AS trough_dow
         |FROM t, bt, pk, tr""".stripMargin,
+
+    "q_inbatch_collisions" ->
+      """WITH b AS (
+        |  SELECT ((doc_id * 2654435761 + 11) % 4294967296) % 16 AS b,
+        |         coalesce(source, '<null>') AS g
+        |  FROM documents),
+        |bg AS (SELECT b, g, count(*) AS n FROM b GROUP BY 1, 2),
+        |st AS (SELECT sum(n) AS n_docs, count(DISTINCT b) AS nb,
+        |         sum((n * (n - 1)) // 2) AS sp FROM bg),
+        |pb AS (SELECT sum((nb2 * (nb2 - 1)) // 2) AS tp FROM
+        |        (SELECT b, sum(n) AS nb2 FROM bg GROUP BY 1))
+        |SELECT CAST(st.n_docs AS BIGINT) AS n_docs,
+        |  CAST(st.nb AS BIGINT) AS n_batches_used,
+        |  CAST(st.sp AS BIGINT) AS same_group_pairs,
+        |  CAST(pb.tp AS BIGINT) AS total_pairs,
+        |  CASE WHEN pb.tp > 0 THEN round(st.sp::DOUBLE / pb.tp, 6) END
+        |    AS collision_rate
+        |FROM st, pb""".stripMargin,
+
+    "q_label_centroids" ->
+      """WITH d AS (
+        |  SELECT coalesce(label::VARCHAR, '<null>') AS g,
+        |    unnest(embedding) AS x, unnest(range(len(embedding))) AS p
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pl AS (SELECT g, p, sum(x::DOUBLE) AS s, count(*) AS c
+        |       FROM d GROUP BY 1, 2),
+        |gl AS (SELECT p, sum(s) / sum(c) AS gx FROM pl GROUP BY 1),
+        |lc AS (SELECT g, p, s / c AS lx FROM pl),
+        |dots AS (SELECT lc.g, sum(lc.lx * gl.gx) AS dot,
+        |         sum(lc.lx * lc.lx) AS na, sum(gl.gx * gl.gx) AS nb
+        |         FROM lc JOIN gl USING (p) GROUP BY 1),
+        |nv AS (SELECT g, max(c) AS n FROM pl GROUP BY 1)
+        |SELECT dots.g AS label, CAST(nv.n AS BIGINT) AS n_vecs,
+        |  round(dot / (sqrt(na) * sqrt(nb) + 1e-30), 6) AS cos_to_global
+        |FROM dots JOIN nv USING (g) ORDER BY label""".stripMargin,
+
+    "q_mask_plan" ->
+      """WITH s AS (
+        |  SELECT doc_id AS idn, printf('doc_%012d', doc_id) AS did,
+        |    CASE WHEN doc_id % 97 = 2 THEN (doc_id % 7 + 5) + 1
+        |         ELSE doc_id % 7 + 5 END AS n_tok
+        |  FROM documents
+        |  WHERE doc_id % 97 <> 0 AND doc_id % 97 <> 1)
+        |SELECT did AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(range(n_tok), i ->
+        |    (i * 2654435761 + idn * 31) % 100 < 15)) AS BIGINT)
+        |    AS n_masked,
+        |  CASE WHEN n_tok > 0 THEN
+        |    round(len(list_filter(range(n_tok), i ->
+        |      (i * 2654435761 + idn * 31) % 100 < 15))::DOUBLE / n_tok, 6)
+        |  END AS mask_rate
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_diff_columns" ->
       """WITH oldsnap AS (

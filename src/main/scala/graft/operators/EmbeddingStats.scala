@@ -212,4 +212,65 @@ object EmbeddingStats {
       graft.functions.VectorExpressions.diagMahalanobis(
         col(vecCol), m.mean.toIndexedSeq, weights).as("score"))
   }
+
+  /** Per-group embedding centroids against the corpus centroid:
+    * (group, n_vecs, cos_to_global) — the semantic-geometry readout of
+    * the mixture ("which label/source occupies its own region of
+    * embedding space vs sitting on top of the corpus mean"): a group
+    * whose centroid-cosine to the global centroid drops across
+    * snapshots drifted semantically even if its volume and token stats
+    * held still. One posexplode aggregate to O(groups × dim) partial
+    * sums (map-side combined — vectors never shuffle whole); the
+    * global centroid is the column-sum of the same frame, and the
+    * cosines evaluate driver-side in dimension order (the
+    * [[graft.operators.Similarity]] cosLocal formula, +1e-30 guard).
+    * NULL groups fold to "<null>"; NULL vectors are excluded. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame = {
+    val rows = df.where(col(vecCol).isNotNull)
+      .select(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("__g"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("__g"), col("__p"))
+      .agg(sum(col("__x").cast("double")).as("__s"),
+        count(lit(1)).as("__c"))
+      .collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (rows.isEmpty)
+      return Seq.empty[(String, Long, Double)]
+        .toDF(groupCol, "n_vecs", "cos_to_global")
+    val byGroup = rows.groupBy(_.getString(0))
+    val dim = rows.map(_.getInt(1)).max + 1
+    def centroid(rs: Array[org.apache.spark.sql.Row]): (Array[Double], Long) = {
+      val v = new Array[Double](dim)
+      var n = 0L
+      rs.foreach { r =>
+        v(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        n = math.max(n, r.getLong(3))
+      }
+      (v, n)
+    }
+    // global centroid from the SAME partial sums (dimension-wise)
+    val global = new Array[Double](dim)
+    val gCount = new Array[Long](dim)
+    rows.sortBy(r => (r.getInt(1), r.getString(0))).foreach { r =>
+      global(r.getInt(1)) += r.getDouble(2)
+      gCount(r.getInt(1)) += r.getLong(3)
+    }
+    (0 until dim).foreach(i =>
+      if (gCount(i) > 0) global(i) = global(i) / gCount(i))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-30)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    byGroup.toSeq.sortBy(_._1).map { case (g, rs) =>
+      val (c, n) = centroid(rs.toArray)
+      (g, n, r6(cos(c, global)))
+    }.toDF(groupCol, "n_vecs", "cos_to_global")
+  }
 }

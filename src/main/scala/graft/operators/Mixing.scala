@@ -988,6 +988,49 @@ object Mixing {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col(strataCol), col("fold"))
 
+  /** In-batch negative collision audit for contrastive training: with
+    * batches assigned by a deterministic hash, how many same-group
+    * (same-source / same-near-dup-cluster) pairs land in the SAME
+    * batch — exactly the pairs that poison in-batch negative sampling
+    * (the "negative" is secretly a positive) and silently cap
+    * contrastive accuracy. Reports Σ per-(batch, group) C(n,2)
+    * against Σ per-batch C(N,2): the realized same-group collision
+    * rate of the batching actually used, not the i.i.d. approximation
+    * n/B·p². Two narrow aggregates keyed by (batch[, group]) —
+    * map-side combined, payloads never move; the overflow-safe
+    * multiplicative key keeps the SQL replica exact. Returns one row
+    * (n_docs, n_batches_used, same_group_pairs, total_pairs,
+    * collision_rate). */
+  def inBatchCollisions(df: DataFrame, idCol: String, groupCol: String,
+                        nBatches: Int, seed: Long = 11L): DataFrame = {
+    require(nBatches >= 1, "nBatches must be >= 1")
+    val m = 4294967296L
+    val batch = pmod(moduloLong(df, idCol, "inBatchCollisions") { c =>
+      val aHi = 40503L; val aLo = 31153L
+      val u = pmod(c, lit(m))
+      pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo +
+        lit(((seed % m) + m) % m), lit(m))
+    }, lit(nBatches.toLong))
+    val base = df.select(batch.as("__b"),
+      coalesce(col(groupCol).cast("string"), lit("<null>")).as("__g"))
+    val perBG = base.groupBy(col("__b"), col("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val stats = perBG.agg(
+      sum(col("__n")).as("n_docs"),
+      count_distinct(col("__b")).as("n_batches_used"),
+      sum((col("__n") * (col("__n") - 1) / 2).cast("long"))
+        .as("same_group_pairs"))
+    val perB = perBG.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+      .agg(sum((col("__nb") * (col("__nb") - 1) / 2).cast("long"))
+        .as("total_pairs"))
+    stats.crossJoin(broadcast(perB))
+      .select(col("n_docs"), col("n_batches_used"),
+        col("same_group_pairs"), col("total_pairs"),
+        when(col("total_pairs") > 0,
+          round(col("same_group_pairs").cast("double")
+            / col("total_pairs"), 6)).as("collision_rate"))
+  }
+
   /** UCB1 exploration scores for adaptive source allocation (Auer et
     * al. 2002): ucb = mean reward + √(2·ln N / n) per arm — the
     * principled answer to "which under-sampled source should the next

@@ -485,4 +485,34 @@ object Packing {
         expr("bit_xor(CAST(conv(substring(md5(CAST(" + contentCol +
           " AS STRING)), 1, 15), 16, 10) AS BIGINT))").as("digest"))
       .orderBy(col(shardCol))
+
+  /** Deterministic MLM/span-corruption mask planning: for each
+    * sequence, which token POSITIONS mask, decided by seeded hash
+    * arithmetic on (position, doc key) — a FUNCTION OF THE ROW, so the
+    * plan is identical across cluster sizes, retries, and epochs-with-
+    * different-seeds reproduce exactly (the [[graft.operators.Mixing]]
+    * stateless-predicate discipline applied to token masking; an RNG
+    * mask plan can't replay a training run). Position i masks iff
+    * (i·2654435761 + key·31 + seed) mod 100 < ratePct. Returns the
+    * per-sequence accounting (idCol, n_tok, n_masked, mask_rate) — the
+    * realized rate converges to ratePct corpus-wide but varies per
+    * row, which is exactly what the loss-mass accounting needs. One
+    * in-row HOF filter over `sequence(0, n_tok−1)` — zero shuffle,
+    * fan-out bounded by n_tok. */
+  def maskPlan(df: DataFrame, idCol: String, keyNumCol: String,
+               nTokCol: String, ratePct: Int = 15,
+               seed: Long = 0L): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, "ratePct must be in [0,100]")
+    val nMasked = size(filter(
+      sequence(lit(0), col(nTokCol).cast("int") - 1),
+      i => pmod(i.cast("long") * lit(2654435761L) +
+        col(keyNumCol).cast("long") * 31L + lit(seed), lit(100L))
+        < lit(ratePct.toLong)))
+    df.select(col(idCol), col(nTokCol).cast("long").as("n_tok"),
+        nMasked.cast("long").as("n_masked"))
+      .withColumn("mask_rate",
+        when(col("n_tok") > 0,
+          round(col("n_masked").cast("double") / col("n_tok"), 6)))
+      .orderBy(col(idCol))
+  }
 }

@@ -133,4 +133,15 @@ class EmbeddingStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"mahalanobis scoring joined:\n$plan")
   }
+
+  test("groupCentroids: hand-computed cosines to the corpus centroid") {
+    // a: [1,0]×2 → centroid (1,0); b: [0,1] → (0,1);
+    // global (2/3, 1/3): cos(a,g) = 0.894427, cos(b,g) = 0.447214
+    val df = Seq(("a", Seq(1f, 0f)), ("a", Seq(1f, 0f)),
+      ("b", Seq(0f, 1f))).toDF("g", "vec")
+    val m = EmbeddingStats.groupCentroids(df, "g", "vec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("a") === ((2L, 0.894427)))
+    assert(m("b") === ((1L, 0.447214)))
+  }
 }

@@ -553,6 +553,35 @@ class StatBatterySpec extends AnyFunSuite {
     assert(c.isNullAt(2) && !c.getBoolean(4))
   }
 
+  test("inBatchCollisions: single batch counts all same-group pairs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // one batch: a×3, b×2 → same pairs 3+1 = 4 of C(5,2) = 10
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("id", "g")
+    val r = graft.operators.Mixing
+      .inBatchCollisions(df, "id", "g", nBatches = 1).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((5L, 1L, 4L, 10L, 0.4)))
+  }
+
+  test("maskPlan: deterministic positions, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // key 0, seed 0, rate 15, n_tok 8: (i·2654435761) % 100 =
+    // [0,61,22,83,44,5,66,27] → positions {0,5} mask → 2/8 = 0.25
+    val df = Seq(("d0", 0L, 8)).toDF("id", "k", "n_tok")
+    val r = graft.operators.Packing
+      .maskPlan(df, "id", "k", "n_tok", ratePct = 15).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((8L, 2L, 0.25)))
+    // zero-length sequence: 0 masked, NULL rate (not NaN)
+    val z = Seq(("d1", 1L, 0)).toDF("id", "k", "n_tok")
+    val rz = graft.operators.Packing
+      .maskPlan(z, "id", "k", "n_tok").collect()(0)
+    assert(rz.getLong(2) === 0L && rz.isNullAt(3))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
