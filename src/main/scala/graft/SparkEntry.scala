@@ -2430,6 +2430,30 @@ object SparkEntry {
             .cast("long")),
         "doc_id", "__idn", "n_tok", ratePct = 15, seed = 0L)),
 
+    // data valuation by set membership: what each source UNIQUELY
+    // contributes (words in no other source + their mass; one planted
+    // per-source marker word keeps the signal visible at tiny vocab) —
+    // the hard deletion-candidate readout xent similarity can't give
+    "q_source_exclusivity" -> ((s, d) =>
+      TextAnalysis.sourceExclusivity(
+        t(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" xsrc"), col("source"))),
+        "source", "text")),
+
+    // Kaplan-Meier user-lifetime survival: product-limit estimator
+    // with final-day actives right-censored (the distinction naive
+    // average-lifetime tables get wrong); ordered running product via
+    // exp-sum-ln — left-to-right in both engines
+    "q_survival" -> ((s, d) =>
+      Sessionize.survivalCurve(t(s, d, "events"), "user_id", "ts")),
+
+    // distribution-free trust radii: each source's gate rate with its
+    // Hoeffding 95/99% epsilon — "0.83 +- 0.19" stops people acting
+    // on small-n noise; valid at ANY n, no normality assumption
+    "q_sample_bounds" -> ((s, d) =>
+      Drift.hoeffdingBounds(t(s, d, "documents"), "source",
+        col("n_chars") >= 200)),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -5971,6 +5995,62 @@ object SparkEntry {
         |      (i * 2654435761 + idn * 31) % 100 < 15))::DOUBLE / n_tok, 6)
         |  END AS mask_rate
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_source_exclusivity" ->
+      """WITH c AS (
+        |  SELECT coalesce(source, '<null>') AS g,
+        |    unnest(list_filter(string_split_regex(
+        |      lower(trim(text || ' xsrc' || source)), '\s+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT g, w, count(*) AS c FROM c GROUP BY 1, 2),
+        |sp AS (SELECT w, count(*) AS ns FROM cnt GROUP BY 1)
+        |SELECT cnt.g AS source, count(*) AS n_words,
+        |  CAST(sum(CASE WHEN sp.ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exclusive_words,
+        |  CAST(sum(cnt.c) AS BIGINT) AS token_mass,
+        |  CAST(sum(CASE WHEN sp.ns = 1 THEN cnt.c ELSE 0 END) AS BIGINT)
+        |    AS exclusive_mass,
+        |  round(sum(CASE WHEN sp.ns = 1 THEN cnt.c ELSE 0 END)::DOUBLE
+        |        / sum(cnt.c), 6) AS exclusive_share
+        |FROM cnt JOIN sp USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CAST(date_trunc('day', ts) AS DATE)) AS f,
+        |    max(CAST(date_trunc('day', ts) AS DATE)) AS l
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT max(l) AS ref FROM pu),
+        |lv AS (SELECT (l - f) AS t, (l = mx.ref) AS cen FROM pu, mx),
+        |bt AS (SELECT t,
+        |         sum(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS n_churned,
+        |         sum(CASE WHEN cen THEN 1 ELSE 0 END) AS n_censored
+        |       FROM lv GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM lv),
+        |r AS (SELECT t, n_churned, n_censored,
+        |        tot.n - coalesce(sum(n_churned + n_censored) OVER
+        |          (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0) AS n_at_risk
+        |      FROM bt, tot)
+        |SELECT CAST(t AS BIGINT) AS lifetime_days,
+        |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST(n_churned AS BIGINT) AS n_churned,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  round(exp(sum(ln(1.0::DOUBLE - n_churned::DOUBLE / n_at_risk))
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+        |FROM r ORDER BY lifetime_days""".stripMargin,
+
+    "q_sample_bounds" ->
+      """SELECT coalesce(source, '<null>') AS source, count(*) AS n,
+        |  round(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS rate,
+        |  round(sqrt(ln(2.0::DOUBLE / 0.05::DOUBLE)
+        |             / (2.0::DOUBLE * count(*))), 6) AS eps_95,
+        |  round(sqrt(ln(2.0::DOUBLE / 0.01::DOUBLE)
+        |             / (2.0::DOUBLE * count(*))), 6) AS eps_99
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_diff_columns" ->
       """WITH oldsnap AS (

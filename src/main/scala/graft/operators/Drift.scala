@@ -295,6 +295,31 @@ object Drift {
       .orderBy(col(groupCol))
   }
 
+  /** Hoeffding trust radii for per-group rate estimates: with n
+    * observations of a bounded [0,1] quantity (a gate pass rate, a
+    * violation rate), the true rate lies within ε = √(ln(2/δ)/(2n))
+    * of the observed one with probability ≥ 1 − δ — distribution-free,
+    * no normality assumption, valid at ANY n (the z-interval's small-n
+    * failure mode is exactly where data QC operates). Emits each
+    * group's observed rate with its 95 % and 99 % radii: a dashboard
+    * that shows "src7: 0.83 ± 0.19" stops people acting on noise.
+    * One sufficient-stats aggregate; arithmetic on the O(groups)
+    * frame. Returns (group, n, rate, eps_95, eps_99). */
+  def hoeffdingBounds(df: DataFrame, groupCol: String,
+                      success: Column): DataFrame = {
+    val ln95 = math.log(2.0 / 0.05)
+    val ln99 = math.log(2.0 / 0.01)
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("__k"))
+    per.select(col("__g").as(groupCol), col("n"),
+        round(col("__k").cast("double") / col("n"), 6).as("rate"),
+        round(sqrt(lit(ln95) / (lit(2.0) * col("n"))), 6).as("eps_95"),
+        round(sqrt(lit(ln99) / (lit(2.0) * col("n"))), 6).as("eps_99"))
+      .orderBy(col(groupCol))
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

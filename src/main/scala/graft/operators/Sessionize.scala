@@ -424,6 +424,52 @@ object Sessionize {
       .toDF("n_days", "eta_squared", "peak_dow", "trough_dow")
   }
 
+  /** Kaplan–Meier survival curve of user lifetimes (day grain):
+    * lifetime = last-active − first-active day, with users still
+    * active on the CORPUS'S final observed day right-CENSORED (their
+    * lifetime is a lower bound, not a death — the distinction naive
+    * "average lifetime" tables get wrong, and the reason retention
+    * projections from them are systematically pessimistic). Standard
+    * product-limit estimator: S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ
+    * the churn events at lifetime tᵢ and nᵢ the at-risk count
+    * (computed BEFORE removing tᵢ's events and censorings). The
+    * per-user reduction is two narrow aggregates; the KM table runs
+    * on the O(distinct lifetimes) frame with an ORDERED running
+    * product (exp∘Σln over an ordered window — left-to-right in both
+    * engines, so bit-compatible). Returns (lifetime_days, n_at_risk,
+    * n_churned, n_censored, survival). */
+  def survivalCurve(df: DataFrame, userCol: String,
+                    tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+    val maxDay = perUser.agg(max(col("__last")).as("__ref"))
+    val lives = perUser.crossJoin(broadcast(maxDay))
+      .select(datediff(col("__last"), col("__first")).as("__t"),
+        (col("__last") === col("__ref")).as("__censored"))
+    val byT = lives.groupBy(col("__t"))
+      .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))
+    val wOrd = Window.orderBy(col("__t"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val total = lives.count()
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    byT
+      .withColumn("n_at_risk", lit(total) -
+        coalesce(sum(col("n_churned") + col("n_censored")).over(wPrev),
+          lit(0L)))
+      .withColumn("survival", round(exp(sum(
+        log(lit(1.0) - col("n_churned").cast("double")
+          / col("n_at_risk"))).over(wRun)), 6))
+      .select(col("__t").cast("long").as("lifetime_days"),
+        col("n_at_risk"), col("n_churned"), col("n_censored"),
+        col("survival"))
+      .orderBy(col("lifetime_days"))
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

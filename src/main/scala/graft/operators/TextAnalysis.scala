@@ -725,6 +725,46 @@ object TextAnalysis {
       .orderBy(col("p"))
   }
 
+  /** Source exclusivity — what each source UNIQUELY contributes: per
+    * source, the words appearing in NO other source, their token mass,
+    * and the share of the source's own mass that is exclusive. The
+    * data-valuation readout redundancy arguments actually need: a
+    * source with near-zero exclusive mass is (vocabulary-wise) already
+    * covered by the rest of the mix and is a deletion candidate; a
+    * small source with high exclusivity is irreplaceable at any
+    * volume. Complements [[crossSourceXent]] (distributional
+    * similarity) with a hard set-membership answer.
+    *
+    * Scale shape: everything after tokenization is vocab-bounded —
+    * (source, word) counts aggregate map-side, the
+    * sources-containing-word rollup and the exclusivity join run on
+    * the O(vocab) frame. NULL sources fold to "<null>". Returns
+    * (source, n_words, n_exclusive_words, token_mass, exclusive_mass,
+    * exclusive_share). */
+  def sourceExclusivity(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val counts = df.select(
+        coalesce(col(groupCol).cast("string"), lit("<null>")).as("__g"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    val spread = counts.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__nsrc"))
+    counts.join(broadcast(spread), Seq("__w"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__nsrc") === 1, 1L).otherwise(0L))
+          .as("n_exclusive_words"),
+        sum(col("__c")).as("token_mass"),
+        sum(when(col("__nsrc") === 1, col("__c")).otherwise(0L))
+          .as("exclusive_mass"))
+      .select(col("__g").as(groupCol), col("n_words"),
+        col("n_exclusive_words"), col("token_mass"),
+        col("exclusive_mass"),
+        round(col("exclusive_mass").cast("double") / col("token_mass"), 6)
+          .as("exclusive_share"))
+      .orderBy(col(groupCol))
+  }
+
   /** Per-document encoding/mojibake QC — the byte-sanity gate that runs
     * right after ingest decode: U+FFFD replacement chars (a decoder
     * already gave up), C0 control chars (binary mixed into text; tab/

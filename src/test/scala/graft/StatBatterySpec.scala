@@ -582,6 +582,47 @@ class StatBatterySpec extends AnyFunSuite {
     assert(rz.getLong(2) === 0L && rz.isNullAt(3))
   }
 
+  test("sourceExclusivity: unique-word mass per source, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: "x y z" (y, z exclusive), b: "x w" (w exclusive)
+    val df = Seq(("a", "x y z"), ("b", "x w")).toDF("src", "text")
+    val m = graft.operators.TextAnalysis
+      .sourceExclusivity(df, "src", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m("a") === ((3L, 2L, 3L, 2L, 0.666667)))
+    assert(m("b") === ((2L, 1L, 2L, 1L, 0.5)))
+  }
+
+  test("survivalCurve: product-limit with right-censoring, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // u1 days 1-2 (lifetime 1, churned), u2 day 1 (lifetime 0,
+    // churned), u3 days 1-3 (lifetime 2, CENSORED — active on the
+    // final day): S = [2/3, 1/3, 1/3]
+    val df = Seq((1L, 1), (1L, 2), (2L, 1), (3L, 1), (3L, 3))
+      .toDF("u", "day").withColumn("ts", to_timestamp(
+        concat(lit("2024-01-0"), col("day"), lit(" 12:00:00"))))
+    val rows = graft.operators.Sessionize.survivalCurve(df, "u", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(0L) === ((3L, 1L, 0L, 0.666667)))
+    assert(rows(1L) === ((2L, 1L, 0L, 0.333333)))
+    assert(rows(2L) === ((1L, 0L, 1L, 0.333333)))
+  }
+
+  test("hoeffdingBounds: distribution-free radii, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // n = 2: eps95 = sqrt(ln40/4) = 0.960323, eps99 = sqrt(ln200/4)
+    // = 1.150904 — honestly useless radii at n=2, which is the point
+    val df = Seq(("a", 250L), ("a", 100L)).toDF("g", "v")
+    val r = Drift.hoeffdingBounds(df, "g", col("v") >= 200).collect()(0)
+    assert(r.getLong(1) === 2L && r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 0.960323 && r.getDouble(4) === 1.150904)
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
