@@ -2454,6 +2454,40 @@ object SparkEntry {
       Drift.hoeffdingBounds(t(s, d, "documents"), "source",
         col("n_chars") >= 200)),
 
+    // violation locality triage: is each rule's fallout concentrated
+    // in one partition (quarantine the shard) or diffuse (fix the
+    // rule/contract)? max-share + Herfindahl over (rule, part) counts
+    // carried through the REAL validation pass
+    "q_rule_locality" -> ((s, d) => {
+      val base = decontamCorpus(s, d)
+        .withColumn("part",
+          substring(col("doc_id"), 5, 12).cast("long") % 7)
+      ValidationPass.ruleLocality(
+        ValidationPass.seqViolations(base,
+          ValidationPass.seqConstraints(50000, SeqTableGen.Sources),
+          carryCols = Seq("part")), "part")
+    }),
+
+    // context-window budgeting: token mass lost past K=8 per source —
+    // a source with heavy loss is a different (head-only) corpus after
+    // packing, which no length histogram states directly
+    "q_truncation_loss" -> ((s, d) =>
+      Packing.truncationLoss(seqFromDocs(s, d), "source", "n_tok",
+        window = 8)),
+
+    // adversarial dedup laundering: duplicates visible only after
+    // Cyrillic->Latin homoglyph folding (planted confusable-substituted
+    // copies on %19 keys) — visually identical, byte-hash distinct
+    "q_homoglyph_dups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val variants = docs.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          translate(col("text"), "aeopcxy", "аеорсху").as("text"))
+      Dedup.homoglyphGain(
+        docs.select("doc_id", "text").unionByName(variants),
+        "doc_id", "text")
+    }),
+
     // partition-digest snapshot comparison — the 100-TB fast path that
     // makes the row-level diff above incremental: per-partition
     // (count, bit_xor, sum-mod) digests of a multiplicative row hash
@@ -6051,6 +6085,52 @@ object SparkEntry {
         |  round(sqrt(ln(2.0::DOUBLE / 0.01::DOUBLE)
         |             / (2.0::DOUBLE * count(*))), 6) AS eps_99
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rule_locality" ->
+      """WITH s AS (
+        |  SELECT doc_id AS idn,
+        |    CASE WHEN doc_id % 97 = 2 THEN 'R_NTOK_EQ_SIZE'
+        |         WHEN doc_id % 97 = 3 THEN 'R_TOKEN_RANGE'
+        |         WHEN doc_id % 97 = 4 THEN 'R_ENUM_SOURCE' END AS rule_id,
+        |    doc_id % 7 AS part
+        |  FROM documents WHERE doc_id % 97 IN (2, 3, 4)),
+        |rp AS (SELECT rule_id, part, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT rule_id, CAST(sum(n) AS BIGINT) AS n_violations,
+        |  count(*) AS n_partitions,
+        |  round(max(n)::DOUBLE / sum(n), 6) AS max_share,
+        |  round(sum(n * n)::DOUBLE / (sum(n) * sum(n)), 6) AS hhi
+        |FROM rp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_truncation_loss" ->
+      s"""WITH $SeqTableCte
+        |SELECT source, count(*) AS n_seqs,
+        |  CAST(sum(CASE WHEN n_tok > 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(greatest(n_tok - 8, 0)) AS BIGINT) AS tokens_lost,
+        |  round(sum(greatest(n_tok - 8, 0))::DOUBLE / sum(n_tok), 6)
+        |    AS loss_share
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_homoglyph_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |         translate(text, 'aeopcxy', 'аеорсху')
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |raw AS (SELECT coalesce(sum(n), 0) AS d FROM (
+        |  SELECT count(*) AS n FROM aug WHERE text IS NOT NULL
+        |  GROUP BY text HAVING count(*) > 1)),
+        |fold AS (SELECT coalesce(sum(n), 0) AS d FROM (
+        |  SELECT count(*) AS n FROM aug WHERE text IS NOT NULL
+        |  GROUP BY translate(text, 'аеорсхуАЕОРСХУ', 'aeopcxyAEOPCXY')
+        |  HAVING count(*) > 1)),
+        |nn AS (SELECT count(*) AS n FROM aug WHERE text IS NOT NULL)
+        |SELECT nn.n AS n_rows, CAST(raw.d AS BIGINT) AS raw_dup_rows,
+        |  CAST(fold.d AS BIGINT) AS folded_dup_rows,
+        |  CAST(fold.d - raw.d AS BIGINT) AS gain_rows
+        |FROM nn, raw, fold""".stripMargin,
 
     "q_diff_columns" ->
       """WITH oldsnap AS (

@@ -94,6 +94,38 @@ object Dedup {
       .toDF("n_rows", "raw_dup_rows", "norm_dup_rows", "gain_rows")
   }
 
+  /** Homoglyph-folding gain for the exact-dedup tier —
+    * [[normalizationGain]]'s adversarial sibling: how many duplicate
+    * rows appear only after Cyrillic→Latin confusable folding
+    * (а→a, е→e, о→o, р→p, с→c, х→x, у→y and their capitals — the
+    * classic spoofing substitutions that leave text VISUALLY identical
+    * while breaking every byte-level hash)? A large gap is not noise,
+    * it is someone deliberately laundering copies past the dedup tier
+    * (SEO farms and benchmark-contamination both do this). Folding is
+    * a codegen'd `translate` — zero shuffle; then the same two
+    * 8-byte hash aggregates. Returns one row (n_rows, raw_dup_rows,
+    * folded_dup_rows, gain_rows). */
+  def homoglyphGain(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val from = "аеорсху" +
+      "АЕОРСХУ"
+    val to = "aeopcxyAEOPCXY"
+    def dupRows(text: Column): DataFrame =
+      df.where(col(textCol).isNotNull)
+        .select(xxhash64(text).as("__h"))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("__dups"))
+    val n = df.where(col(textCol).isNotNull).count()
+    val raw = dupRows(col(textCol)).head().getLong(0)
+    val folded = dupRows(translate(col(textCol), from, to)).head()
+      .getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, raw, folded, folded - raw))
+      .toDF("n_rows", "raw_dup_rows", "folded_dup_rows", "gain_rows")
+  }
+
   /** Keep one representative per exact-duplicate group (min id wins) —
     * the dedup *apply* step. One aggregate keyed by the 8-byte content
     * hash with `min_by` carrying the surviving row: partial aggregation

@@ -486,6 +486,34 @@ object Packing {
           " AS STRING)), 1, 15), 16, 10) AS BIGINT))").as("digest"))
       .orderBy(col(shardCol))
 
+  /** Context-window truncation accounting: with a hard window of K
+    * tokens, how much token mass does each source LOSE — Σ max(0,
+    * n_tok − K) against total mass, plus the truncated-doc share. The
+    * budgeting readout behind "is K big enough for this mix": a
+    * source with 40 % of its mass past the window is effectively a
+    * different (head-only) corpus after packing, and nothing in the
+    * per-doc length histogram says so directly. One grouped aggregate
+    * of integer sums — exact, zero shuffle beyond O(groups). Returns
+    * (group, n_seqs, n_truncated, tokens_total, tokens_lost,
+    * loss_share). */
+  def truncationLoss(df: DataFrame, groupCol: String, nTokCol: String,
+                     window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val n = col(nTokCol).cast("long")
+    df.where(n.isNotNull)
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("__g"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(n > window, 1L).otherwise(0L)).as("n_truncated"),
+        sum(n).as("tokens_total"),
+        sum(greatest(n - window, lit(0L))).as("tokens_lost"))
+      .select(col("__g").as(groupCol), col("n_seqs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_lost"),
+        round(col("tokens_lost").cast("double") / col("tokens_total"), 6)
+          .as("loss_share"))
+      .orderBy(col(groupCol))
+  }
+
   /** Deterministic MLM/span-corruption mask planning: for each
     * sequence, which token POSITIONS mask, decided by seeded hash
     * arithmetic on (position, doc key) — a FUNCTION OF THE ROW, so the

@@ -466,4 +466,31 @@ object ValidationPass {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("rule_id"))
+
+  /** Violation LOCALITY across partitions — is a rule's fallout
+    * concentrated in one shard (a localized upstream bug: one bad
+    * producer, one corrupt file) or diffuse (a systemic rule/data
+    * mismatch)? Per rule over a violations frame that carries the
+    * partition bucket (`seqViolations(..., carryCols)`): the partition
+    * count, the largest single partition's share, and the Herfindahl
+    * concentration Σ share² (1 = all in one partition, 1/P = uniform).
+    * The triage router: localized → quarantine the shard and re-pull;
+    * diffuse → fix the rule or the producer contract. Two narrow
+    * aggregates over (rule, partition) counts. Returns (rule_id,
+    * n_violations, n_partitions, max_share, hhi). */
+  def ruleLocality(violations: DataFrame, partCol: String): DataFrame = {
+    val perRP = violations.groupBy(col("rule_id"), col(partCol))
+      .agg(count(lit(1)).as("__n"))
+    perRP.groupBy(col("rule_id"))
+      .agg(sum(col("__n")).as("n_violations"),
+        count(lit(1)).as("n_partitions"),
+        max(col("__n")).as("__max"),
+        sum(col("__n") * col("__n")).as("__ss"))
+      .select(col("rule_id"), col("n_violations"), col("n_partitions"),
+        round(col("__max").cast("double") / col("n_violations"), 6)
+          .as("max_share"),
+        round(col("__ss").cast("double")
+          / (col("n_violations") * col("n_violations")), 6).as("hhi"))
+      .orderBy(col("rule_id"))
+  }
 }

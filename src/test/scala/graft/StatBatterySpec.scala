@@ -623,6 +623,45 @@ class StatBatterySpec extends AnyFunSuite {
     assert(r.getDouble(3) === 0.960323 && r.getDouble(4) === 1.150904)
   }
 
+  test("ruleLocality: concentrated vs diffuse fallout, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // A: parts [0,0,0,1] → max 0.75, hhi (9+1)/16 = 0.625;
+    // B: [0,1] → 0.5 / 0.5
+    val v = Seq(("d1", "A", 0), ("d2", "A", 0), ("d3", "A", 0),
+      ("d4", "A", 1), ("d5", "B", 0), ("d6", "B", 1))
+      .toDF("doc_id", "rule_id", "part")
+    val m = graft.operators.ValidationPass.ruleLocality(v, "part")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("A") === ((4L, 2L, 0.75, 0.625)))
+    assert(m("B") === ((2L, 2L, 0.5, 0.5)))
+  }
+
+  test("truncationLoss: mass past the window, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq(("a", 5), ("a", 10), ("a", 12), ("b", 3)).toDF("g", "n")
+    val m = graft.operators.Packing.truncationLoss(df, "g", "n", 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m("a") === ((3L, 2L, 27L, 6L, 0.222222)))
+    assert(m("b") === ((1L, 0L, 3L, 0L, 0.0)))
+  }
+
+  test("homoglyphGain: Cyrillic-substituted twin caught only folded") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // "pax" vs its confusable twin (Cyrillic р, а, х): byte-distinct,
+    // fold-identical; plus one raw exact pair
+    val df = Seq((1L, "pax"), (2L, "рах"),
+      (3L, "same"), (4L, "same")).toDF("id", "text")
+    val r = graft.operators.Dedup.homoglyphGain(df, "id", "text")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2L, 4L, 2L)))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
