@@ -893,4 +893,104 @@ class PlanSpec extends SparkSpec {
         s"silhouette exchanges must carry (cluster_id, partials): $names")
     }
   }
+
+  test("session-12 text ops: exchanges never carry document text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val outs: Seq[(String, DataFrame)] = Seq(
+      "rakeKeyphrases" -> graft.operators.TextAnalysis.rakeKeyphrases(
+        docs, "text", graft.operators.TextAnalysis.StopwordProfiles("en"),
+        maxLen = 4, k = 10),
+      "crossSourceXent" -> graft.operators.TextAnalysis.crossSourceXent(
+        docs, "source", "text"),
+      "sourceExclusivity" -> graft.operators.TextAnalysis
+        .sourceExclusivity(docs, "source", "text"),
+      "nucleusVocab" -> graft.operators.TextAnalysis.nucleusVocab(
+        docs, "text"))
+    outs.foreach { case (name, out) =>
+      out.collect()
+      val exchanges = new org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanHelper {}
+        .collectWithSubqueries(out.queryExecution.executedPlan) {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text"),
+          s"$name shuffled document text: $names")
+      }
+    }
+  }
+
+  test("hbos: payload keys never shuffle — occupancy partials do") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = Profile.hbos(li, Seq("l_orderkey", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 10, k = 20)
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("l_orderkey"),
+        s"hbos shuffled the corpus keys: $names")
+    }
+    val p = plan(out)
+    assert(p.contains("TakeOrdered"), s"hbos must TakeOrdered, not sort:\n$p")
+  }
+
+  test("paretoFrontier: corpus rows never shuffle, window on distinct-x only") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") % 97).cast("double").as("score"))
+    val out = graft.operators.Selection.paretoFrontier(
+      docs, "doc_id", "n_chars", "score")
+    out.collect()
+    val exchanges = new org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(out.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+    // the final result orderBy is a RANGE exchange of the (small)
+    // frontier itself — legitimate; what must never happen is a HASH
+    // exchange of corpus rows (a join that stopped broadcasting)
+    exchanges.filter(_.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      .foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("doc_id"),
+          s"frontier hash-shuffled corpus rows: $names")
+      }
+  }
+
+  test("rollingDistinct / groupCentroids: raw keys and vectors never shuffle") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val rd = Profile.rollingDistinct(events, "ts", "user_id", 7)
+    rd.collect()
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    helper.collectWithSubqueries(rd.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("user_id"),
+        s"rollingDistinct shuffled raw user ids: ${e.output.map(_.name)}")
+    }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val gc = graft.operators.EmbeddingStats.groupCentroids(
+      emb, "label", "embedding")
+    gc.collect()
+    helper.collectWithSubqueries(gc.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("embedding"),
+        s"groupCentroids shuffled whole vectors: ${e.output.map(_.name)}")
+    }
+  }
 }
