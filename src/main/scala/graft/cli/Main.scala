@@ -30,6 +30,10 @@ import graft.sources.SeqTableGen
   *   pipeline [dir]                         — training-data pipeline demo
   *   stream-curate [dir]                    — the composed curation gate
   *            sequence on a file stream, with batch-parity check
+  *   health   [dir]                         — feed-health battery over
+  *            the event stream (growth accounting, decayed volume,
+  *            stationarity, weekday rhythm, lead-lag, rolling
+  *            distinct), one JSON line per signal
   *
   * Usage: spark-submit --class graft.cli.Main <jar> <mode> ...
   */
@@ -173,11 +177,67 @@ object Main {
           s""""ks":${d6(v.ksStatistic)},"ks_critical":${d6(v.ksCritical)},""" +
           s""""ks_drifted":${v.ksDrifted},"chi_square":${d6(v.chiSquare)},""" +
           s""""chi_drifted":${v.chiDrifted}}""")
+      case "health" :: rest =>
+        // feed-health observability over an event stream: the composed
+        // round-5 battery — growth accounting (new/retained/resurrected/
+        // churned), recency-decayed volume per type, Markov
+        // stationarity, weekday rhythm, lead-lag, rolling distinct —
+        // one JSON line per signal, driver-parseable
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        health(spark, dir)
       case other =>
         System.err.println(s"unknown args: $other — see Scaladoc")
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Feed-health battery over `<dir>/events.parquet` — the operational
+    * readout an ingest owner checks before trusting a snapshot: is the
+    * stream growing or churning (growth accounting), which types are
+    * still producing (decayed volume), is the mix stationary or still
+    * drifting (Markov stationarity), how weekly is it (η²), who leads
+    * whom (lead–lag), and the rolling-distinct trend. Each signal is
+    * one JSON line so a supervisor can grep/parse them independently. */
+  def health(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Profile, Sessionize}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def d6(x: Double) = String.format(java.util.Locale.ROOT, "%.6f",
+      Double.box(x))
+    val ga = Sessionize.growthAccounting(ev, "user_id", "ts")
+      .orderBy(desc("day")).limit(1).collect()(0)
+    println(s"""{"signal":"growth","day":"${ga.getDate(0)}",""" +
+      s""""active":${ga.getLong(1)},"new":${ga.getLong(2)},""" +
+      s""""retained":${ga.getLong(3)},"resurrected":${ga.getLong(4)},""" +
+      s""""churned":${if (ga.isNullAt(5)) "null" else ga.getLong(5)}}""")
+    Drift.decayedVolume(ev, "ts", "event_type").collect().foreach { r =>
+      println(s"""{"signal":"decayed_volume","type":"${r.getString(0)}",""" +
+        s""""n":${r.getLong(1)},"mass":${d6(r.getDouble(2))},""" +
+        s""""freshness":${d6(r.getDouble(3))}}""")
+    }
+    Sessionize.stationaryMix(ev, "user_id", "ts", "event_type",
+        "event_id").collect().foreach { r =>
+      println(s"""{"signal":"stationarity","type":"${r.getString(0)}",""" +
+        s""""observed":${d6(r.getDouble(1))},""" +
+        s""""stationary":${d6(r.getDouble(2))},""" +
+        s""""delta":${d6(r.getDouble(3))}}""")
+    }
+    val we = Sessionize.weekdayEffect(ev, "ts").collect()(0)
+    println(s"""{"signal":"weekday","n_days":${we.getLong(0)},""" +
+      s""""eta_squared":${if (we.isNullAt(1)) "null" else d6(we.getDouble(1))},""" +
+      s""""peak_dow":${we.getInt(2)},"trough_dow":${we.getInt(3)}}""")
+    val ll = Sessionize.leadLagCorr(ev, "ts", "event_type", "click",
+        "purchase").collect()
+      .filter(!_.isNullAt(2)).maxByOption(_.getDouble(2))
+    ll.foreach { r =>
+      println(s"""{"signal":"lead_lag","best_lag":${r.getInt(0)},""" +
+        s""""corr":${d6(r.getDouble(2))}}""")
+    }
+    val rd = Profile.rollingDistinct(ev, "ts", "user_id")
+      .orderBy(desc("day")).limit(1).collect()(0)
+    println(s"""{"signal":"rolling_distinct","day":"${rd.getDate(0)}",""" +
+      s""""day_distinct":${rd.getLong(2)},""" +
+      s""""rolling_7d":${rd.getLong(3)}}""")
   }
 
   /** Full check suite over a stored partitioned table. */
