@@ -2475,6 +2475,31 @@ object SparkEntry {
       Packing.truncationLoss(seqFromDocs(s, d), "source", "n_tok",
         window = 8)),
 
+    // distribution-matching plan: per-bin keep fractions that reshape
+    // src1's length distribution into src0's (the length-match-before-
+    // compare step); bottleneck-bin scaling, unmatchable bins surfaced
+    "q_dist_match" -> ((s, d) =>
+      Mixing.distributionMatchPlan(t(s, d, "documents"), "source",
+        "n_chars", refGroup = "src0", targetGroup = "src1",
+        lo = 0.0, hi = 600.0, bins = 12)),
+
+    // contextual rarity: lang rare WITHIN its source but common
+    // globally (a routing bug, not a rare value) — planted by diverting
+    // most of src5's 'en' docs to 'de'; lift = within/global share
+    "q_contextual_rare" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("source"),
+        when(col("source") === "src5" && col("lang") === "en" &&
+          col("doc_id") % 7 =!= 0, lit("de"))
+          .otherwise(col("lang")).as("lang"))
+      Profile.contextualRare(docs, "source", "lang")
+    }),
+
+    // robust per-type volume trend: Theil-Sen slope over the
+    // zero-filled daily series — the decline signal one outage day
+    // cannot drag (OLS flips sign; the pairwise median shrugs)
+    "q_trend_by_type" -> ((s, d) =>
+      Sessionize.trendByGroup(t(s, d, "events"), "ts", "event_type")),
+
     // adversarial dedup laundering: duplicates visible only after
     // Cyrillic->Latin homoglyph folding (planted confusable-substituted
     // copies on %19 keys) — visually identical, byte-hash distinct
@@ -6111,6 +6136,82 @@ object SparkEntry {
         |  round(sum(greatest(n_tok - 8, 0))::DOUBLE / sum(n_tok), 6)
         |    AS loss_share
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dist_match" ->
+      """WITH b AS (
+        |  SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+        |              WHEN n_chars >= 600.0 THEN 11
+        |              ELSE least(11, CAST(floor((n_chars - 0.0::DOUBLE)
+        |                / ((600.0::DOUBLE - 0.0::DOUBLE) / 12)) AS INT))
+        |         END AS BIGINT) AS bin, source
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |c AS (SELECT bin, source, count(*) AS n FROM b GROUP BY 1, 2),
+        |tot AS (SELECT sum(CASE WHEN source = 'src0' THEN n END) AS na,
+        |               sum(CASE WHEN source = 'src1' THEN n END) AS nb
+        |        FROM c),
+        |bins2 AS (SELECT DISTINCT bin FROM c),
+        |sh AS (SELECT bins2.bin,
+        |         coalesce((SELECT n FROM c WHERE c.bin = bins2.bin
+        |                   AND source = 'src0'), 0)::DOUBLE / tot.na AS a,
+        |         coalesce((SELECT n FROM c WHERE c.bin = bins2.bin
+        |                   AND source = 'src1'), 0)::DOUBLE / tot.nb AS bb,
+        |         coalesce((SELECT n FROM c WHERE c.bin = bins2.bin
+        |                   AND source = 'src1'), 0) AS nbr
+        |       FROM bins2, tot),
+        |s AS (SELECT min(bb / a) AS s FROM sh WHERE a > 0 AND bb > 0)
+        |SELECT bin, round(a, 6) AS ref_share,
+        |  round(bb, 6) AS target_share,
+        |  round(CASE WHEN bb = 0 THEN 0
+        |        ELSE least(1.0::DOUBLE, a / bb * s.s) END, 6)
+        |    AS keep_fraction,
+        |  CAST(round(CASE WHEN bb = 0 THEN 0
+        |        ELSE least(1.0::DOUBLE, a / bb * s.s) END * nbr, 0)
+        |    AS BIGINT) AS expected_kept,
+        |  (a > 0 AND bb = 0) AS unmatchable
+        |FROM sh, s ORDER BY bin""".stripMargin,
+
+    "q_contextual_rare" ->
+      """WITH d AS (
+        |  SELECT coalesce(source, '<null>') AS g,
+        |    CASE WHEN source = 'src5' AND lang = 'en' AND doc_id % 7 <> 0
+        |         THEN 'de' ELSE coalesce(lang, '<null>') END AS v
+        |  FROM documents),
+        |cells AS (SELECT g, v, count(*) AS n FROM d GROUP BY 1, 2),
+        |gt AS (SELECT g, sum(n) AS gn FROM cells GROUP BY 1),
+        |vt AS (SELECT v, sum(n) AS vn FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS t FROM cells)
+        |SELECT cells.g AS source, cells.v AS lang, cells.n,
+        |  round(cells.n::DOUBLE / gt.gn, 6) AS within_share,
+        |  round(vt.vn::DOUBLE / t.t, 6) AS global_share,
+        |  round((cells.n::DOUBLE / gt.gn) / (vt.vn::DOUBLE / t.t), 6)
+        |    AS lift,
+        |  ((cells.n::DOUBLE / gt.gn) / (vt.vn::DOUBLE / t.t) < 0.25
+        |   AND vt.vn::DOUBLE / t.t >= 0.05) AS flagged
+        |FROM cells JOIN gt USING (g) JOIN vt USING (v), t
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_trend_by_type" ->
+      """WITH e AS (
+        |  SELECT coalesce(event_type, '<null>') AS g,
+        |         CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |days AS (SELECT unnest(generate_series(d0, d1,
+        |           INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |grps AS (SELECT DISTINCT g FROM e),
+        |cnt AS (SELECT g, d, count(*) AS n FROM e GROUP BY 1, 2),
+        |f AS (SELECT grps.g, days.d, coalesce(cnt.n, 0) AS n,
+        |        row_number() OVER (PARTITION BY grps.g
+        |                           ORDER BY days.d) - 1 AS i
+        |      FROM grps CROSS JOIN days
+        |      LEFT JOIN cnt ON cnt.g = grps.g AND cnt.d = days.d),
+        |p AS (SELECT a.g, (b.n - a.n)::DOUBLE / (b.i - a.i) AS s
+        |      FROM f a JOIN f b ON a.g = b.g AND b.i > a.i),
+        |m AS (SELECT g, count(*) AS nd FROM f GROUP BY 1)
+        |SELECT p.g AS event_type, m.nd AS n_days,
+        |  round(median(p.s), 6) AS sen_slope
+        |FROM p JOIN m USING (g) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_homoglyph_dups" ->
       """WITH aug AS (

@@ -1031,6 +1031,63 @@ object Mixing {
             / col("total_pairs"), 6)).as("collision_rate"))
   }
 
+  /** Distribution-matching plan: per-bin keep fractions that reshape a
+    * TARGET group's value distribution into the REFERENCE group's (the
+    * "length-match web to books before comparing quality" step —
+    * comparing unmatched groups confounds every downstream metric with
+    * the length mix). Equi-width bins over [lo, hi); with reference
+    * shares a_i and target shares b_i, the largest exactly-matched
+    * subsample keeps fraction k_i = (a_i/b_i)·s* in bin i, where
+    * s* = min over supplied bins of b_i/a_i (the bottleneck bin keeps
+    * everything). Bins the reference needs but the target cannot
+    * supply (a_i > 0, b_i = 0) make exact matching impossible — they
+    * are SURFACED per row (`unmatchable`), never silently zeroed.
+    * Pure integer-ratio arithmetic on two O(bins) count frames; apply
+    * with [[sampleByWeights]]-style bucketing downstream. Returns
+    * (bin, ref_share, target_share, keep_fraction, expected_kept,
+    * unmatchable). */
+  def distributionMatchPlan(df: DataFrame, groupCol: String,
+                            valueCol: String, refGroup: String,
+                            targetGroup: String, lo: Double, hi: Double,
+                            bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need hi > lo and bins >= 1")
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, lit(0L)).when(v >= hi, lit(bins - 1L))
+      .otherwise(least(floor((v - lo) / ((hi - lo) / bins)),
+        lit(bins - 1L)))
+    val counts = df
+      .where(col(groupCol).isin(refGroup, targetGroup) && v.isNotNull)
+      .groupBy(bin.as("bin"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = counts.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nA = rows.collect { case ((_, g), n) if g == refGroup => n }.sum
+    val nB = rows.collect { case ((_, g), n) if g == targetGroup => n }.sum
+    require(nA > 0 && nB > 0, "both groups need rows in [lo, hi)")
+    val allBins = (0L until bins.toLong)
+      .filter(b => rows.contains((b, refGroup)) ||
+        rows.contains((b, targetGroup)))
+    def share(b: Long, g: String, tot: Long): Double =
+      rows.getOrElse((b, g), 0L).toDouble / tot
+    val sStar = allBins.flatMap { b =>
+      val a = share(b, refGroup, nA); val bb = share(b, targetGroup, nB)
+      if (a > 0.0 && bb > 0.0) Some(bb / a) else None
+    }.minOption.getOrElse(0.0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    allBins.sorted.map { b =>
+      val a = share(b, refGroup, nA); val bb = share(b, targetGroup, nB)
+      val unmatchable = a > 0.0 && bb == 0.0
+      val keep = if (bb == 0.0) 0.0 else math.min(1.0, a / bb * sStar)
+      (b, r6(a), r6(bb), r6(keep),
+        math.round(keep * rows.getOrElse((b, targetGroup), 0L)),
+        unmatchable)
+    }.toDF("bin", "ref_share", "target_share", "keep_fraction",
+      "expected_kept", "unmatchable")
+  }
+
   /** UCB1 exploration scores for adaptive source allocation (Auer et
     * al. 2002): ucb = mean reward + √(2·ln N / n) per arm — the
     * principled answer to "which under-sampled source should the next

@@ -532,6 +532,41 @@ object Profile {
       .orderBy(col(strataCol))
   }
 
+  /** Contextual rarity — values rare WITHIN their group but common
+    * globally: lift = within-group share / global share, and a cell
+    * with lift ≪ 1 on a globally-common value is a routing/labeling
+    * bug (the Spanish docs that ended up in the German feed), which
+    * plain [[rareCategories]] can't see because the value is not rare
+    * anywhere it looks. One (group, value) count aggregate
+    * (dimension-like by contract), marginals from the same frame,
+    * flagged below `maxLift` with a `minGlobalShare` floor so
+    * genuinely-rare values don't alarm. Returns every (group, value)
+    * cell: (group, value, n, within_share, global_share, lift,
+    * flagged). */
+  def contextualRare(df: DataFrame, groupCol: String, valueCol: String,
+                     maxLift: Double = 0.25,
+                     minGlobalShare: Double = 0.05): DataFrame = {
+    val cells = df.groupBy(
+        coalesce(col(groupCol).cast("string"), lit("<null>")).as("__g"),
+        coalesce(col(valueCol).cast("string"), lit("<null>")).as("__v"))
+      .agg(count(lit(1)).as("n"))
+    val gTot = cells.groupBy(col("__g")).agg(sum(col("n")).as("__gn"))
+    val vTot = cells.groupBy(col("__v")).agg(sum(col("n")).as("__vn"))
+    val tot = cells.agg(sum(col("n")).as("__t"))
+    val within = col("n").cast("double") / col("__gn")
+    val global = col("__vn").cast("double") / col("__t")
+    cells.join(broadcast(gTot), Seq("__g"))
+      .join(broadcast(vTot), Seq("__v"))
+      .crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("__v").as(valueCol), col("n"),
+        round(within, 6).as("within_share"),
+        round(global, 6).as("global_share"),
+        round(within / global, 6).as("lift"),
+        (within / global < maxLift && global >= minGlobalShare)
+          .as("flagged"))
+      .orderBy(col(groupCol), col(valueCol))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

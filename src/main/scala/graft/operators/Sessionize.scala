@@ -470,6 +470,47 @@ object Sessionize {
       .orderBy(col("lifetime_days"))
   }
 
+  /** Per-group Theil–Sen (median-of-pairwise-slopes) trend of daily
+    * volume — "which feed is actually declining": the robust slope a
+    * single spike day cannot drag (OLS on 30 days flips sign on one
+    * outage day; the pairwise median shrugs it off). Per group over
+    * the zero-filled daily series (gap days are real zeros), slope in
+    * events/day from all C(days, 2) pairs — O(days²) per group, days
+    * being calendar-bounded, never row-bounded. Exact pairwise ratios;
+    * medians interpolate identically in both engines. Returns
+    * (group, n_days, sen_slope). */
+  def trendByGroup(df: DataFrame, tsCol: String,
+                   groupCol: String): DataFrame = {
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("__g"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__n")).collect()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (daily.isEmpty)
+      return Seq.empty[(String, Long, Double)]
+        .toDF(groupCol, "n_days", "sen_slope")
+    val byG = daily.groupBy(_.getString(0))
+    val d0 = daily.map(_.getDate(1).toLocalDate.toEpochDay).min
+    val d1 = daily.map(_.getDate(1).toLocalDate.toEpochDay).max
+    byG.toSeq.sortBy(_._1).map { case (g, rs) =>
+      val byDay = rs.map(r =>
+        r.getDate(1).toLocalDate.toEpochDay -> r.getLong(2)).toMap
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L).toDouble).toArray
+      val slopes = (for {
+        i <- ys.indices; j <- (i + 1) until ys.length
+      } yield (ys(j) - ys(i)) / (j - i)).sorted
+      val m = slopes.length
+      val sen =
+        if (m == 0) 0.0
+        else if (m % 2 == 1) slopes(m / 2)
+        else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      (g, ys.length.toLong, r6(sen))
+    }.toDF(groupCol, "n_days", "sen_slope")
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

@@ -662,6 +662,55 @@ class StatBatterySpec extends AnyFunSuite {
       ((4L, 2L, 4L, 2L)))
   }
 
+  test("distributionMatchPlan: bottleneck bin keeps all, unmatchable surfaced") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // ref A: bins [8, 2, 1]; target B: [2, 8, 0] over lo 0, hi 30, 3
+    // bins → s* = bin0's 0.275, keep = [1, 0.0625, 0], bin2 unmatchable
+    val rows = Seq.fill(8)(("A", 1)) ++ Seq.fill(2)(("A", 11)) ++
+      Seq(("A", 21)) ++ Seq.fill(2)(("B", 1)) ++ Seq.fill(8)(("B", 11))
+    val df = rows.toDF("g", "v")
+    val m = graft.operators.Mixing.distributionMatchPlan(df, "g", "v",
+      "A", "B", 0.0, 30.0, 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4),
+        r.getBoolean(5))).toMap
+    assert(m(0L) === ((1.0, 2L, false)))
+    assert(m(1L) === ((0.0625, 1L, false)))
+    assert(m(2L) === ((0.0, 0L, true)))
+  }
+
+  test("contextualRare: globally-common value rare in one group flags") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val rows = Seq.fill(9)(("g1", "x")) ++ Seq(("g1", "y")) ++
+      Seq.fill(9)(("g2", "y")) ++ Seq(("g2", "x"))
+    val out = Profile.contextualRare(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out(("g1", "y")) === ((0.5, 0.2, true)))  // lift 0.2 < 0.25
+    assert(out(("g1", "x")) === ((0.5, 1.8, false)))
+    assert(out(("g2", "x")) === ((0.5, 0.2, true)))
+  }
+
+  test("trendByGroup: Sen slope robust on zero-filled series") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: [1,2,3] → +1; b: [3,2,1] → −1; c: [4,0,2] (gap-filled day 2)
+    // → slopes {−4, −1, 2} → median −1
+    val rows = Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3),
+      ("b", 1, 3), ("b", 2, 2), ("b", 3, 1),
+      ("c", 1, 4), ("c", 3, 2)).flatMap { case (g, day, n) =>
+        Seq.fill(n)((g, day)) }
+    val df = rows.toDF("g", "day").withColumn("ts", to_timestamp(
+      concat(lit("2024-01-0"), col("day"), lit(" 12:00:00"))))
+    val m = graft.operators.Sessionize.trendByGroup(df, "ts", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("a") === ((3L, 1.0)))
+    assert(m("b") === ((3L, -1.0)))
+    assert(m("c") === ((3L, -1.0)))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
