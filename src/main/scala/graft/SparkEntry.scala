@@ -2500,6 +2500,38 @@ object SparkEntry {
     "q_trend_by_type" -> ((s, d) =>
       Sessionize.trendByGroup(t(s, d, "events"), "ts", "event_type")),
 
+    // MMR diversity-aware selection: greedy lambda*rel - (1-lambda)*
+    // max-sim-to-selected — covers the relevant region instead of
+    // stacking near-duplicates of the top hit; k bounded TakeOrdered
+    // jobs, selected vectors ride the plan as literals
+    "q_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Selection.mmrSelect(emb, "vec_id", "embedding", q, k = 5,
+        lambda = 0.7)
+    }),
+
+    // expected shortfall per source: mean of the WORST alpha-tail of
+    // doc length — "the bottom decile averages 41 chars" is actionable
+    // where a p10 alone is not; closed tail, boundary value counts
+    "q_cvar" -> ((s, d) =>
+      Profile.cvarByGroup(t(s, d, "documents"), "source", "n_chars",
+        alpha = 0.1)),
+
+    // cross-source copy matrix: distinct texts shared verbatim between
+    // source pairs (planted '_m' mirror sources on %23 keys) — two
+    // sources sharing texts are one source weighted twice
+    "q_cross_copies" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mirror = docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+          concat(col("source"), lit("_m")).as("source"))
+      Dedup.crossSourceCopies(
+        docs.select("doc_id", "text", "source").unionByName(mirror),
+        "text", "source")
+    }),
+
     // adversarial dedup laundering: duplicates visible only after
     // Cyrillic->Latin homoglyph folding (planted confusable-substituted
     // copies on %19 keys) — visually identical, byte-hash distinct
@@ -4106,6 +4138,47 @@ object SparkEntry {
        |SELECT source, n_words, n_bpe_tok,
        |       round(CAST(n_bpe_tok AS DOUBLE) / n_words, 6) AS fertility
        |FROM c ORDER BY source""".stripMargin
+  }
+
+  /** q_mmr oracle, generated: unrolled greedy MMR steps — rel and the
+    * selected-set penalties via DuckDB's list_cosine_similarity (the
+    * q_ann_topk equivalence to the native cosine), greatest-chain
+    * penalty (max is exact, nesting-order-free), explicit NOT IN
+    * exclusion of picked ids, (score DESC, vec_id ASC) tie-break. */
+  private def mmrOracle(k: Int): String = {
+    def cos(b: String) =
+      s"list_cosine_similarity(e.embedding::DOUBLE[], $b::DOUBLE[])"
+    val steps = (2 to k).map { s =>
+      val pens = (1 until s).map(i => cos(s"c$i.qv"))
+      val pen = if (pens.size == 1) pens.head
+        else s"greatest(${pens.mkString(", ")})"
+      val picked = (1 until s).map(i => s"(SELECT vec_id FROM p$i)")
+        .mkString(", ")
+      val cTabs = (1 until s).map(i => s"c$i").mkString(", ")
+      s"""sc$s AS (SELECT e.vec_id,
+         |  0.7::DOUBLE * r.rel - (1.0::DOUBLE - 0.7::DOUBLE) * $pen AS sc
+         |  FROM e JOIN r USING (vec_id), $cTabs
+         |  WHERE e.vec_id NOT IN ($picked)),
+         |p$s AS (SELECT vec_id, sc FROM sc$s ORDER BY sc DESC, vec_id
+         |        LIMIT 1),
+         |c$s AS (SELECT e.embedding AS qv FROM e, p$s
+         |        WHERE e.vec_id = p$s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map { s =>
+      s"SELECT CAST($s AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS " +
+        s"vec_id, round(sc, 6) AS score FROM p$s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+       |r AS (SELECT e.vec_id, ${cos("q.qv")} AS rel FROM e, q),
+       |p1 AS (SELECT vec_id, 0.7::DOUBLE * rel
+       |         - (1.0::DOUBLE - 0.7::DOUBLE) * 0.0::DOUBLE AS sc
+       |       FROM r ORDER BY sc DESC, vec_id LIMIT 1),
+       |c1 AS (SELECT e.embedding AS qv FROM e, p1
+       |       WHERE e.vec_id = p1.vec_id),
+       |$steps
+       |$rows
+       |ORDER BY step""".stripMargin
   }
 
   /** q_kcenter oracle, generated: unrolled Gonzalez steps — each round
@@ -9726,6 +9799,32 @@ object SparkEntry {
         |FROM c ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
 
     "q_kcenter" -> kCenterOracle(4),
+
+    "q_mmr" -> mmrOracle(5),
+
+    "q_cvar" ->
+      """WITH b AS (
+        |  SELECT coalesce(source, '<null>') AS g, n_chars::DOUBLE AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q AS (SELECT g, count(*) AS n, quantile_cont(v, 0.1) AS qv
+        |      FROM b GROUP BY 1)
+        |SELECT b.g AS source, q.n, round(q.qv, 6) AS var_alpha,
+        |  count(*) AS tail_n, round(avg(b.v), 6) AS cvar
+        |FROM b JOIN q ON q.g = b.g WHERE b.v <= q.qv
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_cross_copies" ->
+      """WITH aug AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, source || '_m' FROM documents
+        |  WHERE doc_id % 23 = 0),
+        |hs AS (SELECT DISTINCT text, source FROM aug
+        |       WHERE text IS NOT NULL)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_shared_texts
+        |FROM hs a JOIN hs b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_mass_percentiles" ->
       """WITH pv AS (

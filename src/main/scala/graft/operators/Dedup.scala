@@ -126,6 +126,28 @@ object Dedup {
       .toDF("n_rows", "raw_dup_rows", "folded_dup_rows", "gain_rows")
   }
 
+  /** Cross-source copy matrix — who copies whom: for every source
+    * pair, how many DISTINCT texts appear verbatim in both. The
+    * provenance readout behind mixture double-counting: two "sources"
+    * sharing 30 % of their texts are one source weighted twice, and
+    * per-source dedup stats never reveal it (each side looks clean in
+    * isolation). One distinct (content-hash, source) projection —
+    * 8-byte keys, text never shuffles — then a hash-keyed self-join
+    * whose fan-out is bounded by sources-per-text (dimension-like).
+    * Returns (source_a < source_b, n_shared_texts) ordered. */
+  def crossSourceCopies(df: DataFrame, textCol: String,
+                        srcCol: String): DataFrame = {
+    val h = df.where(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__h"),
+        coalesce(col(srcCol).cast("string"), lit("<null>")).as("__s"))
+      .distinct()
+    h.as("a").join(h.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Keep one representative per exact-duplicate group (min id wins) —
     * the dedup *apply* step. One aggregate keyed by the 8-byte content
     * hash with `min_by` carrying the surviving row: partial aggregation

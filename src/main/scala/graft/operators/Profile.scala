@@ -567,6 +567,36 @@ object Profile {
       .orderBy(col(groupCol), col(valueCol))
   }
 
+  /** Conditional value-at-risk (expected shortfall) of a quality
+    * signal per group: the mean of each group's WORST α-tail — the
+    * budgeting number a mean or even a p10 can't give ("src7's bottom
+    * decile averages 41 chars" is actionable; "src7's p10 is 52" says
+    * nothing about how bad it gets below that). VaR_α = the exact
+    * interpolated α-quantile per group, CVaR = mean over values ≤
+    * VaR_α (closed tail, so the boundary value counts). Two grouped
+    * aggregates with a broadcast quantile re-attach (groups
+    * dimension-like by contract); interpolated percentiles agree
+    * across engines on integer-valued columns. Returns (group, n,
+    * var_alpha, tail_n, cvar). */
+  def cvarByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    val v = col(valueCol).cast("double")
+    val g = coalesce(col(groupCol).cast("string"), lit("<null>")).as("__g")
+    val base = df.where(v.isNotNull).select(g, v.as("__v"))
+    val qs = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(__v, $alpha)").as("__q"))
+    base.join(broadcast(qs), Seq("__g"))
+      .where(col("__v") <= col("__q"))
+      .groupBy(col("__g"), col("n"), col("__q"))
+      .agg(count(lit(1)).as("tail_n"), avg(col("__v")).as("__m"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__q"), 6).as("var_alpha"), col("tail_n"),
+        round(col("__m"), 6).as("cvar"))
+      .orderBy(col(groupCol))
+  }
+
   /** Heavy hitters on a possibly unbounded-cardinality column via
     * Spark 4's `approx_top_k` (Apache DataSketches frequent-items):
     * ONE aggregate whose sketch merges two-level like the HLL/t-digest

@@ -67,6 +67,58 @@ object Selection {
     df.join(kept, Seq(idCol))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998): greedily pick k vectors maximizing
+    * λ·rel(v) − (1−λ)·max_{s ∈ selected} cos(v, s) — the
+    * diversity-aware sampler that builds an eval set which COVERS the
+    * relevant region instead of stacking k near-duplicates of the
+    * single most relevant document (pure top-k by relevance does
+    * exactly that on any corpus with a dense cluster; pure diversity
+    * is [[graft.operators.Similarity.kCenters]]). Relevance is cosine
+    * to `query`. Exactly k bounded driver-side jobs: per step ONE
+    * TakeOrdered(1) scan with the selected vectors riding the plan as
+    * literals (`greatest` of codegen'd cosines — the kCenters
+    * discipline; the corpus never joins or shuffles), already-selected
+    * ids excluded explicitly. Bit-stable dimension-order cosines make
+    * the (score DESC, id ASC) pick — and hence the whole selected
+    * set — deterministic and SQL-replayable by unrolled CTEs. Returns
+    * (step, idCol, score); step 1 is the pure-relevance argmax. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+                query: Array[Float], k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    def cos(a: Column, v: Seq[Float]): Column =
+      graft.functions.VectorExpressions.cosine(a, typedLit(v))
+    val rel = cos(col(vecCol), query.toSeq)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    var step = 1
+    while (step <= k) {
+      val penalty: Column =
+        if (vecs.isEmpty) lit(0.0)
+        else vecs.map(v => cos(col(vecCol), v)).reduce(greatest(_, _))
+      val score = lit(lambda) * rel - lit(1 - lambda) * penalty
+      val chosen = df
+        .where(!col(idCol).isin(picked.toSeq.map(_._2): _*))
+        .select(col(idCol).cast("long").as("__id"), score.as("__s"),
+          col(vecCol).as("__v"))
+        .where(col("__s").isNotNull)
+        .orderBy(desc("__s"), col("__id"))
+        .limit(1).head()
+      picked += ((step.toLong, chosen.getLong(0), chosen.getDouble(1)))
+      vecs += chosen.getSeq[Float](2)
+      step += 1
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    picked.toSeq.map { case (s, id, sc) => (s, id, r6(sc)) }
+      .toDF("step", idCol, "score")
+  }
+
   /** 2-D Pareto frontier (skyline), maximizing both columns: a row
     * survives iff NO other row is ≥ in both dimensions and > in one —
     * "the best document at every length budget", the selection view a

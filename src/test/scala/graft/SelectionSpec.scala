@@ -55,4 +55,38 @@ class SelectionSpec extends SparkSpec {
     }
     assert(acc === walk.map(_._2).sum)
   }
+
+  test("mmrSelect: low lambda lets diversity beat an exact duplicate") {
+    import spark.implicits._
+    // query (1,0); id1 = (1,0), id2 = exact duplicate, id3 = (0.6,0.8)
+    // at lambda 0.3: step2 prefers the diverse id3 (-0.24) over the
+    // duplicate id2 (0.3 - 0.7 = -0.4); step1 tie breaks to id1
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val out = Selection.mmrSelect(df, "vec_id", "embedding",
+      Array(1f, 0f), k = 3, lambda = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 1L, 0.3), (2L, 3L, -0.24),
+      (3L, 2L, -0.4)))
+  }
+
+  test("cvarByGroup: tail mean below the interpolated quantile") {
+    import spark.implicits._
+    // 1..10: p10 = 1.9, closed tail {1} -> cvar 1.0
+    val df = (1 to 10).map(v => ("a", v.toLong)).toDF("g", "v")
+    val r = graft.operators.Profile.cvarByGroup(df, "g", "v", 0.1)
+      .collect()(0)
+    assert((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      === ((10L, 1.9, 1L, 1.0)))
+  }
+
+  test("crossSourceCopies: distinct shared texts per source pair") {
+    import spark.implicits._
+    // t1 in a (twice) and b; t2 only in a -> (a, b) shares exactly 1
+    val df = Seq((1L, "t1", "a"), (2L, "t1", "a"), (3L, "t1", "b"),
+      (4L, "t2", "a")).toDF("id", "text", "source")
+    val out = graft.operators.Dedup.crossSourceCopies(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", "b", 1L)))
+  }
 }
