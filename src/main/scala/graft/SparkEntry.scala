@@ -2519,6 +2519,29 @@ object SparkEntry {
       Profile.cvarByGroup(t(s, d, "documents"), "source", "n_chars",
         alpha = 0.1)),
 
+    // two-sample bootstrap of the mean gap: per-replicate src0-vs-src2
+    // length deltas from independent deterministic Poisson draws — the
+    // distribution-free "is that gap noise" readout (no normality, no
+    // equal-variance assumption)
+    "q_boot_diff" -> ((s, d) =>
+      Profile.bootstrapDelta(t(s, d, "documents"), "doc_id", "n_chars",
+        "source", "src0", "src2", nBoot = 32, seed = 7L,
+        hashKey = false)),
+
+    // day-grain burstiness: variance-to-mean of daily volume per type
+    // over zero-filled days (Poisson = 1; >> 1 batch uploads, << 1 a
+    // scheduler) — clumping second-grain burstiness can't see
+    "q_overdispersion" -> ((s, d) =>
+      Sessionize.dispersionIndex(t(s, d, "events"), "ts", "event_type",
+        threshold = 1.5)),
+
+    // label separability in embedding space: pairwise Fisher ratio
+    // ||mu_a - mu_b||^2 / (tr_a + tr_b) — J near 0 means the
+    // representation cannot tell the classes apart (no classifier fix)
+    "q_fisher_ratio" -> ((s, d) =>
+      EmbeddingStats.fisherSeparability(t(s, d, "embeddings"), "label",
+        "embedding")),
+
     // cross-source copy matrix: distinct texts shared verbatim between
     // source pairs (planted '_m' mirror sources on %23 keys) — two
     // sources sharing texts are one source weighted twice
@@ -9801,6 +9824,104 @@ object SparkEntry {
     "q_kcenter" -> kCenterOracle(4),
 
     "q_mmr" -> mmrOracle(5),
+
+    "q_boot_diff" ->
+      """WITH fa AS (
+        |  SELECT b, n_chars::DOUBLE AS x,
+        |    ((doc_id % 2147483648) * 4096 + b + 7 * 81) % 4294967296
+        |      AS k0
+        |  FROM documents, (SELECT unnest(range(0, 32)) AS b)
+        |  WHERE n_chars IS NOT NULL AND source = 'src0'),
+        |ha1 AS (SELECT b, x,
+        |  (xor(k0, k0 >> 16) * 569557677) % 4294967296 AS h FROM fa),
+        |ha2 AS (SELECT b, x,
+        |  (xor(h, h >> 15) * 1935933847) % 4294967296 AS h2 FROM ha1),
+        |wa AS (SELECT b, x,
+        |  CASE WHEN xor(h2, h2 >> 15) < 1580030168 THEN 0
+        |       WHEN xor(h2, h2 >> 15) < 3160060337 THEN 1
+        |       WHEN xor(h2, h2 >> 15) < 3950075421 THEN 2
+        |       WHEN xor(h2, h2 >> 15) < 4213413783 THEN 3
+        |       WHEN xor(h2, h2 >> 15) < 4279248373 THEN 4
+        |       WHEN xor(h2, h2 >> 15) < 4292415291 THEN 5
+        |       WHEN xor(h2, h2 >> 15) < 4294609777 THEN 6
+        |       WHEN xor(h2, h2 >> 15) < 4294923276 THEN 7
+        |       WHEN xor(h2, h2 >> 15) < 4294962463 THEN 8
+        |       ELSE 9 END AS w FROM ha2),
+        |ma AS (SELECT b, round(sum(w * x) / sum(w), 6) AS mean_a
+        |       FROM wa GROUP BY b),
+        |fb AS (
+        |  SELECT b, n_chars::DOUBLE AS x,
+        |    ((doc_id % 2147483648) * 4096 + b + 7 * 81) % 4294967296
+        |      AS k0
+        |  FROM documents, (SELECT unnest(range(0, 32)) AS b)
+        |  WHERE n_chars IS NOT NULL AND source = 'src2'),
+        |hb1 AS (SELECT b, x,
+        |  (xor(k0, k0 >> 16) * 569557677) % 4294967296 AS h FROM fb),
+        |hb2 AS (SELECT b, x,
+        |  (xor(h, h >> 15) * 1935933847) % 4294967296 AS h2 FROM hb1),
+        |wb AS (SELECT b, x,
+        |  CASE WHEN xor(h2, h2 >> 15) < 1580030168 THEN 0
+        |       WHEN xor(h2, h2 >> 15) < 3160060337 THEN 1
+        |       WHEN xor(h2, h2 >> 15) < 3950075421 THEN 2
+        |       WHEN xor(h2, h2 >> 15) < 4213413783 THEN 3
+        |       WHEN xor(h2, h2 >> 15) < 4279248373 THEN 4
+        |       WHEN xor(h2, h2 >> 15) < 4292415291 THEN 5
+        |       WHEN xor(h2, h2 >> 15) < 4294609777 THEN 6
+        |       WHEN xor(h2, h2 >> 15) < 4294923276 THEN 7
+        |       WHEN xor(h2, h2 >> 15) < 4294962463 THEN 8
+        |       ELSE 9 END AS w FROM hb2),
+        |mb AS (SELECT b, round(sum(w * x) / sum(w), 6) AS mean_b
+        |       FROM wb GROUP BY b)
+        |SELECT CAST(ma.b AS INT) AS b, ma.mean_a, mb.mean_b,
+        |  round(ma.mean_a - mb.mean_b, 6) AS delta
+        |FROM ma JOIN mb USING (b) ORDER BY b""".stripMargin,
+
+    "q_overdispersion" ->
+      """WITH e AS (
+        |  SELECT coalesce(event_type, '<null>') AS g,
+        |         CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |days AS (SELECT unnest(generate_series(d0, d1,
+        |           INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |grps AS (SELECT DISTINCT g FROM e),
+        |cnt AS (SELECT g, d, count(*) AS n FROM e GROUP BY 1, 2),
+        |f AS (SELECT grps.g, days.d, coalesce(cnt.n, 0) AS n1
+        |      FROM grps CROSS JOIN days
+        |      LEFT JOIN cnt ON cnt.g = grps.g AND cnt.d = days.d),
+        |st AS (SELECT g, count(*) AS n, sum(n1 * 1.0::DOUBLE) AS s,
+        |         sum(n1 * 1.0::DOUBLE * n1) AS ss FROM f GROUP BY 1)
+        |SELECT g AS event_type, n AS n_days, round(s / n, 6) AS mean_daily,
+        |  CASE WHEN n < 2 OR s / n <= 0 THEN NULL
+        |       ELSE round(((ss - s * s / n) / (n - 1)) / (s / n), 6)
+        |  END AS dispersion,
+        |  coalesce(CASE WHEN n < 2 OR s / n <= 0 THEN false
+        |       ELSE round(((ss - s * s / n) / (n - 1)) / (s / n), 6)
+        |            > 1.5 END, false) AS flag
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    "q_fisher_ratio" ->
+      """WITH d AS (
+        |  SELECT label::VARCHAR AS l, unnest(embedding) AS x,
+        |         unnest(range(len(embedding))) AS p
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |st AS (SELECT l, p, sum(x::DOUBLE) AS s,
+        |         sum(x::DOUBLE * x) AS ss, count(*) AS c
+        |       FROM d GROUP BY 1, 2),
+        |m AS (SELECT l, p, c, s / c AS mu,
+        |        ss / c - (s / c) * (s / c) AS v FROM st),
+        |tr AS (SELECT l, sum(v) AS trace, max(c) AS n FROM m GROUP BY 1),
+        |pairs AS (SELECT a.l AS la, b.l AS lb,
+        |    sum((a.mu - b.mu) * (a.mu - b.mu)) AS d2
+        |  FROM m a JOIN m b ON a.p = b.p AND a.l < b.l GROUP BY 1, 2)
+        |SELECT p.la AS label_a, p.lb AS label_b,
+        |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+        |  round(p.d2, 6) AS dist2,
+        |  CASE WHEN ta.trace + tb.trace > 0
+        |       THEN round(p.d2 / (ta.trace + tb.trace), 6) END AS fisher
+        |FROM pairs p JOIN tr ta ON ta.l = p.la JOIN tr tb ON tb.l = p.lb
+        |ORDER BY label_a, label_b""".stripMargin,
 
     "q_cvar" ->
       """WITH b AS (

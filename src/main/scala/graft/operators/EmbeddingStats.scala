@@ -213,6 +213,67 @@ object EmbeddingStats {
         col(vecCol), m.mean.toIndexedSeq, weights).as("score"))
   }
 
+  /** Pairwise Fisher separability of label clouds in embedding space:
+    * J(a, b) = ‖μ_a − μ_b‖² / (σ²_a + σ²_b) with σ² the trace of the
+    * per-class (population) covariance — the two-class Fisher
+    * criterion under the isotropic simplification, and the
+    * label-quality readout [[graft.operators.Similarity.simplifiedSilhouette]]
+    * gives for CLUSTERS: J ≫ 1 means the labels are linearly
+    * separable in this embedding; J ≈ 0 for a pair means the
+    * embedding cannot tell those classes apart (retraining the
+    * classifier won't fix what the representation can't see). One
+    * posexplode aggregate to O(labels × dim) sufficient sums (sum,
+    * sum-of-squares — vectors never shuffle whole); pair arithmetic
+    * driver-side in sorted order. Returns
+    * (label_a < label_b, n_a, n_b, dist2, fisher). */
+  def fisherSeparability(df: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame = {
+    val rows = df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__l"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("__l"), col("__p"))
+      .agg(sum(col("__x").cast("double")).as("__s"),
+        sum(col("__x").cast("double") * col("__x")).as("__ss"),
+        count(lit(1)).as("__c"))
+      .collect()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (rows.isEmpty)
+      return Seq.empty[(String, String, Long, Long, Double, Option[Double])]
+        .toDF("label_a", "label_b", "n_a", "n_b", "dist2", "fisher")
+    val dim = rows.map(_.getInt(1)).max + 1
+    val byL = rows.groupBy(_.getString(0)).map { case (l, rs) =>
+      val mean = new Array[Double](dim)
+      val ssum = new Array[Double](dim)
+      var n = 0L
+      rs.foreach { r =>
+        mean(r.getInt(1)) = r.getDouble(2) / r.getLong(4)
+        ssum(r.getInt(1)) = r.getDouble(3)
+        n = math.max(n, r.getLong(4))
+      }
+      // population variance per dim: E[x²] − m², traced over dims
+      val trace = (0 until dim).iterator.map { i =>
+        ssum(i) / n - mean(i) * mean(i) }.sum
+      l -> (mean, trace, n)
+    }
+    val labels = byL.keys.toSeq.sorted
+    (for {
+      i <- labels.indices; j <- (i + 1) until labels.length
+    } yield {
+      val (ma, ta, na) = byL(labels(i))
+      val (mb, tb, nb) = byL(labels(j))
+      var d2 = 0.0; var k = 0
+      while (k < dim) {
+        val d = ma(k) - mb(k); d2 += d * d; k += 1
+      }
+      val denom = ta + tb
+      (labels(i), labels(j), na, nb, r6(d2),
+        if (denom > 0.0) Option(r6(d2 / denom)) else None)
+    }).toDF("label_a", "label_b", "n_a", "n_b", "dist2", "fisher")
+  }
+
   /** Per-group embedding centroids against the corpus centroid:
     * (group, n_vecs, cos_to_global) — the semantic-geometry readout of
     * the mixture ("which label/source occupies its own region of

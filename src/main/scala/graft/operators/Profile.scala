@@ -1780,6 +1780,32 @@ object Profile {
       .orderBy(col("b"))
   }
 
+  /** Two-sample online bootstrap of the DIFFERENCE in means — "is
+    * src0 really longer than src2, or is that noise": per replicate
+    * b, both groups' Poisson-bootstrap means (independent draws —
+    * the weight is a hash of the row's own id, and the groups'
+    * id sets are disjoint) and their delta; the B deltas are the
+    * bootstrap distribution of the gap, and a percentile fence that
+    * excludes 0 is the significance readout with NO normality or
+    * equal-variance assumption (the Welch t's small-n/skewed failure
+    * modes are exactly where corpus stats live). Same one-pass,
+    * cluster-size-independent machinery as [[bootstrapMeans]].
+    * Returns (b, mean_a, mean_b, delta). */
+  def bootstrapDelta(df: DataFrame, idCol: String, valueCol: String,
+                     groupCol: String, groupA: String, groupB: String,
+                     nBoot: Int = 32, seed: Long = 0L,
+                     hashKey: Boolean = true): DataFrame = {
+    val a = bootstrapMeans(df.where(col(groupCol) === groupA), idCol,
+        valueCol, nBoot, seed, hashKey)
+      .select(col("b"), col("boot_mean").as("mean_a"))
+    val b = bootstrapMeans(df.where(col(groupCol) === groupB), idCol,
+        valueCol, nBoot, seed, hashKey)
+      .select(col("b"), col("boot_mean").as("mean_b"))
+    a.join(b, Seq("b"))
+      .withColumn("delta", round(col("mean_a") - col("mean_b"), 6))
+      .orderBy(col("b"))
+  }
+
   /** Percentile CI from [[bootstrapMeans]]: collect the B means
     * (B rows — driver-bounded by construction), sort, and interpolate
     * the (lo, hi) percentile fence the classic way (linear between

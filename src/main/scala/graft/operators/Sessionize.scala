@@ -511,6 +511,47 @@ object Sessionize {
     }.toDF(groupCol, "n_days", "sen_slope")
   }
 
+  /** Index of dispersion (variance-to-mean ratio) of daily volume per
+    * group over the zero-filled series: D = s²/ȳ — Poisson arrivals
+    * give D ≈ 1, so D ≫ 1 is day-grain BURSTINESS (batch uploads,
+    * replay storms) and D ≪ 1 is suspicious regularity (a scheduler,
+    * not organic traffic); the per-second [[interArrivalStats]]
+    * burstiness can't see either, because day-grain clumping survives
+    * second-grain smoothing. Exact integer sums (sample variance via
+    * Σy² − S²/n over n−1); zero-filled days are real zeros. Returns
+    * (group, n_days, mean_daily, dispersion, flag) with
+    * flag = dispersion > threshold; degenerate (mean 0 or single day)
+    * keeps NULL dispersion. */
+  def dispersionIndex(df: DataFrame, tsCol: String, groupCol: String,
+                      threshold: Double = 1.5): DataFrame = {
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("__g"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__n")).collect()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (daily.isEmpty)
+      return Seq.empty[(String, Long, Double, Option[Double], Boolean)]
+        .toDF(groupCol, "n_days", "mean_daily", "dispersion", "flag")
+    val d0 = daily.map(_.getDate(1).toLocalDate.toEpochDay).min
+    val d1 = daily.map(_.getDate(1).toLocalDate.toEpochDay).max
+    daily.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val byDay = rs.map(r =>
+        r.getDate(1).toLocalDate.toEpochDay -> r.getLong(2)).toMap
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L).toDouble)
+      val n = ys.length.toDouble
+      val s = ys.sum; val ss = ys.map(v => v * v).sum
+      val mean = s / n
+      val disp =
+        if (n < 2 || mean <= 0.0) None
+        else Option(r6(((ss - s * s / n) / (n - 1)) / mean))
+      (g, ys.length.toLong, r6(mean), disp,
+        disp.exists(_ > threshold))
+    }.toDF(groupCol, "n_days", "mean_daily", "dispersion", "flag")
+  }
+
   /** Classic day-grain retention cohorts: users grouped by FIRST-seen
     * day, counted at each day offset they return — the triangle every
     * activity dashboard draws, and the ingest-health signal for event

@@ -711,6 +711,54 @@ class StatBatterySpec extends AnyFunSuite {
     assert(m("c") === ((3L, -1.0)))
   }
 
+  test("bootstrapDelta: identical ids draw identical weights") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // same ids in both groups → identical Poisson draws per replicate:
+    // equal values ⇒ delta exactly 0; shifted values ⇒ delta exactly
+    // the shift, replicate by replicate
+    val base = (1L to 5L).map(i => (i, "a", (i * 10).toDouble))
+    val same = base ++ base.map { case (i, _, v) => (i, "b", v) }
+    val d0 = Profile.bootstrapDelta(same.toDF("id", "g", "v"), "id",
+      "v", "g", "a", "b", nBoot = 8, seed = 7L, hashKey = false)
+      .collect()
+    assert(d0.length === 8 && d0.forall(_.getDouble(3) === 0.0))
+    val shift = base ++ base.map { case (i, _, v) => (i, "b", v + 100.0) }
+    val d1 = Profile.bootstrapDelta(shift.toDF("id", "g", "v"), "id",
+      "v", "g", "a", "b", nBoot = 8, seed = 7L, hashKey = false)
+      .collect()
+    assert(d1.forall(_.getDouble(3) === -100.0))
+  }
+
+  test("dispersionIndex: Poisson-flat vs bursty days, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: [2,2] → var 0 → D 0; b: [0,6] (zero-filled gap) → var 18,
+    // mean 3 → D 6 → flagged
+    val df = (Seq(("a", 1), ("a", 1), ("a", 2), ("a", 2)) ++
+      Seq.fill(6)(("b", 2))).toDF("g", "day")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2024-01-0"), col("day"), lit(" 12:00:00"))))
+    val m = graft.operators.Sessionize.dispersionIndex(df, "ts", "g")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(m("a") === ((2L, 2.0, 0.0, false)))
+    assert(m("b") === ((2L, 3.0, 6.0, true)))
+  }
+
+  test("fisherSeparability: separated clouds, hand-computed") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a: (0,0),(0,2) → mean (0,1), trace 1; b: (10,0),(10,2) →
+    // mean (10,1), trace 1 → dist2 100, J = 50
+    val df = Seq((0, Seq(0f, 0f)), (0, Seq(0f, 2f)),
+      (1, Seq(10f, 0f)), (1, Seq(10f, 2f))).toDF("label", "vec")
+    val r = graft.operators.EmbeddingStats.fisherSeparability(df, "label", "vec")
+      .collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) === (("0", "1", 2L, 2L, 100.0, 50.0)))
+  }
+
   test("olsResiduals: closed-form fit, degenerate x, null exclusion") {
     val spark = SparkSpec.session
     import spark.implicits._
