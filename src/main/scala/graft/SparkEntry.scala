@@ -2519,6 +2519,21 @@ object SparkEntry {
       Profile.cvarByGroup(t(s, d, "documents"), "source", "n_chars",
         alpha = 0.1)),
 
+    // order-1 entropy rate of the TOKEN stream (the north-star
+    // payload): H(next|cur) vs H(token) — a predictability ratio that
+    // climbs across snapshots means the corpus is getting more
+    // templated even when the unigram mix is stable; pairs built
+    // in-row, token arrays never explode before pairing
+    "q_token_entropy" -> ((s, d) =>
+      TokenHealth.tokenTransitionEntropy(seqFromDocs(s, d), "tokens")),
+
+    // epoch-shuffle independence: EXACT integer Spearman rho between
+    // two seeds' epoch orders (bijective multiplicative keys -> no
+    // ties, no fp) — are epochs independent reorderings or replays
+    "q_shuffle_quality" -> ((s, d) =>
+      Mixing.shuffleIndependence(t(s, d, "documents"), "doc_id",
+        seed1 = 1L, seed2 = 2L)),
+
     // two-sample bootstrap of the mean gap: per-replicate src0-vs-src2
     // length deltas from independent deterministic Poisson draws — the
     // distribution-free "is that gap noise" readout (no normality, no
@@ -9824,6 +9839,56 @@ object SparkEntry {
     "q_kcenter" -> kCenterOracle(4),
 
     "q_mmr" -> mmrOracle(5),
+
+    "q_token_entropy" ->
+      s"""WITH $SeqTableCte,
+        |pr AS (SELECT unnest(toks[1:len(toks)-1]) AS x,
+        |              unnest(toks[2:len(toks)]) AS y
+        |       FROM s2 WHERE toks IS NOT NULL AND len(toks) >= 2),
+        |j AS (SELECT x, y, count(*) AS c FROM pr GROUP BY 1, 2),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |cx AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1),
+        |cy AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1),
+        |hc AS (SELECT sum(-(j.c / n.n) * ln(j.c::DOUBLE / cx.cx)) AS h
+        |       FROM j JOIN cx USING (x), n),
+        |hm AS (SELECT sum(-(cy.cy / n.n) * ln(cy.cy / n.n)) AS h
+        |       FROM cy, n)
+        |SELECT CAST((SELECT sum(c) FROM j) AS BIGINT) AS n_pairs,
+        |  round(hc.h, 6) AS h_conditional, round(hm.h, 6) AS h_marginal,
+        |  CASE WHEN hm.h > 0 THEN round(1.0::DOUBLE - hc.h / hm.h, 6) END
+        |    AS predictability
+        |FROM hc, hm""".stripMargin,
+
+    "q_shuffle_quality" ->
+      """WITH k0 AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 4096 + 1 * 81) % 4294967296 AS a0,
+        |    ((doc_id % 2147483648) * 4096 + 2 * 81) % 4294967296 AS b0
+        |  FROM documents),
+        |h1 AS (SELECT doc_id,
+        |    (xor(a0, a0 >> 16) * 569557677) % 4294967296 AS a1,
+        |    (xor(b0, b0 >> 16) * 569557677) % 4294967296 AS b1
+        |  FROM k0),
+        |h2 AS (SELECT doc_id,
+        |    (xor(a1, a1 >> 15) * 1935933847) % 4294967296 AS a2,
+        |    (xor(b1, b1 >> 15) * 1935933847) % 4294967296 AS b2
+        |  FROM h1),
+        |k AS (SELECT doc_id, xor(a2, a2 >> 15) AS k1,
+        |             xor(b2, b2 >> 15) AS k2
+        |      FROM h2),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY k1, doc_id) AS r1,
+        |    row_number() OVER (ORDER BY k2, doc_id) AS r2
+        |  FROM k),
+        |st AS (SELECT count(*) AS n,
+        |         sum((r1 - r2) * (r1 - r2)) AS d2 FROM r)
+        |SELECT n, CAST(d2 AS BIGINT) AS sum_d2,
+        |  CASE WHEN n >= 2 THEN
+        |    round(1.0::DOUBLE - 6.0::DOUBLE * d2
+        |          / (n::DOUBLE * (n::DOUBLE * n::DOUBLE - 1.0::DOUBLE)),
+        |          6)
+        |  END AS rho
+        |FROM st""".stripMargin,
 
     "q_boot_diff" ->
       """WITH fa AS (

@@ -262,4 +262,53 @@ object TokenHealth {
         maxRunCol(array_sort(toks)).cast("double") <
           lit(maxTopShare) * n.cast("double")))
   }
+
+  /** Order-1 entropy rate of the TOKEN stream: H(next | current) over
+    * within-sequence adjacent-token pairs, against the marginal
+    * H(token) — the corpus's intrinsic order-1 predictability floor
+    * (an order-1 LM can reach exactly 1 − H(next|cur)/H(token) of the
+    * unigram uncertainty; a corpus whose ratio climbs across snapshots
+    * is getting more templated even if its unigram mix is stable —
+    * which is precisely what unigram drift checks CANNOT see). Pairs
+    * are built IN-ROW (`arrays_zip` of two slices — token arrays never
+    * explode positionally before pairing, never shuffle); pair counts
+    * combine map-side to O(observed bigrams) int-pair rows; entropies
+    * evaluate driver-side in sorted order (the
+    * [[graft.operators.Sessionize.transitionEntropy]] fp discipline on
+    * the actual token payload). Returns one row (n_pairs,
+    * h_conditional, h_marginal, predictability). */
+  def tokenTransitionEntropy(df: DataFrame,
+                             tokensCol: String): DataFrame = {
+    val toks = col(tokensCol)
+    val pairs = df.where(toks.isNotNull && size(toks) >= 2)
+      .select(explode(arrays_zip(
+        slice(toks, 1, 1000000000).as("x"),
+        slice(toks, 2, 1000000000).as("y"))).as("__p"))
+      .where(col("__p.y").isNotNull) // zip pads the shorter slice
+      .groupBy(col("__p.x").as("__x"), col("__p.y").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    val joint = pairs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val n = joint.values.sum.toDouble.max(1.0)
+    val cx = joint.toSeq.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val cy = joint.toSeq.groupBy(_._1._2).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val hCond = joint.toSeq.sortBy(_._1).iterator.map { case ((x, _), c) =>
+      val p = c / n
+      if (p > 0.0) -p * math.log(c.toDouble / cx(x)) else 0.0
+    }.sum
+    val hMarg = cy.toSeq.sortBy(_._1).iterator.map { case (_, c) =>
+      val p = c / n
+      if (p > 0.0) -p * math.log(p) else 0.0
+    }.sum
+    Seq((joint.values.sum, r6(hCond), r6(hMarg),
+      if (hMarg > 0.0) Option(r6(1.0 - hCond / hMarg)) else None))
+      .toDF("n_pairs", "h_conditional", "h_marginal", "predictability")
+  }
 }

@@ -149,4 +149,34 @@ class TokenHealthSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"runStats shuffled:\n$p")
   }
+
+  test("tokenTransitionEntropy: alternating stream is fully predictable") {
+    import spark.implicits._
+    // [1,2,1,2]: pairs (1,2)x2, (2,1)x1 -> H(next|cur)=0,
+    // H(next) = H(2/3,1/3) = 0.636514, predictability 1
+    val df = Seq(Tuple1(Seq(1, 2, 1, 2))).toDF("tokens")
+    val r = TokenHealth.tokenTransitionEntropy(df, "tokens").collect()(0)
+    assert(r.getLong(0) === 3L && r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.636514 && r.getDouble(3) === 1.0)
+    // single-token and empty sequences contribute no pairs
+    val mix = Seq(Seq(1, 2, 1, 2), Seq(7), Seq.empty[Int])
+      .map(Tuple1(_)).toDF("tokens")
+    val r2 = TokenHealth.tokenTransitionEntropy(mix, "tokens").collect()(0)
+    assert(r2.getLong(0) === 3L)
+  }
+
+  test("shuffleIndependence: same seed is rho 1 exactly, integers throughout") {
+    import spark.implicits._
+    val df = (1L to 100L).map(Tuple1(_)).toDF("id")
+    val same = graft.operators.Mixing
+      .shuffleIndependence(df, "id", 5L, 5L).collect()(0)
+    assert(same.getLong(1) === 0L && same.getDouble(2) === 1.0)
+    val diff = graft.operators.Mixing
+      .shuffleIndependence(df, "id", 1L, 2L).collect()(0)
+    assert(math.abs(diff.getDouble(2)) < 1.0) // a real reshuffle
+    // deterministic under repartition
+    val again = graft.operators.Mixing
+      .shuffleIndependence(df.repartition(7), "id", 1L, 2L).collect()(0)
+    assert(again.getLong(1) === diff.getLong(1))
+  }
 }
