@@ -101,8 +101,16 @@ object Mixing {
     *
     * `hashExpr` defaults to xxhash64(key, seed) (uniform, production
     * path); the oracle path passes a plain-SQL-replicable mix like
-    * `(key * 2654435761 + seed) % 2^32` instead. Ties (hash collisions)
-    * are broken by the key itself so the order is total. */
+    * `(key * 2654435761 + seed) % 2^32` instead. CAUTION on that
+    * affine oracle spelling: changing only the seed shifts every key
+    * by the same constant, so two "different" epochs come out
+    * rank-identical (measured ρ = 1.000000 by
+    * [[shuffleIndependence]]) — fine for replaying ONE epoch in SQL,
+    * wrong for generating several; multi-epoch oracle keys must run a
+    * nonlinear finalizer (the [[shuffleIndependence]] /
+    * [[graft.operators.Profile.bootstrapMeans]] xor-shift chain). The
+    * xxhash64 default does not have this problem. Ties (hash
+    * collisions) are broken by the key itself so the order is total. */
   def epochOrder(df: DataFrame, keyCol: String, seed: Long,
                  hashExpr: Option[Column] = None): DataFrame = {
     val h = hashExpr.getOrElse(xxhash64(col(keyCol), lit(seed)))
