@@ -95,21 +95,26 @@ object Selection {
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     val vecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
     var step = 1
-    while (step <= k) {
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val penalty: Column =
         if (vecs.isEmpty) lit(0.0)
         else vecs.map(v => cos(col(vecCol), v)).reduce(greatest(_, _))
       val score = lit(lambda) * rel - lit(1 - lambda) * penalty
-      val chosen = df
+      val rows = df
         .where(!col(idCol).isin(picked.toSeq.map(_._2): _*))
         .select(col(idCol).cast("long").as("__id"), score.as("__s"),
           col(vecCol).as("__v"))
         .where(col("__s").isNotNull)
         .orderBy(desc("__s"), col("__id"))
-        .limit(1).head()
-      picked += ((step.toLong, chosen.getLong(0), chosen.getDouble(1)))
-      vecs += chosen.getSeq[Float](2)
-      step += 1
+        .limit(1).collect()
+      if (rows.isEmpty) exhausted = true // k > scorable pool: return what exists
+      else {
+        val chosen = rows(0)
+        picked += ((step.toLong, chosen.getLong(0), chosen.getDouble(1)))
+        vecs += chosen.getSeq[Float](2)
+        step += 1
+      }
     }
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

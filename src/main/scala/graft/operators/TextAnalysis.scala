@@ -127,7 +127,11 @@ object TextAnalysis {
           .as("log_odds"))
       .select(col(idCol), col("log_odds"),
         abs(col("log_odds")).as("margin"))
-      .orderBy(col("margin"), col(idCol))
+      // asc_nulls_last, explicitly: Spark's default ascending order is
+      // NULLS FIRST, so an unscorable (null-text) row would TOP the
+      // "most uncertain" sample — and DuckDB defaults NULLS LAST, a
+      // latent cross-engine parity break on dirty data
+      .orderBy(col("margin").asc_nulls_last, col(idCol))
       .limit(k)
   }
 

@@ -89,4 +89,13 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq === Seq(("a", "b", 1L)))
   }
+
+  test("mmrSelect: k beyond the scorable pool returns what exists") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Selection.mmrSelect(df, "vec_id",
+      "embedding", Array(1f, 0f), k = 10, lambda = 0.5)
+    assert(out.count() === 2L)
+  }
 }

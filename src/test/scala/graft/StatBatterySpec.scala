@@ -358,6 +358,13 @@ class StatBatterySpec extends AnyFunSuite {
     val w = Map("n_words" -> 0.5)
     val out = graft.operators.TextAnalysis
       .uncertaintySample(df, "id", "text", bias = -2.0, w, k = 3).collect()
+    // null text (unscorable) must sort LAST, never top the sample
+    val dirty = df.unionByName(Seq((9L, null.asInstanceOf[String]))
+      .toDF("id", "text"))
+    val d = graft.operators.TextAnalysis
+      .uncertaintySample(dirty, "id", "text", bias = -2.0, w, k = 4)
+      .collect()
+    assert(d.last.getLong(0) === 9L && d.last.isNullAt(2))
     // log-odds = 0.5·n_words − 2: id1/id3 → 0 margin... n_words 4 → 0,
     // 3 → −0.5, 8 → 2: order by |lo| = [id1(0), id2(0.5), id3(2)]
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
