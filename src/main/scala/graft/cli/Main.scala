@@ -202,6 +202,14 @@ object Main {
   def health(spark: SparkSession, dir: String): Unit = {
     import graft.operators.{Profile, Sessionize}
     val ev = spark.read.parquet(s"$dir/events.parquet")
+    // a dead feed must FAIL LOUDLY, not stack-trace on an empty
+    // collect — the drift-check empty-snapshot guard, applied here
+    if (ev.where(col("ts").isNotNull && col("user_id").isNotNull)
+        .isEmpty) {
+      System.err.println(s"health: no usable events at $dir — " +
+        "a dead feed is a finding, not a report")
+      sys.exit(2)
+    }
     def d6(x: Double) = String.format(java.util.Locale.ROOT, "%.6f",
       Double.box(x))
     val ga = Sessionize.growthAccounting(ev, "user_id", "ts")

@@ -1032,8 +1032,10 @@ object Mixing {
       .agg(sum((col("__nb") * (col("__nb") - 1) / 2).cast("long"))
         .as("total_pairs"))
     stats.crossJoin(broadcast(perB))
-      .select(col("n_docs"), col("n_batches_used"),
-        col("same_group_pairs"), col("total_pairs"),
+      .select(coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_batches_used"),
+        coalesce(col("same_group_pairs"), lit(0L)).as("same_group_pairs"),
+        coalesce(col("total_pairs"), lit(0L)).as("total_pairs"),
         when(col("total_pairs") > 0,
           round(col("same_group_pairs").cast("double")
             / col("total_pairs"), 6)).as("collision_rate"))
