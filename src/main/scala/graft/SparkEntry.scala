@@ -3948,6 +3948,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- storage-layout advisors (encoding / sortedness / file skew):
+    // the physical-design validation tier for a 100 TB lakehouse ----
+
+    // per-column parquet-encoding advisor (rle / dict / plain) from run
+    // structure + exact cardinality in doc_id storage order — adjacency
+    // via ONE narrow equi-join on id+1 (never a SinglePartition ORDER
+    // BY window) + one aggregate; approx_count_distinct is the 10^12
+    // scale path (the recommendation needs one digit of cardinality)
+    "q_encoding_audit" -> ((s, d) =>
+      StorageAudit.encodingAudit(t(s, d, "documents"), "doc_id",
+        Seq("lang", "source"))),
+
+    // zone-map-effectiveness predictor: fraction of adjacent (by
+    // doc_id) n_chars pairs non-decreasing — 1.0 = min/max pruning
+    // works, ~0.5 = every file overlaps every predicate; same narrow
+    // adjacency join as the encoding audit
+    "q_sortedness" -> ((s, d) =>
+      StorageAudit.sortednessAudit(t(s, d, "documents"), "doc_id",
+        "n_chars")),
+
+    // small-files / straggler-file audit of a lang-partitioned layout
+    // (repartition-by-key before partitionBy ⇒ exactly one file per
+    // lang, skewed by construction): per-file counts from ONE
+    // input_file_name aggregate, summary on the O(files) frame
+    "q_file_skew" -> ((s, d) => {
+      t(s, d, "documents").repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet("/tmp/graft_fileskew")
+      StorageAudit.fileSkew(s, "/tmp/graft_fileskew")
+    }),
+
+    // LSH banding design table (128 perms, target jaccard 0.8): the
+    // S-curve fp/fn trade per divisor split with the argmin flagged —
+    // the tuning step that must precede a cluster-day of minhash;
+    // pure math on an O(divisors × grid) frame, no data scanned
+    "q_lsh_tuning" -> ((s, d) => Dedup.lshBandPlan(s)),
+
+    // prospective two-proportion power analysis per event_type: rows
+    // per arm needed to detect a 5% relative lift in P(value > 50),
+    // z constants pinned as literals (no inverse normal CDF in either
+    // engine); one sufficient-stats aggregate, O(groups) arithmetic
+    "q_power_analysis" -> ((s, d) =>
+      Drift.powerAnalysis(t(s, d, "events"), "event_type",
+        col("value") > 50)),
+
     "q_seq_drift" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val base = Drift.numericHistogram(li, "l_quantity", 0.0, 55.0, 64)
@@ -4267,6 +4312,157 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_encoding_audit" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS lang,
+        |         CAST(source AS VARCHAR) AS source FROM documents),
+        |j AS (
+        |  SELECT a.lang AS l1, b.lang AS l2, a.source AS s1,
+        |         b.source AS s2, b.doc_id IS NOT NULL AS hn
+        |  FROM n a LEFT JOIN n b ON b.doc_id = a.doc_id + 1),
+        |agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(DISTINCT l1) AS nd_lang, count(DISTINCT s1) AS nd_src,
+        |    sum(CASE WHEN hn AND (l1 IS DISTINCT FROM l2)
+        |             THEN 1 ELSE 0 END) AS chg_lang,
+        |    sum(CASE WHEN hn AND (s1 IS DISTINCT FROM s2)
+        |             THEN 1 ELSE 0 END) AS chg_src
+        |  FROM j),
+        |per AS (
+        |  SELECT 'lang' AS col_name, n_rows, nd_lang AS nd,
+        |         chg_lang AS chg FROM agg
+        |  UNION ALL
+        |  SELECT 'source', n_rows, nd_src, chg_src FROM agg)
+        |SELECT col_name AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(nd AS BIGINT) AS n_distinct,
+        |  CAST(CASE WHEN n_rows = 0 THEN 0 ELSE chg + 1 END AS BIGINT)
+        |    AS n_runs,
+        |  CASE WHEN n_rows = 0 THEN NULL
+        |       ELSE round(CAST(n_rows AS DOUBLE) / (chg + 1), 6) END
+        |    AS avg_run_len,
+        |  CASE WHEN n_rows = 0 THEN NULL
+        |       ELSE round(CAST(nd AS DOUBLE) / n_rows, 6) END
+        |    AS distinct_ratio,
+        |  CASE WHEN n_rows = 0 THEN 'plain'
+        |       WHEN round(CAST(n_rows AS DOUBLE) / (chg + 1), 6) >= 4.0
+        |         THEN 'rle'
+        |       WHEN round(CAST(nd AS DOUBLE) / n_rows, 6) <= 0.01
+        |         THEN 'dict'
+        |       ELSE 'plain' END AS encoding
+        |FROM per ORDER BY "column"""".stripMargin,
+
+    "q_sortedness" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |j AS (
+        |  SELECT a.v AS v1, b.v AS v2
+        |  FROM n a JOIN n b ON b.doc_id = a.doc_id + 1),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+        |             THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN v1 IS NULL OR v2 IS NULL
+        |             THEN 1 ELSE 0 END) AS nn,
+        |    sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL AND v2 >= v1
+        |             THEN 1 ELSE 0 END) AS nd
+        |  FROM j)
+        |SELECT CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(nn AS BIGINT) AS n_null_pairs,
+        |  CAST(nd AS BIGINT) AS n_nondecreasing,
+        |  CASE WHEN np = 0 THEN NULL
+        |       ELSE round(CAST(nd AS DOUBLE) / np, 6) END
+        |    AS sorted_fraction
+        |FROM s""".stripMargin,
+
+    "q_file_skew" ->
+      """WITH pf AS (
+        |  SELECT filename, CAST(count(*) AS BIGINT) AS n
+        |  FROM read_parquet('/tmp/graft_fileskew/*/*.parquet',
+        |                    filename=true)
+        |  GROUP BY filename),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(min(n) AS BIGINT) AS rows_min,
+        |         CAST(max(n) AS BIGINT) AS rows_max,
+        |         avg(n) AS a
+        |  FROM pf)
+        |SELECT n_files, n_rows, rows_min, rows_max,
+        |  round(a, 6) AS rows_avg,
+        |  round(CAST(rows_max AS DOUBLE) / a, 6) AS skew,
+        |  CAST((SELECT count(*) FROM pf, s
+        |        WHERE CAST(pf.n AS DOUBLE) < 0.5 * s.a) AS BIGINT)
+        |    AS n_small_files
+        |FROM s""".stripMargin,
+
+    "q_lsh_tuning" ->
+      """WITH sp AS (
+        |  SELECT CAST(128 // r AS INTEGER) AS n_bands,
+        |         CAST(r AS INTEGER) AS n_rows
+        |  FROM (SELECT unnest([1,2,4,8,16,32,64,128]) AS r)),
+        |g AS (SELECT n_bands, n_rows, unnest(range(1, 20)) AS i FROM sp),
+        |p AS (
+        |  SELECT n_bands, n_rows, CAST(i AS DOUBLE) / 20 AS s,
+        |    1.0 - pow(1.0 - pow(CAST(i AS DOUBLE) / 20,
+        |                        CAST(n_rows AS DOUBLE)),
+        |              CAST(n_bands AS DOUBLE)) AS pc
+        |  FROM g),
+        |a AS (
+        |  SELECT n_bands, n_rows,
+        |    sum(CASE WHEN s < 0.8 THEN pc * (1.0 / 20) ELSE 0 END) AS fp,
+        |    sum(CASE WHEN s >= 0.8 THEN (1.0 - pc) * (1.0 / 20)
+        |             ELSE 0 END) AS fn
+        |  FROM p GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT n_bands, n_rows,
+        |    round(pow(1.0 / CAST(n_bands AS DOUBLE),
+        |              1.0 / CAST(n_rows AS DOUBLE)), 6) AS s_star,
+        |    round(1.0 - pow(1.0 - pow(0.8, CAST(n_rows AS DOUBLE)),
+        |                    CAST(n_bands AS DOUBLE)), 6)
+        |      AS p_at_threshold,
+        |    round(fp, 6) AS fp_area, round(fn, 6) AS fn_area,
+        |    round(fp + fn, 6) AS total_cost
+        |  FROM a),
+        |mc AS (SELECT min(total_cost) AS mc FROM sc),
+        |mb AS (SELECT min(n_bands) AS mb FROM sc, mc
+        |       WHERE total_cost = mc.mc)
+        |SELECT sc.n_bands, sc.n_rows, s_star, p_at_threshold, fp_area,
+        |  fn_area, total_cost,
+        |  (total_cost = mc.mc AND sc.n_bands = mb.mb) AS recommended
+        |FROM sc, mc, mb ORDER BY sc.n_bands""".stripMargin,
+
+    "q_power_analysis" ->
+      """WITH per AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '<null>')
+        |           AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_success
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, n_success,
+        |    CAST(n_success AS DOUBLE) / n AS p1,
+        |    CAST(n_success AS DOUBLE) / n * 1.05 AS p2
+        |  FROM per),
+        |r AS (
+        |  SELECT event_type, n, n_success, p1, p2,
+        |    CASE WHEN p1 <= 0 OR p1 >= 1 OR p2 >= 1 OR p2 <= 0 THEN NULL
+        |         ELSE CAST(ceil(
+        |           pow(1.9599639845400545
+        |                 * sqrt(2.0 * ((p1 + p2) / 2.0)
+        |                        * (1.0 - (p1 + p2) / 2.0))
+        |               + 0.8416212335729143
+        |                 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+        |           / pow(p2 - p1, 2)) AS BIGINT) END AS n_required
+        |  FROM f)
+        |SELECT event_type, n, n_success, round(p1, 6) AS rate,
+        |  CASE WHEN n_required IS NULL THEN NULL
+        |       ELSE round(p2, 6) END AS target_rate,
+        |  n_required,
+        |  CASE WHEN n_required IS NULL THEN NULL
+        |       ELSE n >= n_required END AS sufficient
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "q_colstats_lineitem" ->
       """SELECT * FROM (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFunctions, TextExpressions, VectorExpressions}
@@ -1112,5 +1112,64 @@ object Dedup {
         round(col("cum_dups").cast("double") /
           col("cum_docs").cast("double"), 6).as("cum_rate"))
       .orderBy(col("bucket"))
+  }
+
+  /** LSH banding design table: for every (bands b, rows r) split of
+    * `nPerms` MinHash permutations, the S-curve P(candidate | jaccard
+    * s) = 1 − (1 − s^r)^b, its threshold s* = (1/b)^(1/r) (where
+    * P ≈ 0.5), and the false-positive / false-negative areas of the
+    * curve against the TARGET `threshold` — fp = Σ_{s<t} P(s)·Δs mass
+    * of sub-threshold pairs the banding would still candidate (wasted
+    * verification compute at 100 TB), fn = Σ_{s≥t} (1−P(s))·Δs mass of
+    * true near-dups the banding would miss (recall loss). The split
+    * minimizing fp+fn (ties → fewer bands, the cheaper shuffle: each
+    * band is one (band, hash, id) triple per row through the exchange)
+    * is flagged `recommended` — the design step that must happen
+    * BEFORE [[minHashNearDuplicates]] burns a cluster-day on a
+    * mis-tuned banding.
+    *
+    * Pure math on an O(divisors × grid) frame (driver enumerates the
+    * divisors of nPerms, the grid explodes to `gridSteps−1` points per
+    * split); deterministic, no data scanned. Returns (n_bands, n_rows,
+    * s_star, p_at_threshold, fp_area, fn_area, total_cost,
+    * recommended) ordered by n_bands. */
+  def lshBandPlan(spark: SparkSession, nPerms: Int = 128,
+                  threshold: Double = 0.8,
+                  gridSteps: Int = 20): DataFrame = {
+    require(nPerms > 0, "nPerms must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(gridSteps > 1, "gridSteps must be > 1")
+    import spark.implicits._
+    val splits = (1 to nPerms).filter(nPerms % _ == 0)
+      .map(r => (nPerms / r, r)) // (bands, rowsPerBand)
+    val base = splits.toDF("n_bands", "n_rows")
+    val step = lit(1.0) / gridSteps
+    val b = col("n_bands").cast("double")
+    val r = col("n_rows").cast("double")
+    def pCand(s: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(s, r), b)
+    val grid = base.select(col("n_bands"), col("n_rows"),
+        explode(sequence(lit(1), lit(gridSteps - 1))).as("__i"))
+      .withColumn("__s", col("__i").cast("double") / gridSteps)
+    val areas = grid.groupBy("n_bands", "n_rows").agg(
+      sum(when(col("__s") < threshold, pCand(col("__s")) * step)
+        .otherwise(0.0)).as("__fp"),
+      sum(when(col("__s") >= threshold,
+        (lit(1.0) - pCand(col("__s"))) * step).otherwise(0.0))
+        .as("__fn"))
+    val scored = areas.select(col("n_bands"), col("n_rows"),
+      round(pow(lit(1.0) / b, lit(1.0) / r), 6).as("s_star"),
+      round(pCand(lit(threshold)), 6).as("p_at_threshold"),
+      round(col("__fp"), 6).as("fp_area"),
+      round(col("__fn"), 6).as("fn_area"),
+      round(col("__fp") + col("__fn"), 6).as("total_cost"))
+    val best = scored.agg(min(struct(col("total_cost"), col("n_bands")))
+      .as("__best"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("recommended",
+        col("total_cost") === col("__best.total_cost") &&
+          col("n_bands") === col("__best.n_bands"))
+      .drop("__best")
+      .orderBy("n_bands")
   }
 }

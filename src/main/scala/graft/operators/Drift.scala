@@ -265,6 +265,55 @@ object Drift {
       .orderBy(col(groupCol))
   }
 
+  /** Two-proportion power analysis per group — [[twoProportionZ]]'s
+    * PROSPECTIVE sibling: before a curation-gate change or data-mix
+    * experiment ships, how many rows per arm does each group need for
+    * the detector to SEE a `relLift` relative change in its success
+    * rate? Standard normal-approximation sample size with
+    * p₂ = p₁(1+relLift), p̄ = (p₁+p₂)/2:
+    * n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)².
+    * The z constants are LITERALS (defaults: two-sided α=0.05 →
+    * 1.9599639845400545, power 0.8 → 0.8416212335729143) — neither
+    * engine has an inverse normal CDF, and pinning them keeps the
+    * oracle exact. `sufficient` answers the planning question
+    * directly: does the group's CURRENT volume already power the test?
+    * Degenerate rates (p₁ = 0 or ≥ 1 after lift clamping impossible —
+    * p₁ ≥ 1 means zero variance) yield NULL n_required: an
+    * always-pass gate is untestable, not "cheap to test". One
+    * sufficient-stats aggregate, all arithmetic on the O(groups)
+    * frame. Returns (group, n, n_success, rate, target_rate,
+    * n_required, sufficient). */
+  def powerAnalysis(df: DataFrame, groupCol: String, success: Column,
+                    relLift: Double = 0.05,
+                    zAlpha: Double = 1.9599639845400545,
+                    zBeta: Double = 0.8416212335729143): DataFrame = {
+    require(relLift != 0.0, "relLift must be nonzero")
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+    val p1 = col("k").cast("double") / col("n")
+    val p2 = p1 * lit(1.0 + relLift)
+    val pbar = (p1 + p2) / lit(2.0)
+    val numer = pow(
+      lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+        lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)),
+      lit(2.0))
+    val nReq = ceil(numer / pow(p2 - p1, lit(2.0)))
+    per.select(col("__g").as(groupCol), col("n"),
+        col("k").as("n_success"), round(p1, 6).as("rate"),
+        when(p1 <= 0.0 || p1 >= 1.0 || p2 >= 1.0 || p2 <= 0.0,
+          lit(null: java.lang.Double)).otherwise(round(p2, 6))
+          .as("target_rate"),
+        when(p1 <= 0.0 || p1 >= 1.0 || p2 >= 1.0 || p2 <= 0.0,
+          lit(null: java.lang.Long))
+          .otherwise(nReq.cast("long")).as("n_required"))
+      .withColumn("sufficient",
+        when(col("n_required").isNull, lit(null: java.lang.Boolean))
+          .otherwise(col("n") >= col("n_required")))
+      .orderBy(col(groupCol))
+  }
+
   /** Recency-weighted (exponentially decayed) volume per group: each
     * event contributes 0.5^(age_days / halfLifeDays) with age measured
     * back from the CORPUS'S OWN newest day (deterministic — never

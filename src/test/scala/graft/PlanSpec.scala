@@ -993,4 +993,34 @@ class PlanSpec extends SparkSpec {
         s"groupCentroids shuffled whole vectors: ${e.output.map(_.name)}")
     }
   }
+
+  test("storage audits: adjacency via equi-join, never a global-sort window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    for (df <- Seq(
+        graft.operators.StorageAudit.encodingAudit(
+          docs, "doc_id", Seq("lang", "source")),
+        graft.operators.StorageAudit.sortednessAudit(
+          docs, "doc_id", "n_chars"))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      // the per-row order relation must come from the id+1 equi-join,
+      // never a WindowExec (a global ORDER BY lag() would serialize
+      // the whole table through one task); the only SinglePartition
+      // exchange allowed is the final one-row summary collapse
+      assert(helper.collectWithSubqueries(p) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "adjacency audit planned a window")
+      // the only exchanges are the id-keyed join and the final
+      // single-row/agg collapse — text never enters any of them
+      helper.collectWithSubqueries(p) {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"storage audit shuffled document text: ${e.output.map(_.name)}")
+      }
+    }
+  }
 }
