@@ -3905,6 +3905,33 @@ object SparkEntry {
       d1.unionByName(d2).orderBy("dim")
     }),
 
+    // ---- Hilbert-curve index parity: the native codegen'd xy2d walk
+    // vs a generated 10-level unrolled SQL oracle — verifies the MATH
+    // before any layout trusts it (the rotate/flip state is where
+    // hand-rolled Hilbert implementations silently diverge)
+    "q_hilbert_index" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        col("n_chars").bitwiseAND(lit(1023L)).as("x"),
+        col("doc_id").bitwiseAND(lit(1023L)).as("y"),
+        graft.functions.SpatialExpressions.hilbertIndex(
+          col("n_chars"), col("doc_id"), 10).as("h"))
+        .orderBy("doc_id")),
+
+    // ---- Hilbert-clustered layout: per-dimension data-skipping stats
+    // on the same dims/boxes as q_zorder_skip — the no-diagonal-jump
+    // walk should keep per-file boxes at least as tight as Morton's
+    "q_hilbert_skip" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("n_chars"), (col("doc_id") % 256).as("bucket2"))
+      Bucketing.writeHilbert(docs, "/tmp/graft_hilbert", "n_chars",
+        "bucket2", bits = 16, nFiles = 8)
+      val d1 = Bucketing.zoneMapSkipStats(s, "/tmp/graft_hilbert",
+        "n_chars", 100L, 150L).withColumn("dim", lit("n_chars"))
+      val d2 = Bucketing.zoneMapSkipStats(s, "/tmp/graft_hilbert",
+        "bucket2", 0L, 31L).withColumn("dim", lit("bucket2"))
+      d1.unionByName(d2).orderBy("dim")
+    }),
+
     // ---- per-rule violation triage: counts, distinct docs, bounded
     // min/max exemplars — O(1) state per rule, never a collect_list
     "q_rule_examples" -> ((s, d) =>
@@ -3991,6 +4018,56 @@ object SparkEntry {
     // engine); one sufficient-stats aggregate, O(groups) arithmetic
     "q_power_analysis" -> ((s, d) =>
       Drift.powerAnalysis(t(s, d, "events"), "event_type",
+        col("value") > 50)),
+
+    // ---- effective rank (participation ratio) of the embedding
+    // covariance: (Σλ)²/Σλ² without an eigensolver — the space-
+    // collapse alarm, derived from covarianceDf's one-scan matrix
+    // with decimal-exact sums over the rounded entries
+    "q_effective_rank" -> ((s, d) =>
+      EmbeddingStats.effectiveRank(t(s, d, "embeddings"),
+        "embedding", 64)),
+
+    // ---- RBF-kernel MMD² between label groups 0 and 1: the
+    // distribution-level embedding two-sample test (centroid drift is
+    // blind to shape shifts); γ = 1/128 (exact binary literal, the
+    // 1/(2d) heuristic), bounded-group pair joins
+    "q_mmd" -> ((s, d) =>
+      EmbeddingStats.mmd(t(s, d, "embeddings"), "embedding", "label",
+        0, 1, 1.0 / 128)),
+
+    // ---- Kendall tau-b on daily (volume, reach): exact integer
+    // concordance over the O(distinct-cell) frame — the spearman
+    // discipline applied to pair inversions
+    "q_kendall_tau" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      Profile.kendallTau(daily, "n_events", "n_users")
+    }),
+
+    // ---- CUPED variance reduction: per-user pre (view spend) vs
+    // post (purchase spend), decimal-exact sufficient stats — how
+    // much experiment sample the covariate buys back
+    "q_cuped" -> ((s, d) => {
+      val dec6 = "decimal(38,6)"
+      val per = t(s, d, "events").groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view",
+            col("value").cast(dec6)).otherwise(lit(0).cast(dec6)))
+            .as("pre"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast(dec6)).otherwise(lit(0).cast(dec6)))
+            .as("post"))
+      Drift.cuped(per, "pre", "post")
+    }),
+
+    // ---- Wald SPRT per event_type vs the pooled baseline: the
+    // sequential gate that stops collecting the moment the llr
+    // crosses a boundary — powerAnalysis's streaming sibling
+    "q_sprt" -> ((s, d) =>
+      Drift.sprtGate(t(s, d, "events"), "event_type",
         col("value") > 50)),
 
     "q_seq_drift" -> ((s, d) => {
@@ -4311,7 +4388,236 @@ object SparkEntry {
        |ORDER BY step""".stripMargin
   }
 
+  /** q_hilbert_index oracle, generated: the xy2d walk unrolled to one
+    * CTE per level with per-level column names (x_k, y_k, d_k — DuckDB
+    * lateral alias references would otherwise shadow the input columns
+    * mid-SELECT). Flip-then-swap rotation, masked inputs, xor() on the
+    * quadrant code — the exact arithmetic of the native expression. */
+  private def hilbertOracle(bits: Int): String = {
+    val side = 1L << bits
+    val levels = (1 to bits).map { k =>
+      val s = side >> k
+      val px = s"x${k - 1}"; val py = s"y${k - 1}"; val pd = s"d${k - 1}"
+      s"""h$k AS (
+         |  SELECT doc_id, x0, y0,
+         |    CASE WHEN ($py & $s) = 0 THEN
+         |           (CASE WHEN ($px & $s) > 0 THEN $s - 1 - $py
+         |                 ELSE $py END)
+         |         ELSE $px END AS x$k,
+         |    CASE WHEN ($py & $s) = 0 THEN
+         |           (CASE WHEN ($px & $s) > 0 THEN $s - 1 - $px
+         |                 ELSE $px END)
+         |         ELSE $py END AS y$k,
+         |    $pd + $s * $s * xor(
+         |      3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END)) AS d$k
+         |  FROM h${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT doc_id, n_chars & ${side - 1} AS x0,
+       |         doc_id & ${side - 1} AS y0, CAST(0 AS BIGINT) AS d0
+       |  FROM documents),
+       |$levels
+       |SELECT doc_id, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+       |  CAST(CASE WHEN x0 IS NULL OR y0 IS NULL THEN NULL
+       |            ELSE d$bits END AS BIGINT) AS h
+       |FROM h$bits ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_hilbert_index" -> hilbertOracle(10),
+
+    "q_hilbert_skip" ->
+      """WITH zm AS (
+        |  SELECT filename, CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(n_chars) AS mn1, max(n_chars) AS mx1,
+        |         min(bucket2) AS mn2, max(bucket2) AS mx2
+        |  FROM read_parquet('/tmp/graft_hilbert/*.parquet',
+        |                    filename=true)
+        |  GROUP BY filename),
+        |d1 AS (
+        |  SELECT 'n_chars' AS dim, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN mx1 < 100 OR mn1 > 150 THEN 1 ELSE 0
+        |             END) AS BIGINT) AS n_files_skipped,
+        |    CAST(sum(CASE WHEN mx1 < 100 OR mn1 > 150 THEN n_rows
+        |             ELSE 0 END) AS BIGINT) AS n_rows_skipped
+        |  FROM zm),
+        |d2 AS (
+        |  SELECT 'bucket2' AS dim, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN mx2 < 0 OR mn2 > 31 THEN 1 ELSE 0
+        |             END) AS BIGINT) AS n_files_skipped,
+        |    CAST(sum(CASE WHEN mx2 < 0 OR mn2 > 31 THEN n_rows
+        |             ELSE 0 END) AS BIGINT) AS n_rows_skipped
+        |  FROM zm),
+        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |SELECT n_files, n_rows, n_files_skipped, n_rows_skipped,
+        |  CASE WHEN n_files > 0
+        |       THEN round(CAST(n_files_skipped AS DOUBLE)
+        |                  / CAST(n_files AS DOUBLE), 6)
+        |  END AS skip_fraction,
+        |  CASE WHEN n_rows > 0
+        |       THEN round(CAST(n_rows_skipped AS DOUBLE)
+        |                  / CAST(n_rows AS DOUBLE), 6)
+        |  END AS row_skip_fraction,
+        |  dim
+        |FROM u ORDER BY dim""".stripMargin,
+
+    "q_effective_rank" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) + 0
+        |         AS DECIMAL(18,6)) AS cov
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i),
+        |t AS (
+        |  SELECT
+        |    sum(CASE WHEN i = j THEN cov
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS tr,
+        |    sum(cov * cov) AS sall,
+        |    sum(CASE WHEN i = j THEN cov * cov
+        |             ELSE CAST(0 AS DECIMAL(18,6))
+        |                  * CAST(0 AS DECIMAL(18,6)) END) AS sdiag
+        |  FROM c)
+        |SELECT CAST(64 AS INTEGER) AS n_dims,
+        |  round(CAST(tr AS DOUBLE), 6) AS trace,
+        |  CASE WHEN 2.0 * CAST(sall AS DOUBLE) - CAST(sdiag AS DOUBLE) > 0
+        |       THEN round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+        |                  / (2.0 * CAST(sall AS DOUBLE)
+        |                     - CAST(sdiag AS DOUBLE)), 6) END
+        |    AS effective_rank
+        |FROM t""".stripMargin,
+
+    "q_mmd" ->
+      """WITH a AS (
+        |  SELECT embedding::DOUBLE[] AS x,
+        |    list_inner_product(embedding::DOUBLE[],
+        |                       embedding::DOUBLE[]) AS nx
+        |  FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
+        |b AS (
+        |  SELECT embedding::DOUBLE[] AS y,
+        |    list_inner_product(embedding::DOUBLE[],
+        |                       embedding::DOUBLE[]) AS ny
+        |  FROM embeddings WHERE label = 1 AND embedding IS NOT NULL),
+        |kaa AS (
+        |  SELECT avg(exp(-(1.0/128) * (p.nx + q.nx
+        |    - 2.0 * list_inner_product(p.x, q.x)))) AS m FROM a p, a q),
+        |kbb AS (
+        |  SELECT avg(exp(-(1.0/128) * (p.ny + q.ny
+        |    - 2.0 * list_inner_product(p.y, q.y)))) AS m FROM b p, b q),
+        |kab AS (
+        |  SELECT avg(exp(-(1.0/128) * (p.nx + q.ny
+        |    - 2.0 * list_inner_product(p.x, q.y)))) AS m FROM a p, b q),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+        |SELECT n_a, n_b,
+        |  round(kaa.m + kbb.m - 2.0 * kab.m, 6) AS mmd2
+        |FROM na, nb, kaa, kbb, kab""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.y AS y1, b.y AS y2, a.c AS c1, b.c AS c2
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |cd AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN y1 < y2 THEN c1 * c2 ELSE 0 END), 0)
+        |      AS cc,
+        |    coalesce(sum(CASE WHEN y1 > y2 THEN c1 * c2 ELSE 0 END), 0)
+        |      AS dd
+        |  FROM p),
+        |tx AS (
+        |  SELECT sum(nx * (nx - 1) // 2) AS n1, sum(nx) AS n
+        |  FROM (SELECT sum(c) AS nx FROM cells GROUP BY x)),
+        |ty AS (
+        |  SELECT sum(ny * (ny - 1) // 2) AS n2
+        |  FROM (SELECT sum(c) AS ny FROM cells GROUP BY y))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(cc AS BIGINT) AS n_concordant,
+        |  CAST(dd AS BIGINT) AS n_discordant,
+        |  CAST(n1 AS BIGINT) AS tie_pairs_x,
+        |  CAST(n2 AS BIGINT) AS tie_pairs_y,
+        |  CASE WHEN sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
+        |                 * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)) > 0
+        |       THEN round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+        |                  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
+        |                         * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)),
+        |                  6)
+        |  END AS tau_b
+        |FROM cd, tx, ty""".stripMargin,
+
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view'
+        |             THEN CAST(value AS DECIMAL(38,6))
+        |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(value AS DECIMAL(38,6))
+        |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT x, y FROM per
+        |      WHERE x IS NOT NULL AND y IS NOT NULL),
+        |a AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM b),
+        |f AS (
+        |  SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN vx > 0 THEN round(cov / vx, 6) END AS theta,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |       THEN round(cov * cov / (vx * vy), 6) END AS var_reduction
+        |FROM f""".stripMargin,
+
+    "q_sprt" ->
+      """WITH per AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '<null>')
+        |           AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM per),
+        |c AS (
+        |  SELECT event_type, n, k,
+        |    CAST(kk AS DOUBLE) / nn AS p0,
+        |    CAST(kk AS DOUBLE) / nn * 1.05 AS p1
+        |  FROM per, t),
+        |r AS (
+        |  SELECT event_type, n, k, p0, p1,
+        |    CASE WHEN p0 <= 0 OR p1 >= 1 THEN NULL
+        |         ELSE round(k * ln(p1 / p0)
+        |                    + (n - k) * ln((1.0 - p1) / (1.0 - p0)), 6)
+        |    END AS llr
+        |  FROM c)
+        |SELECT event_type, n, k AS n_success,
+        |  round(CAST(k AS DOUBLE) / n, 6) AS rate, llr,
+        |  round(ln(0.2 / (1.0 - 0.05)), 6) AS lower,
+        |  round(ln((1.0 - 0.2) / 0.05), 6) AS upper,
+        |  CASE WHEN p0 <= 0 OR p1 >= 1 THEN 'untestable'
+        |       WHEN llr >= round(ln((1.0 - 0.2) / 0.05), 6)
+        |         THEN 'accept_h1'
+        |       WHEN llr <= round(ln(0.2 / (1.0 - 0.05)), 6)
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS verdict
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "q_encoding_audit" ->
       """WITH n AS (

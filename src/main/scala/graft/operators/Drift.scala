@@ -314,6 +314,96 @@ object Drift {
       .orderBy(col(groupCol))
   }
 
+  /** CUPED variance reduction (controlled-experiment using
+    * pre-experiment data): given a per-unit frame with a covariate
+    * measured BEFORE the experiment (`preCol`) and the experiment
+    * metric (`postCol`), θ = cov(pre, post) / var(pre) is the
+    * adjustment coefficient and ρ² = cov² / (var_pre · var_post) is
+    * the variance fraction the adjusted metric
+    * y′ = y − θ·(x − x̄) removes — equivalently, how much smaller the
+    * [[powerAnalysis]] sample size gets for free from data already
+    * collected. The experimentation tier's third leg: powerAnalysis
+    * plans the test, [[sprtGate]] runs it sequentially, cuped shrinks
+    * it.
+    *
+    * Exactness discipline ([[Profile.spearman]]'s): inputs cast
+    * per-row to decimal(38,6) (deterministic per value, no
+    * merge-order dependence), sufficient statistics accumulate as
+    * exact decimals, and θ / ρ² derive through one fixed IEEE
+    * expression — bit-exact in SQL where a streaming covar_pop is
+    * merge-order-dependent. Rows with a NULL side are excluded (n is
+    * surfaced); NULL θ when the covariate is constant, NULL ρ² when
+    * either side is. Returns one row: (n, theta, var_reduction). */
+  def cuped(perUnit: DataFrame, preCol: String,
+            postCol: String): DataFrame = {
+    val dec = "decimal(38,6)"
+    val base = perUnit.select(col(preCol).cast(dec).as("__x"),
+        col(postCol).cast(dec).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n").cast("decimal(38,0)")
+    val cov = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agg.select(col("n"),
+      when(vx > 0, round(cov / vx, 6)).as("theta"),
+      when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6))
+        .as("var_reduction"))
+  }
+
+  /** Sequential probability ratio test (Wald SPRT) per group —
+    * [[powerAnalysis]]'s STREAMING sibling: instead of fixing n up
+    * front, accumulate the log-likelihood ratio of H₁: p = p₀(1+δ)
+    * against H₀: p = p₀ and stop the moment it crosses a boundary.
+    * llr = k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)), accept H₁ at
+    * llr ≥ ln((1−β)/α), accept H₀ at llr ≤ ln(β/(1−α)), else keep
+    * collecting — on average far fewer rows than the fixed-n test for
+    * the same (α, β). p₀ is the POOLED rate over all groups (the
+    * complement-free spelling: each group is tested against the
+    * corpus-wide baseline). Degenerate baselines (pooled rate 0, or
+    * p₁ ≥ 1) yield NULL llr and verdict 'untestable'. ONE
+    * sufficient-stats aggregate + broadcast totals; all arithmetic on
+    * the O(groups) frame. Returns (group, n, n_success, rate, llr,
+    * lower, upper, verdict). */
+  def sprtGate(df: DataFrame, groupCol: String, success: Column,
+               relLift: Double = 0.05, alpha: Double = 0.05,
+               beta: Double = 0.2): DataFrame = {
+    require(relLift > 0, "sprtGate: relLift must be positive")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "sprtGate: alpha and beta must be in (0,1)")
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+    val tot = per.agg(sum(col("n")).as("__N"), sum(col("k")).as("__K"))
+    val p0 = col("__K").cast("double") / col("__N")
+    val p1 = p0 * lit(1.0 + relLift)
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val llr = col("k").cast("double") * log(p1 / p0) +
+      (col("n") - col("k")).cast("double") *
+        log((lit(1.0) - p1) / (lit(1.0) - p0))
+    val degenerate = p0 <= 0.0 || p1 >= 1.0
+    per.crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("n"),
+        col("k").as("n_success"),
+        round(col("k").cast("double") / col("n"), 6).as("rate"),
+        when(degenerate, lit(null: java.lang.Double))
+          .otherwise(round(llr, 6)).as("llr"),
+        round(lit(lower), 6).as("lower"), round(lit(upper), 6).as("upper"),
+        // verdicts compare the ROUNDED values on both sides so the
+        // SQL oracle's boundary arithmetic can't flip a knife-edge
+        when(degenerate, lit("untestable"))
+          .when(round(llr, 6) >= round(lit(upper), 6), lit("accept_h1"))
+          .when(round(llr, 6) <= round(lit(lower), 6), lit("accept_h0"))
+          .otherwise(lit("continue")).as("verdict"))
+      .orderBy(col(groupCol))
+  }
+
   /** Recency-weighted (exponentially decayed) volume per group: each
     * event contributes 0.5^(age_days / halfLifeDays) with age measured
     * back from the CORPUS'S OWN newest day (deterministic — never

@@ -334,4 +334,87 @@ object EmbeddingStats {
       (g, n, r6(cos(c, global)))
     }.toDF(groupCol, "n_vecs", "cos_to_global")
   }
+
+  /** Effective rank (participation ratio) of the embedding covariance:
+    * PR = tr(C)² / tr(C²) = (Σλ)² / Σλ² — the eigensolver-free
+    * intrinsic-dimensionality readout (PR = d for isotropic spread,
+    * PR → 1 when one direction dominates, i.e. the embedding space
+    * has COLLAPSED — the one-number alarm for a degenerate encoder
+    * before any ANN/dedup tier trusts the vectors). tr(C²) needs only
+    * the matrix ENTRIES (Σᵢⱼ Cᵢⱼ², symmetry doubling the off-diagonal
+    * triangle), so the whole metric derives from [[covarianceDf]]'s
+    * ONE VecMomentsAgg scan.
+    *
+    * Exactness: the 6-dp-rounded entries (already hash-verified
+    * against SQL by the covariance oracle) are cast to decimal(38,6),
+    * summed exactly (no FP merge-order dependence over the d² frame),
+    * and PR derives through one fixed double expression — bit-exact
+    * in SQL. Returns one row: (n_dims, trace, effective_rank); NULL
+    * rank for an all-zero matrix. */
+  def effectiveRank(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    // decimal(18,6): the entry-squared products stay decimal(37,12) —
+    // EXACT; at (38,6) Spark's precision-loss rule would truncate the
+    // ~1e-7 squares to scale 6, silently zeroing tr(C²)
+    val dec = "decimal(18,6)"
+    val c = covarianceDf(df, vecCol, dim)
+    val e = col("cov").cast(dec)
+    val zero = lit(0).cast(dec) * lit(0).cast(dec)
+    c.agg(
+        sum(when(col("i") === col("j"), e).otherwise(lit(0).cast(dec)))
+          .as("__tr"),
+        sum(e * e).as("__sall"),
+        sum(when(col("i") === col("j"), e * e).otherwise(zero))
+          .as("__sdiag"))
+      .select(lit(dim).as("n_dims"),
+        round(col("__tr").cast("double"), 6).as("trace"),
+        // tr(C²) = 2·Σ_triangle c² − Σ_diag c² (symmetry): the ×2
+        // applied AFTER the exact decimal sums, in one double op
+        when(lit(2.0) * col("__sall").cast("double") -
+            col("__sdiag").cast("double") > 0,
+          round(col("__tr").cast("double") * col("__tr").cast("double") /
+            (lit(2.0) * col("__sall").cast("double") -
+              col("__sdiag").cast("double")), 6)).as("effective_rank"))
+  }
+
+  /** Squared maximum mean discrepancy (biased V-statistic) between
+    * two labeled vector groups under an RBF kernel — the DISTRIBUTION-
+    * level two-sample test for embedding drift ([[groupCentroids]]
+    * compares means; MMD sees variance/shape shifts a centroid test
+    * is blind to): MMD² = E[k(x,x′)] + E[k(y,y′)] − 2E[k(x,y)] with
+    * k(x,y) = exp(−γ‖x−y‖²), ‖x−y‖² spelled |x|²+|y|²−2⟨x,y⟩ with
+    * per-row norms precomputed (one native dot per pair, not three).
+    * Pass γ as an exactly-representable literal (e.g. 1/128 for d=64:
+    * the 1/(2d) heuristic) so the oracle shares it bit-for-bit.
+    *
+    * Contract: the kernel means are O(n²) pair joins — run on BOUNDED
+    * group samples (the [[graft.operators.Similarity]] sampling tier
+    * feeds this); the linear-time MMD estimator is the 10^9-vector
+    * path (pair the stream, average k(x₂ᵢ,x₂ᵢ₊₁) terms — one pass,
+    * no join). Returns one row: (n_a, n_b, mmd2); NULL mmd2 when
+    * either group is empty. */
+  def mmd(df: DataFrame, vecCol: String, labelCol: String,
+          labelA: Int, labelB: Int, gamma: Double): DataFrame = {
+    import graft.functions.VectorExpressions.dot
+    require(gamma > 0, "mmd: gamma must be positive")
+    def side(lbl: Int, v: String, n: String): DataFrame =
+      df.where(col(labelCol) === lbl && col(vecCol).isNotNull)
+        .select(col(vecCol).as(v))
+        .withColumn(n, dot(col(v), col(v)))
+    def kmean(l: DataFrame, r: DataFrame, out: String): DataFrame =
+      l.crossJoin(r).agg(avg(
+        exp(lit(-gamma) * (col("__nx") + col("__ny") -
+          lit(2.0) * dot(col("__x"), col("__y"))))).as(out))
+    val a = side(labelA, "__x", "__nx")
+    val b = side(labelB, "__y", "__ny")
+    val a2 = a.select(col("__x").as("__y"), col("__nx").as("__ny"))
+    val b2 = b.select(col("__y").as("__x"), col("__ny").as("__nx"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(kmean(a, a2, "__kaa"))
+      .crossJoin(kmean(b2, b, "__kbb"))
+      .crossJoin(kmean(a, b, "__kab"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__kaa") + col("__kbb") - lit(2.0) * col("__kab"), 6)
+          .as("mmd2"))
+  }
 }

@@ -196,4 +196,26 @@ object Bucketing {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Hilbert-clustered write: [[writeZOrdered]] with the Hilbert
+    * d-index ([[graft.functions.SpatialExpressions.hilbertIndex]], a
+    * native codegen'd expression) as the clustering key instead of
+    * the Morton interleave. Hilbert's no-diagonal-jump walk keeps
+    * adjacent curve positions adjacent in BOTH dimensions, so for the
+    * same file count the per-file min/max boxes are tighter than
+    * Morton's — measurably better [[zoneMapSkipStats]] on selective
+    * 2-D predicates. Inputs are masked to [0, 2^bits) by the
+    * expression; quantize wider domains first (rank-monotone
+    * bucketing preserves the clustering property). */
+  def writeHilbert(df: DataFrame, path: String, colA: String,
+                   colB: String, bits: Int, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, "writeHilbert: nFiles must be positive")
+    df.withColumn("__h", graft.functions.SpatialExpressions
+        .hilbertIndex(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
 }

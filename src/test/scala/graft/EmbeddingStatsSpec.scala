@@ -144,4 +144,35 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(m("a") === ((2L, 0.894427)))
     assert(m("b") === ((1L, 0.447214)))
   }
+
+  test("effectiveRank: isotropic -> d, collapsed -> 1") {
+    // cov = diag(0.5, 0.5): PR = 1.0^2 / 0.5 = 2.0
+    val iso = Seq(Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f),
+      Seq(0.0f, 1.0f), Seq(0.0f, -1.0f)).toDF("v")
+    val r = EmbeddingStats.effectiveRank(iso, "v", 2).collect()(0)
+    assert(r.getInt(0) == 2 && r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 2.0)
+    // all mass on one direction: cov = [[2.5,2.5],[2.5,2.5]] -> PR = 1
+    val flat = Seq(Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f),
+      Seq(2.0f, 2.0f), Seq(-2.0f, -2.0f)).toDF("v")
+    val f = EmbeddingStats.effectiveRank(flat, "v", 2).collect()(0)
+    assert(f.getDouble(2) == 1.0)
+  }
+
+  test("mmd: identical groups -> 0, separated groups -> positive") {
+    val same = (Seq((0, Seq(1.0f, 0.0f)), (0, Seq(0.0f, 1.0f)),
+      (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))))
+      .toDF("label", "v")
+    val s = EmbeddingStats.mmd(same, "v", "label", 0, 1, 0.25).collect()(0)
+    assert(s.getLong(0) == 2 && s.getLong(1) == 2)
+    assert(s.getDouble(2) == 0.0)
+    val apart = (Seq((0, Seq(0.0f, 0.0f)), (0, Seq(0.1f, 0.0f)),
+      (1, Seq(5.0f, 5.0f)), (1, Seq(5.1f, 5.0f))))
+      .toDF("label", "v")
+    val a = EmbeddingStats.mmd(apart, "v", "label", 0, 1, 0.25).collect()(0)
+    assert(a.getDouble(2) > 0.5) // within-kernel ~1, cross-kernel ~0
+    // empty side -> NULL mmd2, zero count
+    val e = EmbeddingStats.mmd(apart, "v", "label", 0, 7, 0.25).collect()(0)
+    assert(e.getLong(1) == 0 && e.isNullAt(2))
+  }
 }

@@ -790,4 +790,71 @@ class StatBatterySpec extends AnyFunSuite {
     assert(nr.last.getLong(0) === 4L && nr.last.isNullAt(3))
     assert(nr(0).getLong(0) === 2L) // fit unchanged by the null row
   }
+
+  test("kendallTau: textbook tau-b with ties") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // x = [1,2,3,4,5], y = [2,1,4,4,5]:
+    // pairs: 10; concordant = 8, discordant = 1 ((1,2) vs (2,1)),
+    // one y-tie (4,4): n1 = 0, n2 = 1
+    // tau_b = (8-1)/sqrt(10 * 9) = 0.737865
+    val df = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 5L))
+      .toDF("x", "y")
+    val r = Profile.kendallTau(df, "x", "y").collect()(0)
+    assert(r.getLong(0) == 5 && r.getLong(1) == 8 && r.getLong(2) == 1)
+    assert(r.getLong(3) == 0 && r.getLong(4) == 1)
+    assert(math.abs(r.getDouble(5) - 7.0 / math.sqrt(90.0)) < 1e-6)
+  }
+
+  test("kendallTau: perfect concordance, reversal, constant side") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Profile.kendallTau(up, "x", "y").collect()(0).getDouble(5) == 1.0)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Profile.kendallTau(down, "x", "y").collect()(0)
+      .getDouble(5) == -1.0)
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    assert(Profile.kendallTau(const, "x", "y").collect()(0).isNullAt(5))
+  }
+
+  test("cuped: known covariance structure, constant covariate -> NULL") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // y = 2x + noise-free: theta = 2, var_reduction = 1.0
+    val exact = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
+      .toDF("pre", "post")
+    val r = Drift.cuped(exact, "pre", "post").collect()(0)
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    // independent-ish: hand case x=[1,2], y=[5,5] -> cov 0, theta 0, rho2 0
+    val flat = Seq((1.0, 5.0), (2.0, 5.0)).toDF("pre", "post")
+    val f = Drift.cuped(flat, "pre", "post").collect()(0)
+    assert(f.getDouble(1) == 0.0 && f.isNullAt(2)) // vy = 0 -> NULL rho2
+    val const = Seq((3.0, 1.0), (3.0, 2.0)).toDF("pre", "post")
+    val c = Drift.cuped(const, "pre", "post").collect()(0)
+    assert(c.isNullAt(1) && c.isNullAt(2)) // vx = 0 -> NULL theta
+  }
+
+  test("sprtGate: boundaries, llr arithmetic, degenerate baseline") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // group 'hot': 9/10 success; 'cold': 1/10 -> pooled p0 = 0.5
+    val rows = Seq.fill(9)(("hot", 1)) ++ Seq(("hot", 0)) ++
+      Seq(("cold", 1)) ++ Seq.fill(9)(("cold", 0))
+    val out = Drift.sprtGate(rows.toDF("g", "s"), "g", col("s") === 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p0 = 0.5; val p1 = 0.5 * 1.05
+    def llr(k: Int, n: Int): Double =
+      k * math.log(p1 / p0) + (n - k) * math.log((1 - p1) / (1 - p0))
+    assert(math.abs(out("hot").getDouble(4) - llr(9, 10)) < 1e-6)
+    assert(math.abs(out("cold").getDouble(4) - llr(1, 10)) < 1e-6)
+    assert(out("hot").getDouble(6) ==
+      BigDecimal(math.log(0.8 / 0.05)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all-failure corpus: pooled rate 0 -> untestable
+    val degen = Seq(("a", 0), ("b", 0)).toDF("g", "s")
+    val d = Drift.sprtGate(degen, "g", col("s") === 1).collect()(0)
+    assert(d.isNullAt(4) && d.getString(7) == "untestable")
+  }
 }
