@@ -4020,6 +4020,18 @@ object SparkEntry {
       Drift.powerAnalysis(t(s, d, "events"), "event_type",
         col("value") > 50)),
 
+    // ---- split-conformal calibrated gate on n_chars: the
+    // ceil((n+1)(1-alpha))-th smallest calibration score via the
+    // radix-select kthSmallestLong (no sort, no sketch), rank in
+    // exact integer arithmetic, hold-out coverage in the same row
+    "q_conformal" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profile.conformalQuantile(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "n_chars", alphaNum = 1, alphaDen = 10)
+    }),
+
     // ---- effective rank (participation ratio) of the embedding
     // covariance: (Σλ)²/Σλ² without an eigensolver — the space-
     // collapse alarm, derived from covarianceDf's one-scan matrix
@@ -4464,6 +4476,34 @@ object SparkEntry {
         |  END AS row_skip_fraction,
         |  dim
         |FROM u ORDER BY dim""".stripMargin,
+
+    "q_conformal" ->
+      """WITH cal AS (
+        |  SELECT n_chars FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |tst AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |kk AS (
+        |  SELECT n_cal,
+        |    least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS k,
+        |    ((n_cal + 1) * 9 + 9) // 10 > n_cal AS clamped
+        |  FROM p),
+        |r AS (
+        |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn
+        |  FROM cal),
+        |q AS (SELECT n_chars AS q_hat FROM r, kk WHERE rn = kk.k),
+        |c AS (
+        |  SELECT CAST(count(tst.n_chars) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN tst.n_chars <= q.q_hat THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_covered
+        |  FROM tst, q)
+        |SELECT kk.n_cal, CAST(kk.k AS BIGINT) AS k,
+        |  CAST(q.q_hat AS BIGINT) AS q_hat, kk.clamped,
+        |  c.n_test, c.n_covered,
+        |  CASE WHEN c.n_test > 0
+        |       THEN round(CAST(c.n_covered AS DOUBLE) / c.n_test, 6) END
+        |    AS coverage
+        |FROM kk, q, c""".stripMargin,
 
     "q_effective_rank" ->
       """WITH x AS (

@@ -937,6 +937,51 @@ object Profile {
     (n, Some(med))
   }
 
+  /** Split-conformal calibration quantile with finite-sample
+    * correction: q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score,
+    * so predicting "conforming iff score ≤ q̂" guarantees ≥ 1−α
+    * coverage on exchangeable data — the distribution-free way to
+    * turn ANY quality/novelty/nonconformity score into a calibrated
+    * gate (a fixed threshold drifts with the corpus; the conformal
+    * quantile re-derives it with a guarantee). Reports the empirical
+    * hold-out coverage next to the quantile so miscalibration —
+    * exchangeability broken by drift — is visible in the same row.
+    *
+    * α is a RATIONAL (alphaNum/alphaDen) so the rank
+    * k = ⌈(n+1)(1−α)⌉ is pure integer arithmetic: the float spelling
+    * ceil((n+1)*0.9) computes (n+1)·nearest(0.9) and overshoots by
+    * one whole rank whenever the product lands on an integer
+    * (10 × 0.9̄2̄ → ceil 10, not 9). When k > n the guarantee needs
+    * q̂ = +∞; the rank is clamped to n and `clamped` says so.
+    *
+    * Scale shape: the quantile comes from [[kthSmallestLong]] (≤ 8
+    * counting passes, no global sort, no sketch — exact at 10^12
+    * rows); coverage is one aggregate over the test split. Returns
+    * one row: (n_cal, k, q_hat, clamped, n_test, n_covered,
+    * coverage). */
+  def conformalQuantile(cal: DataFrame, test: DataFrame, scoreCol: String,
+                        alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      "conformalQuantile: need 0 < alphaNum/alphaDen < 1")
+    val nCal = cal.where(col(scoreCol).isNotNull).count()
+    require(nCal > 0, "conformalQuantile: empty calibration split")
+    val keep = (alphaDen - alphaNum).toLong
+    val k0 = ((nCal + 1) * keep + alphaDen - 1) / alphaDen // ceil, exact
+    val clamped = k0 > nCal
+    val k = math.min(k0, nCal)
+    val qHat = kthSmallestLong(cal, scoreCol, k)
+    test.agg(
+        count(when(col(scoreCol).isNotNull, lit(1))).as("n_test"),
+        sum(when(col(scoreCol) <= qHat, 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"),
+        lit(qHat).as("q_hat"), lit(clamped).as("clamped"),
+        col("n_test"), col("n_covered"),
+        when(col("n_test") > 0,
+          round(col("n_covered").cast("double") / col("n_test"), 6))
+          .as("coverage"))
+  }
+
   /** Benford first-digit conformance test — the numeric-QC anomaly
     * detector for "naturally grown" magnitude columns (prices, counts,
     * file sizes): genuine multi-scale data follows

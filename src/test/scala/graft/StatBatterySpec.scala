@@ -836,6 +836,25 @@ class StatBatterySpec extends AnyFunSuite {
     assert(c.isNullAt(1) && c.isNullAt(2)) // vx = 0 -> NULL theta
   }
 
+  test("conformalQuantile: exact rank, coverage, clamping") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val cal = (1L to 9L).toDF("s")
+    val tst = (1L to 10L).toDF("s")
+    // alpha = 1/2: k = ceil(10/2) = 5 -> q_hat = 5; coverage 5/10
+    val r = Profile.conformalQuantile(cal, tst, "s", 1, 2).collect()(0)
+    assert(r.getLong(0) == 9 && r.getLong(1) == 5 && r.getLong(2) == 5)
+    assert(!r.getBoolean(3) && r.getDouble(6) == 0.5)
+    // alpha = 1/10 with n = 3: k0 = ceil(4*9/10) = 4 > 3 -> clamped
+    val small = (1L to 3L).toDF("s")
+    val c = Profile.conformalQuantile(small, tst, "s", 1, 10).collect()(0)
+    assert(c.getBoolean(3) && c.getLong(1) == 3 && c.getLong(2) == 3)
+    // integer-rank regression: n = 9, alpha = 1/10 -> k = ceil(10*0.9)
+    // must be 9 (the float spelling would overshoot to 10 > n)
+    val e = Profile.conformalQuantile(cal, tst, "s", 1, 10).collect()(0)
+    assert(e.getLong(1) == 9 && !e.getBoolean(3))
+  }
+
   test("sprtGate: boundaries, llr arithmetic, degenerate baseline") {
     val spark = SparkSpec.session
     import spark.implicits._
