@@ -371,14 +371,28 @@ object Drift {
     * lower, upper, verdict). */
   def sprtGate(df: DataFrame, groupCol: String, success: Column,
                relLift: Double = 0.05, alpha: Double = 0.05,
-               beta: Double = 0.2): DataFrame = {
+               beta: Double = 0.2): DataFrame =
+    sprtGateFromCounts(
+      df.groupBy(coalesce(col(groupCol).cast("string"), lit("<null>"))
+          .as(groupCol))
+        .agg(count(lit(1)).as("n"),
+          sum(when(success, 1L).otherwise(0L)).as("k")),
+      groupCol, relLift, alpha, beta)
+
+  /** [[sprtGate]] on PRE-AGGREGATED per-group sufficient statistics
+    * (group, n, k) — the spelling a streaming deployment uses: a
+    * complete-mode `groupBy().agg(count, sum(success))` accumulates
+    * (n, k) per micro-batch, and this verdict projection runs on the
+    * O(groups) state table after each trigger (the two-frame
+    * crossJoin is not streamable inside one query, and does not need
+    * to be — the state IS the sufficient statistic). StreamingSpec
+    * pins stream-accumulated verdicts == batch [[sprtGate]]. */
+  def sprtGateFromCounts(per: DataFrame, groupCol: String,
+                         relLift: Double = 0.05, alpha: Double = 0.05,
+                         beta: Double = 0.2): DataFrame = {
     require(relLift > 0, "sprtGate: relLift must be positive")
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       "sprtGate: alpha and beta must be in (0,1)")
-    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
-        lit("<null>")).as("__g"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(success, 1L).otherwise(0L)).as("k"))
     val tot = per.agg(sum(col("n")).as("__N"), sum(col("k")).as("__K"))
     val p0 = col("__K").cast("double") / col("__N")
     val p1 = p0 * lit(1.0 + relLift)
@@ -389,7 +403,7 @@ object Drift {
         log((lit(1.0) - p1) / (lit(1.0) - p0))
     val degenerate = p0 <= 0.0 || p1 >= 1.0
     per.crossJoin(broadcast(tot))
-      .select(col("__g").as(groupCol), col("n"),
+      .select(col(groupCol), col("n"),
         col("k").as("n_success"),
         round(col("k").cast("double") / col("n"), 6).as("rate"),
         when(degenerate, lit(null: java.lang.Double))

@@ -150,6 +150,31 @@ class StreamingSpec extends SparkSpec {
     assert(got("click")._1 === nClicks)
   }
 
+  test("streaming SPRT: verdicts on stream-accumulated counts equal batch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Drift
+    val dir = java.nio.file.Files.createTempDirectory("graft_sprt").toString
+    val src = "/root/testdata/sf0.001/events.parquet"
+    // 3 files => 3 micro-batches; the complete-mode aggregate carries
+    // the cumulative (n, k) sufficient statistic across triggers
+    spark.read.parquet(src).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingValidation.readEventStream(spark, dir)
+    val counts = stream
+      .groupBy(coalesce($"event_type".cast("string"), lit("<null>"))
+        .as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" > 50, 1L).otherwise(0L)).as("k"))
+    StreamingValidation.runToMemorySink(counts, "sprt_counts",
+      OutputMode.Complete())
+    val streamed = Drift.sprtGateFromCounts(
+      spark.table("sprt_counts"), "event_type").collect()
+    val batch = Drift.sprtGate(spark.read.parquet(src), "event_type",
+      $"value" > 50).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("streaming embedding QC: stateless violations pass equals batch truth") {
     import org.apache.spark.sql.functions._
     import graft.operators.EmbeddingQC
