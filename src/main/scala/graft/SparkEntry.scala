@@ -4020,6 +4020,12 @@ object SparkEntry {
       Drift.powerAnalysis(t(s, d, "events"), "event_type",
         col("value") > 50)),
 
+    // ---- Bloom-filter sizing table at the corpus's LIVE key count:
+    // optimal k and fpr per bits-per-item budget, first budget meeting
+    // 1% flagged — the capacity decision before a 10^12-key filter
+    "q_bloom_plan" -> ((s, d) =>
+      Dedup.bloomPlan(t(s, d, "documents"), "doc_id")),
+
     // ---- split-conformal calibrated gate on n_chars: the
     // ceil((n+1)(1-alpha))-th smallest calibration score via the
     // radix-select kthSmallestLong (no sort, no sketch), rank in
@@ -4476,6 +4482,25 @@ object SparkEntry {
         |  END AS row_skip_fraction,
         |  dim
         |FROM u ORDER BY dim""".stripMargin,
+
+    "q_bloom_plan" ->
+      """WITH n AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b AS (SELECT unnest([4,6,8,10,12,16,20,24]) AS bits_per_item),
+        |c AS (
+        |  SELECT bits_per_item, n_items,
+        |    greatest(1.0, round(CAST(bits_per_item AS DOUBLE) * ln(2.0)))
+        |      AS k
+        |  FROM b, n)
+        |SELECT bits_per_item, n_items,
+        |  CAST(bits_per_item AS BIGINT) * n_items AS m_bits,
+        |  CAST(k AS BIGINT) AS k_hashes,
+        |  round(pow(1.0 - exp(-1.0 * k / CAST(bits_per_item AS DOUBLE)),
+        |            k), 6) AS fpr,
+        |  round(pow(1.0 - exp(-1.0 * k / CAST(bits_per_item AS DOUBLE)),
+        |            k), 6) <= 0.01 AS acceptable
+        |FROM c ORDER BY bits_per_item""".stripMargin,
 
     "q_conformal" ->
       """WITH cal AS (

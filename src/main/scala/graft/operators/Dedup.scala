@@ -1114,6 +1114,40 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** Bloom-filter sizing table — [[lshBandPlan]]'s sibling for the
+    * membership-sketch tier (decontamination predicates, seen-set
+    * dedup): for each bits-per-item budget, the optimal hash count
+    * k* = round(b·ln2) and the resulting false-positive rate
+    * p = (1 − e^(−k·n/m))^k at m = b·n bits, with n taken from the
+    * LIVE corpus (one count aggregate) — so the table answers the
+    * real question ("what does 8 bits/item cost US at today's n?")
+    * rather than a textbook one. `acceptable` flags the first budget
+    * meeting `targetFpr` — the capacity decision that must precede
+    * materializing a 10^12-key filter. Math on an O(budgets) frame;
+    * the corpus is touched once for the count. Returns
+    * (bits_per_item, n_items, m_bits, k_hashes, fpr, acceptable). */
+  def bloomPlan(df: DataFrame, keyCol: String,
+                bitsPerItem: Seq[Int] = Seq(4, 6, 8, 10, 12, 16, 20, 24),
+                targetFpr: Double = 0.01): DataFrame = {
+    require(bitsPerItem.nonEmpty && bitsPerItem.forall(_ > 0),
+      "bloomPlan: bitsPerItem must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nRow = df.where(col(keyCol).isNotNull)
+      .agg(countDistinct(col(keyCol)).as("n_items"))
+    val budgets = bitsPerItem.toDF("bits_per_item")
+    val b = col("bits_per_item").cast("double")
+    val k = greatest(lit(1L), round(b * log(lit(2.0))))
+    val fpr = pow(lit(1.0) - exp(lit(-1.0) * k.cast("double") / b), k)
+    budgets.crossJoin(broadcast(nRow))
+      .select(col("bits_per_item"), col("n_items"),
+        (col("bits_per_item").cast("long") * col("n_items")).as("m_bits"),
+        k.cast("long").as("k_hashes"),
+        round(fpr, 6).as("fpr"),
+        (round(fpr, 6) <= targetFpr).as("acceptable"))
+      .orderBy("bits_per_item")
+  }
+
   /** LSH banding design table: for every (bands b, rows r) split of
     * `nPerms` MinHash permutations, the S-curve P(candidate | jaccard
     * s) = 1 − (1 − s^r)^b, its threshold s* = (1/b)^(1/r) (where

@@ -836,6 +836,25 @@ class StatBatterySpec extends AnyFunSuite {
     assert(c.isNullAt(1) && c.isNullAt(2)) // vx = 0 -> NULL theta
   }
 
+  test("bloomPlan: optimal k, fpr curve, first acceptable budget") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = (1L to 100L).toDF("id")
+    val out = Dedup.bloomPlan(df, "id", targetFpr = 0.01).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // b=10: k* = round(10 ln2) = 7, fpr = (1-e^(-0.7))^7 ~ 0.00819
+    val ten = out(10)
+    assert(ten.getLong(1) == 100 && ten.getLong(2) == 1000)
+    assert(ten.getLong(3) == 7)
+    val expFpr = math.pow(1.0 - math.exp(-0.7), 7.0)
+    assert(math.abs(ten.getDouble(4) - expFpr) < 1e-6)
+    assert(ten.getBoolean(5))
+    // b=4: k* = 3, fpr ~ 0.147 — not acceptable at 1%
+    val four = out(4)
+    assert(four.getLong(3) == 3 && !four.getBoolean(5))
+  }
+
   test("conformalQuantile: exact rank, coverage, clamping") {
     val spark = SparkSpec.session
     import spark.implicits._
