@@ -73,6 +73,9 @@ object Main {
       case "curate" :: rest =>
         val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         curate(spark, dir)
+      case "layout" :: rest =>
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        layout(spark, dir)
       case "stream-curate" :: rest =>
         // curate-as-data-lands: the COMPOSED gate sequence (extraction →
         // length → quality → blocklist → seen-dedup → decontamination)
@@ -199,6 +202,68 @@ object Main {
     * drifting (Markov stationarity), how weekly is it (η²), who leads
     * whom (lead–lag), and the rolling-distinct trend. Each signal is
     * one JSON line so a supervisor can grep/parse them independently. */
+  /** Physical-design advisor battery over the documents table: one
+    * JSON line per signal — per-column encoding recommendation,
+    * sortedness, the stored table's file skew, and the actionable
+    * comparison: row-skip fraction of a selective box predicate on
+    * the AS-STORED layout vs a Z-order vs a Hilbert rewrite (written
+    * to scratch), per dimension. The report a layout review reads
+    * before paying for a 100 TB OPTIMIZE. */
+  def layout(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.StorageAudit
+    import graft.sources.Bucketing
+    val path = s"$dir/documents.parquet"
+    val docs = spark.read.parquet(path)
+    if (docs.where(col("doc_id").isNotNull).isEmpty) {
+      System.err.println(s"layout: no usable documents at $dir — " +
+        "an empty table is a finding, not a report")
+      sys.exit(2)
+    }
+    def d6(x: Double) = String.format(java.util.Locale.ROOT, "%.6f",
+      Double.box(x))
+    StorageAudit.encodingAudit(docs, "doc_id", Seq("lang", "source"))
+      .collect().foreach { r =>
+        println(s"""{"signal":"encoding","column":"${r.getString(0)}",""" +
+          s""""n_rows":${r.getLong(1)},"n_distinct":${r.getLong(2)},""" +
+          s""""n_runs":${r.getLong(3)},""" +
+          s""""avg_run_len":${if (r.isNullAt(4)) "null" else d6(r.getDouble(4))},""" +
+          s""""recommend":"${r.getString(6)}"}""")
+      }
+    val so = StorageAudit.sortednessAudit(docs, "doc_id", "n_chars")
+      .collect()(0)
+    println(s"""{"signal":"sortedness","column":"n_chars",""" +
+      s""""n_pairs":${so.getLong(0)},""" +
+      s""""sorted_fraction":${if (so.isNullAt(3)) "null" else d6(so.getDouble(3))}}""")
+    val fs = StorageAudit.fileSkew(spark, path).collect()(0)
+    println(s"""{"signal":"files","n_files":${fs.getLong(0)},""" +
+      s""""n_rows":${fs.getLong(1)},"rows_min":${fs.getLong(2)},""" +
+      s""""rows_max":${fs.getLong(3)},"skew":${d6(fs.getDouble(5))},""" +
+      s""""n_small_files":${fs.getLong(6)}}""")
+    // which rewrite buys what: row-skip of the selective 2-D box
+    // (n_chars in [100,150] x bucket2 in [0,31]) per layout per dim
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      (col("doc_id") % 256).as("bucket2"))
+    val zDir = "/tmp/graft_layout_zorder"
+    val hDir = "/tmp/graft_layout_hilbert"
+    Bucketing.writeZOrdered(base, zDir, "n_chars", "bucket2", nFiles = 8)
+    Bucketing.writeHilbert(base, hDir, "n_chars", "bucket2",
+      bits = 16, nFiles = 8)
+    def skipLine(layout: String, p: String, dimCol: String,
+                 lo: Long, hi: Long): Unit = {
+      val s = Bucketing.zoneMapSkipStats(spark, p, dimCol, lo, hi)
+        .collect()(0)
+      println(s"""{"signal":"skipping","layout":"$layout",""" +
+        s""""dim":"$dimCol","n_files":${s.getLong(0)},""" +
+        s""""row_skip_fraction":${if (s.isNullAt(5)) "null" else d6(s.getDouble(5))}}""")
+    }
+    // as-stored: usually a single unclustered file -> ~0 skipping
+    skipLine("as-stored", path, "n_chars", 100L, 150L)
+    for ((name, p) <- Seq("zorder" -> zDir, "hilbert" -> hDir)) {
+      skipLine(name, p, "n_chars", 100L, 150L)
+      skipLine(name, p, "bucket2", 0L, 31L)
+    }
+  }
+
   def health(spark: SparkSession, dir: String): Unit = {
     import graft.operators.{Profile, Sessionize}
     val ev = spark.read.parquet(s"$dir/events.parquet")
