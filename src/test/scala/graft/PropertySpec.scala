@@ -143,4 +143,42 @@ class PropertySpec extends AnyFunSuite {
       assert(counts(base.repartition(parts)) === expected, s"parts=$parts")
     }
   }
+
+  test("kendallTau is invariant under strictly monotone transforms") {
+    import graft.operators.Profile
+    val pairs = samples(Gen.listOfN(20,
+      Gen.zip(Gen.choose(-50L, 50L), Gen.choose(-50L, 50L))), 5)
+      .filter(_.size > 3)
+    def tau(df: org.apache.spark.sql.DataFrame): Option[Double] = {
+      val r = Profile.kendallTau(df, "x", "y").collect()(0)
+      if (r.isNullAt(5)) None else Some(r.getDouble(5))
+    }
+    pairs.foreach { xs =>
+      val base = xs.toDF("x", "y")
+      // x -> 3x + 7 (strictly increasing, rank-preserving, tie-preserving)
+      val mono = base.select((col("x") * 3 + 7).as("x"), col("y"))
+      assert(tau(base) === tau(mono), s"input: $xs")
+      // x -> -x flips every concordance: tau negates (ties unchanged)
+      val neg = base.select((col("x") * -1).as("x"), col("y"))
+      (tau(base), tau(neg)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a + b) < 1e-9,
+          s"negation should negate tau: $a vs $b, input: $xs")
+        case (a, b) => assert(a.isEmpty === b.isEmpty)
+      }
+    }
+  }
+
+  test("conformalQuantile coverage meets the finite-sample guarantee " +
+      "when calibration and test are exchangeable (identical splits)") {
+    import graft.operators.Profile
+    samples(Gen.listOfN(40, Gen.choose(0L, 1000L)), 8)
+      .filter(_.size > 10).foreach { xs =>
+      val df = xs.toDF("s")
+      // cal == test: empirical coverage of the conformal quantile on
+      // the SAME distribution must be >= 1 - alpha by construction
+      val r = Profile.conformalQuantile(df, df, "s", 1, 10).collect()(0)
+      assert(!r.isNullAt(6) && r.getDouble(6) >= 0.9 - 1e-9,
+        s"coverage ${r.getDouble(6)} < 0.9, input: $xs")
+    }
+  }
 }
