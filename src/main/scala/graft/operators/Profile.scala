@@ -875,7 +875,8 @@ object Profile {
     * `k` is 1-based; NULLs are excluded (callers count separately).
     * Deterministic — no sampling, no sketch, bit-exact on any engine.
     */
-  def kthSmallestLong(df: DataFrame, colName: String, k: Long): Long = {
+  def kthSmallestLong(df: DataFrame, colName: String, k: Long,
+                      bounds: Option[(Long, Long)] = None): Long = {
     val biased = col(colName).cast("long").bitwiseXOR(Long.MinValue)
     val base = df.where(col(colName).isNotNull).select(biased.as("__v"))
     require(k >= 1, s"k=$k must be >= 1")
@@ -884,6 +885,31 @@ object Profile {
     var shift = 56
     var done = false
     var result = 0L
+    // one (min, max) aggregate up front lets the descent SKIP every
+    // byte the whole column shares (bounded domains — lengths, counts,
+    // scores — share 5-6 high bytes, turning 8 counting passes into
+    // 2-3): a shared byte has exactly one non-empty bucket, so the
+    // histogram pass would only confirm what min==max already proves.
+    // Callers issuing several selects on one column (median, IQR)
+    // pass `bounds` to pay for that aggregate once.
+    // min/max MUST aggregate the ORIGINAL signed values (bias only
+    // maps signed order to UNSIGNED byte order — a signed min() over
+    // biased values would return biased(0), not biased(the minimum),
+    // whenever negatives are present), then bias the results
+    val (mnB, mxB) = bounds match {
+      case Some((mn, mx)) => (mn ^ Long.MinValue, mx ^ Long.MinValue)
+      case None =>
+        val c = col(colName).cast("long")
+        val mm = df.agg(min(c).as("mn"), max(c).as("mx")).head()
+        require(!mm.isNullAt(0), s"k=$k exceeds the non-null row count")
+        (mm.getLong(0) ^ Long.MinValue, mm.getLong(1) ^ Long.MinValue)
+    }
+    if (mnB == mxB || k == 1L) return mnB ^ Long.MinValue
+    while (shift >= 0 &&
+           ((mnB >>> shift) & 0xFFL) == ((mxB >>> shift) & 0xFFL)) {
+      prefix |= mnB & (0xFFL << shift)
+      shift -= 8
+    }
     while (shift >= 0 && !done) {
       val mask = if (shift == 56) 0L
         else -1L << (shift + 8) // bits already fixed
@@ -926,14 +952,21 @@ object Profile {
     * (the SQL `median` rule, so DuckDB replays it bit-exactly).
     * Returns (n, median); n = 0 ⇒ NULL median. */
   def exactMedianLong(df: DataFrame, colName: String): (Long, Option[Double]) = {
-    val n = df.where(col(colName).isNotNull).count()
+    // ONE (count, min, max) aggregate shared by both selects — the
+    // byte-skip bounds are paid for once, not per order statistic
+    val c = col(colName).cast("long")
+    val s = df.agg(count(c).as("n"), min(c).as("mn"), max(c).as("mx"))
+      .head()
+    val n = s.getLong(0)
     if (n == 0) return (0L, None)
-    val med = if (n % 2 == 1) kthSmallestLong(df, colName, (n + 1) / 2).toDouble
-      else {
-        val lo = kthSmallestLong(df, colName, n / 2)
-        val hi = kthSmallestLong(df, colName, n / 2 + 1)
-        (lo + hi) / 2.0
-      }
+    val bounds = Some((s.getLong(1), s.getLong(2)))
+    val med = if (n % 2 == 1)
+      kthSmallestLong(df, colName, (n + 1) / 2, bounds).toDouble
+    else {
+      val lo = kthSmallestLong(df, colName, n / 2, bounds)
+      val hi = kthSmallestLong(df, colName, n / 2 + 1, bounds)
+      (lo + hi) / 2.0
+    }
     (n, Some(med))
   }
 
@@ -963,13 +996,17 @@ object Profile {
                         alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
     require(alphaNum > 0 && alphaDen > alphaNum,
       "conformalQuantile: need 0 < alphaNum/alphaDen < 1")
-    val nCal = cal.where(col(scoreCol).isNotNull).count()
+    val sc = col(scoreCol).cast("long")
+    val st = cal.agg(count(sc).as("n"), min(sc).as("mn"), max(sc).as("mx"))
+      .head()
+    val nCal = st.getLong(0)
     require(nCal > 0, "conformalQuantile: empty calibration split")
     val keep = (alphaDen - alphaNum).toLong
     val k0 = ((nCal + 1) * keep + alphaDen - 1) / alphaDen // ceil, exact
     val clamped = k0 > nCal
     val k = math.min(k0, nCal)
-    val qHat = kthSmallestLong(cal, scoreCol, k)
+    val qHat = kthSmallestLong(cal, scoreCol, k,
+      Some((st.getLong(1), st.getLong(2))))
     test.agg(
         count(when(col(scoreCol).isNotNull, lit(1))).as("n_test"),
         sum(when(col(scoreCol) <= qHat, 1L).otherwise(0L))

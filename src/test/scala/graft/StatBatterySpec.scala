@@ -836,6 +836,23 @@ class StatBatterySpec extends AnyFunSuite {
     assert(c.isNullAt(1) && c.isNullAt(2)) // vx = 0 -> NULL theta
   }
 
+  test("kthSmallestLong: negative values, byte-skip bounds, k=1 fast path") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // negatives are where the sign-bit bias bites: min/max must
+    // aggregate SIGNED originals, not biased values (regression)
+    val vals = Seq(-500L, -3L, 0L, 7L, 250L, 499L)
+    val df = vals.toDF("v")
+    assert(Profile.kthSmallestLong(df, "v", 1) == -500L)
+    assert(Profile.kthSmallestLong(df, "v", 2) == -3L)
+    assert(Profile.kthSmallestLong(df, "v", 6) == 499L)
+    // explicit bounds give identical answers (shared-agg path)
+    assert(Profile.kthSmallestLong(df, "v", 3,
+      Some((-500L, 499L))) == 0L)
+    val (n, med) = Profile.exactMedianLong(df, "v")
+    assert(n == 6 && med.contains((0L + 7L) / 2.0))
+  }
+
   test("bloomPlan: optimal k, fpr curve, first acceptable budget") {
     val spark = SparkSpec.session
     import spark.implicits._
