@@ -4020,6 +4020,13 @@ object SparkEntry {
       Drift.powerAnalysis(t(s, d, "events"), "event_type",
         col("value") > 50)),
 
+    // ---- Chao1 unseen-vocabulary estimate + Good's coverage: how
+    // many word types the corpus has NOT seen — the vocab-planning
+    // number a tokenizer sized on a sample needs; one word-count
+    // aggregate, single-row summary
+    "q_chao1" -> ((s, d) =>
+      TextAnalysis.chao1(t(s, d, "documents"), "text")),
+
     // ---- Bloom-filter sizing table at the corpus's LIVE key count:
     // optimal k and fpr per bits-per-item budget, first budget meeting
     // 1% flagged — the capacity decision before a 10^12-key filter
@@ -4483,6 +4490,30 @@ object SparkEntry {
         |  dim
         |FROM u ORDER BY dim""".stripMargin,
 
+    "q_chao1" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r
+        |       FROM tok GROUP BY w),
+        |a AS (
+        |  SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS s_obs,
+        |         CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f1,
+        |         CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f2
+        |  FROM wc)
+        |SELECT n_tokens, s_obs, f1, f2,
+        |  round(CAST(s_obs AS DOUBLE)
+        |        + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |          / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+        |  CASE WHEN n_tokens > 0
+        |       THEN round(1.0 - CAST(f1 AS DOUBLE)
+        |                  / CAST(n_tokens AS DOUBLE), 6) END AS coverage
+        |FROM a""".stripMargin,
+
     "q_bloom_plan" ->
       """WITH n AS (
         |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items
@@ -4620,7 +4651,11 @@ object SparkEntry {
         |                  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
         |                         * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)),
         |                  6)
-        |  END AS tau_b
+        |  END AS tau_b,
+        |  CASE WHEN CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) > 0
+        |       THEN round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+        |                  / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE)), 6)
+        |  END AS gamma
         |FROM cd, tx, ty""".stripMargin,
 
     "q_cuped" ->

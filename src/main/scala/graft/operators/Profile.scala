@@ -1382,7 +1382,11 @@ object Profile {
       coalesce(col("__D"), lit(0)).cast("long").as("n_discordant"),
       col("__n1").cast("long").as("tie_pairs_x"),
       col("__n2").cast("long").as("tie_pairs_y"),
-      when(den > 0, round((c - dd) / den, 6)).as("tau_b"))
+      when(den > 0, round((c - dd) / den, 6)).as("tau_b"),
+      // Goodman–Kruskal gamma: the tie-IGNORING sibling — only
+      // definite pairs vote, so heavily-tied ordinal data (buckets,
+      // grades) isn't dragged toward 0 the way tau-b is
+      when(c + dd > 0, round((c - dd) / (c + dd), 6)).as("gamma"))
   }
 
   /** Hill tail-index estimator over the top-k order statistics of

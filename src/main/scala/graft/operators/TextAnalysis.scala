@@ -1739,6 +1739,33 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** Chao1 unseen-species estimate of the vocabulary —
+    * [[goodTuring]]'s question turned around: not "what probability
+    * mass is unseen" but "how many word TYPES exist that this corpus
+    * has not seen yet": Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1))
+    * (bias-corrected, f₂ = 0 safe) from the singleton/doubleton
+    * counts, plus Good's sample coverage Ĉ = 1 − f₁/N. The
+    * vocab-planning number: a tokenizer or dictionary sized to S_obs
+    * of a 1% sample undercounts by exactly the gap this row
+    * estimates. ONE word-count aggregate (map-side combine, shuffles
+    * O(distinct) words) + a single-row summary. Returns (n_tokens,
+    * s_obs, f1, f2, chao1, coverage). */
+  def chao1(df: DataFrame, textCol: String): DataFrame = {
+    val wc = df.select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__r"))
+    wc.agg(sum(col("__r")).as("n_tokens"), count(lit(1)).as("s_obs"),
+        sum(when(col("__r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__r") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("s_obs"), col("f1"), col("f2"),
+        round(col("s_obs").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 6).as("chao1"),
+        when(col("n_tokens") > 0,
+          round(lit(1.0) -
+            col("f1").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("coverage"))
+  }
+
   /** Per-source boilerplate-prefix detector: when a large share of a
     * source's documents open with the SAME first-`k` characters (cookie
     * banner, "Subscribe to continue", scraper header), that prefix is

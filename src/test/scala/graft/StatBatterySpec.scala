@@ -804,6 +804,21 @@ class StatBatterySpec extends AnyFunSuite {
     assert(r.getLong(0) == 5 && r.getLong(1) == 8 && r.getLong(2) == 1)
     assert(r.getLong(3) == 0 && r.getLong(4) == 1)
     assert(math.abs(r.getDouble(5) - 7.0 / math.sqrt(90.0)) < 1e-6)
+    // Goodman-Kruskal gamma ignores the tie: (8-1)/(8+1)
+    assert(math.abs(r.getDouble(6) - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("chao1: hand-computed richness and coverage") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // words: a x2, b x1, c x1 -> N=4, S=3, f1=2, f2=1
+    // chao1 = 3 + 2*1/(2*2) = 3.5; coverage = 1 - 2/4 = 0.5
+    val df = Seq("a a b", "c").toDF("text")
+    val r = TextAnalysis.chao1(df, "text").collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == 3.5 && r.getDouble(5) == 0.5)
   }
 
   test("kendallTau: perfect concordance, reversal, constant side") {
