@@ -368,6 +368,18 @@ object SparkEntry {
     // profiles as psi/jsd
     "q_kl_source" -> ((s, d) => sourceDriftStat(s, d, "kl", Drift.kl(_, _))),
 
+    // per-category PSI attribution: WHICH categories carry the drift,
+    // ranked by contribution — the triage between "PSI fired" and
+    // knowing what to do; driver math on the merged O(categories)
+    // profiles, same inputs as q_psi_source
+    "q_psi_breakdown" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Drift.psiBreakdown(s,
+        Drift.categoricalFreq(docs, "source"),
+        Drift.categoricalFreq(docs.where(col("doc_id") % 2 === 0),
+          "source"))
+    }),
+
     // total variation distance — the tight, floor-free drift bound
     // ("no downstream rate can move by more than TV"); same merged
     // O(categories) profiles as psi/jsd/kl
@@ -5008,6 +5020,28 @@ object SparkEntry {
         |  * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
         |     / greatest(coalesce(b.n, 0) / bt.t, 0.0001))), 6) AS psi
         |FROM o FULL JOIN b ON o.k = b.k, ot, bt""".stripMargin,
+
+    "q_psi_breakdown" ->
+      """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |           FROM documents GROUP BY 1),
+        |b AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ot AS (SELECT sum(n) AS t FROM o), bt AS (SELECT sum(n) AS t FROM b),
+        |terms AS (
+        |  SELECT coalesce(o.k, b.k) AS category,
+        |    greatest(coalesce(o.n, 0) / ot.t, 0.0001) AS po,
+        |    greatest(coalesce(b.n, 0) / bt.t, 0.0001) AS pb,
+        |    (greatest(coalesce(o.n, 0) / ot.t, 0.0001)
+        |     - greatest(coalesce(b.n, 0) / bt.t, 0.0001))
+        |    * ln(greatest(coalesce(o.n, 0) / ot.t, 0.0001)
+        |       / greatest(coalesce(b.n, 0) / bt.t, 0.0001)) AS term
+        |  FROM o FULL JOIN b ON o.k = b.k, ot, bt)
+        |SELECT category, round(po, 6) AS p_obs, round(pb, 6) AS p_base,
+        |  round(term, 6) AS psi_term,
+        |  CASE WHEN sum(term) OVER () > 0
+        |       THEN round(term / sum(term) OVER (), 6) END AS share
+        |FROM terms
+        |ORDER BY round(term, 6) DESC, category""".stripMargin,
 
     "q_kl_source" ->
       """WITH o AS (SELECT coalesce(source, '<null>') AS k, count(*)::DOUBLE AS n

@@ -530,6 +530,40 @@ object Drift {
     }.sum
   }
 
+  /** Per-category PSI contribution breakdown — the ACTIONABLE
+    * companion to [[psi]]'s single number: which categories carry the
+    * drift, ranked. Every PSI term (p_obs − p_base)·ln(p_obs/p_base)
+    * is ≥ 0 (the factors share a sign), so `share` = term / Σterms is
+    * a clean attribution: "0.81 of the drift is the collapse of
+    * src_7". The triage step between "PSI > 0.25 fired" and knowing
+    * what to do about it. Driver arithmetic over the metadata-sized
+    * merged profiles, like [[psi]] itself; rows ordered by
+    * contribution (rounded term desc, then category — deterministic).
+    * Returns (category, p_obs, p_base, psi_term, share); share NULL
+    * when total PSI is 0 (identical distributions). */
+  def psiBreakdown(spark: org.apache.spark.sql.SparkSession,
+                   observed: CategoricalProfile,
+                   baseline: CategoricalProfile,
+                   eps: Double = 1e-4): DataFrame = {
+    import spark.implicits._
+    val no = observed.total.toDouble.max(1.0)
+    val nb = baseline.total.toDouble.max(1.0)
+    val keys = (observed.freq.keySet ++ baseline.freq.keySet).toSeq.sorted
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = keys.map { k =>
+      val po = math.max(observed.freq.getOrElse(k, 0L) / no, eps)
+      val pb = math.max(baseline.freq.getOrElse(k, 0L) / nb, eps)
+      (k, po, pb, (po - pb) * math.log(po / pb))
+    }
+    val total = terms.map(_._4).sum
+    terms.map { case (k, po, pb, t) =>
+      (k, r6(po), r6(pb), r6(t),
+        if (total > 0.0) Some(r6(t / total)) else None)
+    }.sortBy { case (k, _, _, t, _) => (-t, k) }
+      .toDF("category", "p_obs", "p_base", "psi_term", "share")
+  }
+
   /** Jensen–Shannon divergence between two categorical profiles
     * (natural log; bounded [0, ln 2], symmetric, defined without a
     * proportion floor because the mixture m is nonzero wherever either

@@ -808,6 +808,21 @@ class StatBatterySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - 7.0 / 9.0) < 1e-6)
   }
 
+  test("psiBreakdown: terms sum to psi, share attributes the drift") {
+    val spark = SparkSpec.session
+    val obs = Drift.CategoricalProfile(Map("a" -> 50L, "b" -> 50L))
+    val base = Drift.CategoricalProfile(Map("a" -> 90L, "b" -> 10L))
+    val rows = Drift.psiBreakdown(spark, obs, base).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b", "a")) // b shifted more
+    val termSum = rows.map(_.getDouble(3)).sum
+    val psi = Drift.psi(obs, base)
+    assert(math.abs(termSum - psi) < 1e-5)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    // identical profiles: zero terms, NULL shares
+    val same = Drift.psiBreakdown(spark, obs, obs).collect()
+    assert(same.forall(r => r.getDouble(3) == 0.0 && r.isNullAt(4)))
+  }
+
   test("chao1: hand-computed richness and coverage") {
     val spark = SparkSpec.session
     import spark.implicits._
