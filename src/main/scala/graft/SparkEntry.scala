@@ -4032,6 +4032,15 @@ object SparkEntry {
       Drift.powerAnalysis(t(s, d, "events"), "event_type",
         col("value") > 50)),
 
+    // ---- per-source conformal quantiles: each source gets its own
+    // calibrated n_chars gate (one global threshold over-gates clean
+    // sources, under-gates noisy ones); exact integer ranks, per-group
+    // row_number window (never a SinglePartition global sort)
+    "q_conformal_by_source" -> ((s, d) =>
+      Profile.conformalQuantileByGroup(
+        t(s, d, "documents").where(col("doc_id") % 2 === 0),
+        "source", "n_chars", alphaNum = 1, alphaDen = 10)),
+
     // ---- Chao1 unseen-vocabulary estimate + Good's coverage: how
     // many word types the corpus has NOT seen — the vocab-planning
     // number a tokenizer sized on a sample needs; one word-count
@@ -4501,6 +4510,25 @@ object SparkEntry {
         |  END AS row_skip_fraction,
         |  dim
         |FROM u ORDER BY dim""".stripMargin,
+
+    "q_conformal_by_source" ->
+      """WITH cal AS (
+        |  SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS g,
+        |         CAST(n_chars AS BIGINT) AS s
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s)
+        |           AS rn
+        |  FROM cal),
+        |ks AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+        |    least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS k,
+        |    ((count(*) + 1) * 9 + 9) // 10 > count(*) AS clamped
+        |  FROM cal GROUP BY g)
+        |SELECT r.g AS source, ks.n_cal, CAST(ks.k AS BIGINT) AS k,
+        |  r.s AS q_hat, ks.clamped
+        |FROM r JOIN ks ON r.g = ks.g AND r.rn = ks.k
+        |ORDER BY source""".stripMargin,
 
     "q_chao1" ->
       """WITH tok AS (

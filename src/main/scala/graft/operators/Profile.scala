@@ -1019,6 +1019,45 @@ object Profile {
           .as("coverage"))
   }
 
+  /** Per-group split-conformal quantiles — [[conformalQuantile]]
+    * calibrated SEPARATELY for every group (source, language): one
+    * global threshold over-gates clean sources and under-gates noisy
+    * ones; per-group calibration gives each its own ≥ 1−α guarantee.
+    * Same exact integer rank arithmetic; the order statistic comes
+    * from a row_number window PARTITIONED BY GROUP (a per-group sort,
+    * shuffles each group to one task's sort — legitimate at any group
+    * count, never a SinglePartition global sort; the radix-select
+    * path stays the single-column answer). Returns one row per group:
+    * (group, n_cal, k, q_hat, clamped), ordered by group. */
+  def conformalQuantileByGroup(cal: DataFrame, groupCol: String,
+                               scoreCol: String, alphaNum: Int = 1,
+                               alphaDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      "conformalQuantileByGroup: need 0 < alphaNum/alphaDen < 1")
+    val keep = (alphaDen - alphaNum).toLong
+    val base = cal.where(col(scoreCol).isNotNull)
+      .select(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("__g"), col(scoreCol).cast("long").as("__s"))
+    val ranked = base.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("__g"))
+        .orderBy(col("__s"))))
+    // `div` (SQL integer division) keeps the ceil rank exact long
+    // arithmetic — Column./ is DOUBLE division, which silently loses
+    // the integer-boundary guarantee conformalQuantile pins
+    val k0 = expr(
+      s"((n_cal + 1) * $keep + ${alphaDen - 1}) div $alphaDen")
+    val ks = base.groupBy(col("__g")).agg(count(lit(1)).as("n_cal"))
+      .select(col("__g"), col("n_cal"),
+        least(k0, col("n_cal")).as("k"),
+        (k0 > col("n_cal")).as("clamped"))
+    ranked.join(ks, Seq("__g"))
+      .where(col("__rn") === col("k"))
+      .select(col("__g").as(groupCol), col("n_cal"), col("k"),
+        col("__s").as("q_hat"), col("clamped"))
+      .orderBy(col(groupCol))
+  }
+
   /** Benford first-digit conformance test — the numeric-QC anomaly
     * detector for "naturally grown" magnitude columns (prices, counts,
     * file sizes): genuine multi-scale data follows

@@ -808,6 +808,26 @@ class StatBatterySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - 7.0 / 9.0) < 1e-6)
   }
 
+  test("conformalQuantileByGroup: per-group ranks, nulls, clamping") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // group a: 1..9 -> k = ceil(10*9/10) = 9 -> q_hat = 9
+    // group b: 1..3 -> k0 = ceil(4*9/10) = 4 > 3 -> clamped, q_hat = 3
+    // null group key folds to <null>
+    val rows = (1L to 9L).map(v => (Some("a"), Some(v))) ++
+      (1L to 3L).map(v => (Some("b"), Some(v))) ++
+      Seq((None: Option[String], Some(5L)), (Some("a"), None))
+    val out = Profile.conformalQuantileByGroup(
+        rows.toDF("g", "s"), "g", "s", 1, 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 9 && a.getLong(2) == 9 && a.getLong(3) == 9)
+    assert(!a.getBoolean(4)) // the null score is excluded, not counted
+    val b = out("b")
+    assert(b.getBoolean(4) && b.getLong(3) == 3)
+    assert(out("<null>").getLong(1) == 1)
+  }
+
   test("psiBreakdown: terms sum to psi, share attributes the drift") {
     val spark = SparkSpec.session
     val obs = Drift.CategoricalProfile(Map("a" -> 50L, "b" -> 50L))
