@@ -4109,6 +4109,20 @@ object SparkEntry {
       Drift.cuped(per, "pre", "post")
     }),
 
+    // ---- empirical-Bernstein trust radii next to Hoeffding's: the
+    // variance-adaptive bound that turns "±0.19, unusable" into
+    // "±0.03, actionable" on skewed gate rates; variance exact from
+    // the integer counts
+    "q_eb_radius" -> ((s, d) =>
+      Drift.empiricalBernsteinBounds(t(s, d, "events"), "event_type",
+        col("value") > 50)),
+
+    // ---- day-jackknife SE of a ratio metric (avg event value): the
+    // clustered-data metrology a row bootstrap understates; leave-one-
+    // day-out replicas from complements on the O(days) frame
+    "q_jackknife_ratio" -> ((s, d) =>
+      Drift.jackknifeRatio(t(s, d, "events"), "ts", col("value"))),
+
     // ---- Wald SPRT per event_type vs the pooled baseline: the
     // sequential gate that stops collecting the moment the llr
     // crosses a boundary — powerAnalysis's streaming sibling
@@ -4725,6 +4739,48 @@ object SparkEntry {
         |  CASE WHEN vx > 0 AND vy > 0
         |       THEN round(cov * cov / (vx * vy), 6) END AS var_reduction
         |FROM f""".stripMargin,
+
+    "q_eb_radius" ->
+      """WITH per AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '<null>')
+        |           AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, round(CAST(k AS DOUBLE) / n, 6) AS rate,
+        |  round(sqrt(ln(2.0 / 0.05) / (2.0 * n)), 6) AS eps_hoeffding,
+        |  CASE WHEN n > 1 THEN round(
+        |    sqrt(2.0 * (CAST(k AS DOUBLE) * (n - k)
+        |                / (CAST(n AS DOUBLE) * greatest(n - 1.0, 1.0)))
+        |         * ln(3.0 / 0.05) / n)
+        |    + 3.0 * ln(3.0 / 0.05) / n, 6) END AS eps_bernstein
+        |FROM per ORDER BY event_type""".stripMargin,
+
+    "q_jackknife_ratio" ->
+      """WITH days AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         sum(CAST(value AS DECIMAL(38,6))) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(x) AS tx, sum(y) AS ty,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM days),
+        |loo AS (
+        |  SELECT n_days, tx, ty,
+        |    CAST(tx - x AS DOUBLE) / CAST(ty - y AS DOUBLE) AS ri
+        |  FROM days, tot),
+        |a AS (
+        |  SELECT n_days, tx, ty, avg(ri) AS rbar, sum(ri * ri) AS rsq
+        |  FROM loo GROUP BY 1, 2, 3)
+        |SELECT n_days,
+        |  round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE), 6) AS ratio,
+        |  CASE WHEN n_days > 1 THEN round(sqrt(greatest(0.0,
+        |    (CAST(n_days AS DOUBLE) - 1.0) / CAST(n_days AS DOUBLE)
+        |    * (rsq - CAST(n_days AS DOUBLE) * rbar * rbar))), 6)
+        |  END AS se_jackknife
+        |FROM a""".stripMargin,
 
     "q_sprt" ->
       """WITH per AS (

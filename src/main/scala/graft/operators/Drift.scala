@@ -473,6 +473,84 @@ object Drift {
       .orderBy(col(groupCol))
   }
 
+  /** Empirical-Bernstein trust radii — [[hoeffdingBounds]]'s
+    * variance-adaptive upgrade for Bernoulli gate rates: Hoeffding
+    * pays for the worst case (variance ¼ at p = ½); when a gate
+    * passes 2 % or 98 % the observed variance is 20× smaller and
+    * Bernstein's ε = √(2·V̂·ln(3/δ)/n) + 3·ln(3/δ)/n shrinks with
+    * it — the difference between "±0.19, unusable" and "±0.03,
+    * actionable" at the same n. V̂ is the unbiased sample variance,
+    * exact from the integer counts (k(n−k)/(n(n−1)) for 0/1
+    * outcomes — no FP accumulation). Radii at both the Hoeffding and
+    * Bernstein bounds side by side, so the dashboard shows what the
+    * variance bought. One sufficient-stats aggregate, O(groups)
+    * arithmetic. Returns (group, n, rate, eps_hoeffding, eps_bernstein)
+    * at δ = 0.05; NULL Bernstein radius at n = 1 (variance undefined). */
+  def empiricalBernsteinBounds(df: DataFrame, groupCol: String,
+                               success: Column,
+                               delta: Double = 0.05): DataFrame = {
+    require(delta > 0 && delta < 1, "delta must be in (0,1)")
+    val ln2 = math.log(2.0 / delta)
+    val ln3 = math.log(3.0 / delta)
+    val per = df.groupBy(coalesce(col(groupCol).cast("string"),
+        lit("<null>")).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("__k"))
+    val n = col("n").cast("double")
+    val k = col("__k").cast("double")
+    // greatest(n-1, 1): the n = 1 row's radius is NULLed by the guard
+    // below, but ANSI mode faults the division itself before the
+    // conditional can discard it
+    val v = k * (n - k) / (n * greatest(n - lit(1.0), lit(1.0)))
+    per.select(col("__g").as(groupCol), col("n"),
+        round(k / n, 6).as("rate"),
+        round(sqrt(lit(ln2) / (lit(2.0) * n)), 6).as("eps_hoeffding"),
+        when(col("n") > 1,
+          round(sqrt(lit(2.0) * v * lit(ln3) / n) +
+            lit(3.0) * lit(ln3) / n, 6)).as("eps_bernstein"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Day-jackknife standard error of a ratio metric Σx/Σy — the
+    * metrology for CLUSTERED data a row-level bootstrap gets wrong:
+    * events within a day are correlated, so resampling rows
+    * understates the SE; leave-one-DAY-out respects the cluster
+    * structure. R₍ᵢ₎ comes from the complements (grand totals minus
+    * day i — the welchT discipline: one O(days) frame, no rescans),
+    * SE = √((d−1)/d · Σ(R₍ᵢ₎ − R̄)²). Numerator x accumulates as
+    * decimal(38,6) cast per row (exact, merge-order-free); y is a
+    * count. Returns one row: (n_days, ratio, se_jackknife); NULL SE
+    * below 2 days. */
+  def jackknifeRatio(df: DataFrame, tsCol: String, xCol: Column): DataFrame = {
+    val dec = "decimal(38,6)"
+    val days = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(sum(xCol.cast(dec)).as("__x"), count(lit(1)).as("__y"))
+    val tot = days.agg(sum(col("__x")).as("__tx"), sum(col("__y")).as("__ty"),
+      count(lit(1)).as("n_days"))
+    val withTot = days.crossJoin(broadcast(tot))
+    // try_divide: the single-day frame's leave-one-out divisor is 0;
+    // its NULL replica is discarded by the n_days > 1 guard, but ANSI
+    // mode faults a plain division before the guard can
+    val ri = try_divide((col("__tx") - col("__x")).cast("double"),
+      (col("__ty") - col("__y")).cast("double"))
+    val loo = withTot.select(col("n_days"), col("__tx"), col("__ty"),
+      ri.as("__ri"))
+    val d = col("n_days").cast("double")
+    loo.groupBy(col("n_days"), col("__tx"), col("__ty"))
+      .agg(avg(col("__ri")).as("__rbar"),
+        sum(col("__ri") * col("__ri")).as("__rsq"))
+      .select(col("n_days"),
+        round(col("__tx").cast("double") / col("__ty").cast("double"), 6)
+          .as("ratio"),
+        // greatest(0, ·): Σri² − d·r̄² is ≥ 0 mathematically but can
+        // land at −1e-18 in FP — sqrt(NaN) would poison the row
+        when(col("n_days") > 1, round(sqrt(greatest(lit(0.0),
+          (d - lit(1.0)) / d *
+            (col("__rsq") - d * col("__rbar") * col("__rbar")))), 6))
+          .as("se_jackknife"))
+  }
+
   /** Categorical frequency profile (tiny shuffle: O(categories)). */
   def categoricalFreq(df: DataFrame, field: String): CategoricalProfile = {
     val rows: Array[Row] = df.groupBy(col(field).cast("string").as("k"))

@@ -808,6 +808,53 @@ class StatBatterySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - 7.0 / 9.0) < 1e-6)
   }
 
+  test("empiricalBernsteinBounds: variance shrinks the radius at skewed p") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // skewed group: 200/10000 -> Bernstein beats Hoeffding (the
+    // additive 3 ln3/n term needs n in the thousands to get out of
+    // the way); balanced group stays near the Hoeffding worst case
+    val rows = Seq.fill(200)(("skew", 1)) ++
+      Seq.fill(9800)(("skew", 0)) ++
+      Seq.fill(5000)(("bal", 1)) ++ Seq.fill(5000)(("bal", 0))
+    val out = Drift.empiricalBernsteinBounds(
+        rows.toDF("g", "s"), "g", col("s") === 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sk = out("skew")
+    val n = 10000.0; val k = 200.0
+    val v = k * (n - k) / (n * (n - 1.0))
+    val ln3 = math.log(3.0 / 0.05)
+    val expected = math.sqrt(2.0 * v * ln3 / n) + 3.0 * ln3 / n
+    assert(math.abs(sk.getDouble(4) - expected) < 1e-6)
+    assert(sk.getDouble(4) < sk.getDouble(3)) // tighter than Hoeffding
+    assert(out("bal").getDouble(4) > out("skew").getDouble(4))
+    // n = 1: variance undefined -> NULL Bernstein, Hoeffding present
+    val one = Drift.empiricalBernsteinBounds(
+      Seq(("x", 1)).toDF("g", "s"), "g", col("s") === 1).collect()(0)
+    assert(one.isNullAt(4) && !one.isNullAt(3))
+  }
+
+  test("jackknifeRatio: hand-computed two-day case, single day -> NULL SE") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import java.sql.Timestamp
+    // day1: x = 10+20 = 30, y = 2; day2: x = 40, y = 1
+    // R = 70/3; R_(1) = 40/1, R_(2) = 30/2
+    // SE = sqrt(1/2 * ((40-27.5)^2 + (15-27.5)^2)) = 12.5
+    val rows = Seq(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 10.0),
+      (Timestamp.valueOf("2026-01-01 11:00:00"), 20.0),
+      (Timestamp.valueOf("2026-01-02 10:00:00"), 40.0))
+    val r = Drift.jackknifeRatio(rows.toDF("ts", "v"), "ts", col("v"))
+      .collect()(0)
+    assert(r.getLong(0) == 2)
+    assert(math.abs(r.getDouble(1) - 70.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 12.5) < 1e-6)
+    val single = Drift.jackknifeRatio(
+      rows.take(2).toDF("ts", "v"), "ts", col("v")).collect()(0)
+    assert(single.getLong(0) == 1 && single.isNullAt(2))
+  }
+
   test("conformalQuantileByGroup: per-group ranks, nulls, clamping") {
     val spark = SparkSpec.session
     import spark.implicits._
