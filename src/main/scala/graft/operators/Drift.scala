@@ -256,12 +256,17 @@ object Drift {
     val pool = col("__K").cast("double") / col("__N")
     val se = sqrt(pool * (lit(1.0) - pool) *
       (lit(1.0) / col("n") + lit(1.0) / n2))
+    // duckRound: rate/z can land on a .5 tie at 6 decimals for data the
+    // builder never sees (the round-5 driver red was tie-triggered by
+    // the driver's own data); DuckDB-formula rounding is tie-proof
+    // against the oracle's round() regardless of where the data falls
+    import graft.functions.DuckRound.duckRound
     per.crossJoin(broadcast(tot))
       .select(col("__g").as(groupCol), col("n"), col("k").as("n_success"),
-        round(p1, 6).as("rate"),
+        duckRound(p1, 6).as("rate"),
         when(n2 === 0 || pool <= 0.0 || pool >= 1.0,
           lit(null: java.lang.Double))
-          .otherwise(round((p1 - p2) / se, 6)).as("z"))
+          .otherwise(duckRound((p1 - p2) / se, 6)).as("z"))
       .orderBy(col(groupCol))
   }
 

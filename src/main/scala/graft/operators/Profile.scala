@@ -305,14 +305,21 @@ object Profile {
       .agg(med(abs(col("__v") - col("__m"))).as("__mad"))
     val lo = col("__m") - lit(k * 1.4826) * col("__mad")
     val hi = col("__m") + lit(k * 1.4826) * col("__mad")
+    // DuckDB-semantics rounding: med/mad of an integer column are exact
+    // halves, so lo/hi = med ± 5.1891·mad systematically land on a .5
+    // tie at 4 decimals where Spark's round() and the DuckDB oracle
+    // disagree (round-5 driver red, 4/20 rows at sf0.1)
+    import graft.functions.DuckRound.duckRound
     base.join(broadcast(mads), Seq("__g"))
       .groupBy(col("__g"), col("__m"), col("__mad"))
       .agg(count(col("__v")).as("n_rows"),
         sum(when(col("__v") < lo || col("__v") > hi, 1L).otherwise(0L))
           .as("n_outliers"))
       .select(col("__g").as(groupCol), col("n_rows"),
-        round(col("__m"), 4).as("median"), round(col("__mad"), 4).as("mad"),
-        round(lo, 4).as("lo"), round(hi, 4).as("hi"), col("n_outliers"))
+        duckRound(col("__m"), 4).as("median"),
+        duckRound(col("__mad"), 4).as("mad"),
+        duckRound(lo, 4).as("lo"), duckRound(hi, 4).as("hi"),
+        col("n_outliers"))
       .orderBy(col(groupCol))
   }
 
