@@ -790,11 +790,14 @@ object SparkEntry {
     "q_exact_median" -> ((s, d) => {
       val v = t(s, d, "lineitem")
         .select(((col("l_orderkey") * 37) % 1001 - 500).cast("long").as("v"))
-      val (n, med) = Profile.exactMedianLong(v, "v")
-      val mn = Profile.kthSmallestLong(v, "v", 1)
-      val mx = Profile.kthSmallestLong(v, "v", n)
+      // fused (n, med, min, max): one bounds aggregate + one bounded-
+      // span histogram — the three-call spelling paid the bounds
+      // aggregate 3× and, because this domain straddles the sign byte
+      // (no byte-skip), ~8 full counting passes per order statistic
+      val (n, med, mn, mx) = Profile.exactOrderStatsLong(v, "v")
       import s.implicits._
-      Seq((n, med.getOrElse(0.0), mn, mx)).toDF("n", "med", "min_v", "max_v")
+      Seq((n, med.getOrElse(0.0), mn.getOrElse(0L), mx.getOrElse(0L)))
+        .toDF("n", "med", "min_v", "max_v")
     }),
 
     // gap-based sessionization: per-user activity sessions with a

@@ -883,15 +883,30 @@ object Profile {
     * Deterministic — no sampling, no sketch, bit-exact on any engine.
     */
   def kthSmallestLong(df: DataFrame, colName: String, k: Long,
-                      bounds: Option[(Long, Long)] = None): Long = {
-    val biased = col(colName).cast("long").bitwiseXOR(Long.MinValue)
-    val base = df.where(col(colName).isNotNull).select(biased.as("__v"))
-    require(k >= 1, s"k=$k must be >= 1")
-    var prefix = 0L
-    var remaining = k
-    var shift = 56
-    var done = false
-    var result = 0L
+                      bounds: Option[(Long, Long)] = None): Long =
+    kthSmallestLongs(df, colName, Seq(k), bounds).head
+
+  /** Widest value span (exclusive) answered by the exact-histogram
+    * fast path of [[kthSmallestLongs]]: 2^16 distinct values is ≤ 1 MB
+    * of driver counts — comfortably the 256-bucket discipline's
+    * budget, and enough to cover the bounded domains (lengths, counts,
+    * bucketed scores) where the radix descent's byte-skip CANNOT help
+    * because the domain straddles a byte boundary (e.g. a −500..500
+    * column crosses the sign byte, so min and max share zero prefix
+    * bytes and every statistic pays 8 full counting passes). */
+  private val SpanHistogramMax = 1L << 16
+
+  /** Multi-statistic [[kthSmallestLong]]: one (min, max) bounds
+    * aggregate shared by every requested k and — when max − min <
+    * [[SpanHistogramMax]] — ONE exact group-by-value histogram
+    * (O(span) driver rows) answering ALL of them, so median + min +
+    * max over a bounded-domain column cost 2 scans total instead of
+    * ~8 counting passes per statistic. Wide domains fall back to the
+    * per-k radix descent below, sharing the bounds aggregate. */
+  def kthSmallestLongs(df: DataFrame, colName: String, ks: Seq[Long],
+                       bounds: Option[(Long, Long)] = None): Seq[Long] = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    ks.foreach(k => require(k >= 1, s"k=$k must be >= 1"))
     // one (min, max) aggregate up front lets the descent SKIP every
     // byte the whole column shares (bounded domains — lengths, counts,
     // scores — share 5-6 high bytes, turning 8 counting passes into
@@ -903,14 +918,51 @@ object Profile {
     // maps signed order to UNSIGNED byte order — a signed min() over
     // biased values would return biased(0), not biased(the minimum),
     // whenever negatives are present), then bias the results
-    val (mnB, mxB) = bounds match {
-      case Some((mn, mx)) => (mn ^ Long.MinValue, mx ^ Long.MinValue)
-      case None =>
-        val c = col(colName).cast("long")
-        val mm = df.agg(min(c).as("mn"), max(c).as("mx")).head()
-        require(!mm.isNullAt(0), s"k=$k exceeds the non-null row count")
-        (mm.getLong(0) ^ Long.MinValue, mm.getLong(1) ^ Long.MinValue)
+    val (mn, mx) = bounds.getOrElse {
+      val c = col(colName).cast("long")
+      val mm = df.agg(min(c).as("mn"), max(c).as("mx")).head()
+      require(!mm.isNullAt(0),
+        s"k=${ks.max} exceeds the non-null row count")
+      (mm.getLong(0), mm.getLong(1))
     }
+    if (mn == mx) return ks.map(_ => mn)
+    val span = mx - mn // mn < mx ⇒ overflow wraps NEGATIVE, never small
+    if (span >= 0 && span < SpanHistogramMax) {
+      val c = col(colName).cast("long")
+      val hist = df.where(c.isNotNull).groupBy(c.as("__v"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val cum = hist.map(_._2).scanLeft(0L)(_ + _).tail
+      ks.map { k =>
+        val i = {
+          var lo = 0; var hi = cum.length - 1
+          // first index with cum(i) >= k (cum is nondecreasing)
+          if (cum.isEmpty || cum.last < k) -1
+          else {
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (cum(mid) >= k) hi = mid else lo = mid + 1
+            }
+            lo
+          }
+        }
+        require(i >= 0, s"k=$k exceeds the non-null row count")
+        hist(i)._1
+      }
+    } else ks.map(k => radixSelectLong(df, colName, k, mn, mx))
+  }
+
+  /** The per-k byte-descent of [[kthSmallestLong]] (wide-span path). */
+  private def radixSelectLong(df: DataFrame, colName: String, k: Long,
+                              mn: Long, mx: Long): Long = {
+    val biased = col(colName).cast("long").bitwiseXOR(Long.MinValue)
+    val base = df.where(col(colName).isNotNull).select(biased.as("__v"))
+    var prefix = 0L
+    var remaining = k
+    var shift = 56
+    var done = false
+    var result = 0L
+    val (mnB, mxB) = (mn ^ Long.MinValue, mx ^ Long.MinValue)
     if (mnB == mxB || k == 1L) return mnB ^ Long.MinValue
     while (shift >= 0 &&
            ((mnB >>> shift) & 0xFFL) == ((mxB >>> shift) & 0xFFL)) {
@@ -970,11 +1022,39 @@ object Profile {
     val med = if (n % 2 == 1)
       kthSmallestLong(df, colName, (n + 1) / 2, bounds).toDouble
     else {
-      val lo = kthSmallestLong(df, colName, n / 2, bounds)
-      val hi = kthSmallestLong(df, colName, n / 2 + 1, bounds)
+      // one multi-k call: the bounded-span histogram (or a shared
+      // bounds aggregate on wide domains) answers both middles
+      val Seq(lo, hi) =
+        kthSmallestLongs(df, colName, Seq(n / 2, n / 2 + 1), bounds)
       (lo + hi) / 2.0
     }
     (n, Some(med))
+  }
+
+  /** (n, median, min, max) of a long column in the fewest passes the
+    * domain allows: ONE (count, min, max) aggregate, then
+    * [[kthSmallestLongs]] for the middle order statistic(s) — on a
+    * bounded domain that is one histogram pass, so the whole
+    * four-statistic profile costs 2 scans (the separate
+    * median/min/max spelling paid the bounds aggregate three times
+    * and up to 8 counting passes per statistic). */
+  def exactOrderStatsLong(df: DataFrame, colName: String)
+      : (Long, Option[Double], Option[Long], Option[Long]) = {
+    val c = col(colName).cast("long")
+    val s = df.agg(count(c).as("n"), min(c).as("mn"), max(c).as("mx"))
+      .head()
+    val n = s.getLong(0)
+    if (n == 0) return (0L, None, None, None)
+    val (mn, mx) = (s.getLong(1), s.getLong(2))
+    val bounds = Some((mn, mx))
+    val med = if (n % 2 == 1)
+      kthSmallestLong(df, colName, (n + 1) / 2, bounds).toDouble
+    else {
+      val Seq(lo, hi) =
+        kthSmallestLongs(df, colName, Seq(n / 2, n / 2 + 1), bounds)
+      (lo + hi) / 2.0
+    }
+    (n, Some(med), Some(mn), Some(mx))
   }
 
   /** Split-conformal calibration quantile with finite-sample

@@ -155,6 +155,27 @@ class ChunkingSpec extends SparkSpec {
 
   // ---------- exact order statistics (radix select) ----------
 
+  test("kth smallest longs: bounded-span histogram path equals sorted order") {
+    // span 1000 < 2^16 engages the exact-histogram fast path; the
+    // domain straddles the sign byte, which is exactly where the radix
+    // descent's byte-skip cannot help — every k must still be exact
+    val vals = (0 until 777).map(i => (i.toLong * 37) % 1001 - 500)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val ks = Seq(1L, 2L, 388L, 389L, 776L, 777L)
+    val got = Profile.kthSmallestLongs(df, "v", ks)
+    ks.zip(got).foreach { case (k, g) =>
+      assert(g === sorted(k.toInt - 1), s"k=$k")
+    }
+    // multi-k shares one histogram with the even-n median rule
+    assert(Profile.exactOrderStatsLong(df, "v") ===
+      ((777L, Some(sorted(388).toDouble), Some(sorted.head),
+        Some(sorted.last))))
+    intercept[IllegalArgumentException] {
+      Profile.kthSmallestLongs(df, "v", Seq(778L))
+    }
+  }
+
   test("kth smallest long: every k on a messy fixture equals sorted order") {
     // negatives, Long extremes, heavy ties, zero — the sign-bias and
     // equal-value byte paths all exercised
