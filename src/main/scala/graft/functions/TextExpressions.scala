@@ -163,6 +163,118 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_winnow"
 }
 
+/** The md5 ORACLE spelling of [[WinnowedFingerprints]] as one in-row
+  * pass: gram hash = the first 16 hex chars of md5(substr(text, i, k))
+  * — bit-identical to the DataFrame/DuckDB window spelling in
+  * [[graft.operators.Winnowing]] — selected by the same rightmost-
+  * minimum monotonic deque, deduplicated in-row. Exists because the
+  * exploded DataFrame spelling shuffles the whole (id, pos, hash) gram
+  * stream through an exchange + per-doc sort window + distinct, which
+  * at corpus scale moves ~len rows per document for a selection that
+  * is a pure per-row function; this expression keeps text out of every
+  * exchange and leaves only the O(2·len/w) selected fingerprints to
+  * move. Lexicographic order on the fixed-width lowercase hex equals
+  * unsigned numeric order of the md5's first 8 bytes, so the deque
+  * compares longs and hex-encodes only the survivors. Substring
+  * semantics are code-point based (Spark `substr`), implemented as
+  * UTF-8 byte-slice hashing over code-point boundaries — identical
+  * bytes to md5(substr(...)) for any input. Documents shorter than k
+  * yield the whole-text md5 prefix as a singleton. */
+case class WinnowedFingerprintsMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def hashPrefix(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, from, until - from)
+    val out = d.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (out(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  private def hex16(h: Long): UTF8String = {
+    val cs = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      val nib = ((h >>> ((15 - i) << 2)) & 0xFL).toInt
+      cs(i) = (if (nib < 10) '0' + nib else 'a' + nib - 10).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(cs)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    // code-point start offsets (Spark substr counts code points)
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) nChars += 1
+      b += 1
+    }
+    val offsets = new Array[Int](nChars + 1)
+    var ci = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) { offsets(ci) = b; ci += 1 }
+      b += 1
+    }
+    offsets(nChars) = bytes.length
+    val m = nChars - k + 1
+    if (m < 1) {
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array[AnyRef](hex16(hashPrefix(bytes, 0, bytes.length))))
+    }
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = hashPrefix(bytes, offsets(i), offsets(i + k))
+      i += 1
+    }
+    // rightmost-minimum monotonic deque — identical selection rule to
+    // [[WinnowedFingerprints]] (equal values popped ⇒ rightmost tie)
+    val deque = new Array[Int](m)
+    var lo = 0; var hi = 0
+    val firstRecord = math.min(w, m) - 1
+    val out = new java.util.TreeSet[java.lang.Long](
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(a, b)
+      })
+    var p = 0
+    while (p < m) {
+      while (hi > lo &&
+        java.lang.Long.compareUnsigned(hs(deque(hi - 1)), hs(p)) >= 0) hi -= 1
+      deque(hi) = p; hi += 1
+      if (deque(lo) <= p - w) lo += 1
+      if (p >= firstRecord) out.add(hs(deque(lo)))
+      p += 1
+    }
+    val arr = new Array[AnyRef](out.size())
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = hex16(it.next()); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowedFingerprintsMd5 =
+    copy(child = c)
+  override def prettyName: String = "graft_winnow_md5"
+}
+
 /** Content-defined-chunking cut positions (the LBFS/rsync boundary
   * rule, Muthitacharoen et al. SOSP 2001): ONE O(len) Karp–Rabin pass;
   * position i (1-based, i ≥ window) is a boundary when the rolling hash
@@ -866,6 +978,12 @@ object TextExpressions {
       (es: Seq[Expression]) => WinnowedFingerprints(es.head,
         es(1).eval(InternalRow.empty).toString.toInt,
         es(2).eval(InternalRow.empty).toString.toInt))
+    reg.registerFunction(FunctionIdentifier("graft_winnow_md5"),
+      new ExpressionInfo(classOf[WinnowedFingerprintsMd5].getName,
+        "graft_winnow_md5"),
+      (es: Seq[Expression]) => WinnowedFingerprintsMd5(es.head,
+        es(1).eval(InternalRow.empty).toString.toInt,
+        es(2).eval(InternalRow.empty).toString.toInt))
     reg.registerFunction(FunctionIdentifier("graft_text_profile"),
       new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
       (es: Seq[Expression]) => TextProfile(es.head))
@@ -979,6 +1097,11 @@ object TextExpressions {
     import org.apache.spark.sql.functions.lit
     ensure()
     call_function("graft_winnow", text, lit(k), lit(w))
+  }
+  def winnowMd5(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensure()
+    call_function("graft_winnow_md5", text, lit(k), lit(w))
   }
   def wordIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
     import org.apache.spark.sql.functions.{array, lit}

@@ -48,7 +48,21 @@ object Winnowing {
     * singleton; for k ≤ len < k+w−1 the single full-prefix window
     * applies. NULL texts are dropped (documented). */
   def fingerprintsMd5(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, w: Int): DataFrame = {
+                      k: Int, w: Int): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextExpressions.winnowMd5(col(textCol), k, w)).as("fp"))
+
+  /** The exploded window spelling of [[fingerprintsMd5]] — the shape
+    * the DuckDB oracle runs, kept as the differential companion
+    * (WinnowingSpec pins set equality): posexplode the gram stream,
+    * per-doc sort window for the rightmost minimum, distinct. This
+    * moves ~len rows per document through an exchange for a selection
+    * that is a pure per-row function — [[fingerprintsMd5]]'s native
+    * deque emits the identical fingerprint set with text never
+    * entering an exchange. */
+  def fingerprintsMd5Windowed(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val text = col(textCol)
     val m = length(text) - k + 1

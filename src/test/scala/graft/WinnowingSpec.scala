@@ -68,6 +68,21 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("native md5 deque equals the exploded window spelling (incl. unicode)") {
+    // the oracle runs the window spelling; the engine runs the native
+    // deque — the sets must be identical per doc, including code-point
+    // substring semantics on multi-byte text
+    val uni = texts :+ "привет мир один два три четыре пять" :+
+      "mixé unicode graphèmes many words être ça où déjà vu"
+    val df = uni.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def sets(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String)].collect().groupBy(_._1)
+        .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(sets(Winnowing.fingerprintsMd5(df, "id", "text", 8, 4)) ===
+      sets(Winnowing.fingerprintsMd5Windowed(df, "id", "text", 8, 4)))
+  }
+
   test("native KR mode matches its brute-force reference + short-doc singleton") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
