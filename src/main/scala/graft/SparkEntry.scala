@@ -152,12 +152,18 @@ object SparkEntry {
     // above stays the documented rows-only path (HLL/t-digest internals
     // are engine-specific)
     "q_profile_exact" -> ((s, d) => {
+      // two count_distincts in ONE agg plan as Expand ×3 → a 170k-group
+      // ObjectHashAggregate whose exchange drags the percentile buffers
+      // along; three single-purpose subtrees (each a 2-stage aggregate
+      // over its own pruned column) crossJoined as 1-row frames compute
+      // the identical values with no Expand and 1-row exchanges
       val li = t(s, d, "lineitem")
-      li.agg(
-          count(lit(1)).as("n_rows"),
-          count_distinct(col("l_orderkey")).as("n_orders"),
-          count_distinct(col("l_partkey")).as("n_parts"),
-          expr("percentile(CAST(l_quantity AS DOUBLE), array(0.5D, 0.99D))").as("qs"))
+      val a = li.agg(count(lit(1)).as("n_rows"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), array(0.5D, 0.99D))")
+          .as("qs"))
+      val b = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val c = li.agg(count_distinct(col("l_partkey")).as("n_parts"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
         .select(col("n_rows"), col("n_orders"), col("n_parts"),
           round(element_at(col("qs"), 1), 4).as("p50"),
           round(element_at(col("qs"), 2), 4).as("p99"))

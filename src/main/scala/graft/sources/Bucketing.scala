@@ -32,7 +32,17 @@ object Bucketing {
     require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets=$nBuckets must be a power of two (re-bucketing headroom)")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write.mode("overwrite")
+    // repartition on the bucket key first: repartition's HashPartitioning
+    // and the bucket spec share the same murmur3 `pmod` assignment, so
+    // each writer task holds exactly one bucket and emits ONE file per
+    // bucket (without it, every input partition × bucket pair writes its
+    // own file — 32×nBuckets small files — and the multi-file buckets
+    // void the sortBy metadata, forcing the downstream sort-merge join
+    // to re-sort both sides; with one file per bucket the bucketed scan
+    // is recognized as sorted and the join runs exchange-free AND
+    // sort-free)
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
