@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Sequence packing: assign documents to fixed-budget training packs —
   * the step that turns a deduped, filtered corpus into the contiguous
@@ -132,29 +133,61 @@ object Packing {
     * expressions ride the narrow projection (still O(order-key)
     * bytes/row) and are dropped from the result. */
   def globalOffsets(df: DataFrame, idCol: String, costCol: String,
-                    orderBy: Seq[Column] = Nil): DataFrame = {
+                    orderBy: Seq[Column] = Nil): DataFrame =
+    globalOffsetsMulti(df, idCol, Seq(costCol), orderBy)
+      .withColumnRenamed(s"offset_$costCol", "offset")
+
+  /** [[globalOffsets]] for SEVERAL cost columns in one pass: the same
+    * two-level prefix sum (range-partition + per-partition totals →
+    * driver scan → broadcast + intra-partition window) computed for
+    * every column of `costCols` over ONE pinned narrow frame — one
+    * range exchange, one checkpoint, one totals collect and one window
+    * instead of one of each per cost column. Returns
+    * (idCol, costCols..., offset_<cost>...); release with
+    * [[releaseOffsets]] exactly like the single-cost form. */
+  def globalOffsetsMulti(df: DataFrame, idCol: String,
+                         costCols: Seq[String],
+                         orderBy: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(costCols.nonEmpty, "need at least one cost column")
     val spark = df.sparkSession
     val order = if (orderBy.nonEmpty) orderBy else Seq(col(idCol))
+    val costAliases = costCols.indices.map(i => s"__c$i")
     val narrow = df
-      .select(col(idCol) +: coalesce(col(costCol).cast("long"), lit(0L)).as("__c") +:
-        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+      .select(col(idCol) +:
+        (costCols.zip(costAliases).map { case (c, a) =>
+          coalesce(col(c).cast("long"), lit(0L)).as(a) } ++
+         order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
       .repartitionByRange(order.indices.map(i => col(s"__o$i")): _*)
       .sortWithinPartitions(order.indices.map(i => col(s"__o$i")): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val totals = narrow.groupBy("__pid").agg(sum("__c").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val prefix = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-    val offsets = totals.map(_._1).zip(prefix.map(_._2)).toSeq
-    import spark.implicits._
-    val offDf = broadcast(offsets.toDF("__pid", "__poff"))
+    val totals = narrow.groupBy("__pid")
+      .agg(sum(costAliases.head).as("__t0"),
+        costAliases.tail.zipWithIndex.map { case (a, i) =>
+          sum(a).as(s"__t${i + 1}") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> costAliases.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val prefix = totals.scanLeft(
+      (0, costAliases.indices.map(_ => 0L): Seq[Long])) {
+      case ((_, acc), (pid, ts)) => (pid, acc.zip(ts).map(t => t._1 + t._2))
+    }
+    val offsets = totals.map(_._1).zip(prefix.map(_._2))
+      .map { case (pid, offs) => Row.fromSeq(pid +: offs) }
+    val offSchema = StructType(StructField("__pid", IntegerType, false) +:
+      costAliases.indices.map(i => StructField(s"__poff$i", LongType, false)))
+    val offDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema))
     val w = Window.partitionBy("__pid")
       .orderBy(order.indices.map(i => col(s"__o$i")): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     narrow.join(offDf, Seq("__pid"))
-      .withColumn("offset", coalesce(sum(col("__c")).over(w), lit(0L)) + col("__poff"))
-      .select(col(idCol), col("__c").as(costCol), col("offset"))
+      .select(col(idCol) +:
+        (costCols.zip(costAliases).map { case (c, a) => col(a).as(c) } ++
+         costCols.zip(costAliases).zipWithIndex.map { case ((c, a), i) =>
+           (coalesce(sum(col(a)).over(w), lit(0L)) + col(s"__poff$i"))
+             .as(s"offset_$c") }): _*)
   }
 
   /** Release the checkpoint blocks backing a frame returned by

@@ -1645,22 +1645,33 @@ object TextAnalysis {
     * — no pinned blocks outlive the call). */
   def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
-    val tok = df.select(col(idCol).as("__id"),
-      explode(words(col(textCol))).as("__w"))
-    val perDocTok = tok.groupBy(col("__id"))
-      .agg(count(lit(1)).as("__nt"))
-    val perDocNew = tok.groupBy(col("__w"))
+    // per-doc token counts are a pure projection (size of the word
+    // array — the round-5 spelling exploded the corpus and re-grouped
+    // 5M (id, word) rows by id just to count them); docs with zero
+    // words drop here exactly as the explode dropped them. The vocab
+    // side keeps the one unavoidable explode, but shuffles xxhash64
+    // word keys instead of strings (first-seen attribution only needs
+    // word identity — the q_bigram_logprob discipline).
+    val perDocTok = df.select(col(idCol).as("__id"),
+        size(words(col(textCol))).cast("long").as("__nt"))
+      .where(col("__nt") > 0)
+    val perDocNew = df
+      .select(col(idCol).as("__id"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy(xxhash64(col("__w")).as("__h"))
       .agg(min(col("__id")).as("__id"))
       .groupBy(col("__id")).agg(count(lit(1)).as("__nv"))
     val perDoc = perDocTok.join(perDocNew, Seq("__id"), "left")
       .select(col("__id"), col("__nt"),
         coalesce(col("__nv"), lit(0L)).as("__nv"))
-    val offT = Packing.globalOffsets(perDoc, "__id", "__nt")
-    val offV = Packing.globalOffsets(perDoc, "__id", "__nv")
-    val cum = offT
-      .select(col("__id"), (col("offset") + col("__nt")).as("__cn"))
-      .join(offV.select(col("__id"),
-        (col("offset") + col("__nv")).as("__cv")), Seq("__id"))
+    // ONE two-level prefix-sum pass carries both cumulatives (the
+    // two-call spelling range-shuffled, checkpointed and windowed the
+    // same narrow frame twice)
+    val offs = Packing.globalOffsetsMulti(perDoc, "__id",
+      Seq("__nt", "__nv"))
+    val cum = offs
+      .select(col("__id"), (col("offset___nt") + col("__nt")).as("__cn"),
+        (col("offset___nv") + col("__nv")).as("__cv"))
       .where(col("__cn") > 0 && col("__cv") > 0)
     val fit = cum.agg(
       round(regr_slope(log(col("__cv")), log(col("__cn"))), 6)
@@ -1669,8 +1680,7 @@ object TextAnalysis {
         .as("heaps_k"),
       round(regr_r2(log(col("__cv")), log(col("__cn"))), 6).as("heaps_r2"),
       count(lit(1)).as("n_docs")).head()
-    Packing.releaseOffsets(offT)
-    Packing.releaseOffsets(offV)
+    Packing.releaseOffsets(offs)
     import spark.implicits._
     Seq((Option(fit.get(0)).map(_.asInstanceOf[Double]),
       Option(fit.get(1)).map(_.asInstanceOf[Double]),
