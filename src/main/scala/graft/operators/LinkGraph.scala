@@ -160,8 +160,11 @@ object LinkGraph {
     val n = verts.count().toDouble
     require(n > 0, "pageRank: empty vertex set")
 
-    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
+    // the uniform init is a pure projection of the pinned vertex frame
+    // — checkpointing it only added a materialization job (the `eq`
+    // guard below keeps release from unpinning verts' own blocks)
+    val ranks0 = verts.select(col("id"), lit(1.0 / n).as("rank"))
+    var ranks = ranks0
     var iter = 0
     while (iter < iterations) {
       // one action per round: dangling mass and contributions both
@@ -182,10 +185,14 @@ object LinkGraph {
             (coalesce(col("__c"), lit(0.0)) + col("__m") / lit(n)))
             .as("rank"))
         .localCheckpoint()
-      Packing.releaseOffsets(ranks) // next is materialized; drop prior round
+      // next is materialized; drop the prior round (never the init
+      // projection — releasing it would unpin verts)
+      if (!(ranks eq ranks0)) Packing.releaseOffsets(ranks)
       ranks = next
       iter += 1
     }
+    // iterations == 0: pin the init projection before its parents go
+    if (ranks eq ranks0) ranks = ranks.localCheckpoint()
     Packing.releaseOffsets(shares)
     Packing.releaseOffsets(verts)
     ranks
@@ -220,10 +227,14 @@ object LinkGraph {
         .select(col("id"), when(col("__s") > 0, col(c) / col("__s"))
           .otherwise(lit(0.0)).as(c))
     }
-    var hubs = vertIds.select(col("id"), lit(1.0).as("hub"))
-      .localCheckpoint()
-    var auths = vertIds.select(col("id"), lit(0.0).as("authority"))
-      .localCheckpoint()
+    // the init scores are pure projections of the already-pinned
+    // vertex frame: checkpointing them only added two materialization
+    // jobs (and releasing an un-checkpointed projection would unpin
+    // vertIds' own blocks — hence the `eq` guards below)
+    val hubs0 = vertIds.select(col("id"), lit(1.0).as("hub"))
+    val auths0 = vertIds.select(col("id"), lit(0.0).as("authority"))
+    var hubs = hubs0
+    var auths = auths0
     var iter = 0
     while (iter < iterations) {
       val rawAuth = eBySrc
@@ -232,7 +243,7 @@ object LinkGraph {
       val nextAuth = l1(vertIds.join(rawAuth, Seq("id"), "left")
           .select(col("id"), coalesce(col("__a"), lit(0.0)).as("authority")),
         "authority").localCheckpoint()
-      Packing.releaseOffsets(auths)
+      if (!(auths eq auths0)) Packing.releaseOffsets(auths)
       auths = nextAuth
       val rawHub = eByDst
         .join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -240,7 +251,7 @@ object LinkGraph {
       val nextHub = l1(vertIds.join(rawHub, Seq("id"), "left")
           .select(col("id"), coalesce(col("__h"), lit(0.0)).as("hub")),
         "hub").localCheckpoint()
-      Packing.releaseOffsets(hubs)
+      if (!(hubs eq hubs0)) Packing.releaseOffsets(hubs)
       hubs = nextHub
       iter += 1
     }
