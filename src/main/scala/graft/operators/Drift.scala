@@ -1169,16 +1169,80 @@ object Drift {
   def qqQuantiles(dfA: DataFrame, dfB: DataFrame, valueCol: String,
                   probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty, "qqQuantiles needs at least one probability")
-    def side(df: DataFrame, out: String): DataFrame =
-      df.agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), array(" +
-          probs.map(p => s"${p}D").mkString(", ") + "))").as("__qs"))
-        .select(posexplode(col("__qs")).as(Seq("__i", out)))
+    // exact `percentile` merges every partition's value->count map on
+    // ONE final reducer — a single task sorting ~distinct(value)
+    // entries. When the distinct count fits the driver histogram
+    // budget, a map-side-combined group-by-value histogram + the
+    // identical interpolation arithmetic driver-side answers all
+    // probabilities from one parallel pass; high-cardinality columns
+    // keep the buffered aggregate (same trade as kthSmallestLongs'
+    // span guard — no unbounded driver collect).
+    def side(df: DataFrame, out: String): DataFrame = {
+      val spark = df.sparkSession
+      val v = col(valueCol).cast("double")
+      val maxHist = 1 << 20
+      // limit-capped collect doubles as the cardinality guard: one
+      // distributed histogram job, and only a cap overflow (or an
+      // empty side) pays the buffered-percentile fallback
+      val rows = df.where(v.isNotNull).groupBy(v.as("__v"))
+        .agg(count(lit(1)).as("__n"))
+        .limit(maxHist + 1).collect()
+      val qs: Seq[Double] =
+        if (rows.nonEmpty && rows.length <= maxHist) {
+          exactPercentilesFromHistogram(
+            rows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1),
+            probs)
+        } else {
+          Option(df.agg(
+              expr(s"percentile(CAST(`$valueCol` AS DOUBLE), array(" +
+                probs.map(p => s"${p}D").mkString(", ") + "))").as("__qs"))
+            .head().getSeq[Double](0)).getOrElse(Nil)
+        }
+      import spark.implicits._
+      qs.zipWithIndex.map { case (q, i) => (i, q) }.toDF("__i", out)
+    }
     side(dfA, "q_a").join(side(dfB, "q_b"), Seq("__i"))
       .select(
         element_at(lit(probs.toArray), col("__i") + 1).as("p"),
         col("q_a"), col("q_b"),
         (col("q_b") - col("q_a")).as("diff"))
       .orderBy("p")
+  }
+
+  /** SQL `percentile` interpolation over a sorted (value, count)
+    * histogram — the EXACT arithmetic Spark's Percentile aggregate
+    * applies to its own value->count buffer (position = p·(n−1),
+    * result = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi), so the histogram
+    * fast path above is bit-identical to the buffered aggregate. */
+  private def exactPercentilesFromHistogram(
+      hist: Array[(Double, Long)], probs: Seq[Double]): Seq[Double] = {
+    require(hist.nonEmpty, "percentile of an empty column")
+    val cum = new Array[Long](hist.length)
+    var acc = 0L
+    var i = 0
+    while (i < hist.length) { acc += hist(i)._2; cum(i) = acc; i += 1 }
+    val n = acc
+    def keyAtRank(rank: Long): Double = {
+      // first index with cum(idx) >= rank
+      var lo = 0; var hi = cum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) >= rank) hi = mid else lo = mid + 1
+      }
+      hist(lo)._1
+    }
+    probs.map { p =>
+      val position = p * (n - 1)
+      val lower = position.floor.toLong
+      val higher = position.ceil.toLong
+      val lowerKey = keyAtRank(lower + 1)
+      if (higher == lower) lowerKey
+      else {
+        val higherKey = keyAtRank(higher + 1)
+        if (higherKey == lowerKey) lowerKey
+        else (higher - position) * lowerKey + (position - lower) * higherKey
+      }
+    }
   }
 
   /** CUSUM changepoint scan over bucketed event volume — WHERE did the
