@@ -242,10 +242,17 @@ object Sessionize {
             expr(s"INTERVAL $gapMinutes MINUTES"), 1).otherwise(0))
       .withColumn("__sid", sum(col("__brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // pin the deduped basket frame once: the naive DAG re-ran the
+    // sessionization window + distinct under the session count, the
+    // type marginals AND both sides of the self-join (4 towers); the
+    // result is O(types²) rows, so it materializes eagerly and the
+    // pinned blocks release before returning (the heapsFit pattern —
+    // nothing outlives the call)
+    val spark = df.sparkSession
     val baskets = sessions.select(col("__u"), col("__sid"), col("__t"))
-      .distinct()
-    val nSessions = baskets.select(col("__u"), col("__sid")).distinct()
-      .count()
+      .distinct().localCheckpoint()
+    val nSess = baskets.select(col("__u"), col("__sid")).distinct()
+      .agg(count(lit(1)).cast("double").as("__ns"))
     val typeCounts = baskets.groupBy(col("__t"))
       .agg(count(lit(1)).as("__c"))
     val pairs = baskets.as("a")
@@ -254,15 +261,25 @@ object Sessionize {
           && col("a.__t") < col("b.__t"))
       .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
       .agg(count(lit(1)).as("n_together"))
-    pairs
+    val result = pairs
       .join(broadcast(typeCounts.select(col("__t").as("type_a"),
         col("__c").as("__ca"))), Seq("type_a"))
       .join(broadcast(typeCounts.select(col("__t").as("type_b"),
         col("__c").as("__cb"))), Seq("type_b"))
+      .crossJoin(broadcast(nSess))
       .select(col("type_a"), col("type_b"), col("n_together"),
-        round(lit(nSessions.toDouble) * col("n_together")
+        round(col("__ns") * col("n_together")
           / (col("__ca") * col("__cb")), 6).as("lift"))
       .orderBy(col("type_a"), col("type_b"))
+      .collect()
+    Packing.releaseOffsets(baskets)
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(result.toSeq, 1),
+      StructType(Seq(StructField("type_a", StringType),
+        StructField("type_b", StringType),
+        StructField("n_together", LongType, nullable = false),
+        StructField("lift", DoubleType))))
   }
 
   /** Markov stationarity check: the long-run event mix implied by the
