@@ -35,7 +35,13 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   private def bucket(word: Column, nBuckets: Int, hashed: Boolean): Column =
-    if (hashed) pmod(xxhash64(word), lit(nBuckets.toLong)) else word
+    // unhashed mode keys on the FULL 64-bit word hash instead of the
+    // word string: every count table and the scoring join below carry
+    // fixed-width longs, and counts per key are identical to per-word
+    // counts absent 64-bit collisions (the q_bigram_logprob keying
+    // discipline) — V = distinct keys is then the distinct word count
+    if (hashed) pmod(xxhash64(word), lit(nBuckets.toLong))
+    else xxhash64(word)
 
   /** Per-document DSIR log importance weight, rounded to 6 dp:
     * (idCol, dsir_weight). `target` needs only its text column. */

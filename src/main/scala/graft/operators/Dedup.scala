@@ -110,16 +110,27 @@ object Dedup {
     val from = "аеорсху" +
       "АЕОРСХУ"
     val to = "aeopcxyAEOPCXY"
-    def dupRows(text: Column): DataFrame =
-      df.where(col(textCol).isNotNull)
-        .select(xxhash64(text).as("__h"))
-        .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
-        .where(col("__n") > 1)
-        .agg(coalesce(sum(col("__n")), lit(0L)).as("__dups"))
-    val n = df.where(col(textCol).isNotNull).count()
-    val raw = dupRows(col(textCol)).head().getLong(0)
-    val folded = dupRows(translate(col(textCol), from, to)).head()
-      .getLong(0)
+    // ONE corpus pass for all three statistics: each row emits its raw
+    // and its folded content hash tagged 0/1, one grouped count per
+    // (tag, hash), then a 2-row rollup — the three-action spelling
+    // (count + raw-dup aggregate + folded-dup aggregate) scanned and
+    // hashed the corpus three times
+    val hashes = df.where(col(textCol).isNotNull)
+      .select(explode(array(
+        struct(lit(0).as("__k"), xxhash64(col(textCol)).as("__h")),
+        struct(lit(1).as("__k"),
+          xxhash64(translate(col(textCol), from, to)).as("__h"))))
+        .as("__e"))
+      .select(col("__e.__k").as("__k"), col("__e.__h").as("__h"))
+      .groupBy(col("__k"), col("__h")).agg(count(lit(1)).as("__n"))
+    val stats = hashes.groupBy(col("__k"))
+      .agg(sum(col("__n")).as("__rows"),
+        coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
+          .as("__dups"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (n, raw) = stats.getOrElse(0, (0L, 0L))
+    val folded = stats.get(1).map(_._2).getOrElse(0L)
     val spark = df.sparkSession
     import spark.implicits._
     Seq((n, raw, folded, folded - raw))

@@ -535,10 +535,17 @@ object TextAnalysis {
     // as a nested-field reference and fail to resolve
     def tfCol(i: Int): String = s"__tf_$i"
     val ws = words(col(textCol))
+    // pin the narrow per-doc (id, dl, tf…) frame: the stats pass AND
+    // the scoring TakeOrdered otherwise each re-tokenize the corpus
+    // (words() is the dominant cost); the pinned frame is a few longs
+    // per doc, the top-k result materializes eagerly and the blocks
+    // release before returning (the heapsFit ownership pattern)
+    val spark = df.sparkSession
     val base = df.select(
       col(idCol) +: size(ws).cast("long").as("__dl") +:
         distinctTerms.zipWithIndex.map { case (t, i) =>
           size(filter(ws, w => w === lit(t))).cast("long").as(tfCol(i)) }: _*)
+      .localCheckpoint()
     val statAggs: Seq[Column] = avg(col("__dl")).as("__avgdl") +:
       distinctTerms.indices.map(i =>
         sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(s"__df_$i"))
@@ -552,9 +559,13 @@ object TextAnalysis {
       tf * (k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl)) * idf
     }.reduce(_ + _)
-    base.select(col(idCol), round(score, 6).as("bm25"))
+    val out = base.select(col(idCol), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+    val rows = out.collect()
+    graft.operators.Packing.releaseOffsets(base)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
   }
 
   /** Per-document mean unigram log-probability under the corpus's OWN
