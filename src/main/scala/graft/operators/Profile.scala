@@ -1206,10 +1206,25 @@ object Profile {
     * per-key triage is one where(n_dep > 1) away from the same
     * intermediate. */
   def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    // the string spelling exists only to give NULL a distinct bucket;
+    // for non-floating types, distinct-on-raw-value + a null flag is
+    // the same count with no per-row string rendering and a narrower
+    // (det, dep) distinct exchange. Floats keep the string path: their
+    // value equality differs from repr equality on -0.0 vs 0.0.
+    val depIsFloat = df.schema(depCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val nd =
+      if (depIsFloat)
+        countDistinct(coalesce(col(depCol).cast("string"), lit("<null>")))
+      else
+        countDistinct(col(depCol)) +
+          max(when(col(depCol).isNull, 1L).otherwise(0L))
     val perKey = df.where(col(detCol).isNotNull)
       .groupBy(col(detCol))
-      .agg(countDistinct(coalesce(col(depCol).cast("string"),
-        lit("<null>"))).as("__nd"))
+      .agg(nd.as("__nd"))
     perKey.agg(
       count(lit(1)).as("n_keys"),
       sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
