@@ -86,15 +86,19 @@ object EditDistance {
                    maxDist: Int, bucketWidth: Int = 8,
                    maxKeyLen: Int = 256): DataFrame = {
     val spark = df.sparkSession
+    // one pinned narrow frame + ONE action: the four statistics were
+    // four sequential count() jobs, each re-deriving `narrow`; as
+    // crossJoined 1-row aggregates their towers run as parallel stages
+    // of a single job over the checkpointed (id, key, len) rows
     val narrow = df
       .where(col(keyCol).isNotNull && length(col(keyCol)) <= maxKeyLen)
       .select(col(idCol).as("__id"), col(keyCol).as("__key"),
         length(col(keyCol)).as("__len"))
-    val n = narrow.count()
+      .localCheckpoint()
     val banded = narrow
       .withColumn("__bkt", (col("__len") / bucketWidth).cast("long"))
     // candidates: the banded join's raw output (pre-verify)
-    val nCand = banded.select(col("__id").as("ia"),
+    val nCandDf = banded.select(col("__id").as("ia"),
         col("__len").as("__la"),
         explode(array(col("__bkt") - 1, col("__bkt"), col("__bkt") + 1))
           .as("__jb"))
@@ -102,14 +106,20 @@ object EditDistance {
         col("__bkt").as("__jb")), Seq("__jb"))
       .where(col("ia") < col("ib") &&
         abs(col("__la") - col("__lb")) <= maxDist)
-      .count()
+      .agg(count(lit(1)).as("__ncand"))
     // ground truth: every pair, no banding (the quadratic audit side)
-    val nTrue = narrow.as("a").join(narrow.as("b"),
+    val nTrueDf = narrow.as("a").join(narrow.as("b"),
         col("a.__id") < col("b.__id"))
       .where(levenshtein(col("a.__key"), col("b.__key"), maxDist) >= 0)
-      .count()
-    val nFound = neardupPairs(df, idCol, keyCol, maxDist, bucketWidth,
-      maxKeyLen).count()
+      .agg(count(lit(1)).as("__ntrue"))
+    val nFoundDf = neardupPairs(df, idCol, keyCol, maxDist, bucketWidth,
+      maxKeyLen).agg(count(lit(1)).as("__nfound"))
+    val stats = narrow.agg(count(lit(1)).as("__n"))
+      .crossJoin(nCandDf).crossJoin(nTrueDf).crossJoin(nFoundDf).head()
+    val (n, nCand, nTrue, nFound) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2),
+        stats.getLong(3))
+    Packing.releaseOffsets(narrow)
     val total = n * (n - 1) / 2
     import spark.implicits._
     Seq((n, total, nCand,

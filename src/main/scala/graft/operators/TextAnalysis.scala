@@ -539,13 +539,17 @@ object TextAnalysis {
     // the scoring TakeOrdered otherwise each re-tokenize the corpus
     // (words() is the dominant cost); the pinned frame is a few longs
     // per doc, the top-k result materializes eagerly and the blocks
-    // release before returning (the heapsFit ownership pattern)
+    // release before returning (the heapsFit ownership pattern).
+    // Only for retrieval-sized k: a rank-everything call (k beyond the
+    // driver top-k budget) keeps the lazy two-scan plan — its result
+    // is corpus-sized and must never collect.
+    val eagerTopK = k <= 10000
     val spark = df.sparkSession
-    val base = df.select(
+    val base0 = df.select(
       col(idCol) +: size(ws).cast("long").as("__dl") +:
         distinctTerms.zipWithIndex.map { case (t, i) =>
           size(filter(ws, w => w === lit(t))).cast("long").as(tfCol(i)) }: _*)
-      .localCheckpoint()
+    val base = if (eagerTopK) base0.localCheckpoint() else base0
     val statAggs: Seq[Column] = avg(col("__dl")).as("__avgdl") +:
       distinctTerms.indices.map(i =>
         sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(s"__df_$i"))
@@ -562,10 +566,13 @@ object TextAnalysis {
     val out = base.select(col(idCol), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
-    val rows = out.collect()
-    graft.operators.Packing.releaseOffsets(base)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    if (!eagerTopK) out
+    else {
+      val rows = out.collect()
+      graft.operators.Packing.releaseOffsets(base)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    }
   }
 
   /** Per-document mean unigram log-probability under the corpus's OWN
