@@ -78,16 +78,26 @@ object Dedup {
     * upstream when the corpus needs it. */
   def normalizationGain(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    def dupRows(text: Column): DataFrame =
-      df.where(col(textCol).isNotNull)
-        .select(xxhash64(text).as("__h"))
-        .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
-        .where(col("__n") > 1)
-        .agg(coalesce(sum(col("__n")), lit(0L)).as("__dups"))
+    // ONE corpus pass for all three statistics (the homoglyphGain
+    // shape): each row emits its raw and its normalized content hash
+    // tagged 0/1, one grouped count per (tag, hash), then a 2-row
+    // rollup — the three-action spelling scanned and hashed the corpus
+    // three times
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val n = df.where(col(textCol).isNotNull).count()
-    val raw = dupRows(col(textCol)).head().getLong(0)
-    val nrm = dupRows(norm).head().getLong(0)
+    val hashes = df.where(col(textCol).isNotNull)
+      .select(explode(array(
+        struct(lit(0).as("__k"), xxhash64(col(textCol)).as("__h")),
+        struct(lit(1).as("__k"), xxhash64(norm).as("__h")))).as("__e"))
+      .select(col("__e.__k").as("__k"), col("__e.__h").as("__h"))
+      .groupBy(col("__k"), col("__h")).agg(count(lit(1)).as("__n"))
+    val stats = hashes.groupBy(col("__k"))
+      .agg(sum(col("__n")).as("__rows"),
+        coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
+          .as("__dups"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (n, raw) = stats.getOrElse(0, (0L, 0L))
+    val nrm = stats.get(1).map(_._2).getOrElse(0L)
     val spark = df.sparkSession
     import spark.implicits._
     Seq((n, raw, nrm, nrm - raw))

@@ -454,8 +454,16 @@ object Profile {
                        keyCol: String): DataFrame = {
     val a = dfA.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
     val b = dfB.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
-    val nA = a.count(); val nB = b.count()
-    val m = a.join(b, Seq(keyCol), "left_semi").count()
+    // ONE action: the three counts were three sequential jobs (nA, nB,
+    // overlap), the overlap tower re-deriving both distincts; as
+    // crossJoined 1-row aggregates they run as parallel stages of a
+    // single job (AQE reuses the two distinct exchanges across towers)
+    val row = a.agg(count(lit(1)).as("__na"))
+      .crossJoin(b.agg(count(lit(1)).as("__nb")))
+      .crossJoin(a.join(b, Seq(keyCol), "left_semi")
+        .agg(count(lit(1)).as("__m")))
+      .head()
+    val (nA, nB, m) = (row.getLong(0), row.getLong(1), row.getLong(2))
     val est = (nA + 1.0) * (nB + 1.0) / (m + 1.0) - 1.0
     def r6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

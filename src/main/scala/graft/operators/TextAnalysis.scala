@@ -683,8 +683,11 @@ object TextAnalysis {
     val counts = tok.groupBy(col("__g"), col("__w"))
       .agg(count(lit(1)).as("__c"))
     val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__N"))
-    // shared-vocab size: one count over the vocab-bounded frame
-    val vocabSize = counts.select(col("__w")).distinct().count()
+    // shared-vocab size as a broadcast scalar INSIDE the plan: the
+    // driver-side count() was a separate action re-running the whole
+    // tokenize + count tower just for one number
+    val vocabDf = counts.agg(
+      countDistinct(col("__w")).cast("double").as("__v"))
     val data = counts.select(col("__g").as("data_source"), col("__w"),
       col("__c"))
     val model = counts.select(col("__g").as("model_source"), col("__w"),
@@ -694,11 +697,12 @@ object TextAnalysis {
     val dataTotals = totals.select(col("__g").as("data_source"),
       col("__N").as("__Nd"))
     data.crossJoin(broadcast(modelTotals))
+      .crossJoin(broadcast(vocabDf))
       .join(broadcast(model), Seq("model_source", "__w"), "left")
       .groupBy(col("data_source"), col("model_source"))
       .agg(sum(col("__c").cast("double") *
         log((coalesce(col("__cm"), lit(0L)).cast("double") + 1.0) /
-            (col("__Nm").cast("double") + vocabSize))).as("__s"))
+            (col("__Nm").cast("double") + col("__v")))).as("__s"))
       .join(broadcast(dataTotals), Seq("data_source"))
       .select(col("data_source"), col("model_source"),
         round(-col("__s") / col("__Nd"), 6).as("cross_entropy"))
