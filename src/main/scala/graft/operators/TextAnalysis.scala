@@ -587,10 +587,17 @@ object TextAnalysis {
     * partial (id, n, Σln p) aggregate — document text never moves. */
   def unigramLogProb(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
+    // words leave the scan as xxhash64 keys (the q_bigram_logprob
+    // keying discipline — per-doc sums never display a word). The
+    // corpus total stays a driver literal: spelling it as a broadcast
+    // scalar was measured to ADD a second freq tower (the 1-row
+    // aggregate's broadcast subtree cannot reuse the scoring join's
+    // broadcast) for no gain.
     val tok = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
-    val freq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .select(col(idCol), xxhash64(col("__w")).as("__h"))
+    val freq = tok.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
     val total = freq.agg(sum(col("__n"))).head().getLong(0)
-    val scored = tok.join(broadcast(freq), Seq("__w"))
+    val scored = tok.join(broadcast(freq), Seq("__h"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(log(col("__n").cast("double") / total)).as("__s"))
