@@ -2710,6 +2710,16 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(Some(1L), None).toDF("len"), "len", "len", Seq(1.0))
       .as[(Double, Long, Long, Long, Double)].collect()
     assert(withNull === Seq((1.0, 1L, 1L, 1L, 1.0)))
+    // cardinality contract: a value column whose distinct count busts
+    // the budget fails LOUDLY instead of silently single-task-sorting
+    val wide = (1L to 20L).toDF("len")
+    val err = intercept[Exception] {
+      Profile.massWeightedPercentiles(wide, "len", "len", Seq(0.5),
+        maxDistinct = 10L).collect()
+    }
+    assert(err.getMessage.contains("cardinality contract") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("cardinality contract")))
   }
 
   test("scriptMix: dominant script, priority tie-break, purity flag") {
