@@ -334,16 +334,20 @@ object Profile {
     * sketches with NO corpus rescan, and a 100 TB history rolls up
     * from kilobytes of sketches. DataSketches HLL is EXACT while a
     * sketch is still in coupon (list/set) mode, which is what the
-    * exact-distinct oracle exploits at test scale; at true scale the
-    * estimate carries the usual ~1.6 % HLL error. Returns
+    * exact-distinct oracle exploits at test scale; `lgConfigK = 18`
+    * keeps coupon mode to ~24k distinct keys/window (measured: exact
+    * at 20k, and a 7-sketch union of 3344 keys stays exact) while a
+    * coupon-mode sketch still costs only ~4 B/key — beyond that the
+    * estimate carries the ~0.4 % HLL error of lgK 18. Returns
     * (day, n_events, day_distinct, rolling_distinct). */
   def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
-                      windowDays: Int = 7): DataFrame = {
+                      windowDays: Int = 7,
+                      lgConfigK: Int = 18): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val daily = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
-      .agg(hll_sketch_agg(col(keyCol)).as("__sk"),
+      .agg(hll_sketch_agg(col(keyCol), lgConfigK).as("__sk"),
         count(lit(1)).as("n_events"))
       .withColumn("__dn", datediff(col("day"), lit("1970-01-01")))
     val w = Window.orderBy(col("__dn"))
@@ -366,16 +370,18 @@ object Profile {
     * the "how many users do these two feeds share" matrix WITHOUT the
     * O(pairs) distinct-intersection scans the exact spelling needs.
     * Exact while sketches are in coupon mode (the oracle's lever at
-    * test scale); at true scale inclusion–exclusion compounds the
-    * ~1.6 % HLL error ACROSS THE SUBTRACTION, so small overlaps of
-    * huge sets are noise — `jaccard` (overlap/union) is the
-    * scale-honest readout. Returns (group_a < group_b, distinct_a,
+    * test scale; `lgConfigK = 18` holds coupon mode to ~24k distinct
+    * keys per group at ~4 B/key); at true scale inclusion–exclusion
+    * compounds the ~0.4 % lgK-18 HLL error ACROSS THE SUBTRACTION, so
+    * small overlaps of huge sets are noise — `jaccard`
+    * (overlap/union) is the scale-honest readout. Returns
+    * (group_a < group_b, distinct_a,
     * distinct_b, distinct_union, est_overlap, jaccard). */
   def sketchOverlap(df: DataFrame, groupCol: String,
-                    keyCol: String): DataFrame = {
+                    keyCol: String, lgConfigK: Int = 18): DataFrame = {
     val sk = df.where(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(hll_sketch_agg(col(keyCol)).as("__sk"))
+      .agg(hll_sketch_agg(col(keyCol), lgConfigK).as("__sk"))
     val a = sk.select(col("__g").as("group_a"), col("__sk").as("__sa"))
     val b = sk.select(col("__g").as("group_b"), col("__sk").as("__sb"))
     a.join(b, col("group_a") < col("group_b"))

@@ -387,6 +387,29 @@ class StatBatterySpec extends AnyFunSuite {
     assert(m("2024-01-04") === ((1L, 1L))) // gap-correct: NOT 3
   }
 
+  test("rollingDistinct / sketchOverlap: exact past the lgK-12 coupon limit") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // 5000 distinct keys busts lgConfigK=12 coupon capacity (~1.5k) —
+    // the sf0.1 regression class: default lgK must keep the sketch in
+    // coupon (exact) mode at test scale, here well past 1.5k per day
+    // and across the 2-day rolling union
+    val df = (0L until 5000L).map(k =>
+        (if (k % 2 == 0) "2024-01-01" else "2024-01-02", k))
+      .toDF("s", "u").select(to_timestamp(col("s")).as("ts"), col("u"))
+    val m = Profile.rollingDistinct(df, "ts", "u", windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m("2024-01-01") === ((2500L, 2500L)))
+    assert(m("2024-01-02") === ((2500L, 5000L)))
+    val ov = Seq.tabulate(2500)(i => ("a", i.toLong)) ++
+      Seq.tabulate(2500)(i => ("b", i.toLong + 1000L))
+    val o = Profile.sketchOverlap(ov.toDF("g", "k"), "g", "k").collect()
+    assert(o.length === 1)
+    assert((o(0).getLong(2), o(0).getLong(3), o(0).getLong(4),
+      o(0).getLong(5)) === ((2500L, 2500L, 3500L, 1500L)))
+  }
+
   test("twoProportionZ: pooled z vs complement, degenerate pool NULL") {
     val spark = SparkSpec.session
     import spark.implicits._
