@@ -78,8 +78,17 @@ object LinkGraph {
     * distinct texts per target, never raw anchor volume). */
   def anchorSummary(anchors: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perText = anchors.groupBy(col("dst"), col("anchor"))
+    // ONE evaluation of the anchor-extraction tower: perText keyed
+    // (dst, anchor) and perSrc keyed (dst, src) are different
+    // exchanges, so feeding both straight from `anchors` ran the
+    // upstream scan + regex extraction twice; a shared (dst, anchor,
+    // src) pre-aggregate gives both towers the SAME first exchange
+    // (ReusedExchange at runtime) and every later frame is bounded by
+    // distinct triples, never raw anchor volume.
+    val tri = anchors.groupBy(col("dst"), col("anchor"), col("src"))
       .agg(count(lit(1)).as("__n"))
+    val perText = tri.groupBy(col("dst"), col("anchor"))
+      .agg(sum(col("__n")).as("__n"))
     val w = Window.partitionBy(col("dst"))
     val summary = perText
       .withColumn("__rn", row_number().over(
@@ -89,7 +98,7 @@ object LinkGraph {
       .where(col("__rn") === 1)
       .select(col("dst"), col("n_anchors"), col("n_texts"),
         col("anchor").as("top_anchor"))
-    val perSrc = anchors.select(col("dst"), col("src")).distinct()
+    val perSrc = tri.select(col("dst"), col("src")).distinct()
       .groupBy(col("dst")).agg(count(lit(1)).as("n_srcs"))
     summary.join(perSrc, Seq("dst"))
       .select(col("dst"), col("n_anchors"), col("n_texts"),

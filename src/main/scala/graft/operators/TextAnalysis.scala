@@ -1769,10 +1769,17 @@ object TextAnalysis {
     * All inputs integers; ratios derive through one fixed IEEE
     * order, so the SQL replica is bit-exact. */
   def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    // words leave the scan as xxhash64 keys (the q_bigram_logprob
+    // keying discipline: nothing downstream displays a word, and
+    // per-key counts are identical absent 64-bit collisions), so the
+    // corpus-sized exchange carries fixed-width longs; N (total
+    // tokens) = Σ r·n_r rides the O(distinct r) count-of-counts frame
+    // instead of a second tower over the vocab aggregate.
     val wc = df.select(explode(Dedup.words(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("__r"))
+      .select(xxhash64(col("w")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__r"))
     val coc = wc.groupBy(col("__r").as("r")).agg(count(lit(1)).as("n_r"))
-    val total = wc.agg(sum(col("__r")).as("__N"))
+    val total = coc.agg(sum(col("r") * col("n_r")).as("__N"))
     val next = coc.select((col("r") - 1).as("r"), col("n_r").as("__nn"))
     val unseen = coc.where(col("r") === 1)
       .select(lit(0L).as("r"), lit(0L).as("n_r"),
@@ -1807,8 +1814,11 @@ object TextAnalysis {
     * O(distinct) words) + a single-row summary. Returns (n_tokens,
     * s_obs, f1, f2, chao1, coverage). */
   def chao1(df: DataFrame, textCol: String): DataFrame = {
+    // same hashed-key exchange as [[goodTuring]]: the summary needs
+    // only per-key counts, never a word
     val wc = df.select(explode(Dedup.words(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("__r"))
+      .select(xxhash64(col("w")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__r"))
     wc.agg(sum(col("__r")).as("n_tokens"), count(lit(1)).as("s_obs"),
         sum(when(col("__r") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("__r") === 2, 1L).otherwise(0L)).as("f2"))
