@@ -3426,8 +3426,10 @@ object SparkEntry {
     "q_qq_deciles" -> ((s, d) => {
       val li = t(s, d, "lineitem").withColumn("cents",
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-      Drift.qqQuantiles(li.where(col("l_orderkey") % 2 === 0),
-        li.where(col("l_orderkey") % 2 =!= 0), "cents",
+      // both side-histograms ride ONE scan (the two-frame spelling ran
+      // two separate collect jobs — exchange reuse never crosses jobs)
+      Drift.qqQuantilesSplit(li, col("l_orderkey") % 2 === 0,
+        col("l_orderkey") % 2 =!= 0, "cents",
         Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))
     }),
 

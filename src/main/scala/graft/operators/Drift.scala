@@ -209,13 +209,16 @@ object Drift {
     import org.apache.spark.sql.expressions.Window
     val scored = df.where(col(pCol).isNotNull)
       .select(col(keyCol), col(pCol).cast("double").as("p"))
-    val m = scored.count()
+    // m rides the plan as a broadcast 1-row scalar — a driver count()
+    // was a SECOND full derivation of the battery frame (exchange reuse
+    // never crosses a job boundary); same IEEE arithmetic: (rank·q)/m
+    val mAgg = scored.agg(count(lit(1)).cast("double").as("__m"))
     val w = Window.orderBy(col("p"), col(keyCol))
-    val ranked = scored
+    val ranked = scored.crossJoin(broadcast(mAgg))
       .withColumn("rank", row_number().over(w))
       .withColumn("bh_threshold",
-        round(col("rank") * q / m.toDouble, 6))
-      .withColumn("__hit", col("p") <= col("rank") * q / m.toDouble)
+        round(col("rank") * q / col("__m"), 6))
+      .withColumn("__hit", col("p") <= col("rank") * q / col("__m"))
     val kStar = ranked.agg(
       max(when(col("__hit"), col("rank")).otherwise(lit(0))).as("__k"))
     val verdicts = ranked.crossJoin(broadcast(kStar))
@@ -1245,6 +1248,67 @@ object Drift {
     }
   }
 
+  /** One-scan [[qqQuantiles]] for the common case where the two samples
+    * are predicate slices of the SAME frame: qqQuantiles(df.where(a),
+    * df.where(b), ...) runs two separate collect jobs, and exchange
+    * reuse never crosses a job boundary, so the source is scanned
+    * twice. Here both group-by-value histograms ride ONE scan /
+    * exchange / collect (conditional counts per value), and the same
+    * driver-side Percentile interpolation answers every probability
+    * for each side — bit-identical to the two-frame spelling by
+    * construction (pinned by a differential test). Past the histogram
+    * budget (or for an empty side) the fallback is still one job: two
+    * conditional `percentile` aggregates in a single action. */
+  def qqQuantilesSplit(df: DataFrame, condA: Column, condB: Column,
+                       valueCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "qqQuantilesSplit needs at least one probability")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val maxHist = 1 << 20
+    // limit-capped collect doubles as the cardinality guard (the
+    // qqQuantiles convention); zero-count values for a side are
+    // filtered per side below, so the per-side histograms equal the
+    // ones the two-frame spelling builds
+    val rows = df.where(v.isNotNull && (condA || condB))
+      .groupBy(v.as("__v"))
+      .agg(sum(when(condA, lit(1L)).otherwise(lit(0L))).as("__na"),
+        sum(when(condB, lit(1L)).otherwise(lit(0L))).as("__nb"))
+      .limit(maxHist + 1).collect()
+    def sideQs(counts: Array[(Double, Long)]): Seq[Double] =
+      if (counts.nonEmpty) exactPercentilesFromHistogram(counts, probs)
+      else Nil
+    val (qsA, qsB): (Seq[Double], Seq[Double]) =
+      if (rows.nonEmpty && rows.length <= maxHist) {
+        val hist = rows.map(r =>
+          (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+        (sideQs(hist.collect { case (x, na, _) if na > 0 => (x, na) }),
+          sideQs(hist.collect { case (x, _, nb) if nb > 0 => (x, nb) }))
+      } else {
+        // one job, two buffered percentile aggregates over conditional
+        // values (percentile ignores null inputs, so each equals the
+        // aggregate over the pre-filtered side)
+        val pArr = "array(" + probs.map(p => s"${p}D").mkString(", ") + ")"
+        val r = df.select(v.as("__v"), condA.as("__ca"), condB.as("__cb"))
+          .agg(
+            expr(s"percentile(CASE WHEN __ca THEN __v END, $pArr)")
+              .as("__qa"),
+            expr(s"percentile(CASE WHEN __cb THEN __v END, $pArr)")
+              .as("__qb"))
+          .head()
+        (Option(r.getSeq[Double](0)).getOrElse(Nil),
+          Option(r.getSeq[Double](1)).getOrElse(Nil))
+      }
+    import spark.implicits._
+    val a = qsA.zipWithIndex.map { case (q, i) => (i, q) }.toDF("__i", "q_a")
+    val b = qsB.zipWithIndex.map { case (q, i) => (i, q) }.toDF("__i", "q_b")
+    a.join(b, Seq("__i"))
+      .select(
+        element_at(lit(probs.toArray), col("__i") + 1).as("p"),
+        col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("diff"))
+      .orderBy("p")
+  }
+
   /** CUSUM changepoint scan over bucketed event volume — WHERE did the
     * ingest rate shift (the [[volumeAnomalies]] z-score flags a spiky
     * DAY; CUSUM localizes a LEVEL CHANGE): per bucket the cumulative
@@ -1647,7 +1711,11 @@ object Drift {
       .select(col(itemCol).as("__it"), col(raterCol).as("__ra"),
         col(valueCol).cast("string").as("__v"))
     val mPer = r.groupBy(col("__it")).agg(count(lit(1)).as("__m"))
-    val nItemsTotal = mPer.count()
+    // one action answers both item tallies (total and pairable) —
+    // nItemsUsed was a third job re-deriving the ratings aggregate
+    val itemTally = mPer.agg(count(lit(1)).as("__t"),
+      count(when(col("__m") >= 2, lit(1))).as("__u")).head()
+    val nItemsTotal = itemTally.getLong(0)
     val rr = r.join(mPer.where(col("__m") >= 2), Seq("__it"))
     val coin = rr.as("a").join(rr.as("b"),
         col("a.__it") === col("b.__it") && col("a.__ra") =!= col("b.__ra"))
@@ -1660,7 +1728,7 @@ object Drift {
       .collect().map(row =>
         (row.getString(0), row.getString(1), row.getDouble(2)))
       .sortBy(t => (t._1, t._2)) // fixed order → bit-stable driver sums
-    val nItemsUsed = rr.select(col("__it")).distinct().count()
+    val nItemsUsed = itemTally.getLong(1)
     val margins = coin.groupBy(_._1).map { case (c, ts) =>
       c -> ts.map(_._3).sum
     }.toSeq.sortBy(_._1)

@@ -1795,11 +1795,16 @@ object Profile {
     val aHi = 40503L; val aLo = 31153L // 2654435761 = aHi*65536 + aLo
     val u = pmod(col(colName).cast("long"), lit(m))
     val h = pmod(pmod(u * aHi, lit(m)) * 65536L + u * aLo, lit(m))
+    // the distinct-hash frame feeds TWO actions (bottom-k and the exact
+    // count); pinned once so the corpus scans once — O(distinct)·8 B
+    // resident vs a second full scan, the bm25 decision-pass trade —
+    // and released before returning
     val hashes = df.where(col(colName).isNotNull)
-      .select(h.as("h")).distinct()
+      .select(h.as("h")).distinct().localCheckpoint()
     val bottom = hashes.orderBy(col("h")).limit(k)
       .collect().map(_.getLong(0))
     val exact = hashes.count() // distinct hashes == KMV's own universe
+    graft.operators.Packing.releaseOffsets(hashes)
     import spark.implicits._
     if (bottom.length < k)
       // fewer distinct hashes than k: the sketch IS the exact set

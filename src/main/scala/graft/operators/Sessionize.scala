@@ -471,11 +471,15 @@ object Sessionize {
         sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))
     val wOrd = Window.orderBy(col("__t"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val total = lives.count()
+    // user total rides the plan as a broadcast 1-row scalar — a driver
+    // count() was a SECOND run of the per-user aggregate (exchange
+    // reuse never crosses a job boundary)
+    val totalAgg = lives.agg(count(lit(1)).as("__total"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
     byT
-      .withColumn("n_at_risk", lit(total) -
+      .crossJoin(broadcast(totalAgg))
+      .withColumn("n_at_risk", col("__total") -
         coalesce(sum(col("n_churned") + col("n_censored")).over(wPrev),
           lit(0L)))
       .withColumn("survival", round(exp(sum(

@@ -214,6 +214,31 @@ class DriftSpec extends AnyFunSuite {
     assert(frac === ((0.5, 2.5, 2.5, 0.0)))
   }
 
+  test("qqQuantilesSplit: bit-identical to the two-frame spelling") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ps = Seq(0.125, 0.25, 0.5, 0.75, 0.875)
+    // uneven sides, repeated values, a null value row, a null key row
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 11L), (3L, 11L), (4L, 13L), (5L, 10L),
+      (6L, 27L), (7L, 27L), (8L, 31L), (9L, null), (null, 40L))
+    val df = rows.toDF("k", "v")
+    val condA = col("k") % 2 === 0
+    val condB = col("k") % 2 =!= 0
+    val two = Drift.qqQuantiles(df.where(condA), df.where(condB), "v", ps)
+      .collect().toSeq
+    val one = Drift.qqQuantilesSplit(df, condA, condB, "v", ps)
+      .collect().toSeq
+    assert(one === two)
+    // empty side ⇒ empty result, both spellings
+    val condNone = col("k") > 100
+    assert(Drift.qqQuantilesSplit(df, condA, condNone, "v", ps).count()
+      === 0L)
+    assert(Drift.qqQuantiles(df.where(condA), df.where(condNone), "v", ps)
+      .count() === 0L)
+  }
+
   test("rankBiasedOverlap: identity, disjoint, and head-weighted cases") {
     val spark = SparkSpec.session
     import spark.implicits._
