@@ -1218,12 +1218,57 @@ object Drift {
     * result = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi), so the histogram
     * fast path above is bit-identical to the buffered aggregate. */
   private def exactPercentilesFromHistogram(
-      hist: Array[(Double, Long)], probs: Seq[Double]): Seq[Double] = {
-    require(hist.nonEmpty, "percentile of an empty column")
-    val cum = new Array[Long](hist.length)
+      hist: Array[(Double, Long)], probs: Seq[Double]): Seq[Double] =
+    exactPercentilesFromArrays(hist.map(_._1), hist.map(_._2), probs)
+
+  /** In-place quicksort of three parallel arrays by the key column —
+    * java.lang.Double.compare order, exactly the Ordering a boxed
+    * tuple sortBy applies (NaN last, -0.0 < 0.0). */
+  private def sortHistByKey(keys: Array[Double], a: Array[Long],
+                            b: Array[Long]): Unit = {
+    def swap(i: Int, j: Int): Unit = {
+      val k = keys(i); keys(i) = keys(j); keys(j) = k
+      val x = a(i); a(i) = a(j); a(j) = x
+      val y = b(i); b(i) = b(j); b(j) = y
+    }
+    def sort(lo: Int, hi: Int): Unit =
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo &&
+              java.lang.Double.compare(keys(j - 1), keys(j)) > 0) {
+            swap(j - 1, j); j -= 1
+          }
+          i += 1
+        }
+      } else {
+        // median-of-three pivot, Hoare partition
+        val mid = (lo + hi) >>> 1
+        if (java.lang.Double.compare(keys(mid), keys(lo)) < 0) swap(mid, lo)
+        if (java.lang.Double.compare(keys(hi), keys(lo)) < 0) swap(hi, lo)
+        if (java.lang.Double.compare(keys(hi), keys(mid)) < 0) swap(hi, mid)
+        val pivot = keys(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (java.lang.Double.compare(keys(i), pivot) < 0) i += 1
+          while (java.lang.Double.compare(keys(j), pivot) > 0) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    if (keys.length > 1) sort(0, keys.length - 1)
+  }
+
+  private def exactPercentilesFromArrays(
+      keys: Array[Double], counts: Array[Long],
+      probs: Seq[Double]): Seq[Double] = {
+    require(keys.nonEmpty, "percentile of an empty column")
+    val cum = new Array[Long](keys.length)
     var acc = 0L
     var i = 0
-    while (i < hist.length) { acc += hist(i)._2; cum(i) = acc; i += 1 }
+    while (i < keys.length) { acc += counts(i); cum(i) = acc; i += 1 }
     val n = acc
     def keyAtRank(rank: Long): Double = {
       // first index with cum(idx) >= rank
@@ -1232,7 +1277,7 @@ object Drift {
         val mid = (lo + hi) >>> 1
         if (cum(mid) >= rank) hi = mid else lo = mid + 1
       }
-      hist(lo)._1
+      keys(lo)
     }
     probs.map { p =>
       val position = p * (n - 1)
@@ -1274,15 +1319,37 @@ object Drift {
       .agg(sum(when(condA, lit(1L)).otherwise(lit(0L))).as("__na"),
         sum(when(condB, lit(1L)).otherwise(lit(0L))).as("__nb"))
       .limit(maxHist + 1).collect()
-    def sideQs(counts: Array[(Double, Long)]): Seq[Double] =
-      if (counts.nonEmpty) exactPercentilesFromHistogram(counts, probs)
-      else Nil
     val (qsA, qsB): (Seq[Double], Seq[Double]) =
       if (rows.nonEmpty && rows.length <= maxHist) {
-        val hist = rows.map(r =>
-          (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-        (sideQs(hist.collect { case (x, na, _) if na > 0 => (x, na) }),
-          sideQs(hist.collect { case (x, _, nb) if nb > 0 => (x, nb) }))
+        // primitive parallel-array sort: the boxed tuple sortBy was
+        // measured at 0.42 s of the 1.2 s query at sf0.1 (583k rows);
+        // java.lang.Double.compare == the Ordering a tuple sortBy uses
+        val n = rows.length
+        val keys = new Array[Double](n)
+        val na = new Array[Long](n)
+        val nb = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val r = rows(i)
+          keys(i) = r.getDouble(0); na(i) = r.getLong(1)
+          nb(i) = r.getLong(2); i += 1
+        }
+        sortHistByKey(keys, na, nb)
+        def sideQs(counts: Array[Long]): Seq[Double] = {
+          var m = 0; var j = 0
+          while (j < n) { if (counts(j) > 0) m += 1; j += 1 }
+          if (m == 0) Nil
+          else {
+            val ks = new Array[Double](m); val cs = new Array[Long](m)
+            var o = 0; j = 0
+            while (j < n) {
+              if (counts(j) > 0) { ks(o) = keys(j); cs(o) = counts(j); o += 1 }
+              j += 1
+            }
+            exactPercentilesFromArrays(ks, cs, probs)
+          }
+        }
+        (sideQs(na), sideQs(nb))
       } else {
         // one job, two buffered percentile aggregates over conditional
         // values (percentile ignores null inputs, so each equals the

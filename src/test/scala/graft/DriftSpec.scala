@@ -231,6 +231,17 @@ class DriftSpec extends AnyFunSuite {
     val one = Drift.qqQuantilesSplit(df, condA, condB, "v", ps)
       .collect().toSeq
     assert(one === two)
+    // large LCG frame: exercises the primitive quicksort path (many
+    // distinct doubles, duplicates, both sides interleaved)
+    val big = spark.range(50000).selectExpr("id AS k",
+      "CAST((id * 1103515245 + 12345) % 8191 AS DOUBLE) AS v")
+    val bigA = col("k") % 3 === 0
+    val bigB = col("k") % 3 =!= 0
+    val twoB = Drift.qqQuantiles(big.where(bigA), big.where(bigB), "v", ps)
+      .collect().toSeq
+    val oneB = Drift.qqQuantilesSplit(big, bigA, bigB, "v", ps)
+      .collect().toSeq
+    assert(oneB === twoB)
     // empty side ⇒ empty result, both spellings
     val condNone = col("k") > 100
     assert(Drift.qqQuantilesSplit(df, condA, condNone, "v", ps).count()
