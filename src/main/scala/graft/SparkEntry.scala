@@ -19,6 +19,18 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Total-order a frame whose sort input is an expensive, un-exchanged
+    * projection (text profiles, codecs, fingerprints): range
+    * partitioning SAMPLES its child with a separate pass first, so
+    * without a shuffle boundary between them the projection evaluates
+    * TWICE per action. A hash repartition on the leading sort key
+    * materializes the projection once as shuffle files that the sampler
+    * and the sort both read (measured on q_winnow: 1.15 → 0.78 s warm,
+    * 2.2 → 1.1 s cold at sf0.1). Execution-shape only — the trailing
+    * Sort alone defines the result. */
+  private def orderedOnce(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(col(keys.head)).orderBy(keys.map(col): _*)
+
   /** Oracle-visible tokenized-sequence table derived deterministically
     * from `documents.doc_id` by pure integer arithmetic, so DuckDB can
     * rebuild the byte-identical table from the same parquet and the
@@ -885,14 +897,15 @@ object SparkEntry {
     }),
 
     "q_digit_punct" -> ((s, d) =>
-      t(s, d, "documents").select(
+      orderedOnce(
+        t(s, d, "documents").select(
           col("doc_id"),
           length(col("text")).as("n_chars"),
           (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
             .as("n_digits"),
           (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", "")))
-            .as("n_lower"))
-        .orderBy("doc_id")),
+            .as("n_lower")),
+        "doc_id")),
 
     "q_shingle_count" -> ((s, d) => {
       graft.functions.ShingleExpression.register(s)
@@ -916,17 +929,20 @@ object SparkEntry {
       // oracle-checked: word/char-class arithmetic + banded score are
       // SQL-replicable; the hash-based fingerprint lives in its own
       // rows-only query (q_fingerprints)
-      TextAnalysis.analyze(t(s, d, "documents"), "doc_id", "text")
-        .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score")
-        .orderBy("doc_id")),
+      orderedOnce(
+        TextAnalysis.analyze(t(s, d, "documents"), "doc_id", "text")
+          .select("doc_id", "n_words", "n_bpeish_tokens", "quality_score"),
+        "doc_id")),
 
     // the downstream FILTER stage over the quality signals: Gopher-style
     // per-rule verdicts (word count, mean word length, punct/stopword/
     // digit/upper ratios, repetition) + the keep conjunction, every flag
     // oracle-replicated rule by rule
     "q_gopher_filter" -> ((s, d) =>
-      TextAnalysis.qualityFilterReport(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+      orderedOnce(
+        TextAnalysis.qualityFilterReport(t(s, d, "documents"), "doc_id",
+          "text"),
+        "doc_id")),
 
     // domain-blocklist gate: suffix matching (entry blocks itself + all
     // subdomains) over hosts synthesized deterministically from source —
@@ -1037,10 +1053,11 @@ object SparkEntry {
         col("source"), lit("</h1><p>"), col("text"),
         lit(" &amp; more&nbsp;&#39;quoted&#39;</p>"),
         lit("<script>var a = 1 < 2;</script></body></html>"))
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.htmlToText(html).as("text_extracted"))
-        .orderBy("doc_id")
+      orderedOnce(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.htmlToText(html).as("text_extracted")),
+        "doc_id")
     }),
 
     // main-content extraction (readability-class block scoring): pages
@@ -1063,10 +1080,11 @@ object SparkEntry {
           "<a href=\"/tos\">Terms of Service</a> " +
           "<a href=\"/privacy\">Privacy Policy</a> (c) Example Corp" +
           "</footer></body></html>"))
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.mainContent(page).as("main_text"))
-        .orderBy("doc_id")
+      orderedOnce(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.mainContent(page).as("main_text")),
+        "doc_id")
     }),
 
     // Gopher character-level repetition: most-frequent-2-gram char
@@ -1082,7 +1100,7 @@ object SparkEntry {
             .as("top2_char_frac"),
           round(col("__r").getField("dup_ngram_char_frac"), 6)
             .as("dup3_char_frac"))
-        .orderBy("doc_id")
+        .transform(orderedOnce(_, "doc_id"))
     }),
 
     // DSIR importance weights (Xie et al. 2023): per-doc unigram
@@ -1102,9 +1120,10 @@ object SparkEntry {
     // single-line corpus — same code path as the newline default):
     // first occurrence survives, later repeats drop, volume observable
     "q_intradoc_dedup" -> ((s, d) =>
-      LineDedup.dedupLinesWithinDoc(t(s, d, "documents")
-          .select("doc_id", "text"), "text", delim = " ")
-        .orderBy("doc_id")),
+      orderedOnce(
+        LineDedup.dedupLinesWithinDoc(t(s, d, "documents")
+          .select("doc_id", "text"), "text", delim = " "),
+        "doc_id")),
 
     // CROSS-doc chunk dedup (Dolma/RefinedWeb paragraph scrub on a
     // punctuation-free corpus): every duplicated 12-word chunk keeps one
@@ -1413,6 +1432,10 @@ object SparkEntry {
           nMerges = 4)
         .orderBy("merge_idx").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // NOT orderedOnce: bpeTokenCounts ends in a per-doc aggregate, so
+      // the sort's child already sits on an exchange — the sampler
+      // re-reads those shuffle files, and an extra repartition only
+      // adds a third exchange (measured 1.16 → 1.24 s warm, reverted)
       TextAnalysis.bpeTokenCounts(t(s, d, "documents"), "doc_id", "text",
           merges)
         .orderBy("doc_id")
@@ -1437,8 +1460,8 @@ object SparkEntry {
     "q_oov_rate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val vocab = TextAnalysis.buildVocab(docs, "text", 100)
-      TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
-        .orderBy("doc_id")
+      orderedOnce(TextAnalysis.oovStats(docs, "doc_id", "text", vocab),
+        "doc_id")
     }),
 
     // rank-ensemble quality: mean within-source percent_rank of two
@@ -1687,7 +1710,7 @@ object SparkEntry {
           probePath = "$.doc_id")
         .select(col("doc_id"), col("json_ok"), col("ex_lang"),
           col("ex_source"), col("ex_n"))
-        .orderBy("doc_id")
+        .transform(orderedOnce(_, "doc_id"))
     }),
 
     // the one-pass QC rollup over the same parsed frame: malformed
@@ -1735,7 +1758,7 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.encodingQc(planted).as("qc"))
         .select(col("doc_id"), col("qc.n_replacement"), col("qc.n_control"),
           col("qc.n_non_ascii"), col("qc.printable_ratio"))
-        .orderBy("doc_id")
+        .transform(orderedOnce(_, "doc_id"))
     }),
 
     // text → token ids with a corpus-learned vocabulary (top-20 words,
@@ -1745,6 +1768,11 @@ object SparkEntry {
     "q_tokenize" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val vocab = TextAnalysis.buildVocab(docs, "text", size = 20)
+      // NOT orderedOnce: every boundary placement was measured slower —
+      // post-explode repartition ships ~500k exploded rows (0.59 →
+      // 0.72 s warm) and a pre-explode array exchange ships text-sized
+      // token arrays (0.85 s); the double tokenize eval under the
+      // sort's sampler is the cheapest of the three
       docs.select(col("doc_id"),
           posexplode(TextAnalysis.tokenize(col("text"), vocab, unkId = -1)))
         .withColumnRenamed("col", "token_id")
@@ -1785,10 +1813,12 @@ object SparkEntry {
     // SQL-expressible halves are oracled by q_compression_meta below
     "q_compression_ratio" -> ((s, d) => { // deflate size: rows-only
       TextExpressions.register(s)
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          round(TextExpressions.compressionRatio(col("text")), 4).as("deflate_ratio"))
-        .orderBy("doc_id")
+      orderedOnce(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            round(TextExpressions.compressionRatio(col("text")), 4)
+              .as("deflate_ratio")),
+        "doc_id")
     }),
 
     // the oracle companion for q_compression_ratio (the
@@ -1845,7 +1875,7 @@ object SparkEntry {
         .select(col("doc_id"), col("__p.n_emails").as("n_emails"),
           col("__p.n_phones").as("n_phones"), col("__p.n_ips").as("n_ips"),
           col("redacted_len"))
-        .orderBy("doc_id")
+        .transform(orderedOnce(_, "doc_id"))
     }),
 
     "q_logistic_quality" -> ((s, d) => {
@@ -1861,7 +1891,7 @@ object SparkEntry {
         .select(col("doc_id"),
           round(TextAnalysis.logOddsFrom(col("__tp"), bias = -2.0, w), 6)
             .as("log_odds"))
-        .orderBy("doc_id")
+        .transform(orderedOnce(_, "doc_id"))
     }),
 
     "q_mixing" -> ((s, d) => {
@@ -2679,9 +2709,10 @@ object SparkEntry {
 
     "q_multimodal_features" -> ((s, _) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
-      feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
-          col("frames_sampled"))
-        .orderBy("media_id")
+      orderedOnce(
+        feats.toDF().select(col("media_id"), col("mime"), col("n_bytes"),
+          col("frames_sampled")),
+        "media_id")
     }),
 
     // oracle companion for the multimodal pass: mime and frames_sampled
@@ -2694,8 +2725,10 @@ object SparkEntry {
     // oracle touches only real parquet.
     "q_multimodal_meta" -> ((s, _) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 300))
-      feats.toDF().select(col("media_id"), col("mime"), col("frames_sampled"))
-        .orderBy("media_id")
+      orderedOnce(
+        feats.toDF().select(col("media_id"), col("mime"),
+          col("frames_sampled")),
+        "media_id")
     }),
 
     // ---- the flagship sequence-table validation (oracle-checked) ----
@@ -2711,9 +2744,10 @@ object SparkEntry {
     // the violation ROWS themselves (doc_id, rule_id, offending_value) —
     // the north-star "violations Dataset byte-identical" contract
     "q_seq_violations" -> ((s, d) =>
-      ValidationPass.seqViolations(seqFromDocs(s, d),
-          ValidationPass.seqConstraints(50000, SeqTableGen.Sources))
-        .orderBy("doc_id", "rule_id", "offending_value")),
+      orderedOnce(
+        ValidationPass.seqViolations(seqFromDocs(s, d),
+          ValidationPass.seqConstraints(50000, SeqTableGen.Sources)),
+        "doc_id", "rule_id", "offending_value")),
 
     // substring-level dedup APPLY: tokens covered by a 3-gram occurring
     // in >= 2 distinct docs are scrubbed (Lee-et-al removal on the token
@@ -2833,9 +2867,10 @@ object SparkEntry {
     // ratio, and keep verdict — pure zero-shuffle projection, list
     // rides the plan as a literal
     "q_badword_filter" -> ((s, d) =>
-      TextAnalysis.badWordStats(t(s, d, "documents"), "doc_id", "text",
-          Seq("merge", "shuffle", "spill"), maxRatio = 0.05)
-        .orderBy("doc_id")),
+      orderedOnce(
+        TextAnalysis.badWordStats(t(s, d, "documents"), "doc_id", "text",
+          Seq("merge", "shuffle", "spill"), maxRatio = 0.05),
+        "doc_id")),
 
     // exact-count stratified sampling: EXACTLY ceil(0.1 * n_s) docs per
     // source in deterministic seeded-hash order — the eval-set builder;
@@ -3097,6 +3132,10 @@ object SparkEntry {
     "q_detokenize" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val vocab = TextAnalysis.buildVocab(docs, "text", size = 20)
+      // NOT orderedOnce: the projection emits the round-trip TEXT, so
+      // the shuffle boundary would move text bytes — measured neutral
+      // warm (0.47 vs 0.49 s) and worse cold; the double tokenize eval
+      // is the cheaper side of this trade
       docs.select(col("doc_id"),
           TextAnalysis.detokenize(
             TextAnalysis.tokenize(col("text"), vocab, unkId = -1), vocab)
@@ -3108,8 +3147,9 @@ object SparkEntry {
     // projection; DuckDB's independent regex engine replays the
     // word/sentence/vowel-group counting
     "q_readability" -> ((s, d) =>
-      TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+      orderedOnce(
+        TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id")),
 
     // ---- bucketed co-located join: both sides written hash-bucketed
     // + sorted on the join key, so the fact⋈fact join and any groupBy
@@ -3138,9 +3178,10 @@ object SparkEntry {
     // (WinnowingSpec differential). Fixture docs are all ≥ 47 chars,
     // so the short-doc branch never fires here (unit-tested instead).
     "q_winnow" -> ((s, d) =>
-      Winnowing.fingerprintsMd5(t(s, d, "documents"), "doc_id", "text",
-          k = 8, w = 4)
-        .orderBy("doc_id", "fp")),
+      orderedOnce(
+        Winnowing.fingerprintsMd5(t(s, d, "documents"), "doc_id", "text",
+          k = 8, w = 4),
+        "doc_id", "fp")),
 
     // the detection guarantee, oracle-replayed: a 3-char prefix shift
     // preserves every length ≥ w+k−1 = 11 match, so each of the 200
@@ -3366,11 +3407,12 @@ object SparkEntry {
     // sum-order ulps)
     "q_char_entropy" -> ((s, d) => {
       TextExpressions.register(s)
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          round(TextAnalysis.charEntropy(
-            regexp_replace(col("text"), "[^\\x20-\\x7e]", "")), 4).as("h"))
-        .orderBy("doc_id")
+      orderedOnce(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            round(TextAnalysis.charEntropy(
+              regexp_replace(col("text"), "[^\\x20-\\x7e]", "")), 4).as("h")),
+        "doc_id")
     }),
 
     // ---- raking / IPF: balance the corpus to uniform lang AND group
@@ -3403,8 +3445,8 @@ object SparkEntry {
         lpad(((col("doc_id") * 48271 + 11) % 100000000000000L)
           .cast("string"), 14, "0"),
         lit(" tail")).as("text2"))
-      TextAnalysis.luhnCandidates(synth, "doc_id", "text2")
-        .orderBy("doc_id", "cand")
+      orderedOnce(TextAnalysis.luhnCandidates(synth, "doc_id", "text2"),
+        "doc_id", "cand")
     }),
 
     // ---- cross-source duplication matrix ("who copies whom"):
