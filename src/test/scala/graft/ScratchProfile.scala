@@ -19,27 +19,21 @@ object ScratchProfile {
       val t0 = System.nanoTime(); val r = body
       println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-    graft.functions.TextExpressions.register(spark)
     val docs = spark.read.parquet(s"$d/documents.parquet")
-    import graft.functions.TextExpressions
+      .select(col("doc_id"), col("n_chars"),
+        (col("doc_id") % 256).as("bucket2"))
     for (i <- 1 to 3) {
-      t(s"iter$i md5-expr only")(noop(docs.where(col("text").isNotNull)
-        .select(col("doc_id"),
-          TextExpressions.winnowMd5(col("text"), 8, 4).as("fps"))))
-      t(s"iter$i + explode")(noop(docs.where(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(TextExpressions.winnowMd5(col("text"), 8, 4)).as("fp"))))
-      t(s"iter$i + orderBy")(noop(docs.where(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(TextExpressions.winnowMd5(col("text"), 8, 4)).as("fp"))
-        .orderBy("doc_id", "fp")))
-      t(s"iter$i + repart + orderBy")(noop(docs.where(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(TextExpressions.winnowMd5(col("text"), 8, 4)).as("fp"))
-        .repartition(col("doc_id"))
-        .orderBy("doc_id", "fp")))
+      t(s"iter$i writeHilbert current")(
+        graft.sources.Bucketing.writeHilbert(docs, "/tmp/scratch_h1",
+          "n_chars", "bucket2", bits = 16, nFiles = 8))
+      t(s"iter$i writeHilbert pre-exchange")(
+        docs.withColumn("__h", graft.functions.SpatialExpressions
+            .hilbertIndex(col("n_chars"), col("bucket2"), 16))
+          .repartition(col("__h"))
+          .repartitionByRange(8, col("__h"))
+          .sortWithinPartitions(col("__h"))
+          .drop("__h")
+          .write.mode("overwrite").parquet("/tmp/scratch_h2"))
     }
     spark.stop()
   }
